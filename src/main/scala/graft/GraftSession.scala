@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Replaces the reference's hand-rolled cluster bootstrap (master/slave/
+  * cacheserver daemons, `/root/reference/src/master/dht/master.cc:64`,
+  * `src/slave/dht/slave.cc:38`, `src/orthrus/cacheserver.cc:42`) with a
+  * single Spark session. Scheduling knobs the reference exposes via EM-KDE
+  * (`src/orthrus/histogram.hh:173-273`) map to AQE: skew-join handling and
+  * partition coalescing are enabled by default so runtime re-planning takes
+  * the role of the decaying-histogram load balancer.
+  *
+  * Scale posture: shuffle partitions default to the local core count for
+  * tests; on a real cluster callers pass `shufflePartitions` sized to
+  * executors * cores * 2-3 (or rely on AQE coalescing from a high initial
+  * count).
+  */
+object GraftSession {
+  def builder(
+      appName: String = "graft",
+      cores: Int = 32,
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = builder(appName, cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

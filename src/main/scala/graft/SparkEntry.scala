@@ -1,13 +1,206 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (reference
+  * parity) or the north-star extension set (relational, events, dedup,
+  * similarity, text analysis). Entries with a matching [[oracleSql]] key are
+  * hash-checked against DuckDB on the same parquet tables; aggregates are
+  * rounded in BOTH engines so double-precision accumulation-order noise
+  * cannot flip the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3TopK(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── reference parity: the three benchmark apps (SURVEY.md §2.2) ──
+    "word_count" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
+    "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
+    "col_agg" -> ((s, d) => TextOps.columnAggregates(Tables.lineitem(s, d))),
+    // ── relational completeness (SURVEY.md §2.3) ──
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
+    "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
+    "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
+    "window_topn" -> ((s, d) => Relational.windowTopNPerCustomer(s, d)),
+    "window_running" -> ((s, d) => Relational.windowRunningTotal(s, d)),
+    "rollup_agg" -> ((s, d) => Relational.rollupAgg(s, d)),
+    "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "topk_global" -> ((s, d) => Relational.topKGlobal(s, d)),
+    // ── events: time bucketing, JSON, sessionization ──
+    "events_hourly" -> ((s, d) => EventOps.hourlyRollup(s, d)),
+    "events_json" -> ((s, d) => EventOps.jsonExtract(s, d)),
+    "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    // ── LLM-pipeline: text analysis ──
+    "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // ── LLM-pipeline: dedup ──
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // ── LLM-pipeline: similarity search ──
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "word_count" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "inverted_index" ->
+      """SELECT word, doc_id, count(*) AS n_occ
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word, doc_id""".stripMargin,
+    "col_agg" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty, round(avg(l_quantity), 4) AS avg_qty,
+        |round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_extendedprice), 4) AS avg_price,
+        |round(sum(l_discount), 4) AS sum_disc, round(sum(l_tax), 4) AS sum_tax, count(*) AS n
+        |FROM lineitem""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """WITH r AS (
+        |  SELECT l_orderkey AS orderkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |         o_orderdate, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |       JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-06-01'
+        |    AND l_shipdate > TIMESTAMP '1997-06-01'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+        |SELECT orderkey, revenue, o_orderdate, o_orderpriority, rnk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY revenue DESC, orderkey) AS rnk FROM r) s
+        |WHERE rnk <= 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "set_ops" ->
+      """SELECT k, 'active_rich' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT o_custkey AS k FROM orders) a
+        |UNION ALL
+        |SELECT k, 'inactive_rich' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT o_custkey AS k FROM orders) b""".stripMargin,
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem) t WHERE rnk <= 20""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n FROM events GROUP BY event_type""".stripMargin,
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+        |         WHEN date_diff('microsecond',
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+        |              > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events_total
+        |FROM per_sess GROUP BY user_id""".stripMargin,
+    "token_stats" ->
+      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens,
+        |len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
+        |round(len(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
+        |      / len(string_split_regex(text, '\s+')), 4) AS ttr,
+        |round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / len(string_split_regex(text, '\s+')), 4) AS mean_tok_len
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+        |len(string_split_regex(text, '\s+')) AS n_tokens,
+        |round(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::DOUBLE
+        |      / len(string_split_regex(text, '\s+')), 4) AS stopword_ratio,
+        |round(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) <= 2))::DOUBLE
+        |      / len(string_split_regex(text, '\s+')), 4) AS short_tok_ratio
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' '))
+        |AS fingerprint FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT query_id, e.vec_id AS nbr_id,
+        |        round(list_dot_product(qv, v)
+        |              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |              4) AS sim
+        |      FROM q CROSS JOIN e WHERE e.vec_id <> query_id)
+        |SELECT query_id, nbr_id, sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
+        |WHERE rnk <= 5""".stripMargin,
+    // lang_id, minhash_pairs, simhash: engine-native hash functions —
+    // intentionally no SQL oracle (driver records rows-only check).
+  )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact, MinHash+LSH
+  * near-dup, SimHash. Core training-data-pipeline ops (north star); the
+  * reference's closest machinery is its `(app, input)`-keyed result cache
+  * (`/root/reference/src/file_distributor/fileserver.hh:374-585`) — dedup
+  * itself is new scope.
+  *
+  * Scale posture: every stage is a bounded-width shuffle (group-by on
+  * content hash / band hash); no driver-side state; candidate verification
+  * joins only the LSH-bucketed pairs, never the full cross product.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash. At 100 TB this is the cheap
+    * first pass: shuffle width = one 32-byte hash + ids.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Token k-shingles (k consecutive tokens joined by a space), distinct
+    * per document. Row-local array expressions — no shuffle.
+    */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+          .as("shingles"))
+
+  /** MinHash signatures: numHashes independent hash functions simulated as
+    * xxhash64 seeded by the function index; signature_i = min over the
+    * doc's shingles. One shuffle (groupBy doc_id) computing all mins at
+    * once.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame = {
+    val ex = shingles(docs, k).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs. Pipeline:
+    * shingle → minhash (numHashes) → band into `bands` groups of `rowsPerBand`
+    * → bucket-join docs sharing any band hash → verify candidates with the
+    * exact shingle-set Jaccard → keep pairs ≥ threshold.
+    *
+    * The band self-join touches only same-bucket docs, so cost is
+    * sum(bucket²) not n²; the verify join uses per-doc collected shingle
+    * sets (bounded by doc length, safe to materialize per row).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      k: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, k)
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+      struct(lit(j).as("band"), xxhash64(cols :+ lit(j): _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sets = shingles(docs, k)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    cand
+      .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).as("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash-64 per document: hash each token to 64 bits; each bit
+    * contributes +1/-1 to its lane; the sign vector packs back into one
+    * long. Computed as 64 codegen'd conditional sums in a single group-by —
+    * one shuffle, no UDF.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokens(docs).select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val laneSums = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val lanes = t.groupBy("doc_id").agg(laneSums.head, laneSums.tail: _*)
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    lanes.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (for near-dup grouping on
+    * top of [[simhash]]).
+    */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator suite: joins (broadcast/semi/anti), window
+  * functions, rollup, distinct aggregates, set ops, top-k.
+  *
+  * The reference has none of these natively (SURVEY.md §2.3 — joins,
+  * windows, set ops are all "absent"; a user would hand-roll a reduce-side
+  * join over its groupByKey machinery, `/root/reference/src/file_distributor/
+  * ireader.hh:145-536`). Here they are declarative plans so Catalyst picks
+  * physical strategies: dimension tables broadcast (no shuffle of the fact
+  * table), AQE handles skew, and aggregates run partial+final.
+  *
+  * Scale notes (100 TB posture): every query below shuffles the fact table
+  * at most once on its natural key; dimensions are broadcast explicitly;
+  * top-k uses sort+limit (per-partition top-k then merge) instead of a
+  * single-partition global window.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary. Single shuffle on the 2×2 grouping
+    * key; everything else is map-side. Sums rounded for FP-stable hashes.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped: top-10 unshipped-revenue orders for one segment.
+    * customer is broadcast (small dim); lineitem shuffles once on
+    * l_orderkey for the group-by; top-k via rounded-revenue sort + limit.
+    */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
+    val grouped = li
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey").as("orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+    val top = grouped.orderBy(col("revenue").desc, col("orderkey")).limit(10)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("revenue").desc, col("orderkey"))))
+  }
+
+  /** TPC-H Q5-shaped: revenue per nation where customer and supplier share
+    * the nation, one region, one year. All dims broadcast; the only wide
+    * exchange is lineitem→orders join (orders itself broadcastable at test
+    * SF; at 100 TB AQE picks SMJ on l_orderkey) then agg on n_name.
+    */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val dims = broadcast(nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey")))
+    val supp = broadcast(Tables.supplier(spark, dir))
+    val cust = broadcast(Tables.customer(spark, dir))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Left-semi join: order counts by priority for one customer segment.
+    * Semi join never materializes customer columns — minimal shuffle width.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val machinery = Tables.customer(spark, dir).where(col("c_mktsegment") === "MACHINERY")
+    Tables.orders(spark, dir)
+      .join(broadcast(machinery), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Left-anti join: customers with no orders. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Window: top-3 orders per customer by price. One shuffle on o_custkey;
+    * rank inside partition, no global sort.
+    */
+  def windowTopNPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+  }
+
+  /** Window: running total per customer in date order. Deterministic
+    * prefix-sum (rounded) — same accumulation order in any engine.
+    */
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+  }
+
+  /** ROLLUP aggregate over (returnflag, linestatus). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+
+  /** Exact distinct aggregates (expand + two-phase agg under the hood). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+
+  /** Set ops: rich customers split by order activity via INTERSECT/EXCEPT. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir).where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    val active = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    rich.intersect(active).withColumn("tag", lit("active_rich"))
+      .unionAll(rich.except(active).withColumn("tag", lit("inactive_rich")))
+  }
+
+  /** Global top-k via sort+limit: Spark computes per-partition top-k and
+    * merges — no single-partition window, scales to any input size.
+    */
+  def topKGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+    top.withColumn("rnk", row_number().over(
+      Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and an LSH-bucketed (random
+  * hyperplane / sign-bit) variant as the 100 TB scale path. North-star
+  * scope — the reference has no vector model (its records are opaque text,
+  * SURVEY.md §1).
+  *
+  * All vector math uses `zip_with`/`aggregate` higher-order functions —
+  * codegen'd, left-to-right fold, so dot products are bit-deterministic and
+  * reproducible across engines.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double-array columns (ordered fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cast `embedding` float array to double and precompute the norm. */
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k: for each query vector (small set), score
+    * every corpus vector and keep the k best. The query side is broadcast;
+    * the corpus streams through a nested-loop join — one pass, no shuffle
+    * of the corpus, then a per-query top-k (tiny window: queries × corpus
+    * rows collapse to k per query via rank over a partition that AQE keeps
+    * narrow). Rounded similarity gives deterministic, engine-portable
+    * ordering.
+    */
+  def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = prepared(embeddings)
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Convenience: top-k where queries = corpus rows with vec_id < nQueries. */
+  def cosineTopKPrefix(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
+    cosineTopK(embeddings, embeddings.where(col("vec_id") < nQueries), k)
+
+  /** Random-hyperplane LSH bucket key: `nBits` sign bits of projections
+    * onto pseudo-random unit directions. The "random" planes are
+    * deterministic: plane p, dim d weight = a fixed hash-derived value in
+    * [-1, 1]. Vectors in the same bucket are near-duplicate candidates —
+    * the scale path for all-pairs similarity (cost sum(bucket²), not n²).
+    */
+  def lshBucket(v: Column, dims: Int, nBits: Int = 12): Column = {
+    val bits = (0 until nBits).map { p =>
+      // deterministic pseudo-random weight per (plane, dim) from a hash
+      val proj = (0 until dims).map { d =>
+        val w = ((scala.util.hashing.MurmurHash3.productHash((p, d)).toDouble
+          / Int.MaxValue) % 1.0)
+        element_at(v, d + 1) * lit(w)
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** All-pairs near-neighbor candidates via LSH buckets, verified with the
+    * exact cosine and filtered by `minSim`. Scales as the bucket-join, not
+    * the cross product.
+    */
+  def lshNearPairs(embeddings: DataFrame, dims: Int, minSim: Double = 0.9,
+      nBits: Int = 12): DataFrame = {
+    val p = prepared(embeddings).withColumn("bucket", lshBucket(col("v"), dims, nBits))
+    p.as("x").join(p.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+}

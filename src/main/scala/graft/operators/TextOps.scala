@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text operators: the reference's three benchmark apps (word count,
+  * aggregation, inverted index — `/root/reference/doc/CourseReport'14/
+  * report.tex` §"Applications") re-expressed as single declarative plans,
+  * plus the text-analysis ops a large-scale training-data pipeline needs
+  * (token stats, quality scores, fingerprints, language id).
+  *
+  * All ops stay inside whole-stage codegen (built-in functions only, no
+  * UDFs) and aggregate with map-side partial aggregation — the Spark
+  * equivalent of the reference's iwriter partial grouping
+  * (`/root/reference/src/file_distributor/iwriter.hh:76-132`).
+  */
+object TextOps {
+
+  /** One row per (doc_id, token). Tokenization = split on runs of
+    * whitespace, drop empties — mirrors the reference WordCount app's
+    * line-tokenize behavior over its newline-record model
+    * (`/root/reference/src/file_distributor/filebridge.hh:216-228`).
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+
+  /** Reference WordCount app: token → global count.
+    * Map-side combine + single hash-agg shuffle on `word`; at 100 TB the
+    * word domain is small relative to input so partial aggregation
+    * collapses nearly all rows before the exchange.
+    */
+  def wordCount(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Reference InvertedIndex app: word → postings. Emitted as one row per
+    * (word, doc_id) with an occurrence count rather than a collected list —
+    * keeps the operator fully streaming/spillable (no per-key
+    * materialization), which is the 100 TB-safe shape; callers wanting the
+    * list form can `collect_list` on top.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("word", "doc_id").agg(count(lit(1)).as("n_occ"))
+
+  /** Per-document token statistics (token count, distinct tokens,
+    * type-token ratio, mean token length). Pure per-row array expressions:
+    * no shuffle at all.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"),
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks), 4)
+        .as("mean_tok_len"))
+  }
+
+  /** Heuristic quality scores per document: length, stopword ratio,
+    * short-token ratio. Shuffle-free row-local expressions.
+    */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nTok = size(toks)
+    val stop = size(expr("filter(split(text, '\\\\s+'), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')"))
+    val short = size(expr("filter(split(text, '\\\\s+'), x -> length(x) <= 2)"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      round(stop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(short.cast("double") / nTok, 4).as("short_tok_ratio"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive document signature usable as an exact-dedup key that
+    * is robust to token reordering.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))))
+        .as("fingerprint"))
+
+  /** Marker-token sets per language for the n-gram/stopword language-id
+    * heuristic. Deterministic scoring: hits per marker set, argmax with a
+    * fixed priority order on ties.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("de", "le", "shi", "zai", "he"))
+
+  /** Heuristic language id: score each candidate language by marker-token
+    * hits, pick the max (ties broken by the fixed order above). On the
+    * synthetic fixtures this mostly degenerates — the value is the
+    * deterministic, shuffle-free scoring plumbing.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(col("text"), "\\s+"))
+    val scored = langMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(array_intersect(toks, arr)).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, fixed priority): array_max on (score, -index) structs
+    val withIdx = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(-i).as("prio"), s.getField("lang").as("lang"))
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang").as("true_lang"),
+      array_max(array(withIdx: _*)).getField("lang").as("pred_lang"))
+      .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
+  }
+
+  /** Reference "Aggregation" app: per-column numeric aggregates over a
+    * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
+    * values of each column in input tables"). One global hash-agg with
+    * partial aggregation; rounded so the result hash is FP-stable across
+    * engines.
+    */
+  def columnAggregates(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(avg("l_quantity"), 4).as("avg_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_price"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      round(sum("l_discount"), 4).as("sum_disc"),
+      round(sum("l_tax"), 4).as("sum_tax"),
+      count(lit(1)).as("n"))
+}
