@@ -1,0 +1,78 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Content-addressed materialization manager — the Spark-side equivalent of
+  * the reference's cross-job intermediate-result cache ("Icache"), which
+  * replays a map task's cached output keyed by `appname_inputfile`
+  * (`/root/reference/src/file_distributor/fileserver.hh:374-585`, opt-in at
+  * `src/mapreduce/dht/mapreduce.hh:1102-1105`).
+  *
+  * The reference's key is unsound under changed inputs (SURVEY.md §7.4): it
+  * never looks at input *content*. Here the cache key fingerprints the
+  * operator name, its normalized parameters, AND an input snapshot (path,
+  * length, modification time of every input file), so a changed input is a
+  * miss, never a stale replay.
+  *
+  * Storage is parquet under `cacheDir/<fingerprint>` — works on any Hadoop
+  * filesystem (local, HDFS, S3A), so the cache is shared across sessions
+  * and jobs like the reference's distributed cache, but with Spark's
+  * columnar format + predicate pushdown on re-read.
+  */
+object Materializer {
+
+  final case class CacheKey(op: String, params: Map[String, String], inputPaths: Seq[String])
+
+  /** Stable hex fingerprint of (op, params, input snapshot). */
+  def fingerprint(spark: SparkSession, key: CacheKey): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapshot = key.inputPaths.sorted.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path))
+        fs.listStatus(path).toSeq.sortBy(_.getPath.toString).map(st =>
+          s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+      else Seq(s"$p|missing")
+    }
+    val material =
+      (Seq(key.op) ++ key.params.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ snapshot)
+        .mkString("\n")
+    MessageDigest.getInstance("MD5").digest(material.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def successMarker(dir: String): Path = new Path(dir, "_SUCCESS")
+
+  /** Serve from cache when the fingerprint matches a completed
+    * materialization; otherwise compute, persist, and serve the persisted
+    * copy (so downstream reads get parquet scans with pruning, not the
+    * original plan). Incomplete writes (no _SUCCESS) are recomputed —
+    * mirrors the reference's `is_being_written` concurrent-writer guard
+    * (`fileserver.hh:473-538`) without its race.
+    */
+  def lookupOrCompute(spark: SparkSession, cacheDir: String, key: CacheKey)(
+      compute: => DataFrame): DataFrame = {
+    val fp = fingerprint(spark, key)
+    val target = s"$cacheDir/$fp"
+    val path = new Path(target)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(fs.exists(path) && fs.exists(successMarker(target)))) {
+      compute.write.mode("overwrite").parquet(target)
+    }
+    spark.read.parquet(target)
+  }
+
+  /** Drop one materialization (or the whole cache namespace with `op=None`). */
+  def invalidate(spark: SparkSession, cacheDir: String, key: Option[CacheKey] = None): Unit = {
+    val dir = key match {
+      case Some(k) => s"$cacheDir/${fingerprint(spark, k)}"
+      case None => cacheDir
+    }
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+}

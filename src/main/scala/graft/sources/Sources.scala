@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** Source/sink + catalog surface.
+  *
+  * Covers the reference's scan/ingest/catalog operators (SURVEY.md §2.1
+  * S1-S5): newline-text scan (`/root/reference/src/common/
+  * fileclient.hh:271-344` + `src/file_distributor/fileserver.hh:344-741`),
+  * `mrput` ingest (`src/bin/mrput:1-49`, placement `src/file_distributor/
+  * fd_core.cc:30-53`) and the `mrls`/`mrcat`/`mrrm` catalog CLIs
+  * (`src/bin/mrls:1-36`, `src/file_distributor/mrcat_core.cc:11-40`).
+  *
+  * The DHT placement (`h(name) % N`) is intentionally NOT reimplemented:
+  * file placement belongs to the filesystem (HDFS/S3/local), and Spark's
+  * locality-aware scheduling replaces hash-owner routing. These helpers are
+  * thin Hadoop-FS wrappers so the same API works on any storage the cluster
+  * mounts — plus the typed columnar readers that are the engine's native
+  * surface.
+  */
+object Sources {
+
+  // ── scans (S1-S3): newline text for parity, columnar for native use ──
+
+  def readText(spark: SparkSession, path: String): Dataset[String] =
+    spark.read.textFile(path)
+
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  // ── sinks (R2): append-only text / columnar ──
+
+  def writeText(ds: Dataset[String], path: String, mode: SaveMode = SaveMode.Append): Unit =
+    ds.write.mode(mode).text(path)
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  // ── catalog ops (S4-S5): put / ls / cat / rm on any Hadoop FS ──
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `mrput` parity: copy a local file into engine storage. */
+  def put(spark: SparkSession, localFile: String, destDir: String): Unit = {
+    val dst = new Path(destDir, new Path(localFile).getName)
+    fs(spark, destDir).copyFromLocalFile(new Path(localFile), dst)
+  }
+
+  /** `mrls` parity: list files under a storage path. */
+  def ls(spark: SparkSession, dir: String): Seq[FileStatus] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (f.exists(p)) f.listStatus(p).toSeq.sortBy(_.getPath.toString) else Nil
+  }
+
+  /** `mrcat` parity: stream a text file's lines (driver-side utility; use
+    * [[readText]] for distributed reads).
+    */
+  def cat(spark: SparkSession, path: String): Iterator[String] = {
+    val in = fs(spark, path).open(new Path(path))
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  }
+
+  /** `mrrm` parity: delete a file or directory tree. */
+  def rm(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).delete(new Path(path), true)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("shingles produce k-grams of consecutive tokens") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), k = 3)
+      .select("shingles").as[Seq[String]].head()
+    assert(sh.toSet === Set("a b c", "b c d"))
+  }
+
+  test("minhashPairs finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs hash identically; hamming distance 0") {
+    val docs = Seq((1L, "q w e r t y"), (2L, "q w e r t y"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+    val dist = spark.range(1).select(
+      Dedup.hammingDist(lit(sh(1L)), lit(sh(2L))).as("d")).head().getAs[Int]("d")
+    assert(dist === 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Write a crafted events table to a temp fixture dir. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-events").toString
+    Seq(
+      // user 1: 3 events, 40-min gap after the second → 2 sessions
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 5}"""),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0, """{"k": 7}"""),
+      (3L, ts("2024-01-01 10:50:00"), 1L, "view", 3.0, """{"k": 1}"""),
+      // user 2: single event, next hour
+      (4L, ts("2024-01-01 11:30:00"), 2L, "purchase", 10.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("sessionize splits on inactivity gap") {
+    val byUser = EventOps.sessionize(spark, dir, gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byUser(1L) === ((2L, 2L, 3L)))
+    assert(byUser(2L) === ((1L, 1L, 1L)))
+  }
+
+  test("hourlyRollup buckets by hour and type") {
+    val got = EventOps.hourlyRollup(spark, dir)
+      .select("hour_epoch", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val h11 = ts("2024-01-01 11:00:00").getTime / 1000
+    assert(got === Set((h10, "click", 2L), (h10, "view", 1L), (h11, "purchase", 1L)))
+  }
+
+  test("jsonExtract sums the JSON property per type") {
+    val got = EventOps.jsonExtract(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("click") === ((12L, 2L)))
+    assert(got("purchase") === ((2L, 1L)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{MapReduce, TextOps}
+
+class MapReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq("a b a", "b c", "a")
+
+  test("run: word count via mapper/reducer facade matches DataFrame op") {
+    val ds = spark.createDataset(lines)
+    val viaFacade = MapReduce.run(ds)(
+      line => line.split("\\s+").filter(_.nonEmpty).map(w => (w, 1L)))(
+      (k, vs) => Iterator.single((k, vs.sum)))
+      .collect().toMap
+    val viaDf = TextOps.wordCount(
+      lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(viaFacade === viaDf)
+  }
+
+  test("runAggregating (map-side combine path) agrees with run") {
+    val ds = spark.createDataset(lines)
+    val mapper: String => IterableOnce[(String, Long)] =
+      line => line.split("\\s+").filter(_.nonEmpty).map(w => (w, 1L))
+    val general = MapReduce.run(ds)(mapper)((k, vs) => Iterator.single((k, vs.sum))).collect().toMap
+    val algebraic = MapReduce.runAggregating(ds)(mapper)(0L)(_ + _)(_ + _)((b: Long) => b)
+      .collect().toMap
+    assert(general === algebraic)
+  }
+
+  test("runSortedByKey aggregates correctly") {
+    val ds = spark.createDataset(Seq("c 1", "a 2", "b 3", "a 4"))
+    val seen = MapReduce.runSortedByKey(ds)(
+      line => { val Array(k, v) = line.split(" "); Iterator.single((k, v.toLong)) })(
+      (k, vs) => Iterator.single((k, vs.sum)))
+      .collect().toMap
+    assert(seen === Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+  }
+
+  // Property-style checks with seeded generation (grouping invariants the
+  // reference's P1-P3 machinery guarantees: no pair lost, no key split).
+  test("property: every emitted pair lands in exactly one group") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val words = List.fill(1 + rnd.nextInt(60))(s"w${rnd.nextInt(7)}")
+      val ds = spark.createDataset(words.grouped(8).map(_.mkString(" ")).toSeq)
+      val grouped = MapReduce.run(ds)(
+        l => l.split(" ").map(w => (w, 1)))(
+        (k, vs) => Iterator.single((k, vs.size)))
+        .collect()
+      assert(grouped.map(_._2).sum === words.size, s"pairs lost/duplicated for $words")
+      assert(grouped.map(_._1).distinct.length === grouped.length, "key split across groups")
+      assert(grouped.map(_._1).toSet === words.toSet)
+    }
+  }
+
+  test("property: text KV codec round-trips space-free keys") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val pairs = List.fill(1 + rnd.nextInt(20))(
+        (s"k${rnd.nextInt(100)}", s"v${rnd.nextInt(100)} trailing ${rnd.nextInt(10)}"))
+      val back = MapReduce.decodeKV(MapReduce.encodeKV(spark.createDataset(pairs)))
+        .collect().toList
+      assert(back.sorted === pairs.sorted)
+    }
+  }
+}

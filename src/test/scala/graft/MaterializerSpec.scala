@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.plans.Materializer
+import graft.plans.Materializer.CacheKey
+
+class MaterializerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lookupOrCompute computes once, serves from cache after") {
+    val cacheDir = Files.createTempDirectory("graft-mat").toString
+    val computeCount = new AtomicInteger(0)
+    val key = CacheKey("wc", Map("p" -> "1"), Seq(s"$sfDir/documents.parquet"))
+    def run() = Materializer.lookupOrCompute(spark, cacheDir, key) {
+      computeCount.incrementAndGet()
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    val first = run().count()
+    val second = run().count()
+    assert(first === 1L && second === 1L)
+    assert(computeCount.get() === 1)
+  }
+
+  test("fingerprint changes with params and with input snapshot") {
+    val base = CacheKey("op", Map("a" -> "1"), Seq(s"$sfDir/region.parquet"))
+    val fp1 = Materializer.fingerprint(spark, base)
+    val fp2 = Materializer.fingerprint(spark, base.copy(params = Map("a" -> "2")))
+    val fp3 = Materializer.fingerprint(spark,
+      base.copy(inputPaths = Seq(s"$sfDir/nation.parquet")))
+    assert(fp1 !== fp2)
+    assert(fp1 !== fp3)
+    assert(fp1 === Materializer.fingerprint(spark, base)) // stable
+  }
+
+  test("invalidate forces recompute") {
+    val cacheDir = Files.createTempDirectory("graft-mat2").toString
+    val computeCount = new AtomicInteger(0)
+    val key = CacheKey("op2", Map(), Seq(s"$sfDir/region.parquet"))
+    def run() = Materializer.lookupOrCompute(spark, cacheDir, key) {
+      computeCount.incrementAndGet()
+      Seq(1).toDF("x")
+    }
+    run(); run()
+    assert(computeCount.get() === 1)
+    Materializer.invalidate(spark, cacheDir, Some(key))
+    run()
+    assert(computeCount.get() === 2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1Pricing groups cover the filtered lineitem exactly") {
+    val q1 = Relational.q1Pricing(spark, sfDir)
+    val total = q1.agg(sum("count_order")).head().getLong(0)
+    val expect = Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" <= lit("2000-12-01").cast("timestamp")).count()
+    assert(total === expect)
+  }
+
+  test("q3TopK returns 10 ranked orders with descending revenue") {
+    val rows = Relational.q3TopK(spark, sfDir)
+      .select("rnk", "revenue").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("joinAnti = customers minus customers-with-orders") {
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    val custs = Tables.customer(spark, sfDir).count()
+    val withOrders = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(anti === custs - withOrders)
+  }
+
+  test("joinSemi counts equal a manual IN-filter") {
+    val semi = Relational.joinSemi(spark, sfDir).agg(sum("n")).head().getLong(0)
+    val keys = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment" === "MACHINERY").select("c_custkey")
+    val expect = Tables.orders(spark, sfDir)
+      .join(keys, $"o_custkey" === $"c_custkey").count()
+    assert(semi === expect)
+  }
+
+  test("windowTopNPerCustomer emits at most 3 rows per customer, ranked") {
+    val perCust = Relational.windowTopNPerCustomer(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+    assert(perCust.where($"n" > 3 || $"maxrn" > 3).count() === 0)
+  }
+
+  test("setOps partitions the rich customers") {
+    val rich = Tables.customer(spark, sfDir).where($"c_acctbal" > 5000)
+      .select("c_custkey").distinct().count()
+    val tagged = Relational.setOps(spark, sfDir)
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(tagged.getOrElse("active_rich", 0L) + tagged.getOrElse("inactive_rich", 0L) === rich)
+  }
+
+  test("topKGlobal matches orderBy-limit semantics") {
+    val got = Relational.topKGlobal(spark, sfDir)
+      .select("l_extendedprice").as[Double].collect().toSeq
+    val expect = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").as[Double].collect().sorted(Ordering[Double].reverse).take(20).toSeq
+    assert(got.sorted === expect.sorted)
+  }
+
+  test("rollupAgg total row equals table count") {
+    val total = Relational.rollupAgg(spark, sfDir)
+      .where($"l_returnflag".isNull && $"l_linestatus".isNull)
+      .select("n").as[Long].head()
+    assert(total === Tables.lineitem(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Seq(1f, 0f)),
+    (1L, Seq(2f, 0f)),      // same direction as 0 → cosine 1.0
+    (2L, Seq(0f, 3f)),      // orthogonal to 0 → cosine 0.0
+    (3L, Seq(1f, 1f))       // 45° → cosine ~0.7071
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine similarity with deterministic ties") {
+    val got = Similarity.cosineTopKPrefix(emb, nQueries = 1, k = 3)
+      .select("nbr_id", "sim", "rnk").as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(got(0)._2 === 1.0)
+    assert(got(1)._2 === 0.7071)
+    assert(got(2)._2 === 0.0)
+  }
+
+  test("lshNearPairs finds identical-direction vectors") {
+    val pairs = Similarity.lshNearPairs(emb, dims = 2, minSim = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
+  }
+
+  test("brute-force and LSH agree on high-similarity pairs") {
+    val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
+      .where($"sim" >= 0.99).select("query_id", "nbr_id")
+      .as[(Long, Long)].collect().map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val lsh = Similarity.lshNearPairs(emb, dims = 2, minSim = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh)) // identical-direction vectors always share every sign bucket
+  }
+}

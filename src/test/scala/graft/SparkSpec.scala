@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, one SparkSession). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("graft-test", 4, 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batchEvents = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0),
+    (3L, ts("2024-01-01 11:50:00"), 1L, "view", 3.0),
+    (4L, ts("2024-01-01 10:30:00"), 2L, "view", 4.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionWindows (batch mode): gap-based grouping") {
+    val got = EventStreams.sessionWindows(batchEvents, gap = "30 minutes")
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) === Set(2L, 1L)) // two sessions for user 1
+    assert(got(2L) === Set(1L))
+  }
+
+  test("statefulSessions (batch mode): closes sessions on gap inside batch") {
+    val closed = EventStreams.statefulSessions(batchEvents, gapMinutes = 30)
+      .collect()
+    // user 1's first session (2 events) closes when the 11:50 event arrives
+    assert(closed.length === 1)
+    assert(closed.head.userId === 1L)
+    assert(closed.head.nEvents === 2L)
+  }
+
+  test("tumblingCounts over a real stream (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = EventStreams.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        (2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), "view", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 11:00:00", "view", 1L)))
+    } finally query.stop()
+  }
+}

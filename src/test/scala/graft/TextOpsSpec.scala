@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs =
+    Seq((1L, "a b a"), (2L, "b c"), (3L, "x y z")).toDF("doc_id", "text")
+
+  test("wordCount counts tokens across documents") {
+    val got = TextOps.wordCount(docs).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("invertedIndex emits per-doc postings with occurrence counts") {
+    val got = TextOps.invertedIndex(docs).as[(String, Long, Long)].collect().toSet
+    assert(got.contains(("a", 1L, 2L)))
+    assert(got.contains(("b", 1L, 1L)))
+    assert(got.contains(("b", 2L, 1L)))
+    assert(!got.exists { case (w, d, _) => w == "a" && d == 2L })
+  }
+
+  test("tokenStats: counts, distinct, ttr") {
+    val row = TextOps.tokenStats(docs).where($"doc_id" === 1).head()
+    assert(row.getAs[Int]("n_tokens") === 3)
+    assert(row.getAs[Int]("n_uniq") === 2)
+    assert(row.getAs[Double]("ttr") === 0.6667)
+    assert(row.getAs[Double]("mean_tok_len") === 1.0)
+  }
+
+  test("fingerprint is token-order-insensitive") {
+    val fp = TextOps.fingerprint(
+      Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+  }
+
+  test("langId picks the language with most marker hits, deterministic ties") {
+    val d = Seq(
+      (1L, "der hund und die katze ist da", "de"),
+      (2L, "no markers here whatsoever", "xx")).toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(d).select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) === "de")
+    assert(got(2L) === "en") // zero hits everywhere → first in priority order
+  }
+
+  test("columnAggregates matches direct computation on sf0.001") {
+    val li = Tables.lineitem(spark, sfDir)
+    val row = TextOps.columnAggregates(li).head()
+    assert(row.getAs[Long]("n") === li.count())
+    val expectSum = math.rint(li.agg(sum("l_quantity")).head().getDouble(0) * 100) / 100
+    assert(row.getAs[Double]("sum_qty") === expectSum)
+  }
+}
