@@ -1,26 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line for the driver.
+  *
+  * Methodology (BASELINE.md): median of 3 timed runs per query, after a
+  * warmup pass that triggers JIT + codegen + file-footer caching. Each run
+  * materializes the full result through the `noop` sink — `count()` would
+  * let the optimizer prune the computed columns (a projection-only query
+  * would time as a row-count scan).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(name: String): Long = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      0L
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup: one untimed pass over everything (JIT, codegen cache, footers)
+    names.foreach(n => try materialize(n) catch { case _: Throwable => })
+
+    val results = names.map { name =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(1) // median of 3
+    }
+    val rows = names.map { name =>
+      name -> (try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L })
+    }.toMap
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
     spark.stop()
   }
 }

@@ -24,14 +24,31 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Token k-shingles (k consecutive tokens joined by a space), distinct
-    * per document. Row-local array expressions — no shuffle.
+    * per document. The raw docs are repartitioned BEFORE the shingle
+    * expression: higher-order functions (`transform`/`slice`) are
+    * interpreted, not codegen'd, so a corpus packed into one parquet
+    * row-group would otherwise evaluate them in a single task.
     */
-  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"),
         expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
           .as("shingles"))
+  }
+
+  /** Exploded (doc_id, shingle) rows. `explode_outer` on purpose: plain
+    * `explode` makes the optimizer infer a `size(shingles) > 0` scan filter
+    * that re-evaluates the whole interpreted shingle expression below the
+    * repartition — single-threaded for single-file inputs.
+    */
+  private def explodedShingles(docs: DataFrame, k: Int): DataFrame =
+    shingles(docs, k)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .where(col("sh").isNotNull)
 
   /** MinHash signatures: numHashes independent hash functions simulated as
     * xxhash64 seeded by the function index; signature_i = min over the
@@ -39,7 +56,7 @@ object Dedup {
     * once.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame = {
-    val ex = shingles(docs, k).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val ex = explodedShingles(docs, k)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -62,16 +79,28 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, k)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
     val bandStructs = (0 until bands).map { j =>
-      val cols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+      val cols = (j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1))
       struct(lit(j).as("band"), xxhash64(cols :+ lit(j): _*).as("bh"))
     }
     val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // Signature-agreement pre-filter: est(jaccard) = matching minhash
+    // fraction. Low-vocab corpora make band buckets collide heavily; this
+    // row-local O(numHashes) check discards most candidates before the
+    // exact (set-intersect) verification, keeping verify cost ~ output
+    // size instead of ~ candidate count. Margin 0.6·threshold tolerates
+    // estimator variance without losing true pairs.
+    val estMatches = aggregate(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id"))
+      .where(estMatches >= lit((threshold * 0.6 * numHashes).toInt))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val sets = shingles(docs, k)

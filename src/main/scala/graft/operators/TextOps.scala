@@ -101,19 +101,21 @@ object TextOps {
     * deterministic, shuffle-free scoring plumbing.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(split(col("text"), "\\s+"))
-    val scored = langMarkers.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct(size(array_intersect(toks, arr)).as("score"), lit(lang).as("lang"))
-    }
+    // materialize the distinct-token array once; every marker-set intersect
+    // below references the column instead of re-splitting the text
+    val withToks = docs.select(
+      col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), "\\s+")).as("toks"))
     // argmax by (score, fixed priority): array_max on (score, -index) structs
-    val withIdx = scored.zipWithIndex.map { case (s, i) =>
-      struct(s.getField("score").as("score"), lit(-i).as("prio"), s.getField("lang").as("lang"))
+    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(array_intersect(col("toks"), array(markers.map(lit): _*))).as("score"),
+        lit(-i).as("prio"), lit(lang).as("lang"))
     }
-    docs.select(
+    withToks.select(
       col("doc_id"),
       col("lang").as("true_lang"),
-      array_max(array(withIdx: _*)).getField("lang").as("pred_lang"))
+      array_max(array(scored: _*)).getField("lang").as("pred_lang"))
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
   }
 
