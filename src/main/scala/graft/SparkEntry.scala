@@ -48,8 +48,21 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // ── LLM-pipeline: similarity search ──
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
+    "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
+    }),
+    // ── relational: quantiles / cube / having / scalar / date / pivot ──
+    "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
+    "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
+    "having_agg" -> ((s, d) => Relational.havingAgg(s, d)),
+    "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
+    "date_agg" -> ((s, d) => Relational.dateAgg(s, d)),
+    "pivot_events" -> ((s, d) => EventOps.pivotByType(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -200,7 +213,56 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
         |WHERE rnk <= 5""".stripMargin,
-    // lang_id, minhash_pairs, simhash: engine-native hash functions —
-    // intentionally no SQL oracle (driver records rows-only check).
+    "ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    round(len(list_intersect(x.sh, y.sh))::DOUBLE
+        |          / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "embedding_stats" ->
+      """WITH e AS (SELECT label,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        |FROM e GROUP BY label""".stripMargin,
+    "quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 2) AS p75, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "having_agg" ->
+      """SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment HAVING count(*) > 20""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name_pfx,
+        |length(p_type) AS type_len, round(p_retailprice * 1.1, 2) AS price_adj,
+        |concat_ws('-', p_brand, p_type) AS brand_type FROM part""".stripMargin,
+    "date_agg" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    // lang_id, minhash_pairs, simhash, ivf_topk: engine-native hash/centroid
+    // internals — intentionally no SQL oracle (driver records rows-only check).
   )
 }

@@ -117,6 +117,34 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Exact all-pairs n-gram Jaccard within a blocking key (`source`):
+    * the quadratic-exact complement to [[minhashPairs]]. Blocking bounds
+    * the pair count to sum(block²); at 100 TB the blocking key is whatever
+    * natural partition the corpus has (crawl, shard, domain), with
+    * [[minhashPairs]] as the unblocked path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val s = docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(par)
+      .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+          .as("sh"))
+      .withColumn("n", size(col("sh")))
+    s.as("x")
+      .join(s.as("y"),
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** SimHash-64 per document: hash each token to 64 bits; each bit
     * contributes +1/-1 to its lane; the sign vector packs back into one
     * long. Computed as 64 codegen'd conditional sums in a single group-by —

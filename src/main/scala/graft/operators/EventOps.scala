@@ -30,6 +30,16 @@ object EventOps {
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
 
+  /** Pivot: per-user value sums spread across event-type columns. The
+    * value list is pinned so the plan needs no discovery pass (and column
+    * order is deterministic).
+    */
+  def pivotByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Classic gaps-and-islands: lag → boundary flag → prefix-sum
     * session id. One shuffle on user_id; both windows share the same

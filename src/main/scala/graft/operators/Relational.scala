@@ -144,6 +144,47 @@ object Relational {
       .unionAll(rich.except(active).withColumn("tag", lit("inactive_rich")))
   }
 
+  /** Exact quantiles (linear interpolation) per group — `percentile` in
+    * Spark ≡ `quantile_cont` in ANSI engines.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  /** GROUP BY + HAVING on the aggregate. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(round(avg("c_acctbal"), 2).as("avg_bal"), count(lit(1)).as("n"))
+      .where(col("n") > 20)
+
+  /** Scalar string/math function showcase (all codegen'd built-ins). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name_pfx"),
+      length(col("p_type")).as("type_len"),
+      round(col("p_retailprice") * 1.1, 2).as("price_adj"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date-part extraction + aggregation. */
+  def dateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
   /** Global top-k via sort+limit: Spark computes per-partition top-k and
     * merges — no single-partition window, scales to any input size.
     */

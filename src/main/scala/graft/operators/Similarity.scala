@@ -53,6 +53,70 @@ object Similarity {
   def cosineTopKPrefix(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
     cosineTopK(embeddings, embeddings.where(col("vec_id") < nQueries), k)
 
+  /** Per-label embedding statistics (count, norm distribution). */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        norm(transform(col("embedding"), _.cast("double"))).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+
+  /** IVF (inverted-file) approximate nearest neighbor — the scale path for
+    * large corpora: vectors are bucketed by nearest centroid; a query
+    * probes only its `nProbe` closest buckets, so scored candidates shrink
+    * by ~nProbe/nList versus brute force.
+    *
+    * Centroids are a deterministic one-step Lloyd refinement: seed
+    * partition = `vec_id % nList`, centroid = per-dimension mean. The
+    * centroid table stays a (tiny) DataFrame joined via broadcast — no
+    * driver collect, no giant literal expression trees — so the same plan
+    * shape works for any nList/dim and the corpus shuffles exactly once
+    * (the assignment group-by).
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, nList: Int = 16,
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val corpus = prepared(embeddings)
+    // deterministic centroids: per-dimension mean over seed partition
+    val cents = corpus
+      .select((col("vec_id") % nList).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, p -> p.m)").as("c"))
+
+    // nearest-centroid assignment: broadcast the centroid table, score all
+    // (vector, centroid) pairs, argmax via max(struct) — ties to higher cid
+    def scoreAgainstCentroids(df: DataFrame, vCol: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("cs", dot(col(vCol), col("c")))
+
+    val assigned = scoreAgainstCentroids(corpus, "v")
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("cs"), col("cid"))).getField("cid").as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+    // query probes: top nProbe centroids per query
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))
+    val probes = scoreAgainstCentroids(q, "qv")
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Random-hyperplane LSH bucket key: `nBits` sign bits of projections
     * onto pseudo-random unit directions. The "random" planes are
     * deterministic: plane p, dim d weight = a fixed hash-derived value in

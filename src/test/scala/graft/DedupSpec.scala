@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ngramJaccardPairs: exact near-dups found within the same source only") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s1"), (2L, nearDup, "s1"),
+      (3L, base, "s2") // identical text, different source → blocked out
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("simhash: identical docs hash identically; hamming distance 0") {
     val docs = Seq((1L, "q w e r t y"), (2L, "q w e r t y"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

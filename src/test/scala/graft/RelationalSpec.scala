@@ -60,6 +60,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.sorted === expect.sorted)
   }
 
+  test("quantiles: p25 <= p50 <= p75, groups cover table") {
+    val q = Relational.quantiles(spark, sfDir)
+    assert(q.where($"p25" > $"p50" || $"p50" > $"p75").count() === 0)
+    assert(q.agg(sum("n")).head().getLong(0) === Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("cubeAgg contains all four grouping-set shapes") {
+    val c = Relational.cubeAgg(spark, sfDir)
+    assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)
+    assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNotNull).count() > 0)
+    assert(c.where($"l_returnflag".isNotNull && $"l_linestatus".isNull).count() > 0)
+  }
+
+  test("havingAgg filters on the aggregate") {
+    assert(Relational.havingAgg(spark, sfDir).where($"n" <= 20).count() === 0)
+  }
+
   test("rollupAgg total row equals table count") {
     val total = Relational.rollupAgg(spark, sfDir)
       .where($"l_returnflag".isNull && $"l_linestatus".isNull)

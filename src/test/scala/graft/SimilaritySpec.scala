@@ -28,6 +28,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
   }
 
+  test("ivfTopK with full probing equals brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 4)
+    val ivf = Similarity.ivfTopK(e, q, nList = 8, nProbe = 8, k = 5)
+      .select("query_id", "nbr_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.cosineTopK(e, q, k = 5)
+      .select("query_id", "nbr_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  test("embeddingStats: group counts cover the table") {
+    val e = Tables.embeddings(spark, sfDir)
+    val stats = Similarity.embeddingStats(e)
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === e.count())
+    assert(stats.where($"min_norm" > $"max_norm").count() === 0)
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")
