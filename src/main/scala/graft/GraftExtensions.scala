@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProduct
+
+/** Spark extension entry point: registers the engine's native functions at
+  * session build time —
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — so SQL users get
+  * them without any imperative registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+  }
+}

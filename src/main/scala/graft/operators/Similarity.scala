@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double-array columns (ordered fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product of two double-array columns: the native
+    * codegen'd expression (ascending-index fold — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` formulation it replaces).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotNative(a, b)
 
   /** L2 norm of a double-array column. */
-  def norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cast `embedding` float array to double and precompute the norm. */
   private def prepared(embeddings: DataFrame): DataFrame =

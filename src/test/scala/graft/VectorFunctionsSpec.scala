@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("id", "a", "b")
+
+  test("dotNative computes the ordered dot product (codegen path)") {
+    val got = vecs.select($"id", VectorFunctions.dotNative($"a", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 32.0)
+    assert(got(2L) === 0.0)
+  }
+
+  test("dotNative equals the higher-order-function formulation bit-for-bit") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val maxDiff = e.select(abs(hof - VectorFunctions.dotNative(col("v"), col("v"))).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(maxDiff === 0.0)
+  }
+
+  test("graft_dot is SQL-callable after registration") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("vf_test")
+    val got = spark.sql("SELECT id, graft_dot(a, b) AS d FROM vf_test")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 32.0)
+  }
+
+  test("null inputs yield null, mismatched lengths use the shorter prefix") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
+      (2L, None: Option[Seq[Double]], Some(Seq(1.0))))
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VectorFunctions.dotNative($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) === 3.0)
+    assert(got(2L) === null)
+  }
+}
