@@ -49,6 +49,20 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
+    "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.approx_count_distinct("l_partkey").as("approx_parts"),
+        org.apache.spark.sql.functions.countDistinct("l_partkey").as("exact_parts"))),
+    "salted_agg" -> ((s, d) => Skew.saltedAgg(Tables.lineitem(s, d),
+      org.apache.spark.sql.functions.col("l_returnflag"),
+      org.apache.spark.sql.functions.col("l_quantity"))
+      .select(org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("sum_value"), 2).as("sum_value"))),
     // ── LLM-pipeline: similarity search ──
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
@@ -262,7 +276,16 @@ object SparkEntry {
         |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY user_id""".stripMargin,
-    // lang_id, minhash_pairs, simhash, ivf_topk: engine-native hash/centroid
-    // internals — intentionally no SQL oracle (driver records rows-only check).
+    "token_counts" ->
+      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "salted_agg" ->
+      """SELECT l_returnflag AS key, count(*) AS n,
+        |round(sum(l_quantity), 2) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // lang_id, minhash_pairs, simhash, ivf_topk, winnow_fp, approx_distinct:
+    // engine-native hash/centroid/sketch internals — intentionally no SQL
+    // oracle (driver records rows-only check).
   )
 }

@@ -165,4 +165,24 @@ object Dedup {
     * top of [[simhash]]).
     */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting): hash
+    * every positional k-gram, then keep the minimum hash of each sliding
+    * window of `window` consecutive k-gram hashes. Guarantees any shared
+    * substring of length ≥ k + window - 1 yields a shared fingerprint,
+    * with ~2/(window+1) of hashes retained. One row per (doc, fingerprint).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("hs",
+        expr(s"transform(sequence(0, greatest(size(toks) - $k, 0)), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+      .withColumn("fps",
+        expr(s"array_distinct(transform(sequence(0, greatest(size(hs) - $window, 0)), j -> array_min(slice(hs, j + 1, $window))))"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .where(col("fp").isNotNull)
+  }
 }

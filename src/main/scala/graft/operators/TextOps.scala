@@ -84,6 +84,16 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))))
         .as("fingerprint"))
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (`\w+` runs or single non-space symbols) — the usual pre-tokenizer
+    * granularity for LLM data budgeting. Shuffle-free.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_bpe_tokens"))
+
   /** Marker-token sets per language for the n-gram/stopword language-id
     * heuristic. Deterministic scoring: hits per marker set, argmax with a
     * fixed priority order on ties.

@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("winnowing: identical docs share all fingerprints; substring overlap detected") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = "x0 " + (1 to 30).map(i => s"w$i").mkString(" ") + " x1" // shifted copy
+    val c = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) === fp(2L)) // identical text → identical fingerprint set
+    assert((fp(1L) & fp(3L)).nonEmpty) // long shared substring → shared fingerprints
+    assert((fp(1L) & fp(4L)).isEmpty) // disjoint text → disjoint fingerprints
+  }
+
   test("ngramJaccardPairs: exact near-dups found within the same source only") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")

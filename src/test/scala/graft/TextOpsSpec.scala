@@ -46,6 +46,14 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === "en") // zero hits everywhere → first in priority order
   }
 
+  test("tokenCounts: whitespace vs BPE-ish regex tokenization") {
+    val d = Seq((1L, "hello, world! it's 42")).toDF("doc_id", "text")
+    val row = TextOps.tokenCounts(d).head()
+    assert(row.getAs[Int]("n_ws_tokens") === 4)
+    // hello , world ! it ' s 42
+    assert(row.getAs[Int]("n_bpe_tokens") === 8)
+  }
+
   test("columnAggregates matches direct computation on sf0.001") {
     val li = Tables.lineitem(spark, sfDir)
     val row = TextOps.columnAggregates(li).head()
