@@ -45,4 +45,28 @@ object Tables {
   /** Register all fixture tables as temp views for `spark.sql` use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ── typed Dataset[T] surface (graft.model) ──
+
+  import org.apache.spark.sql.Dataset
+  import graft.model._
+
+  def lineitemDS(s: SparkSession, d: String): Dataset[Lineitem] = {
+    import s.implicits._; lineitem(s, d).as[Lineitem]
+  }
+  def ordersDS(s: SparkSession, d: String): Dataset[Order] = {
+    import s.implicits._; orders(s, d).as[Order]
+  }
+  def customerDS(s: SparkSession, d: String): Dataset[Customer] = {
+    import s.implicits._; customer(s, d).as[Customer]
+  }
+  def documentsDS(s: SparkSession, d: String): Dataset[Document] = {
+    import s.implicits._; documents(s, d).as[Document]
+  }
+  def embeddingsDS(s: SparkSession, d: String): Dataset[Embedding] = {
+    import s.implicits._; embeddings(s, d).as[Embedding]
+  }
+  def eventsDS(s: SparkSession, d: String): Dataset[Event] = {
+    import s.implicits._; events(s, d).as[Event]
+  }
 }

@@ -49,6 +49,21 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted managed table: rows are hash-bucketed on the join
+    * key at write time, so equi-joins between tables bucketed the same way
+    * read co-located buckets and skip the shuffle (and with `sortBy`, the
+    * sort) entirely — the Spark-native form of the reference's
+    * "shuffle-skipping" map-side placement (`/root/reference/src/
+    * file_distributor/idistributor.hh:77-127`: pairs pushed at map time to
+    * `h(key)%N` so reducers read locally).
+    */
+  def writeBucketedTable(df: DataFrame, table: String, numBuckets: Int,
+      bucketCol: String, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+
   // ── catalog ops (S4-S5): put / ls / cat / rm on any Hadoop FS ──
 
   private def fs(spark: SparkSession, path: String) =

@@ -29,6 +29,41 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.ls(spark, store).isEmpty)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sources.writeBucketedTable(o, "b_orders", 4, "o_orderkey", Some("o_orderkey"))
+    Sources.writeBucketedTable(l, "b_lineitem", 4, "l_orderkey", Some("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          spark.table("b_orders")("o_orderkey") === spark.table("b_lineitem")("l_orderkey"))
+      val n = joined.count()
+      assert(n === Tables.lineitem(spark, sfDir).count()) // every lineitem has an order
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$finalPlan")
+      assert(finalPlan.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+    }
+  }
+
+  test("typed Dataset surface: compile-time columns") {
+    import spark.implicits._
+    val bigSpenders = Tables.ordersDS(spark, sfDir)
+      .filter(o => o.o_totalprice > 100000.0)
+      .map(o => o.o_custkey).distinct().count()
+    val viaDf = Tables.orders(spark, sfDir)
+      .where($"o_totalprice" > 100000.0).select("o_custkey").distinct().count()
+    assert(bigSpenders === viaDf)
+    val doc = Tables.documentsDS(spark, sfDir).head()
+    assert(doc.text.nonEmpty && doc.n_chars > 0)
+  }
+
   test("parquet round-trip with partitioning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toString + "/t"

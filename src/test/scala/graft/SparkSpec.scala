@@ -11,7 +11,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("graft-test", 4, 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val s = GraftSession.builder("graft-test", 4, 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
