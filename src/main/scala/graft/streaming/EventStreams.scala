@@ -47,7 +47,10 @@ object EventStreams {
   final case class SessionUpdate(userId: Long, nEvents: Long, startUs: Long,
       endUs: Long, expired: Boolean)
 
-  private final case class SessionState(nEvents: Long, startUs: Long, lastUs: Long)
+  /** Internal per-user state for [[statefulSessions]] (public: Spark's
+    * generated encoder code must reach the accessors).
+    */
+  final case class SessionState(nEvents: Long, startUs: Long, lastUs: Long)
 
   /** Custom stateful sessionization with `flatMapGroupsWithState`: closes a
     * session when the inactivity gap is exceeded (within a batch or via
@@ -61,9 +64,12 @@ object EventStreams {
       watermark: String = "1 hour"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // cast BEFORE the watermark: projecting a cast of the watermarked
+    // column afterwards would produce a fresh attribute without the
+    // watermark tag, and EventTimeTimeout would reject the plan
     val typed = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts").cast("timestamp").as("ts"))
       .withWatermark("ts", watermark)
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
       .as[(Long, java.sql.Timestamp)]
     typed
       .groupByKey(_._1)

@@ -1,0 +1,31 @@
+package graft
+
+/** Wiring gate for the driver contract: every declared query must run on
+  * the smoke fixture, and every oracle key must reference a real query —
+  * catches registration regressions before the driver's round gate does.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  /** Queries whose correct result can be empty at the tiny smoke SF
+    * (e.g. no customer without orders at sf0.001) — still must run.
+    */
+  private val mayBeEmpty = Set("join_anti", "minhash_pairs", "ngram_jaccard")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query '$name' runs on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -35,6 +35,25 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents === 2L)
   }
 
+  test("statefulSessions over a real stream: event-time timeout closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val query = EventStreams.statefulSessions(events, gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      assert(spark.table("sess_stream_test").count() === 0) // session still open
+      mem.addData((2L, ts("2024-01-01 12:00:00"))) // advances watermark past 10:35
+      query.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 12:01:00"))) // extra batch so timeouts process
+      query.processAllAvailable()
+      val closed = spark.table("sess_stream_test").as[EventStreams.SessionUpdate].collect()
+      assert(closed.exists(s => s.userId == 1L && s.nEvents == 2L && s.expired))
+    } finally query.stop()
+  }
+
   test("tumblingCounts over a real stream (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
