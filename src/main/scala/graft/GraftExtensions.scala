@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

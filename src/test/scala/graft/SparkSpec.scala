@@ -12,7 +12,7 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
-    val s = GraftSession.builder("graft-test", 4, 4)
+    val s = GraftSession.builder("graft-test", 4, 4) // includes GraftExtensions
       .config("spark.sql.warehouse.dir", wh)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
