@@ -70,6 +70,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
+    "cust_order_totals" -> ((s, d) => Relational.custOrderTotals(s, d)),
+    "paged_orders" -> ((s, d) => Relational.pagedOrders(s, d)),
+    "normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     // ── relational: quantiles / cube / having / scalar / date / pivot ──
     "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
     "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -276,6 +282,47 @@ object SparkEntry {
         |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY c_custkey, c_name, c_mktsegment)
+        |SELECT c_custkey, c_name, c_mktsegment, revenue, rnk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk FROM r) s
+        |WHERE rnk <= 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+        |count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "cust_order_totals" ->
+      """SELECT c_custkey, coalesce(round(sum(o_totalprice), 2), 0.0) AS total,
+        |count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "paged_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk > 5 AND rnk <= 15""".stripMargin,
+    "normalize_text" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |     '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "token_counts" ->
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens

@@ -144,6 +144,73 @@ object Relational {
       .unionAll(rich.except(active).withColumn("tag", lit("inactive_rich")))
   }
 
+  /** TPC-H Q6-shaped forecast-revenue: pure filter + global agg; every
+    * predicate reaches the parquet scan as a pushed filter.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q10-shaped: top-20 customers by returned-item revenue in a
+    * quarter. Same sort+limit top-k pattern as [[q3TopK]].
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val grouped = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val top = grouped.orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("revenue").desc, col("c_custkey"))))
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: conditional aggregation over a
+    * fact-dimension join, ratio of sums.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev),
+        4).as("promo_revenue_pct"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Outer join + null handling: per-customer order totals, zero-filled
+    * for customers with no orders.
+    */
+  def custOrderTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        coalesce(round(sum("o_totalprice"), 2), lit(0.0)).as("total"),
+        count(col("o_orderkey")).as("n_orders"))
+
+  /** Pagination: rows 6-15 of the price-ranked orders. Sort+limit first
+    * (distributed top-15), offset applied on the bounded result.
+    */
+  def pagedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(15)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rnk") > 5)
+  }
+
   /** Exact quantiles (linear interpolation) per group — `percentile` in
     * Spark ≡ `quantile_cont` in ANSI engines.
     */

@@ -84,6 +84,16 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))))
         .as("fingerprint"))
 
+  /** Text normalization: lowercase, strip non-alphanumerics to spaces,
+    * collapse whitespace, trim — the canonical pre-dedup cleanup stage.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
+        "\\s+", " ")).as("norm_text"))
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * (`\w+` runs or single non-space symbols) — the usual pre-tokenizer
     * granularity for LLM data budgeting. Shuffle-free.

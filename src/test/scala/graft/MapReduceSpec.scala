@@ -38,6 +38,23 @@ class MapReduceSpec extends SparkSpec {
     assert(seen === Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("reference-parity pipeline: text scan → mapReduce → KV text sink → read back") {
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-parity").toString
+    Tables.documents(spark, sfDir).select("text").write.text(s"$base/in")
+    val counted = MapReduce.run(Sources.readText(spark, s"$base/in"))(
+      line => line.split("\\s+").filter(_.nonEmpty).map(w => (w, 1L)))(
+      (k, vs) => Iterator.single((k, vs.sum)))
+    Sources.writeText(
+      MapReduce.encodeKV(counted.map { case (k, n) => (k, n.toString) }),
+      s"$base/out", org.apache.spark.sql.SaveMode.Overwrite)
+    val back = MapReduce.decodeKV(Sources.readText(spark, s"$base/out"))
+      .map { case (k, v) => (k, v.toLong) }.collect().toMap
+    val expected = graft.operators.TextOps
+      .wordCount(Tables.documents(spark, sfDir)).as[(String, Long)].collect().toMap
+    assert(back === expected)
+  }
+
   // Property-style checks with seeded generation (grouping invariants the
   // reference's P1-P3 machinery guarantees: no pair lost, no key split).
   test("property: every emitted pair lands in exactly one group") {
