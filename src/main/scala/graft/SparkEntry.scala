@@ -76,6 +76,8 @@ object SparkEntry {
     "cust_order_totals" -> ((s, d) => Relational.custOrderTotals(s, d)),
     "paged_orders" -> ((s, d) => Relational.pagedOrders(s, d)),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
+    "tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d))),
+    "quantize_emb" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     // ── relational: quantiles / cube / having / scalar / date / pivot ──
     "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
     "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -318,6 +320,16 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t WHERE rnk > 5 AND rnk <= 15""".stripMargin,
+    "tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t WHERE word <> ''
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word,
+        |       round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),

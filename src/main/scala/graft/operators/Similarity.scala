@@ -55,6 +55,20 @@ object Similarity {
   def cosineTopKPrefix(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
     cosineTopK(embeddings, embeddings.where(col("vec_id") < nQueries), k)
 
+  /** Int8 quantization for embedding storage: symmetric max-abs scaling to
+    * [-127, 127] bytes — 4× smaller at rest than float32, 8× smaller than
+    * the double compute form; the per-vector scale restores approximate
+    * values (|error| ≤ scale/127). Row-local, shuffle-free.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    val scale = array_max(transform(v, x => abs(x)))
+    embeddings.select(
+      col("vec_id"),
+      round(scale, 6).as("scale"),
+      transform(v, x => round(x / scale * 127).cast("byte")).as("q"))
+  }
+
   /** Per-label embedding statistics (count, norm distribution). */
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings

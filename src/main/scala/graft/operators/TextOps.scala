@@ -139,6 +139,23 @@ object TextOps {
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
   }
 
+  /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))
+    * with df = documents containing the word. Three hash-aggregations and
+    * one broadcast of the word→df table (vocab-sized) + the single-row
+    * total — no driver collect, fully incremental at any corpus size.
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+    val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
+          .as("tfidf"))
+  }
+
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
     * values of each column in input tables"). One global hash-agg with

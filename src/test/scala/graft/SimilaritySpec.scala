@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(stats.where($"min_norm" > $"max_norm").count() === 0)
   }
 
+  test("quantizeEmbeddings: int8 round-trip error bounded by scale/127") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val q = Similarity.quantizeEmbeddings(e)
+    val joined = e.join(q, "vec_id")
+      .select($"vec_id", $"embedding", $"scale", $"q")
+      .as[(Long, Seq[Float], Double, Seq[Byte])].collect()
+    joined.foreach { case (_, orig, scale, bytes) =>
+      assert(bytes.length === orig.length)
+      orig.zip(bytes).foreach { case (x, b) =>
+        val restored = b.toDouble / 127.0 * scale
+        assert(math.abs(x - restored) <= scale / 127.0 + 1e-6)
+      }
+    }
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")

@@ -46,6 +46,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === "en") // zero hits everywhere → first in priority order
   }
 
+  test("tfidf: rarer words score higher; per-doc tf scales") {
+    val d = Seq((1L, "rare common"), (2L, "common"), (3L, "common common")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(d).as[(Long, String, Double)]
+      .collect().map { case (id, w, s) => (id, w) -> s }.toMap
+    // idf(rare) = ln(4/2), idf(common) = ln(4/4) = 0
+    assert(got((1L, "rare")) === math.rint(math.log(2.0) * 10000) / 10000)
+    assert(got((1L, "common")) === 0.0)
+    assert(got((3L, "common")) === 0.0) // tf=2 × idf=0
+  }
+
   test("tokenCounts: whitespace vs BPE-ish regex tokenization") {
     val d = Seq((1L, "hello, world! it's 42")).toDF("doc_id", "text")
     val row = TextOps.tokenCounts(d).head()
