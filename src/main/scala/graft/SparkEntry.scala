@@ -49,6 +49,11 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveClusters(docs, Dedup.minhashPairs(docs))
+        .where(org.apache.spark.sql.functions.col("keep") === false)
+    }),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)

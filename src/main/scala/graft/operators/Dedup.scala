@@ -166,6 +166,37 @@ object Dedup {
     */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Resolve near-dup pairs into clusters and keep-decisions: connected
+    * components by min-label propagation (cluster id = smallest doc_id in
+    * the component; that doc is the survivor). Dedup graphs have tiny
+    * dense components, so the fixpoint arrives in a few iterations; each
+    * iteration localCheckpoints to truncate plan lineage (use reliable
+    * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
+    */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("nbr_doc")).agg(min("cluster").as("nbr_cluster"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("l"), "doc_id")
+        .where(col("u.cluster") =!= col("l.cluster")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumn("keep", col("doc_id") === col("cluster"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting): hash
     * every positional k-gram, then keep the minimum hash of each sliding
     * window of `window` consecutive k-gram hashes. Guarantees any shared

@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("resolveClusters: chained pairs collapse to one survivor per component") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("a", "b") // component {2,3,5}; 1,4 singletons
+    val got = Dedup.resolveClusters(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) === ((2L, true)))
+    assert(got(3L) === ((2L, false)))
+    assert(got(5L) === ((2L, false)))
+    assert(got(1L) === ((1L, true)))
+    assert(got(4L) === ((4L, true)))
+  }
+
   test("winnowing: identical docs share all fingerprints; substring overlap detected") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val b = "x0 " + (1 to 30).map(i => s"w$i").mkString(" ") + " x1" // shifted copy
