@@ -83,6 +83,9 @@ object SparkEntry {
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d))),
     "quantize_emb" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
+    "union_by_name" -> ((s, d) => Relational.unionByNameDemo(s, d)),
     // ── relational: quantiles / cube / having / scalar / date / pivot ──
     "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
     "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -289,6 +292,25 @@ object SparkEntry {
         |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+        |x AS (SELECT k, count(*) AS n_big FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t GROUP BY k),
+        |y AS (SELECT k, -count(*) AS n_big FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t GROUP BY k)
+        |SELECT k, CAST(sum(n_big) AS BIGINT) AS balance
+        |FROM (SELECT * FROM x UNION ALL SELECT * FROM y) u GROUP BY k""".stripMargin,
+    "union_by_name" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |         NULL::INT AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier)
+        |SELECT nationkey IS NULL AS from_customer, count(*) AS n,
+        |       round(sum(acctbal), 2) AS sum_bal
+        |FROM u GROUP BY 1""".stripMargin,
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
         |FROM lineitem

@@ -229,6 +229,43 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
 
+  /** GROUPING SETS through the engine's SQL surface (distinct shapes from
+    * rollup/cube): per-returnflag and per-linestatus marginals only.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |round(sum(l_quantity), 2) AS qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  /** Bag-semantics set ops: intersectAll/exceptAll keep multiplicities. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val big = Tables.orders(spark, dir).where(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"))
+    all.intersectAll(big).groupBy("k").agg(count(lit(1)).as("n_big"))
+      .unionAll(all.exceptAll(big).groupBy("k").agg(count(lit(1)).as("n_big"))
+        .withColumn("n_big", -col("n_big")))
+      .groupBy("k").agg(sum("n_big").as("balance"))
+  }
+
+  /** unionByName with missing columns null-filled — schema-evolution-safe
+    * append of heterogeneous sources.
+    */
+  def unionByNameDemo(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val b = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"),
+      col("s_acctbal").as("acctbal"), col("s_name").as("name"),
+      col("s_nationkey").as("nationkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(col("nationkey").isNull.as("from_customer"))
+      .agg(count(lit(1)).as("n"), round(sum("acctbal"), 2).as("sum_bal"))
+  }
+
   /** GROUP BY + HAVING on the aggregate. */
   def havingAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

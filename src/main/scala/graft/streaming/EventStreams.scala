@@ -33,6 +33,15 @@ object EventStreams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: join the (streaming) events against a
+    * static dimension table. Spark plans this as a broadcast/lookup join
+    * re-resolved per micro-batch — the standard pattern for decorating an
+    * event stream with slowly-changing reference data.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Session windows via the built-in gap-based `session_window` — the
     * streaming twin of the batch gaps-and-islands
     * [[graft.operators.EventOps.sessionize]].

@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrich: stream-static join decorates events with dimension columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val query = EventStreams.enrich(events, dim, "user_id", "cust_id")
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      mem.addData((100L, 1L), (101L, 3L))
+      query.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got(100L) === Some("gold"))
+      assert(got(101L) === None) // left join keeps unmatched events
+    } finally query.stop()
+  }
+
   test("tumblingCounts over a real stream (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
