@@ -182,15 +182,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("nbr_doc")).agg(min("cluster").as("nbr_cluster"))
+      // carry old + new label in one materialized pass: the convergence
+      // check then reads the checkpointed result instead of re-joining
       val updated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), "doc_id")
-        .where(col("u.cluster") =!= col("l.cluster")).count()
-      labels = updated
+      val changed = updated.where(col("cluster") =!= col("old_cluster")).count()
+      labels = updated.select("doc_id", "cluster")
       converged = changed == 0
       i += 1
     }

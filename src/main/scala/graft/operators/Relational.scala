@@ -211,17 +211,77 @@ object Relational {
       .where(col("rnk") > 5)
   }
 
-  /** Exact quantiles (linear interpolation) per group — `percentile` in
-    * Spark ≡ `quantile_cont` in ANSI engines.
+  /** Exact interpolated quantiles per group (≡ `quantile_cont`), computed
+    * distributed: built-in `percentile` buffers every value per group
+    * (parallelism = #groups — 3 here), so instead the values are
+    * range-partitioned on (group, value), globally ranked with a two-pass
+    * per-partition-offset scheme (the per-partition count table is tiny),
+    * and only the O(groups × quantiles) boundary ranks are interpolated.
+    * Scales with partitions, not groups.
     */
-  def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-        count(lit(1)).as("n"))
+  def quantiles(spark: SparkSession, dir: String,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      : DataFrame = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .repartitionByRange(par, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+    val typed = vals.as[(String, Double)]
+    // pass 1: per-(partition, group) counts — tiny table, driver-side offsets
+    val partCounts = typed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+        m.iterator.map { case (g, n) => (pid, g, n) }
+      }.collect()
+    val groupTotals = partCounts.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+    // global rank offset of each (partition, group): counts of same group in earlier partitions
+    val offsets: Map[(Int, String), Long] = partCounts
+      .groupBy(_._2)
+      .flatMap { case (g, xs) =>
+        val sorted = xs.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map { case ((pid, _, _), off) =>
+          (pid, g) -> off
+        }
+      }
+    // boundary ranks needed per group: floor/ceil of q*(n-1), 0-based
+    val needed: Map[String, Set[Long]] = groupTotals.map { case (g, n) =>
+      g -> probs.flatMap { case (_, q) =>
+        val pos = q * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val bNeeded = spark.sparkContext.broadcast(needed)
+    // pass 2: emit only the boundary-ranked values
+    val boundary = typed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        it.flatMap { case (g, v) =>
+          val rank = bOffsets.value((pid, g)) + local.getOrElse(g, 0L)
+          local.update(g, local.getOrElse(g, 0L) + 1L)
+          if (bNeeded.value(g).contains(rank)) Iterator.single((g, rank, v)) else Iterator.empty
+        }
+      }.collect()
+    val byRank = boundary.map { case (g, r, v) => (g, r) -> v }.toMap
+    val rows = groupTotals.toSeq.sortBy(_._1).map { case (g, n) =>
+      val qs = probs.map { case (_, q) =>
+        val pos = q * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = byRank((g, lo))
+        val vHi = byRank((g, hi))
+        // HALF_UP to match SQL round() (half away from zero), not rint's banker's
+        BigDecimal(vLo + (vHi - vLo) * (pos - lo))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (g, qs, n)
+    }
+    rows.map { case (g, qs, n) => (g, qs(0), qs(1), qs(2), n) }
+      .toDF("l_returnflag", probs(0)._1, probs(1)._1, probs(2)._1, "n")
+  }
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
