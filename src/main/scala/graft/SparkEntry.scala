@@ -39,6 +39,7 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "events_json" -> ((s, d) => EventOps.jsonExtract(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "anomalies" -> ((s, d) => EventOps.anomalies(s, d)),
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -187,6 +188,13 @@ object SparkEntry {
     "events_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n FROM events GROUP BY event_type""".stripMargin,
+    "anomalies" ->
+      """WITH stats AS (
+        |  SELECT event_type AS t, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, round((value - mu) / sigma, 4) AS z
+        |FROM events JOIN stats ON event_type = t
+        |WHERE abs(round((value - mu) / sigma, 4)) >= 3.0""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -30,6 +30,21 @@ object EventOps {
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
 
+  /** Z-score anomalies: events whose value deviates ≥ `zMin` sample
+    * standard deviations from their type's mean. Two-pass shape: tiny
+    * per-type stats broadcast back onto the stream — no window over the
+    * full table.
+    */
+  def anomalies(spark: SparkSession, dir: String, zMin: Double = 3.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type").as("t"))
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), col("event_type") === col("t"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      .where(abs(col("z")) >= zMin)
+  }
+
   /** Pivot: per-user value sums spread across event-type columns. The
     * value list is pinned so the plan needs no discovery pass (and column
     * order is deterministic).

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operators over the `events` schema (event_id, ts,
   * user_id, event_type, value, props).
@@ -33,6 +34,15 @@ object EventStreams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming deduplication: drop repeated event ids while their
+    * watermark window is open — bounded state, the streaming twin of the
+    * batch exact-dedup operator.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment: join the (streaming) events against a
     * static dimension table. Spark plans this as a broadcast/lookup join
     * re-resolved per micro-batch — the standard pattern for decorating an
@@ -55,6 +65,43 @@ object EventStreams {
 
   final case class SessionUpdate(userId: Long, nEvents: Long, startUs: Long,
       endUs: Long, expired: Boolean)
+
+  /** Per-user running counter on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`).
+    * Emits (user, cumulative event count, cumulative value sum) per batch.
+    * Requires the RocksDB state store provider (set by
+    * [[runningTotalsPerUser]]'s caller or session conf).
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0
+      var s = s0
+      rows.foreach { case (_, v) => n += 1; s += v }
+      state.update((n, s))
+      Iterator.single((key, n, math.rint(s * 100) / 100))
+    }
+  }
+
+  /** Running per-user totals over a (streaming) events frame via
+    * `transformWithState`.
+    */
+  def runningTotalsPerUser(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Internal per-user state for [[statefulSessions]] (public: Spark's
     * generated encoder code must reach the accessors).

@@ -60,6 +60,27 @@ class RelationalSpec extends SparkSpec {
     assert(got.sorted === expect.sorted)
   }
 
+  // Plan-shape regression tests: the scale properties (pushdown, pruning,
+  // broadcast) the README promises must survive refactors.
+  test("q1 plan: shipdate filter and column pruning reach the parquet scan") {
+    val plan = Relational.q1Pricing(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), "unused columns should be pruned from the scan")
+  }
+
+  test("q5 plan: all dimension joins broadcast, fact table never shuffled pre-agg") {
+    val plan = Relational.q5Region(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"expected broadcast-only joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("topKGlobal plan: sort+limit, no global window exchange") {
+    val plan = Relational.topKGlobal(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
+      s"expected distributed top-k:\n$plan")
+  }
+
   test("quantiles: p25 <= p50 <= p75, groups cover table") {
     val q = Relational.quantiles(spark, sfDir)
     assert(q.where($"p25" > $"p50" || $"p50" > $"p75").count() === 0)

@@ -54,6 +54,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState: running totals accumulate across batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val query = EventStreams.runningTotalsPerUser(events)
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("tws_test").outputMode("update").start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      query.processAllAvailable()
+      mem.addData((1L, 2.5))
+      query.processAllAvailable()
+      val last = spark.table("tws_test")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("total").as("total"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last(1L) === ((3L, 17.5)))
+      assert(last(2L) === ((1L, 1.0)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dedupStream drops repeated event ids across batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val query = EventStreams.dedupStream(events, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:30")))
+      query.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:01:00")), (2L, ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream_test").select("event_id")
+        .as[Long].collect().toList
+      assert(ids.sorted === List(1L, 2L)) // id 1 kept once despite 3 arrivals
+    } finally query.stop()
+  }
+
   test("enrich: stream-static join decorates events with dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
