@@ -64,6 +64,25 @@ object Sources {
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetMB`-sized files. The operational companion to append-heavy
+    * sinks (the reference's append-only Owrite model and any streaming
+    * sink both fragment over time; scan cost at 100 TB is dominated by
+    * file count if left unchecked).
+    */
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long = {
+    val path = new Path(dir)
+    val fileSys = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fileSys.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    val tmp = new Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fileSys.delete(path, true)
+    fileSys.rename(tmp, path)
+    nFiles.toLong
+  }
+
   // ── catalog ops (S4-S5): put / ls / cat / rm on any Hadoop FS ──
 
   private def fs(spark: SparkSession, path: String) =

@@ -29,6 +29,16 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) !== byId(2L))
   }
 
+  test("metadata-only queries never read the payload column (pruned scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/m"
+    media.write.parquet(dir)
+    val metaOnly = spark.read.parquet(dir).select("media_id", "kind")
+    val plan = metaOnly.queryExecution.sparkPlan.toString
+    assert(plan.contains("ReadSchema: struct<media_id:bigint,kind:string>"),
+      s"payload should be pruned from the scan:\n$plan")
+    assert(!plan.contains("payload"))
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))

@@ -64,6 +64,30 @@ class SourcesSpec extends SparkSpec {
     assert(doc.text.nonEmpty && doc.n_chars > 0)
   }
 
+  test("compact rewrites a fragmented directory into few files, same data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    (1 to 500).toDF("x").repartition(50).write.parquet(dir) // 50 tiny files
+    val before = Sources.ls(spark, dir).count(_.getPath.getName.endsWith(".parquet"))
+    assert(before >= 40)
+    Sources.compact(spark, dir, targetMB = 128)
+    val after = Sources.ls(spark, dir).count(_.getPath.getName.endsWith(".parquet"))
+    assert(after <= 2, s"expected compaction, still $after files")
+    assert(Sources.readParquet(spark, dir).as[Int].collect().sorted.toSeq === (1 to 500))
+  }
+
+  test("profiler: nulls, distincts, min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("id", "s")
+    val p = graft.operators.Profiler.profile(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(p(("id", "nulls")) === "0")
+    assert(p(("s", "nulls")) === "1")
+    assert(p(("id", "min")) === "1")
+    assert(p(("id", "max")) === "3")
+    assert(p((":table:", "rows")) === "3")
+  }
+
   test("parquet round-trip with partitioning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toString + "/t"
