@@ -35,6 +35,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // zstd: ~30% smaller than snappy at comparable scan speed — at 100 TB
+      // the storage/IO saving dominates the marginal encode cost
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      // FAIR scheduling so concurrent queries on one session share executors
+      // (the reference admits up to max_job=1024 concurrent jobs,
+      // /root/reference/build/etc/eclipse.json)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {

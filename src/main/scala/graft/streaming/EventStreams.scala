@@ -34,6 +34,27 @@ object EventStreams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Real file pipeline: readStream over a parquet directory → row-level
+    * transforms → parquet writeStream, processing everything currently
+    * available and stopping (`Trigger.AvailableNow` — incremental batch,
+    * restartable from the checkpoint). The canonical
+    * readStream→transform→writeStream shape; aggregations belong in the
+    * windowed variants above.
+    */
+  def runFilePipeline(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming deduplication: drop repeated event ids while their
     * watermark window is open — bounded state, the streaming twin of the
     * batch exact-dedup operator.

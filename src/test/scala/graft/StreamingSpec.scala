@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file pipeline: readStream parquet → transform → writeStream parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-file").toString
+    Tables.events(spark, sfDir).write.parquet(s"$base/in")
+    EventStreams.runFilePipeline(spark, s"$base/in", s"$base/out", s"$base/ckpt",
+      df => df.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value"))
+    val out = spark.read.parquet(s"$base/out")
+    val expected = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase").count()
+    assert(out.count() === expected)
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "value"))
+  }
+
+  test("concurrent queries share one session (multi-job admission)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+      })), 120.seconds)
+    assert(counts.forall(_ == 3L))
+  }
+
   test("transformWithState: running totals accumulate across batches (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
