@@ -50,9 +50,11 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // resolution over the EXACT pair set (SQL-reproducible, unlike the
+    // LSH-recall-dependent minhash pairs) so the oracle can replay it
     "dedup_resolve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.resolveClusters(docs, Dedup.minhashPairs(docs))
+      Dedup.resolveClusters(docs, Dedup.ngramJaccardPairs(docs))
         .where(org.apache.spark.sql.functions.col("keep") === false)
     }),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -251,6 +253,49 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
         |WHERE rnk <= 5""".stripMargin,
+    "lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, m.lang_code,
+        |         len(list_intersect(t, m.markers)) AS score, m.prio
+        |  FROM toks CROSS JOIN (VALUES
+        |    ('en', ['the','a','of','and','is'], 0),
+        |    ('de', ['der','die','das','und','ist'], 1),
+        |    ('fr', ['le','la','les','et','est'], 2),
+        |    ('es', ['el','la','los','y','es'], 3),
+        |    ('zh', ['de','le','shi','zai','he'], 4)) m(lang_code, markers, prio)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, prio) AS rn FROM scores)
+        |SELECT doc_id, lang AS true_lang, lang_code AS pred_lang,
+        |       CAST(lang_code = lang AS INT) AS correct
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "dedup_resolve" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      round(len(list_intersect(x.sh, y.sh))::DOUBLE
+        |            / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |SELECT doc_id, cluster, doc_id = cluster AS keep
+        |FROM labels WHERE doc_id <> cluster""".stripMargin,
     "ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id, source,
@@ -378,8 +423,8 @@ object SparkEntry {
       """SELECT l_returnflag AS key, count(*) AS n,
         |round(sum(l_quantity), 2) AS sum_value
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // lang_id, minhash_pairs, simhash, ivf_topk, winnow_fp, approx_distinct:
-    // engine-native hash/centroid/sketch internals — intentionally no SQL
-    // oracle (driver records rows-only check).
+    // minhash_pairs, simhash, ivf_topk, winnow_fp, approx_distinct:
+    // engine-native hash/centroid/sketch internals (xxhash64/HLL have no
+    // DuckDB equivalent) — intentionally no SQL oracle (rows-only check).
   )
 }
