@@ -74,6 +74,7 @@ object SparkEntry {
     // ── LLM-pipeline: similarity search ──
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "cos_near_pairs" -> ((s, d) => Similarity.cosNearPairs(Tables.embeddings(s, d))),
     "ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
@@ -310,6 +311,15 @@ object SparkEntry {
         |          / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
         |WHERE jaccard >= 0.8""".stripMargin,
+    "cos_near_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a, b, sim FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    round(list_dot_product(x.v, y.v)
+        |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+        |          4) AS sim
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id) p
+        |WHERE sim >= 0.5""".stripMargin,
     "embedding_stats" ->
       """WITH e AS (SELECT label,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

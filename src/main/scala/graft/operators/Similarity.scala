@@ -133,6 +133,20 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Exact all-pairs cosine near-duplicates above `minSim`: the
+    * brute-force complement to [[lshNearPairs]] — O(n²) pairs but each
+    * scored by the codegen'd native dot product, and one side broadcast so
+    * the other streams. Use the LSH/IVF paths beyond ~10⁵ vectors.
+    */
+  def cosNearPairs(embeddings: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val p = prepared(embeddings)
+    p.as("x")
+      .join(broadcast(p.as("y")), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
   /** Random-hyperplane LSH bucket key: `nBits` sign bits of projections
     * onto pseudo-random unit directions. The "random" planes are
     * deterministic: plane p, dim d weight = a fixed hash-derived value in

@@ -18,7 +18,8 @@ class QueriesSpec extends SparkSpec {
   /** Queries whose correct result can be empty at the tiny smoke SF
     * (e.g. no customer without orders at sf0.001) — still must run.
     */
-  private val mayBeEmpty = Set("join_anti", "minhash_pairs", "ngram_jaccard", "dedup_resolve")
+  private val mayBeEmpty =
+    Set("join_anti", "minhash_pairs", "ngram_jaccard", "dedup_resolve", "cos_near_pairs")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query '$name' runs on sf0.001") {
