@@ -46,6 +46,14 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** SQL entry point: run a statement against the registered fixture
+    * tables — the engine's ad-hoc query surface.
+    */
+  def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(statement)
+  }
+
   // ── typed Dataset[T] surface (graft.model) ──
 
   import org.apache.spark.sql.Dataset

@@ -64,6 +64,26 @@ class SourcesSpec extends SparkSpec {
     assert(doc.text.nonEmpty && doc.n_chars > 0)
   }
 
+  test("csv and json round-trips preserve rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)).toDF("id", "name", "score")
+    df.write.option("header", "true").csv(s"$base/csv")
+    df.write.json(s"$base/json")
+    val csvBack = Sources.readCsv(spark, s"$base/csv")
+    val jsonBack = Sources.readJson(spark, s"$base/json")
+    assert(csvBack.count() === 2 && jsonBack.count() === 2)
+    assert(csvBack.where($"name" === "alpha").select("id").as[Long].head() === 1L)
+    assert(jsonBack.where($"name" === "beta").select("score").head().getDouble(0) === 2.5)
+  }
+
+  test("SQL entry point queries registered fixture tables") {
+    val n = Tables.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n === Tables.lineitem(spark, sfDir).count())
+  }
+
   test("compact rewrites a fragmented directory into few files, same data") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
