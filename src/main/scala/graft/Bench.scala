@@ -40,19 +40,25 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(name) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { materialize(name); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.sorted.apply(1) // median of 3
+      // a query that threw records NaN and is excluded from the total —
+      // a failure must not fold into the report as a fast success
+      name -> (if (times.exists(_.isNaN)) Double.NaN else times.sorted.apply(1))
     }
     val rows = names.map { name =>
       name -> (try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L })
     }.toMap
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v.isNaN => k }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
     spark.stop()
   }
 }

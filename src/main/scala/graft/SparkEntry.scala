@@ -86,7 +86,7 @@ object SparkEntry {
     "paged_orders" -> ((s, d) => Relational.pagedOrders(s, d)),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d))),
-    "quantize_emb" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    "quantize_emb" -> ((s, d) => Similarity.quantizeDigest(Tables.embeddings(s, d))),
     "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "union_by_name" -> ((s, d) => Relational.unionByNameDemo(s, d)),
@@ -420,6 +420,15 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.word,
         |       round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf
         |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n""".stripMargin,
+    "quantize_emb" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+        |q AS (SELECT vec_id, round(sc, 6) AS scale,
+        |        list_transform(v, x -> CAST(round(x / sc * 127) AS INT)) AS qv FROM s)
+        |SELECT vec_id, scale, CAST(len(qv) AS INT) AS n_dims,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max
+        |FROM q""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),

@@ -69,6 +69,20 @@ object Similarity {
       transform(v, x => round(x / scale * 127).cast("byte")).as("q"))
   }
 
+  /** Scalar digest of [[quantizeEmbeddings]] for engine-portable checks:
+    * per-vector dimension count and sum/min/max of the int8 codes. (The raw
+    * `q` array column stays the library surface; array columns don't sort
+    * portably across engines, so the verification view is scalar.)
+    */
+  def quantizeDigest(embeddings: DataFrame): DataFrame =
+    quantizeEmbeddings(embeddings).select(
+      col("vec_id"),
+      col("scale"),
+      size(col("q")).as("n_dims"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+      array_min(col("q")).cast("int").as("q_min"),
+      array_max(col("q")).cast("int").as("q_max"))
+
   /** Per-label embedding statistics (count, norm distribution). */
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings

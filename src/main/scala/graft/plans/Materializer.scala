@@ -32,10 +32,18 @@ object Materializer {
     val snapshot = key.inputPaths.sorted.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (fs.exists(path))
-        fs.listStatus(path).toSeq.sortBy(_.getPath.toString).map(st =>
-          s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
-      else Seq(s"$p|missing")
+      if (fs.exists(path)) {
+        // recursive walk: every file's (path, len, mtime) participates, so a
+        // changed file inside a nested/partitioned directory is a cache miss
+        // (directory mtimes alone don't change on in-place file writes)
+        val it = fs.listFiles(path, true)
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          files += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+        }
+        files.sorted.toSeq
+      } else Seq(s"$p|missing")
     }
     val material =
       (Seq(key.op) ++ key.params.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ snapshot)

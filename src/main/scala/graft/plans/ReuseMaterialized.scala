@@ -43,8 +43,14 @@ case class ReuseMaterializedRule(spark: SparkSession) extends Rule[LogicalPlan] 
       else {
         val scan = spark.read.parquet(target).queryExecution.analyzed
         val byName = scan.output.map(a => a.name -> a).toMap
-        val sameSchema = child.output.forall(o =>
-          byName.get(o.name).exists(_.dataType == o.dataType))
+        // decline when the subtree has duplicate output names (two distinct
+        // attributes would collapse onto one scan column) and when the scan
+        // column is nullable where the original output was not — either
+        // silently yields wrong data rather than an analysis error
+        val dupNames = child.output.map(_.name).size != child.output.map(_.name).distinct.size
+        val sameSchema = !dupNames && child.output.forall(o =>
+          byName.get(o.name).exists(a =>
+            a.dataType == o.dataType && (!a.nullable || o.nullable)))
         if (!sameSchema) child
         else Project(
           child.output.map(o =>

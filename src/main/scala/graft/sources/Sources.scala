@@ -78,8 +78,22 @@ object Sources {
     val tmp = new Path(dir + "._compact_tmp")
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fileSys.delete(path, true)
-    fileSys.rename(tmp, path)
+    // swap via rename-aside so a crash between steps never loses the data:
+    // dir -> dir._old, tmp -> dir, then drop dir._old; on any failed rename
+    // restore the original and abort. (Plain delete-then-rename would leave
+    // a window with no data at `dir`, and rename is non-atomic on e.g. S3A.)
+    val old = new Path(dir + "._compact_old")
+    if (fileSys.exists(old)) fileSys.delete(old, true)
+    if (!fileSys.rename(path, old)) {
+      fileSys.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not move $dir aside")
+    }
+    if (!fileSys.rename(tmp, path)) {
+      fileSys.rename(old, path) // restore
+      fileSys.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not move compacted data into $dir")
+    }
+    fileSys.delete(old, true)
     nFiles.toLong
   }
 
