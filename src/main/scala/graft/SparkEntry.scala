@@ -97,6 +97,31 @@ object SparkEntry {
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
     "date_agg" -> ((s, d) => Relational.dateAgg(s, d)),
     "pivot_events" -> ((s, d) => EventOps.pivotByType(s, d)),
+    // ── relational batch 2: remaining TPC-H shapes on this schema ──
+    "q4_exists" -> ((s, d) => RelationalX.q4Exists(s, d)),
+    "q7_volume" -> ((s, d) => RelationalX.q7Volume(s, d)),
+    "q8_share" -> ((s, d) => RelationalX.q8Share(s, d)),
+    "q9_profit" -> ((s, d) => RelationalX.q9Profit(s, d)),
+    "q12_priority" -> ((s, d) => RelationalX.q12Priority(s, d)),
+    "q13_custdist" -> ((s, d) => RelationalX.q13CustDist(s, d)),
+    "q15_topsupp" -> ((s, d) => RelationalX.q15TopSupplier(s, d)),
+    "q17_small_qty" -> ((s, d) => RelationalX.q17SmallQty(s, d)),
+    "q18_big_orders" -> ((s, d) => RelationalX.q18BigOrders(s, d)),
+    "q19_brackets" -> ((s, d) => RelationalX.q19Brackets(s, d)),
+    "q21_waiting" -> ((s, d) => RelationalX.q21Waiting(s, d)),
+    "q22_idle_rich" -> ((s, d) => RelationalX.q22IdleRich(s, d)),
+    "argmax_join" -> ((s, d) => RelationalX.argmaxJoin(s, d)),
+    "corr_stats" -> ((s, d) => RelationalX.corrStats(s, d)),
+    "moving_avg" -> ((s, d) => RelationalX.movingAvgDaily(s, d)),
+    // ── time-series: as-of join, range join, lag deltas ──
+    "asof_join" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
+    "range_join" -> ((s, d) => EventOps.rangeFollowups(s, d)),
+    "lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
+    // ── LLM-pipeline batch 2: redaction, splits, linkage ──
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
+    "split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d))),
+    "sample_strata" -> ((s, d) => TextOps.sampleStrata(Tables.documents(s, d))),
+    "lev_pairs" -> ((s, d) => TextOps.levenshteinPairs(Tables.part(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,8 +467,239 @@ object SparkEntry {
       """SELECT l_returnflag AS key, count(*) AS n,
         |round(sum(l_quantity), 2) AS sum_value
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // minhash_pairs, simhash, ivf_topk, winnow_fp, approx_distinct:
-    // engine-native hash/centroid/sketch internals (xxhash64/HLL have no
-    // DuckDB equivalent) — intentionally no SQL oracle (rows-only check).
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, y, round(sum(volume), 2) AS revenue FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |         year(l_shipdate) AS y, l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')) t
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_share" ->
+      """SELECT y, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        |       / sum(volume), 4) AS mkt_share FROM (
+        |  SELECT year(o_orderdate) AS y, l_extendedprice * (1 - l_discount) AS volume,
+        |         ns.n_name AS supp_nation
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |    JOIN region ON nc.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO') t
+        |GROUP BY y""".stripMargin,
+    "q9_profit" ->
+      """SELECT nation, y, round(sum(amount_i) / 10000.0, 2) AS sum_profit FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS y,
+        |         CAST(round((l_extendedprice * (1 - l_discount)
+        |              - p_retailprice * l_quantity) * 10000) AS BIGINT) AS amount_i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%small%') t
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q15_topsupp" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM r)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH aq AS (SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN aq ON l_partkey = ap_key
+        |WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS raw_qty FROM lineitem
+        |             GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(raw_qty, 2) AS sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "q19_brackets" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q21_waiting" ->
+      """WITH al AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |rl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        |       WHERE l_returnflag = 'R')
+        |SELECT r.s AS s_suppkey, count(*) AS numwait
+        |FROM rl r
+        |WHERE EXISTS (SELECT 1 FROM al a WHERE a.o = r.o AND a.s <> r.s)
+        |  AND NOT EXISTS (SELECT 1 FROM rl r2 WHERE r2.o = r.o AND r2.s <> r.s)
+        |GROUP BY r.s""".stripMargin,
+    "q22_idle_rich" ->
+      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "argmax_join" ->
+      """WITH mx AS (SELECT c_mktsegment AS seg, max(c_acctbal) AS max_bal
+        |            FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, round(max_bal, 2) AS max_bal, min(c_custkey) AS best_custkey
+        |FROM customer JOIN mx ON c_mktsegment = seg AND c_acctbal = max_bal
+        |GROUP BY c_mktsegment, round(max_bal, 2)""".stripMargin,
+    "corr_stats" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(stddev_samp(l_extendedprice), 2) AS sd_price, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "moving_avg" ->
+      """WITH daily AS (SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+        |               FROM orders GROUP BY 1)
+        |SELECT d, round(rev, 2) AS rev,
+        |round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        |FROM daily""".stripMargin,
+    "asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |                WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |       c.click_id AS asof_click_id, epoch_us(c.ts) AS asof_click_us
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "range_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id AS su, epoch_us(ts) AS s_us
+        |           FROM events WHERE event_type = 'signup'),
+        |o AS (SELECT user_id, epoch_us(ts) AS e_us, value FROM events
+        |      WHERE event_type <> 'signup')
+        |SELECT signup_id, count(o.user_id) AS n_follow,
+        |       round(coalesce(sum(value), 0.0), 2) AS sum_value
+        |FROM s LEFT JOIN o ON su = o.user_id AND e_us > s_us
+        |                   AND e_us <= s_us + 3600000000
+        |GROUP BY signup_id""".stripMargin,
+    "lag_delta" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events)
+        |SELECT event_id, user_id, round(value - pv, 4) AS delta
+        |FROM t WHERE pv IS NOT NULL""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |               '[0-9]+', '<NUM>', 'g') AS red_text,
+        |len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+        |len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS n_emails
+        |FROM documents""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        |CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+        |     WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "sample_strata" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+        |FROM documents JOIN sp USING (doc_id)
+        |GROUP BY lang, split""".stripMargin,
+    "lev_pairs" ->
+      """SELECT a, b, dist FROM (
+        |  SELECT x.p_partkey AS a, y.p_partkey AS b,
+        |         levenshtein(x.p_name, y.p_name) AS dist
+        |  FROM part x JOIN part y
+        |    ON x.p_brand = y.p_brand AND x.p_size = y.p_size
+        |   AND x.p_partkey < y.p_partkey) t
+        |WHERE dist <= 4 AND dist > 0""".stripMargin,
+    // the hash-dependent ops use the portable 60-bit md5 hash
+    // (Dedup.portableHash64), so DuckDB replays them exactly:
+    "simhash" -> simhashOracle,
+    "winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |hs AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(tk)-4,1)+1),
+        |    i -> ('0x'||substr(md5(array_to_string(tk[i:i+4], ' ')),1,15))::BIGINT) AS hs
+        |  FROM toks),
+        |fps AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(hs)-3,1)+1),
+        |    j -> list_min(hs[j:j+3]))) AS fps FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin,
+    "minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |shs AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM toks),
+        |sigs AS (SELECT doc_id, sh, len(sh) AS n,
+        |  list_transform(range(0,32), i -> list_min(list_transform(sh,
+        |    s -> ('0x'||substr(md5(i::VARCHAR || ':' || s),1,15))::BIGINT))) AS sig
+        |  FROM shs),
+        |banded AS (
+        |  SELECT doc_id, sig, b.band AS band,
+        |         array_to_string(sig[b.band*4+1:b.band*4+4], ',') AS bh
+        |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  WHERE len(list_filter(range(1,33), i -> x.sig[i] = y.sig[i])) >= 9),
+        |v AS (
+        |  SELECT c.a, c.b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+        |         sa.n AS na, sb.n AS nb
+        |  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id)
+        |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+        |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.5""".stripMargin,
+    // ivf_topk, approx_distinct: engine-native centroid/sketch internals
+    // (HLL has no DuckDB equivalent) — intentionally no SQL oracle
+    // (rows-only check).
   )
+
+  /** DuckDB replay of [[graft.operators.Dedup.simhash]]: 60 conditional-sum
+    * lanes over the portable token hash, packed to one BIGINT. Generated
+    * because the lane list is mechanical.
+    */
+  private def simhashOracle: String = {
+    val sums = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val pack = (0 until 60)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |        FROM documents) u
+       |  WHERE word <> ''),
+       |lanes AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
+       |SELECT doc_id, $pack AS simhash FROM lanes""".stripMargin
+  }
 }

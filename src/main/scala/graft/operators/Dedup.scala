@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed as a
+    * long. Any engine with md5 + hex parsing reproduces it bit-for-bit
+    * (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`), which keeps every
+    * hash-dependent operator (minhash, simhash, winnowing) fully
+    * oracle-checkable, not just rows-checkable. Substitute `xxhash64` when
+    * cross-engine reproducibility isn't needed and throughput is.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[portableHash64]] as a SQL expression fragment (for use inside
+    * `transform(...)` lambdas, which take expression strings).
+    */
+  private[operators] def portableHash64Sql(inner: String): String =
+    s"cast(conv(substr(md5($inner), 1, 15), 16, 10) as bigint)"
+
   /** Exact dedup on normalized content hash. At 100 TB this is the cheap
     * first pass: shuffle width = one 32-byte hash + ids.
     */
@@ -51,13 +67,14 @@ object Dedup {
       .where(col("sh").isNotNull)
 
   /** MinHash signatures: numHashes independent hash functions simulated as
-    * xxhash64 seeded by the function index; signature_i = min over the
-    * doc's shingles. One shuffle (groupBy doc_id) computing all mins at
-    * once.
+    * the portable hash over an index-prefixed shingle; signature_i = min
+    * over the doc's shingles. One shuffle (groupBy doc_id) computing all
+    * mins at once.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame = {
     val ex = explodedShingles(docs, k)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val aggs = (0 until numHashes).map(i =>
+      min(portableHash64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -81,9 +98,12 @@ object Dedup {
     val sigs = minhashSignatures(docs, numHashes, k)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    // band key = the r signature values verbatim (joined as a string), not
+    // a hash of them: candidate = "some band's values all equal", with no
+    // hash-collision false candidates — and any engine reproduces the keys
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1))
-      struct(lit(j).as("band"), xxhash64(cols :+ lit(j): _*).as("bh"))
+      struct(lit(j).as("band"), concat_ws(",", cols: _*).as("bh"))
     }
     val banded = sigs
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
@@ -145,17 +165,17 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** SimHash-64 per document: hash each token to 64 bits; each bit
-    * contributes +1/-1 to its lane; the sign vector packs back into one
-    * long. Computed as 64 codegen'd conditional sums in a single group-by —
-    * one shuffle, no UDF.
+  /** SimHash per document over the portable 60-bit token hash: each bit of
+    * each token's hash contributes +1/-1 to its lane; the sign vector packs
+    * back into one long. Computed as 60 codegen'd conditional sums in a
+    * single group-by — one shuffle, no UDF.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val t = TextOps.tokens(docs).select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val laneSums = (0 until 64).map(i =>
+  def simhash(docs: DataFrame, nBits: Int = 60): DataFrame = {
+    val t = TextOps.tokens(docs).select(col("doc_id"), portableHash64(col("word")).as("h"))
+    val laneSums = (0 until nBits).map(i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
     val lanes = t.groupBy("doc_id").agg(laneSums.head, laneSums.tail: _*)
-    val packed = (0 until 64)
+    val packed = (0 until nBits)
       .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     lanes.select(col("doc_id"), packed.as("simhash"))
@@ -210,7 +230,7 @@ object Dedup {
       .repartition(par)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .withColumn("hs",
-        expr(s"transform(sequence(0, greatest(size(toks) - $k, 0)), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        expr(s"transform(sequence(0, greatest(size(toks) - $k, 0)), i -> ${portableHash64Sql(s"concat_ws(' ', slice(toks, i + 1, $k))")})"))
       .withColumn("fps",
         expr(s"array_distinct(transform(sequence(0, greatest(size(hs) - $window, 0)), j -> array_min(slice(hs, j + 1, $window))))"))
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))

@@ -55,6 +55,71 @@ object EventOps {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(round(sum("value"), 2))
 
+  /** As-of join: attach to each purchase the most recent prior-or-equal
+    * click of the same user. Implemented as a single-shuffle union +
+    * last-non-null window carry-forward — both streams partition once on
+    * user_id, no per-row range probe, no second shuffle. Clicks are first
+    * deduplicated per (user, ts) (keep max event_id) so tie-handling is
+    * deterministic and engine-portable.
+    */
+  def asofClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        lit(null).cast("long").as("event_id"), col("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        col("event_id"), lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("click_us"))
+    // at equal ts the click sorts first, so `<=` as-of semantics hold
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_us", last("click_us", ignoreNulls = true).over(w))
+      .where(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("asof_click_id"), col("asof_click_us"))
+  }
+
+  /** Range join: per signup, how many follow-up events the same user
+    * produced within the next `windowMinutes`. Equi-key (user_id) +
+    * range predicate, so Catalyst plans a hash/sort-merge join with the
+    * range as a residual filter — not a nested-loop cross product. At
+    * 100 TB bucket both sides by user_id to skip the shuffle entirely.
+    */
+  def rangeFollowups(spark: SparkSession, dir: String, windowMinutes: Int = 60): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+        unix_micros(col("ts")).as("s_us"))
+    val others = ev.where(col("event_type") =!= "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("e_us"), col("value"))
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    signups.join(others,
+        col("su") === col("user_id") &&
+        col("e_us") > col("s_us") && col("e_us") <= col("s_us") + winUs, "left")
+      .groupBy("signup_id")
+      .agg(count(col("user_id")).as("n_follow"),
+        round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+  }
+
+  /** Per-user consecutive-event value deltas (lag window). One shuffle on
+    * user_id, shared with any other same-partitioning window.
+    */
+  def lagDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .where(col("prev_value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 4).as("delta"))
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Classic gaps-and-islands: lag → boundary flag → prefix-sum
     * session id. One shuffle on user_id; both windows share the same

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second relational batch: the remaining TPC-H query shapes expressible on
+  * the fixture schema (FIXTURES.md — no partsupp, no l_commitdate /
+  * l_receiptdate / l_shipmode, so Q2/Q11/Q16/Q20 are out of scope and Q4 /
+  * Q12 / Q21 are adapted to the columns that exist).
+  *
+  * Like [[Relational]], everything is declarative: correlated EXISTS /
+  * NOT-EXISTS become semi/anti joins, scalar subqueries become broadcast
+  * one-row joins, and dimensions broadcast so the fact table shuffles at
+  * most once per query. The reference has no joins at all (SURVEY.md §2.3);
+  * these exist to make the engine a complete analytics surface.
+  */
+object RelationalX {
+
+  /** Q4-shaped: priority count of orders with at least one returned line
+    * (EXISTS → left-semi join; lineitem side is pre-filtered + distinct so
+    * the semi join probes a narrow key set).
+    */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q7-shaped: shipping volume between two nations, by direction and ship
+    * year. Both nation dims broadcast; lineitem joins orders on its natural
+    * key once.
+    */
+  def q7Volume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("y"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Q8-shaped: market share of one supplier nation for one part type among
+    * customers of one region, by order year.
+    */
+  def q8Share(spark: SparkSession, dir: String, supplierNation: String = "NATION_3",
+      regionName: String = "AMERICA", partType: String = "PROMO"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val custRegion = broadcast(Tables.customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation"))
+    val parts = broadcast(Tables.part(spark, dir)
+      .where(col("p_type") === partType).select("p_partkey"))
+    val vol = Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("y"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+    vol.groupBy("y")
+      .agg(round(
+        sum(when(col("supp_nation") === supplierNation, col("volume")).otherwise(0.0))
+          / sum(col("volume")), 4).as("mkt_share"))
+  }
+
+  /** Q9-shaped product profit: revenue minus retail-price cost proxy (the
+    * fixture has no partsupp/ps_supplycost), per supplier nation and order
+    * year, for parts matching a name fragment.
+    */
+  def q9Profit(spark: SparkSession, dir: String, nameLike: String = "small"): DataFrame = {
+    val parts = broadcast(Tables.part(spark, dir)
+      .where(col("p_name").contains(nameLike))
+      .select("p_partkey", "p_retailprice"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      // per-row amounts have ≤4 decimal digits; summing them as scaled
+      // integers makes the aggregate exact and order-independent (a plain
+      // double sum rounds differently across partition orders / engines)
+      .select(col("nation"), year(col("o_orderdate")).as("y"),
+        round((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity")) * 10000).cast("long").as("amount_i"))
+      .groupBy("nation", "y")
+      .agg(round(sum("amount_i") / 10000.0, 2).as("sum_profit"))
+  }
+
+  /** Q12-adapted (no l_shipmode in the fixture): per return flag, count of
+    * 1997-shipped lines on high- vs low-priority orders.
+    */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+  }
+
+  /** Q13-shaped customer distribution: how many customers placed k orders
+    * (including k=0 via the left join). Two aggregations, each a single
+    * narrow shuffle.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q15-shaped top supplier: supplier(s) whose half-year revenue equals
+    * the maximum (scalar subquery → broadcast one-row join).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val best = revenue.agg(max("total_revenue").as("mr"))
+    revenue
+      .join(broadcast(best), col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q17-shaped small-quantity revenue: lines of one brand bought at less
+    * than 20% of that part's average quantity (correlated scalar subquery
+    * → per-part aggregate joined back), scaled to a yearly figure.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    val parts = broadcast(Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select("p_partkey"))
+    li.join(parts, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_key"))
+      .where(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q18-shaped large orders: orders whose total quantity exceeds the
+    * threshold, with customer context. The HAVING runs on lineitem before
+    * any join, so only qualifying orders reach the join.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("raw_qty"))
+      .where(col("raw_qty") > minQty)
+      .select(col("l_orderkey"), round(col("raw_qty"), 2).as("sum_qty"))
+    big.join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+  }
+
+  /** Q19-shaped bracket revenue: disjunction of brand/size/quantity
+    * brackets — one broadcast join, predicate entirely codegen'd.
+    */
+  def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = broadcast(Tables.part(spark, dir))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** Q21-adapted waiting suppliers (no l_commitdate in the fixture):
+    * suppliers who were the ONLY supplier with returned ('R') lines on a
+    * multi-supplier order — EXISTS becomes a semi join, NOT EXISTS an anti
+    * join, both on (orderkey, other-supplier) pairs.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val all = li.select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val ret = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    ret.as("r")
+      .join(all.as("a"),
+        col("r.o") === col("a.o") && col("r.s") =!= col("a.s"), "left_semi")
+      .join(ret.as("r2"),
+        col("r.o") === col("r2.o") && col("r.s") =!= col("r2.s"), "left_anti")
+      .groupBy(col("r.s").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Q22-shaped idle rich customers: above-average balance (scalar subquery
+    * → broadcast one-row join) and no orders (anti join), grouped by
+    * nation.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+  }
+
+  /** Per-group argmax via self-join against the per-group max (ties broken
+    * by smallest key): which customer holds each segment's largest balance.
+    * Engine-portable alternative to `max_by`, whose tie behavior is
+    * undefined.
+    */
+  def argmaxJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val mx = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(max("c_acctbal").as("max_bal"))
+    cust.join(broadcast(mx),
+        col("c_mktsegment") === col("seg") && col("c_acctbal") === col("max_bal"))
+      .groupBy(col("c_mktsegment"), round(col("max_bal"), 2).as("max_bal"))
+      .agg(min("c_custkey").as("best_custkey"))
+      .select("c_mktsegment", "max_bal", "best_custkey")
+  }
+
+  /** 7-day moving average of daily order revenue: aggregate to one row per
+    * day first (narrow shuffle), then a rows-frame window over the small
+    * daily series. Never a window over raw orders.
+    */
+  def movingAvgDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg("rev").over(w), 2))
+      .select(col("d"), round(col("rev"), 2).as("rev"), col("ma7"))
+  }
+
+  /** Bivariate statistics per group: correlation, sample covariance and
+    * stddevs of quantity vs price. Single partial+final aggregate pass.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qp_corr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qp_covar"),
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
+        count(lit(1)).as("n"))
+}

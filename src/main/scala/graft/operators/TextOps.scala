@@ -156,6 +156,60 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** PII-style redaction: mask digit runs and email-shaped tokens, report
+    * how many of each were masked. Row-local regex work — codegen'd, no
+    * shuffle; the patterns are deliberately simple enough to behave
+    * identically across regex dialects (Java / RE2 / PCRE).
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("red_text"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"), lit(0)))
+        .as("n_emails"))
+
+  /** Deterministic train/val/test assignment from a content-independent id
+    * hash: first hex digit of md5(doc_id) → 12/16 train, 2/16 val, 2/16
+    * test. Reproducible on any engine with md5, stable under re-runs and
+    * re-partitioning — the property a 100 TB pipeline needs so splits never
+    * drift between jobs.
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs.select(
+      col("doc_id"),
+      when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+  }
+
+  /** Stratified sample audit: per (lang, split) document counts and mean
+    * length over the deterministic hash split — the sanity check that the
+    * split is balanced within every stratum.
+    */
+  def sampleStrata(docs: DataFrame): DataFrame =
+    splitAssign(docs)
+      .join(docs.select(col("doc_id").as("d2"), col("lang"), col("n_chars")),
+        col("doc_id") === col("d2"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+
+  /** Near-identical name pairs by edit distance within a blocking key
+    * (brand, size): classic record-linkage shape. Blocking bounds the pair
+    * count to sum(block²); levenshtein itself is a codegen'd built-in.
+    */
+  def levenshteinPairs(parts: DataFrame, maxDist: Int = 4): DataFrame = {
+    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    p.as("x")
+      .join(p.as("y"),
+        col("x.p_brand") === col("y.p_brand") && col("x.p_size") === col("y.p_size") &&
+        col("x.p_partkey") < col("y.p_partkey"))
+      .select(col("x.p_partkey").as("a"), col("y.p_partkey").as("b"),
+        levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
+      .where(col("dist") <= maxDist && col("dist") > 0)
+  }
+
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
     * values of each column in input tables"). One global hash-agg with

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,18 +44,22 @@ case class ReuseMaterializedRule(spark: SparkSession) extends Rule[LogicalPlan] 
       else {
         val scan = spark.read.parquet(target).queryExecution.analyzed
         val byName = scan.output.map(a => a.name -> a).toMap
-        // decline when the subtree has duplicate output names (two distinct
-        // attributes would collapse onto one scan column) and when the scan
-        // column is nullable where the original output was not — either
-        // silently yields wrong data rather than an analysis error
+        // decline when the subtree has duplicate output names: two distinct
+        // attributes would collapse onto one scan column and silently yield
+        // wrong data rather than an analysis error
         val dupNames = child.output.map(_.name).size != child.output.map(_.name).distinct.size
         val sameSchema = !dupNames && child.output.forall(o =>
-          byName.get(o.name).exists(a =>
-            a.dataType == o.dataType && (!a.nullable || o.nullable)))
+          byName.get(o.name).exists(_.dataType == o.dataType))
         if (!sameSchema) child
         else Project(
-          child.output.map(o =>
-            Alias(byName(o.name), o.name)(exprId = o.exprId)),
+          child.output.map { o =>
+            // parquet reads back nullable; where the original output was
+            // non-nullable, restore that contract with a runtime-checked
+            // AssertNotNull so downstream null-aware optimizations stay sound
+            val a = byName(o.name)
+            val e = if (a.nullable && !o.nullable) AssertNotNull(a) else a
+            Alias(e, o.name)(exprId = o.exprId)
+          },
           scan)
       }
   }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{EventOps, RelationalX, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the second operator batch — each against a
+  * brute-force reformulation on the smoke fixture (the DuckDB oracle
+  * covers the full outputs; these pin the semantics that the oracle can't
+  * see, like determinism across partitionings).
+  */
+class RelationalXSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join attaches the latest prior-or-equal click per purchase") {
+    val out = EventOps.asofClickBeforePurchase(spark, sfDir).cache()
+    // brute force: max click ts <= purchase ts per user
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), unix_micros($"ts").as("c_us"))
+    val brute = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+      .join(clicks, $"user_id" === $"cu" && $"c_us" <= $"p_us", "left")
+      .groupBy("event_id").agg(max("c_us").as("want_us"))
+    val joined = out.join(brute, "event_id")
+    assert(joined.where(coalesce($"asof_click_us", lit(-1L)) =!=
+      coalesce($"want_us", lit(-1L))).count() === 0)
+    assert(out.where($"asof_click_us" > $"p_us").count() === 0)
+  }
+
+  test("range join counts follow-ups only inside the window") {
+    val out = EventOps.rangeFollowups(spark, sfDir, windowMinutes = 60)
+    assert(out.count() ===
+      Tables.events(spark, sfDir).where($"event_type" === "signup").count())
+    assert(out.where($"n_follow" < 0).count() === 0)
+  }
+
+  test("split assignment is deterministic and exhaustive") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextOps.splitAssign(docs)
+    val b = TextOps.splitAssign(docs.repartition(7))
+    assert(a.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // same assignment regardless of partitioning
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // roughly 12/2/2 proportions
+    val n = docs.count().toDouble
+    val train = a.where($"split" === "train").count().toDouble
+    assert(train / n > 0.55 && train / n < 0.95)
+  }
+
+  test("q21 waiting suppliers match the brute-force definition") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o"), $"l_suppkey".as("s"), $"l_returnflag".as("f"))
+    val all = li.select("o", "s").distinct()
+    val ret = li.where($"f" === "R").select("o", "s").distinct()
+    // brute force via aggregation: per order, #distinct supps and #R supps
+    val perOrder = all.groupBy("o").agg(countDistinct("s").as("n_supp"))
+      .join(ret.groupBy("o").agg(countDistinct("s").as("n_r")), "o")
+    val brute = ret.join(perOrder, "o")
+      .where($"n_supp" > 1 && $"n_r" === 1)
+      .groupBy($"s".as("s_suppkey")).agg(count(lit(1)).as("numwait"))
+    val got = RelationalX.q21Waiting(spark, sfDir)
+    assert(got.except(brute).count() === 0 && brute.except(got).count() === 0)
+  }
+
+  test("argmax join returns one row per segment with the max balance") {
+    val out = RelationalX.argmaxJoin(spark, sfDir).cache()
+    val segs = Tables.customer(spark, sfDir).select("c_mktsegment").distinct().count()
+    assert(out.count() === segs)
+    val mx = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment").agg(round(max("c_acctbal"), 2).as("want"))
+    assert(out.join(mx, "c_mktsegment").where($"max_bal" =!= $"want").count() === 0)
+  }
+
+  test("moving average window never exceeds 7 rows") {
+    val out = RelationalX.movingAvgDaily(spark, sfDir)
+    // first row's ma7 equals its own revenue
+    val first = out.orderBy("d").limit(1).select($"rev" === $"ma7").as[Boolean].head()
+    assert(first)
+  }
+
+  test("pii redaction masks every digit run") {
+    val out = TextOps.piiRedact(Tables.documents(spark, sfDir))
+    assert(out.where($"red_text".rlike("[0-9]")).count() === 0)
+  }
+}
