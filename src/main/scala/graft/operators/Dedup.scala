@@ -196,7 +196,14 @@ object Dedup {
   def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    // active-set iteration: only docs that appear in an edge can ever move
+    // off their own label, so the fixpoint loop runs on the (much smaller)
+    // edge-endpoint vertex set; isolated docs join back at the end. In a
+    // typical near-dup corpus the duplicate subgraph is a tiny fraction of
+    // the corpus, so each iteration shuffles pair-scale, not corpus-scale.
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -214,7 +221,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    labels.withColumn("keep", col("doc_id") === col("cluster"))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("ld"), col("cluster")),
+        col("doc_id") === col("ld"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
   }
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting): hash
