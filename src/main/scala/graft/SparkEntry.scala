@@ -679,9 +679,36 @@ object SparkEntry {
         |  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id)
         |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.5""".stripMargin,
-    // ivf_topk, approx_distinct: engine-native centroid/sketch internals
-    // (HLL has no DuckDB equivalent) — intentionally no SQL oracle
-    // (rows-only check).
+    // IVF is deterministic end-to-end (seed partition = vec_id % nList,
+    // ascending-fold dot products, explicit tie-breaks), so the oracle
+    // replays centroid build + assignment + probing exactly:
+    "ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |cm AS (SELECT vec_id % 16 AS cid, i, avg(v[i]) AS m FROM n, dims GROUP BY 1, 2),
+        |cents AS (SELECT cid, list(m ORDER BY i) AS c FROM cm GROUP BY cid),
+        |asg AS (SELECT vec_id, v, nrm, cid, row_number() OVER (
+        |          PARTITION BY vec_id
+        |          ORDER BY list_dot_product(v, c) DESC, cid DESC) AS rn
+        |        FROM n CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |pr AS (SELECT query_id, qv, qn, cid, row_number() OVER (
+        |         PARTITION BY query_id
+        |         ORDER BY list_dot_product(qv, c) DESC, cid) AS rn
+        |       FROM q CROSS JOIN cents),
+        |probes AS (SELECT query_id, qv, qn, cid FROM pr WHERE rn <= 4),
+        |scored AS (SELECT query_id, a.vec_id AS nbr_id,
+        |             round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) AS sim
+        |           FROM assigned a JOIN probes p ON a.cid = p.cid
+        |           WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, nbr_id, sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, nbr_id) AS rnk FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+    // approx_distinct: HLL sketch internals have no DuckDB equivalent —
+    // intentionally no SQL oracle (rows-only check).
   )
 
   /** DuckDB replay of [[graft.operators.Dedup.simhash]]: 60 conditional-sum
