@@ -110,6 +110,8 @@ object SparkEntry {
     "q19_brackets" -> ((s, d) => RelationalX.q19Brackets(s, d)),
     "q21_waiting" -> ((s, d) => RelationalX.q21Waiting(s, d)),
     "q22_idle_rich" -> ((s, d) => RelationalX.q22IdleRich(s, d)),
+    "q16_suppcnt" -> ((s, d) => RelationalX.q16SuppCount(s, d)),
+    "range_frame" -> ((s, d) => RelationalX.rangeFrameSpend(s, d)),
     "argmax_join" -> ((s, d) => RelationalX.argmaxJoin(s, d)),
     "corr_stats" -> ((s, d) => RelationalX.corrStats(s, d)),
     "moving_avg" -> ((s, d) => RelationalX.movingAvgDaily(s, d)),
@@ -569,6 +571,17 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |round(coalesce(sum(o_totalprice) OVER (
+        |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING), 0.0), 2) AS prior_30d_spend
+        |FROM orders""".stripMargin,
     "argmax_join" ->
       """WITH mx AS (SELECT c_mktsegment AS seg, max(c_acctbal) AS max_bal
         |            FROM customer GROUP BY 1)

@@ -259,6 +259,34 @@ object RelationalX {
       .select("c_mktsegment", "max_bal", "best_custkey")
   }
 
+  /** Q16-shaped supplier variety (no partsupp in the fixture, so supplier
+    * relationships come from lineitem): distinct suppliers per (brand,
+    * size) for non-promo parts. Distinct-agg after a broadcast join.
+    */
+  def q16SuppCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).where(col("p_type") =!= "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+
+  /** RANGE-frame window: per customer, total spend in the 30 days strictly
+    * before each order (frame bounds in epoch seconds). RANGE frames are
+    * value-based, so the result is independent of tie order — the
+    * determinism property ROWS frames lack.
+    */
+  def rangeFrameSpend(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+      .rangeBetween(-30 * day, -1)
+    Tables.orders(spark, dir)
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+      .withColumn("epoch_s", unix_seconds(col("o_orderdate").cast("timestamp")))
+      .withColumn("prior_30d_spend",
+        round(coalesce(sum("o_totalprice").over(w), lit(0.0)), 2))
+      .select("o_orderkey", "o_custkey", "prior_30d_spend")
+  }
+
   /** 7-day moving average of daily order revenue: aggregate to one row per
     * day first (narrow shuffle), then a rows-frame window over the small
     * daily series. Never a window over raw orders.
