@@ -194,9 +194,11 @@ object Dedup {
     * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    // materialize the (expensive) pair computation once BEFORE the
+    // direction-doubling union — otherwise each union branch re-executes
+    // the full candidate-generation plan
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
     // active-set iteration: only docs that appear in an edge can ever move
     // off their own label, so the fixpoint loop runs on the (much smaller)
     // edge-endpoint vertex set; isolated docs join back at the end. In a

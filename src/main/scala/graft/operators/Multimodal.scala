@@ -95,6 +95,23 @@ object Multimodal {
     }
   }
 
+  /** Resize stage shape for images: rewrites the payload through the codec
+    * boundary and stamps the new dimensions into the metadata columns. The
+    * transform is row-local (no shuffle); the STUB "resize" truncates /
+    * zero-pads bytes deterministically where a real codec would re-encode
+    * pixels.
+    */
+  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val resize = udf { payload: Array[Byte] =>
+      if (payload == null) null
+      else java.util.Arrays.copyOf(payload, math.max(1, (width * height) / 64))
+    }
+    media.where(col("kind") === "image")
+      .withColumn("payload", resize(col("payload")))
+      .withColumn("width", lit(width))
+      .withColumn("height", lit(height))
+  }
+
   /** Frame-sampling stage shape for video: emit one row per sampled frame
     * index (the decode of each frame is the same stubbed codec boundary).
     * Demonstrates the explode-style fan-out plan a real sampler uses.

@@ -39,6 +39,14 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("payload"))
   }
 
+  test("resizeStub rewrites payload and stamps dimensions") {
+    val out = Multimodal.resizeStub(media, 32, 32)
+    assert(out.count() === 3)
+    val row = out.select("width", "height", "payload").head()
+    assert(row.getInt(0) === 32 && row.getInt(1) === 32)
+    assert(row.getAs[Array[Byte]](2).length === (32 * 32) / 64)
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
