@@ -40,6 +40,7 @@ object SparkEntry {
     "events_json" -> ((s, d) => EventOps.jsonExtract(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "anomalies" -> ((s, d) => EventOps.anomalies(s, d)),
+    "json_struct" -> ((s, d) => EventOps.jsonStruct(s, d)),
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -218,6 +219,12 @@ object SparkEntry {
     "events_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n FROM events GROUP BY event_type""".stripMargin,
+    "json_struct" ->
+      """SELECT event_type,
+        |CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0 AS k_even,
+        |count(*) AS n,
+        |CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "anomalies" ->
       """WITH stats AS (
         |  SELECT event_type AS t, avg(value) AS mu, stddev_samp(value) AS sigma

@@ -30,6 +30,21 @@ object EventOps {
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
 
+  /** Full JSON parse via `from_json` with an explicit schema (vs
+    * [[jsonExtract]]'s path extraction): props becomes a typed struct once,
+    * then every field is a normal pruned column. Per-(type, flag) rollup of
+    * the parsed fields.
+    */
+  def jsonStruct(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"), from_json(col("props"), schema).as("p"))
+      .groupBy(col("event_type"), (col("p.k") % 2 === 0).as("k_even"))
+      .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"))
+  }
+
   /** Z-score anomalies: events whose value deviates ≥ `zMin` sample
     * standard deviations from their type's mean. Two-pass shape: tiny
     * per-type stats broadcast back onto the stream — no window over the

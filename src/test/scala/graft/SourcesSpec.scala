@@ -115,7 +115,13 @@ class SourcesSpec extends SparkSpec {
     Sources.writeParquet(df, dir, partitionBy = Seq("part"))
     val back = Sources.readParquet(spark, dir)
     assert(back.count() === 3)
-    // partition pruning works: only one directory scanned
-    assert(back.where(back("part") === "a").count() === 2)
+    // partition pruning reaches the scan: the filter appears as a
+    // PartitionFilters entry (not a post-scan Filter), so only the
+    // matching directory is ever listed/read
+    val pruned = back.where(back("part") === "a")
+    assert(pruned.count() === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"),
+      s"expected partition filter in scan:\n$plan")
   }
 }
