@@ -153,9 +153,15 @@ object Dedup {
         expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
           .as("sh"))
       .withColumn("n", size(col("sh")))
+    // size-ratio prefilter: jaccard ≥ t forces |A∩B| ≥ t/(1+t)·(|A|+|B|)
+    // and |A∩B| ≤ min(|A|,|B|), hence min/max ≥ t — a cheap scalar test
+    // that skips the expensive array_intersect for most non-duplicate
+    // pairs without changing the result set
     s.as("x")
       .join(s.as("y"),
-        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n"), col("y.n")).cast("double")
+          >= lit(threshold) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
