@@ -1,10 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -68,6 +71,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native element-wise vector-sum aggregate: sums `array<double>` rows into
+  * one array, with proper partial aggregation (update per-partition, merge
+  * across partitions). The composable alternative — `posexplode` to
+  * (pos, value) rows then a per-(key, pos) aggregate — multiplies the
+  * shuffle row count by the vector dimensionality; this aggregate moves one
+  * array per group per partition instead. The buffer grows to the longest
+  * input seen, so ragged inputs are tolerated (shorter rows contribute
+  * zeros to the tail).
+  */
+case class VectorSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def add(buf: Array[Double], get: Int => Double, n: Int): Array[Double] = {
+    val out = if (n > buf.length) java.util.Arrays.copyOf(buf, n) else buf
+    var i = 0
+    while (i < n) { out(i) += get(i); i += 1 }
+    out
+  }
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      add(buf, arr.getDouble, arr.numElements())
+    }
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] =
+    add(buf, other(_), other.length)
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VectorSum =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VectorSum =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSum =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration for the native vector
   * expressions.
   */
@@ -78,8 +150,17 @@ object VectorFunctions {
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `graft_dot` for SQL callers on this session. */
-  def register(spark: SparkSession): Unit =
+  /** Element-wise sum aggregate over an `array<double>` column. */
+  def vecSum(c: Column): Column =
+    ColumnBridge.column(
+      VectorSum(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Register the native functions for SQL callers on this session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VectorSum(exprs.head).toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -110,12 +110,15 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, nList: Int = 16,
       nProbe: Int = 4, k: Int = 5): DataFrame = {
     val corpus = prepared(embeddings)
-    // deterministic centroids: per-dimension mean over seed partition
+    // deterministic centroids: per-dimension mean over seed partition,
+    // via the native vector-sum aggregate — one array per group per
+    // partition crosses the shuffle (posexplode would multiply shuffle
+    // rows by the dimensionality)
     val cents = corpus
-      .select((col("vec_id") % nList).as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg("x").as("m"))
-      .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cid"), expr("transform(ps, p -> p.m)").as("c"))
+      .groupBy((col("vec_id") % nList).as("cid"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cn"))
+      .select(col("cid"), transform(col("s"), x => x / col("cn")).as("c"))
 
     // nearest-centroid assignment: broadcast the centroid table, score all
     // (vector, centroid) pairs, argmax via max(struct) — ties to higher cid

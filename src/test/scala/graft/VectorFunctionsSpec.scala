@@ -35,6 +35,37 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1L) === 32.0)
   }
 
+  test("vecSum aggregates element-wise across partitions") {
+    val df = Seq(
+      (0, Seq(1.0, 2.0, 3.0)),
+      (0, Seq(10.0, 20.0, 30.0)),
+      (1, Seq(5.0, 5.0, 5.0)))
+      .toDF("g", "v").repartition(4) // force partial + merge path
+    val got = df.groupBy("g").agg(VectorFunctions.vecSum($"v").as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) === Seq(11.0, 22.0, 33.0))
+    assert(got(1) === Seq(5.0, 5.0, 5.0))
+  }
+
+  test("vecSum tolerates ragged rows and skips nulls") {
+    val df = Seq(
+      (0, Some(Seq(1.0, 2.0))),
+      (0, Some(Seq(1.0, 2.0, 3.0))),
+      (0, None: Option[Seq[Double]]))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(VectorFunctions.vecSum($"v").as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) === Seq(2.0, 4.0, 3.0))
+  }
+
+  test("graft_vec_sum is SQL-callable after registration") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("vf_test2")
+    val got = spark.sql("SELECT graft_vec_sum(a) AS s FROM vf_test2")
+      .as[Seq[Double]].head()
+    assert(got === Seq(1.0, 2.0, 3.0)) // row2 is length-2: (0,0) adds zeros
+  }
+
   test("null inputs yield null, mismatched lengths use the shorter prefix") {
     val df = Seq(
       (1L, Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
