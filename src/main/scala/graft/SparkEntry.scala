@@ -112,6 +112,9 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) => RelationalX.q21Waiting(s, d)),
     "q22_idle_rich" -> ((s, d) => RelationalX.q22IdleRich(s, d)),
     "q16_suppcnt" -> ((s, d) => RelationalX.q16SuppCount(s, d)),
+    "rank_funcs" -> ((s, d) => RelationalX.rankFuncs(s, d)),
+    "string_agg" -> ((s, d) => RelationalX.stringAgg(s, d)),
+    "histogram" -> ((s, d) => RelationalX.histogram(s, d)),
     "range_frame" -> ((s, d) => RelationalX.rangeFrameSpend(s, d)),
     "argmax_join" -> ((s, d) => RelationalX.argmaxJoin(s, d)),
     "corr_stats" -> ((s, d) => RelationalX.corrStats(s, d)),
@@ -578,6 +581,22 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey""".stripMargin,
+    "rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+        |rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |round(percent_rank() OVER w, 6) AS prnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT) DESC)""".stripMargin,
+    "string_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |array_to_string(list_sort(list(c_name))[1:5], ',') AS first5
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q16_suppcnt" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -301,6 +301,41 @@ object RelationalX {
       .select(col("d"), round(col("rev"), 2).as("rev"), col("ma7"))
   }
 
+  /** Ranking-function family over a coarse (tied) sort key: rank,
+    * dense_rank and percent_rank are functions of the key alone, so the
+    * output is deterministic even with ties (ntile is deliberately absent —
+    * it depends on row position within ties).
+    */
+  def rankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / 50000).cast("long")
+    val w = Window.partitionBy("o_orderpriority").orderBy(bucket.desc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), bucket.as("price_bucket"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+  }
+
+  /** Ordered string aggregation: alphabetically-first customer names per
+    * segment, collected then sorted so the result is partition-order
+    * independent (collect_list alone is not deterministic).
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        array_join(slice(array_sort(collect_list("c_name")), 1, 5), ",")
+          .as("first5"))
+
+  /** Fixed-width histogram of order values: bucket = floor(price / width).
+    * One narrow shuffle on the bucket id; the 100 TB pattern for value
+    * distributions (never a sort, never a collect).
+    */
+  def histogram(spark: SparkSession, dir: String, width: Double = 50000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
   /** Bivariate statistics per group: correlation, sample covariance and
     * stddevs of quantity vs price. Single partial+final aggregate pass.
     */
