@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late data beyond the watermark is dropped from windowed aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    // append mode + short watermark: a window only emits once the
+    // watermark passes its end, and later-than-watermark rows are dropped
+    val query = EventStreams.tumblingCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:05:00"), "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far past the 10:00 window; watermark moves to
+      // ~13:50, closing and emitting the 10:00-11:00 window
+      mem.addData((2L, ts("2024-01-01 14:00:00"), "view", 1.0))
+      query.processAllAvailable()
+      // this row is 4 hours behind the watermark → must be ignored
+      mem.addData((3L, ts("2024-01-01 10:07:00"), "click", 99.0))
+      query.processAllAvailable()
+      val got = spark.table("late_test")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(("2024-01-01 10:00:00", "click", 1L)),
+        s"late row must not reopen the closed window: $got")
+    } finally query.stop()
+  }
+
   test("tumblingCounts over a real stream (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
