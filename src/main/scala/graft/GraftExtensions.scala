@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, VectorSum}
 
 /** Spark extension entry point: registers the engine's native functions at
   * session build time —
@@ -17,6 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vec_sum"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorSum(exprs.head).toAggregateExpression()))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     }),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
+    "winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -694,6 +695,21 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(len(hs)-3,1)+1),
         |    j -> list_min(hs[j:j+3]))) AS fps FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin,
+    "winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |hs AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(tk)-4,1)+1),
+        |    i -> ('0x'||substr(md5(array_to_string(tk[i:i+4], ' ')),1,15))::BIGINT) AS hs
+        |  FROM toks),
+        |fps AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(hs)-3,1)+1),
+        |    j -> list_min(hs[j:j+3]))) AS fps FROM hs),
+        |w AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+        |SELECT a, b, n_shared FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+        |  FROM w x JOIN w y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2) t
+        |WHERE n_shared >= 3""".stripMargin,
     "minhash_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
         |shs AS (SELECT doc_id,

@@ -242,6 +242,23 @@ object Dedup {
     * substring of length ≥ k + window - 1 yields a shared fingerprint,
     * with ~2/(window+1) of hashes retained. One row per (doc, fingerprint).
     */
+  /** Candidate near-dup pairs from shared winnowing fingerprints: docs
+    * sharing at least `minShared` fingerprints. The fingerprint self-join
+    * touches only same-fingerprint buckets (winnowing keeps ~2/(window+1)
+    * of hashes, and buckets stay tiny because each fingerprint is a
+    * specific k-gram hash), so cost is sum(bucket²), not n².
+    */
+  def winnowPairs(docs: DataFrame, minShared: Long = 3, k: Int = 5,
+      window: Int = 4): DataFrame = {
+    val fp = winnowFingerprints(docs, k, window)
+    fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def winnowFingerprints(docs: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
