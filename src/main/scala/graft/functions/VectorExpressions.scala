@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector dot product — the hot inner
   * loop of every similarity operator.
@@ -63,6 +63,57 @@ case class DotProduct(left: Expression, right: Expression)
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native positional equality count over two `array<bigint>` columns: how
+  * many indices hold the same value (up to the shorter length). The hot
+  * predicate of MinHash candidate pre-filtering — matching-signature
+  * fraction estimates Jaccard — where the HOF formulation
+  * (`aggregate(zip_with(...))`) evaluates interpreted per candidate pair.
+  */
+case class EqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -155,6 +206,11 @@ object VectorFunctions {
     ColumnBridge.column(
       VectorSum(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** Codegen'd positional-equality count of two `array<bigint>` columns. */
+  def eqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      EqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Register the native functions for SQL callers on this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -162,5 +218,7 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_sum", exprs => VectorSum(exprs.head).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_eq_count", exprs => EqCount(exprs.head, exprs(1)), "built-in")
   }
 }

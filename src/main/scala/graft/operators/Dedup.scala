@@ -113,10 +113,10 @@ object Dedup {
     // row-local O(numHashes) check discards most candidates before the
     // exact (set-intersect) verification, keeping verify cost ~ output
     // size instead of ~ candidate count. Margin 0.6·threshold tolerates
-    // estimator variance without losing true pairs.
-    val estMatches = aggregate(
-      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, m) => acc + m)
+    // estimator variance without losing true pairs. Evaluated per
+    // candidate pair → uses the codegen'd native count, not an
+    // interpreted HOF.
+    val estMatches = graft.functions.VectorFunctions.eqCount(col("x.sig"), col("y.sig"))
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id"))

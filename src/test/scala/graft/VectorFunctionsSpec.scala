@@ -66,6 +66,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got === Seq(1.0, 2.0, 3.0)) // row2 is length-2: (0,0) adds zeros
   }
 
+  test("eqCount counts positional matches (codegen path)") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (2L, Seq(5L, 6L), Seq(7L, 8L)))
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VectorFunctions.eqCount($"a", $"b").as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) === 3)
+    assert(got(2L) === 0)
+  }
+
   test("null inputs yield null, mismatched lengths use the shorter prefix") {
     val df = Seq(
       (1L, Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
