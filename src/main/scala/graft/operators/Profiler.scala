@@ -28,7 +28,7 @@ object Profiler {
         case _ => base
       }
     } :+ count(lit(1)).cast("string").as(":table:::rows")
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row: Row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     val out = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
       val idx = name.lastIndexOf("::")
       val (colName, metric) =

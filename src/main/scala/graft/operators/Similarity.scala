@@ -172,10 +172,13 @@ object Similarity {
     */
   def lshBucket(v: Column, dims: Int, nBits: Int = 12): Column = {
     val bits = (0 until nBits).map { p =>
-      // deterministic pseudo-random weight per (plane, dim) from a hash
+      // deterministic pseudo-random weight per (plane, dim) from an
+      // explicit murmur mix (stable across library versions)
       val proj = (0 until dims).map { d =>
-        val w = ((scala.util.hashing.MurmurHash3.productHash((p, d)).toDouble
-          / Int.MaxValue) % 1.0)
+        val h = scala.util.hashing.MurmurHash3.finalizeHash(
+          scala.util.hashing.MurmurHash3.mix(
+            scala.util.hashing.MurmurHash3.mix(0x9747b28c, p), d), 2)
+        val w = (h.toDouble / Int.MaxValue) % 1.0
         element_at(v, d + 1) * lit(w)
       }.reduce(_ + _)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
