@@ -200,17 +200,11 @@ object Dedup {
     * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val sc = docs.sparkSession.sparkContext
-    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def dropBlocks(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-
+    import org.apache.spark.sql.graft.CheckpointHandle
     // materialize the (expensive) pair computation once BEFORE the
     // direction-doubling union — otherwise each union branch re-executes
     // the full candidate-generation plan
-    val beforePairs = persistentIds
     val p = pairs.select(col("a"), col("b")).localCheckpoint()
-    val pairIds = persistentIds -- beforePairs
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
     // active-set iteration: only docs that appear in an edge can ever move
     // off their own label, so the fixpoint loop runs on the (much smaller)
@@ -221,31 +215,33 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster"))
     var converged = false
     var i = 0
-    // each iteration's checkpoint supersedes the previous one; drop the
-    // superseded blocks eagerly so a long-lived session (or a bench loop)
-    // doesn't accumulate one pinned copy of the label table per iteration
-    var prevIterIds: Set[Int] = Set.empty
+    // each iteration's checkpoint supersedes the previous one; release the
+    // superseded blocks eagerly — via the checkpointed frame's own handle,
+    // never by diffing the global persistent-RDD registry (which would
+    // catch and unpersist RDDs that concurrent jobs persist meanwhile) —
+    // so a long-lived session doesn't accumulate one pinned copy of the
+    // label table per iteration
+    var prevIter: Option[DataFrame] = None
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("nbr_doc")).agg(min("cluster").as("nbr_cluster"))
       // carry old + new label in one materialized pass: the convergence
       // check then reads the checkpointed result instead of re-joining
-      val beforeIter = persistentIds
       val updated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
         .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint() // eager: materialized before we drop its parent
       val changed = updated.where(col("cluster") =!= col("old_cluster")).count()
-      dropBlocks(prevIterIds)
-      prevIterIds = persistentIds -- beforeIter
+      prevIter.foreach(CheckpointHandle.release)
+      prevIter = Some(updated)
       labels = updated.select("doc_id", "cluster")
       converged = changed == 0
       i += 1
     }
     // the final labels checkpoint must stay alive (the returned plan reads
     // it); the pairs checkpoint is no longer reachable from it
-    dropBlocks(pairIds)
+    CheckpointHandle.release(p)
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("ld"), col("cluster")),
         col("doc_id") === col("ld"), "left")

@@ -64,6 +64,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("resolveClusters: concurrent resolves don't unpersist each other's state") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // an unrelated cached dataset persisted by "another job" mid-session:
+    // the fix releases superseded checkpoints via their own handles, so
+    // this must survive both resolves untouched
+    val bystander = spark.range(100).toDF("x").persist()
+    bystander.count()
+    val docs = (1L to 50L).toDF("doc_id")
+    def resolve(shift: Long) = Future {
+      val pairs = (1L to 20L).map(i => (i + shift, i + shift + 10L)).toDF("a", "b")
+      Dedup.resolveClusters(docs, pairs)
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    }
+    val (r1, r2) = (resolve(0L), resolve(5L))
+    val (m1, m2) = (Await.result(r1, 120.seconds), Await.result(r2, 120.seconds))
+    // chained pairs (i, i+10): component {1..30} has min-label 1, etc.
+    assert(m1(21L) === 1L && m1(15L) === 5L)
+    assert(m2(26L) === 6L && m2(20L) === 10L)
+    assert(bystander.storageLevel.useMemory, "concurrent resolve unpersisted a bystander RDD")
+    bystander.unpersist()
+  }
+
   test("simhash: identical docs hash identically; hamming distance 0") {
     val docs = Seq((1L, "q w e r t y"), (2L, "q w e r t y"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
