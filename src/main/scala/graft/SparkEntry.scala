@@ -22,6 +22,7 @@ object SparkEntry {
     // ── reference parity: the three benchmark apps (SURVEY.md §2.2) ──
     "word_count" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
+    "inverted_index_pos" -> ((s, d) => TextOps.invertedIndexPos(Tables.documents(s, d))),
     "col_agg" -> ((s, d) => TextOps.columnAggregates(Tables.lineitem(s, d))),
     // ── relational completeness (SURVEY.md §2.3) ──
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
@@ -50,6 +51,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // throughput variants: engine-native hash / no scalar digest. No SQL
+    // oracle by design (xxhash64 / raw array output aren't replayable);
+    // the portable variants above stay the hash-checked entries.
+    "simhash_fast" -> ((s, d) => Dedup.simhashFast(Tables.documents(s, d))),
+    "quantize_emb_fast" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // resolution over the EXACT pair set (SQL-reproducible, unlike the
     // LSH-recall-dependent minhash pairs) so the oracle can replay it
@@ -94,6 +100,10 @@ object SparkEntry {
     "union_by_name" -> ((s, d) => Relational.unionByNameDemo(s, d)),
     // ── relational: quantiles / cube / having / scalar / date / pivot ──
     "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
+    // sketch path for 100 TB (mergeable partials, no driver coordination);
+    // rows/schema-only check — sketch interpolation differs from
+    // quantile_cont by design, the exact `quantiles` entry stays the oracle
+    "quantiles_approx" -> ((s, d) => Relational.quantilesApprox(s, d)),
     "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
     "having_agg" -> ((s, d) => Relational.havingAgg(s, d)),
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
@@ -140,6 +150,12 @@ object SparkEntry {
       """SELECT word, doc_id, count(*) AS n_occ
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word, doc_id""".stripMargin,
+    "inverted_index_pos" ->
+      """SELECT word, doc_id, pos FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word,
+        |         unnest(range(1, len(string_split_regex(text, '\s+')) + 1)) AS pos
+        |  FROM documents) t
+        |WHERE word <> ''""".stripMargin,
     "col_agg" ->
       """SELECT round(sum(l_quantity), 2) AS sum_qty, round(avg(l_quantity), 4) AS avg_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_extendedprice), 4) AS avg_price,

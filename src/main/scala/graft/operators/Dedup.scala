@@ -175,9 +175,14 @@ object Dedup {
     * each token's hash contributes +1/-1 to its lane; the sign vector packs
     * back into one long. Computed as 60 codegen'd conditional sums in a
     * single group-by — one shuffle, no UDF.
+    *
+    * `hash` defaults to the oracle-replayable [[portableHash64]]; pass a
+    * cheaper engine-native hash (see [[simhashFast]]) when cross-engine
+    * reproducibility isn't needed.
     */
-  def simhash(docs: DataFrame, nBits: Int = 60): DataFrame = {
-    val t = TextOps.tokens(docs).select(col("doc_id"), portableHash64(col("word")).as("h"))
+  def simhash(docs: DataFrame, nBits: Int = 60,
+      hash: Column => Column = portableHash64): DataFrame = {
+    val t = TextOps.tokens(docs).select(col("doc_id"), hash(col("word")).as("h"))
     val laneSums = (0 until nBits).map(i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
     val lanes = t.groupBy("doc_id").agg(laneSums.head, laneSums.tail: _*)
@@ -186,6 +191,15 @@ object Dedup {
       .reduce((a, b) => a.bitwiseOR(b))
     lanes.select(col("doc_id"), packed.as("simhash"))
   }
+
+  /** Throughput variant of [[simhash]]: same lanes over Spark's native
+    * `xxhash64` (codegen'd, no md5 digest in the hot path) — the
+    * substitution [[portableHash64]]'s doc promises. Sign distribution per
+    * lane is equivalent; the packed values differ from the portable
+    * variant, so use one or the other consistently within a corpus.
+    */
+  def simhashFast(docs: DataFrame, nBits: Int = 60): DataFrame =
+    simhash(docs, nBits, c => xxhash64(c))
 
   /** Hamming distance between two simhash longs (for near-dup grouping on
     * top of [[simhash]]).
@@ -240,8 +254,11 @@ object Dedup {
       i += 1
     }
     // the final labels checkpoint must stay alive (the returned plan reads
-    // it); the pairs checkpoint is no longer reachable from it
-    CheckpointHandle.release(p)
+    // it); once an iteration ran, that checkpoint no longer reaches the
+    // pairs checkpoint, so release it — but with maxIter <= 0 the initial
+    // labels frame still reads p, and releasing would truncate the only
+    // copy of its data
+    if (i > 0) CheckpointHandle.release(p)
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("ld"), col("cluster")),
         col("doc_id") === col("ld"), "left")

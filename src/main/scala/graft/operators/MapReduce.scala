@@ -1,7 +1,25 @@
 package graft.operators
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
+
+/** Job-parameter surface: the reference's only job-config mechanism is
+  * `get_argc()`/`get_argv(i)` read inside mapper/reducer bodies
+  * (`/root/reference/src/mapreduce/dht/mapreduce.hh:739-747`). A plain
+  * serializable value: close over it or pass it via
+  * [[MapReduce.runWithParams]].
+  */
+final case class JobParams(args: IndexedSeq[String]) {
+  def argc: Int = args.length
+  def argv(i: Int): String = args(i)
+  def getOrElse(i: Int, default: => String): String =
+    if (i >= 0 && i < args.length) args(i) else default
+}
+
+object JobParams {
+  def of(args: String*): JobParams = JobParams(args.toIndexedSeq)
+}
 
 /** The reference's entire user programming surface — `set_mapper(void(*)
   * (string))` + `set_reducer(void(*)(string))` with `write_keyvalue` /
@@ -31,6 +49,44 @@ object MapReduce {
       .flatMap(mapper)
       .groupByKey(_._1)
       .flatMapGroups((k: K, it: Iterator[(K, V)]) => reducer(k, it.map(_._2)))
+
+  /** [[run]] with an explicit parameter block threaded to both UDFs — the
+    * reference's `get_argc`/`get_argv` job-config surface as arguments
+    * instead of process-global state.
+    */
+  def runWithParams[K: Encoder, V, O: Encoder](input: Dataset[String], params: JobParams)(
+      mapper: (JobParams, String) => IterableOnce[(K, V)])(
+      reducer: (JobParams, K, Iterator[V]) => IterableOnce[O])(
+      implicit kvEnc: Encoder[(K, V)]): Dataset[O] =
+    run(input)(mapper(params, _))((k, it) => reducer(params, k, it))
+
+  /** Per-FILE mapper parity: the reference invokes `map(inputpath)` once per
+    * input file and lets the mapper keep cross-record state while pulling
+    * records with `getnextrecord` (`/root/reference/src/mapreduce/dht/
+    * mapreduce.hh:557-593, 905-942`). Spark-side: one task per file
+    * (`binaryFiles` never splits a file), the mapper sees the file name and
+    * a streaming line iterator — lines are never materialized whole-file.
+    * Accepts many paths (reference `add_inputpath` multi-input,
+    * `mapreduce.hh:760-774`).
+    */
+  def runPerFile[K: Encoder, V, O: Encoder](spark: SparkSession, paths: Seq[String])(
+      mapper: (String, Iterator[String]) => IterableOnce[(K, V)])(
+      reducer: (K, Iterator[V]) => IterableOnce[O])(
+      implicit kvEnc: Encoder[(K, V)]): Dataset[O] = {
+    require(paths.nonEmpty, "runPerFile needs at least one input path")
+    val pairs = spark.sparkContext
+      .binaryFiles(paths.mkString(","))
+      .flatMap { case (file, portable) =>
+        val in = portable.open()
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        mapper(file, lines)
+      }
+    spark.createDataset(pairs)(kvEnc)
+      .groupByKey(_._1)
+      .flatMapGroups((k: K, it: Iterator[(K, V)]) => reducer(k, it.map(_._2)))
+  }
 
   /** Algebraic fast path: when the reduce is a fold, run it as a typed
     * Aggregator so Spark applies map-side partial aggregation — the

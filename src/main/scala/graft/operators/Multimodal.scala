@@ -60,6 +60,14 @@ object Multimodal {
       }
       out
     }
+
+    /** STUB: deterministic fake "re-encode at new dimensions" — truncates /
+      * zero-pads bytes where a real codec would resample pixels. Real
+      * resize goes here.
+      */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      if (payload == null) null
+      else java.util.Arrays.copyOf(payload, math.max(1, (width * height) / 64))
   }
 
   /** Wrap raw media rows into the canonical schema (payload + metadata). */
@@ -95,21 +103,31 @@ object Multimodal {
     }
   }
 
-  /** Resize stage shape for images: rewrites the payload through the codec
-    * boundary and stamps the new dimensions into the metadata columns. The
-    * transform is row-local (no shuffle); the STUB "resize" truncates /
-    * zero-pads bytes deterministically where a real codec would re-encode
-    * pixels.
+  /** Resize stage shape for images: rewrites the payload through the
+    * batched codec boundary and stamps the new dimensions into the metadata
+    * columns. Row-local (no shuffle) and, like [[extractFeatures]], runs
+    * via `mapPartitions` so codec init happens once per partition — not a
+    * per-row UDF.
     */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val resize = udf { payload: Array[Byte] =>
-      if (payload == null) null
-      else java.util.Arrays.copyOf(payload, math.max(1, (width * height) / 64))
+    val images = media.where(col("kind") === "image")
+    val schema = images.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val widthIdx = schema.fieldIndex("width")
+    val heightIdx = schema.fieldIndex("height")
+    implicit val enc = Encoders.row(schema)
+    images.mapPartitions { rows =>
+      // per-partition codec init would happen here (once, not per row)
+      rows.map { r =>
+        Row.fromSeq(schema.fields.indices.map {
+          case i if i == payloadIdx =>
+            MediaCodec.resize(r.getAs[Array[Byte]](payloadIdx), width, height)
+          case i if i == widthIdx => width
+          case i if i == heightIdx => height
+          case i => r.get(i)
+        })
+      }
     }
-    media.where(col("kind") === "image")
-      .withColumn("payload", resize(col("payload")))
-      .withColumn("width", lit(width))
-      .withColumn("height", lit(height))
   }
 
   /** Frame-sampling stage shape for video: emit one row per sampled frame

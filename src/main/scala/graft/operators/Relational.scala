@@ -283,6 +283,26 @@ object Relational {
       .toDF("l_returnflag", probs(0)._1, probs(1)._1, probs(2)._1, "n")
   }
 
+  /** Sketch-based quantiles — the 100 TB path. [[quantiles]] is exact but
+    * driver-coordinated (two bounded collects, a barrier per pass);
+    * `approx_percentile` is a mergeable KLL-style sketch with proper
+    * partial aggregation — one shuffle of fixed-size sketches, no driver
+    * coordination, rank error ≤ n/accuracy. Same output schema as the
+    * exact op so callers can swap them.
+    */
+  def quantilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        col("n"))
+
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -43,6 +43,21 @@ object TextOps {
   def invertedIndex(docs: DataFrame): DataFrame =
     tokens(docs).groupBy("word", "doc_id").agg(count(lit(1)).as("n_occ"))
 
+  /** Positional inverted index — the reference app's true shape: its
+    * per-file mapper keeps an in-file position counter across records
+    * (`/root/reference/src/mapreduce/dht/mapreduce.hh:557-593`) and emits
+    * (word, doc:pos). One row per occurrence keeps the operator fully
+    * streaming (no per-key list materialization); positions are 1-based
+    * token indices. [[MapReduce.runPerFile]] is the facade-level equivalent
+    * over raw text files.
+    */
+  def invertedIndexPos(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos0", "word")))
+      .where(col("word") =!= "")
+      .select(col("word"), col("doc_id"), (col("pos0") + 1).cast("long").as("pos"))
+
   /** Per-document token statistics (token count, distinct tokens,
     * type-token ratio, mean token length). Pure per-row array expressions:
     * no shuffle at all.

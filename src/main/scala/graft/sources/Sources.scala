@@ -26,6 +26,14 @@ object Sources {
   def readText(spark: SparkSession, path: String): Dataset[String] =
     spark.read.textFile(path)
 
+  /** Multi-input bag union: the reference unions every `add_inputpath` call
+    * into one map stage (`/root/reference/src/mapreduce/dht/
+    * mapreduce.hh:760-774`). Spark's text source takes the paths natively —
+    * one scan node, no union operator in the plan.
+    */
+  def readText(spark: SparkSession, first: String, second: String, rest: String*): Dataset[String] =
+    spark.read.textFile(first +: second +: rest: _*)
+
   def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 
@@ -126,4 +134,28 @@ object Sources {
   /** `mrrm` parity: delete a file or directory tree. */
   def rm(spark: SparkSession, path: String): Boolean =
     fs(spark, path).delete(new Path(path), true)
+
+  /** `mrget` parity (`/root/reference/src/bin/mrget`): copy a file from
+    * engine storage to the local filesystem. Returns the local path.
+    */
+  def get(spark: SparkSession, remotePath: String, localDir: String): String = {
+    val dst = new Path(localDir, new Path(remotePath).getName)
+    fs(spark, remotePath).copyToLocalFile(new Path(remotePath), dst)
+    dst.toString
+  }
+
+  /** `mrclear` parity (`/root/reference/src/bin/mrclear_core`): delete every
+    * entry under a storage namespace, keeping the namespace directory
+    * itself. Returns the number of entries removed.
+    */
+  def clear(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) 0
+    else {
+      val children = f.listStatus(p)
+      children.foreach(c => f.delete(c.getPath, true))
+      children.length
+    }
+  }
 }

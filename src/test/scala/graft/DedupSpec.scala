@@ -73,6 +73,13 @@ class DedupSpec extends SparkSpec {
     // this must survive both resolves untouched
     val bystander = spark.range(100).toDF("x").persist()
     bystander.count()
+    // snapshot of the persistent-RDD registry BEFORE the resolves: every
+    // block in it (the bystander's cached RDD included) must still be
+    // registered afterwards. `Dataset.storageLevel` would not catch a
+    // regression — it reports the CacheManager's configured level even if
+    // the blocks were unpersisted out from under the cache.
+    val preRegistered = spark.sparkContext.getPersistentRDDs.keySet
+    assert(preRegistered.nonEmpty)
     val docs = (1L to 50L).toDF("doc_id")
     def resolve(shift: Long) = Future {
       val pairs = (1L to 20L).map(i => (i + shift, i + shift + 10L)).toDF("a", "b")
@@ -84,7 +91,9 @@ class DedupSpec extends SparkSpec {
     // chained pairs (i, i+10): component {1..30} has min-label 1, etc.
     assert(m1(21L) === 1L && m1(15L) === 5L)
     assert(m2(26L) === 6L && m2(20L) === 10L)
-    assert(bystander.storageLevel.useMemory, "concurrent resolve unpersisted a bystander RDD")
+    val postRegistered = spark.sparkContext.getPersistentRDDs.keySet
+    assert(preRegistered.subsetOf(postRegistered),
+      s"concurrent resolve unpersisted bystander RDDs: ${preRegistered -- postRegistered}")
     bystander.unpersist()
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MapReduce, TextOps}
+import graft.operators.{JobParams, MapReduce, TextOps}
 
 class MapReduceSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,46 @@ class MapReduceSpec extends SparkSpec {
     val expected = graft.operators.TextOps
       .wordCount(Tables.documents(spark, sfDir)).as[(String, Long)].collect().toMap
     assert(back === expected)
+  }
+
+  test("runPerFile: one mapper per file with cross-record state (in-file positions)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-perfile")
+    java.nio.file.Files.writeString(base.resolve("f1.txt"), "a b\nc\n")
+    java.nio.file.Files.writeString(base.resolve("f2.txt"), "b\na\n")
+    val out = MapReduce.runPerFile(spark, Seq(base.toString))(
+      (file, lines) => {
+        val name = file.substring(file.lastIndexOf('/') + 1)
+        // position counter survives across records of one file — the
+        // reference's per-file mapper state (mapreduce.hh:557-593)
+        var pos = 0
+        lines.flatMap(_.split("\\s+").filter(_.nonEmpty).map { w =>
+          pos += 1; (w, s"$name:$pos")
+        })
+      })(
+      (k, vs) => Iterator.single((k, vs.toSeq.sorted.mkString(","))))
+      .collect().toMap
+    assert(out("a") === "f1.txt:1,f2.txt:2")
+    assert(out("b") === "f1.txt:2,f2.txt:1")
+    assert(out("c") === "f1.txt:3")
+  }
+
+  test("runWithParams: parameterized threshold over two text inputs") {
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-params")
+    java.nio.file.Files.writeString(base.resolve("in1.txt"), "a a b\n")
+    java.nio.file.Files.writeString(base.resolve("in2.txt"), "a c c c\n")
+    val params = JobParams.of("2")
+    assert(params.argc === 1 && params.argv(0) === "2")
+    assert(params.getOrElse(5, "fallback") === "fallback")
+    val ds = Sources.readText(spark, s"$base/in1.txt", s"$base/in2.txt")
+    val out = MapReduce.runWithParams(ds, params)(
+      (_, line) => line.split("\\s+").filter(_.nonEmpty).map(w => (w, 1L)))(
+      (p, k, vs) => {
+        val n = vs.sum
+        if (n >= p.argv(0).toLong) Iterator.single((k, n)) else Iterator.empty
+      })
+      .collect().toMap
+    assert(out === Map("a" -> 3L, "c" -> 3L))
   }
 
   // Property-style checks with seeded generation (grouping invariants the

@@ -87,6 +87,25 @@ class RelationalSpec extends SparkSpec {
     assert(q.agg(sum("n")).head().getLong(0) === Tables.lineitem(spark, sfDir).count())
   }
 
+  test("quantilesApprox: same schema as exact, values within sketch tolerance") {
+    val exact = Relational.quantiles(spark, sfDir)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Relational.quantilesApprox(spark, sfDir)
+    assert(approx.columns.toSeq === Relational.quantiles(spark, sfDir).columns.toSeq)
+    approx.as[(String, Double, Double, Double, Long)].collect().foreach {
+      case (g, p25, p50, p75, n) =>
+        val (_, e25, e50, e75, en) = exact(g)
+        assert(n === en)
+        // accuracy=10000 ⇒ rank error < 1 at this SF: the sketch returns a
+        // real element where the exact op interpolates, so allow a small
+        // relative gap
+        Seq((p25, e25), (p50, e50), (p75, e75)).foreach { case (a, e) =>
+          assert(math.abs(a - e) / e <= 0.05, s"group $g: approx $a vs exact $e")
+        }
+    }
+  }
+
   test("cubeAgg contains all four grouping-set shapes") {
     val c = Relational.cubeAgg(spark, sfDir)
     assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)

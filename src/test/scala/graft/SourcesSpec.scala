@@ -29,6 +29,20 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.ls(spark, store).isEmpty)
   }
 
+  test("catalog ops: put → get round-trip; clear empties the namespace") {
+    val store = Files.createTempDirectory("graft-store-get").toString
+    val local = Files.createTempFile("graft-get", ".txt")
+    Files.writeString(local, "hello\nworld\n")
+    Sources.put(spark, local.toString, store)
+    val dl = Files.createTempDirectory("graft-dl").toString
+    val fetched = Sources.get(spark, s"$store/${local.getFileName}", dl)
+    assert(Files.readString(java.nio.file.Paths.get(fetched)) === "hello\nworld\n")
+    assert(Sources.clear(spark, store) === 1)
+    assert(Sources.ls(spark, store).isEmpty)
+    assert(new java.io.File(store).exists, "clear must keep the namespace dir")
+    assert(Sources.clear(spark, store) === 0)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
