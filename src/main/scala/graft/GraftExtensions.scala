@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, VectorSum}
+import graft.functions.{DotProduct, LshBuckets, VectorSum}
 
 /** Spark extension entry point: registers the engine's native functions at
   * session build time —
@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vec_sum"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorSum(exprs.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBuckets(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

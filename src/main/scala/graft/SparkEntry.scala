@@ -83,6 +83,11 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cos_near_pairs" -> ((s, d) => Similarity.cosNearPairs(Tables.embeddings(s, d))),
+    // the scale path for all-pairs similarity: multi-table LSH buckets
+    // (portable md5-derived plane weights — DuckDB replays candidate
+    // generation exactly, so this is hash-checked, not rows-checked)
+    "lsh_near_pairs" -> ((s, d) =>
+      Similarity.lshNearPairs(Tables.embeddings(s, d), dims = 64, minSim = 0.5)),
     "ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
@@ -373,6 +378,27 @@ object SparkEntry {
         |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
         |          4) AS sim
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id) p
+        |WHERE sim >= 0.5""".stripMargin,
+    // LSH plane weights replayed from the portable md5 scheme: plane i,
+    // dim d weight = h60("i:d") / 2^59 - 1; table t = planes 12t..12t+11
+    "lsh_near_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |planes AS (
+        |  SELECT i, list_transform(range(0, 64),
+        |    d -> ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,15))::BIGINT
+        |         / 576460752303423488.0 - 1.0) AS w
+        |  FROM (SELECT unnest(range(0, 96)) AS i)),
+        |proj AS (SELECT vec_id, i // 12 AS t, i % 12 AS p,
+        |           list_dot_product(v, w) AS pr FROM n CROSS JOIN planes),
+        |bkt AS (SELECT vec_id, t,
+        |          CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bkt
+        |        FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |         FROM bkt x JOIN bkt y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+        |SELECT a, b, sim FROM (
+        |  SELECT a, b, round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) AS sim
+        |  FROM cand JOIN n xa ON a = xa.vec_id JOIN n xb ON b = xb.vec_id) s
         |WHERE sim >= 0.5""".stripMargin,
     "embedding_stats" ->
       """WITH e AS (SELECT label,

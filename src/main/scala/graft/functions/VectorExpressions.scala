@@ -122,6 +122,87 @@ case class EqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucketing: projects an `array<double>`
+  * vector onto every plane of a (broadcast-literal) `array<array<double>>`
+  * plane matrix and packs the projection sign bits into one bucket key per
+  * table — plane i sets bit (i % bitsPerTable) of key (i / bitsPerTable).
+  *
+  * This replaces the composed-Column formulation whose expression tree grew
+  * as nPlanes × dims arithmetic nodes (≈9k nodes at real embedding dims —
+  * enough to push Janino into interpreted fallback). Here the plane matrix
+  * is ONE literal child and the work is a tight generated loop, so the
+  * expression is a single node at any dimensionality.
+  *
+  * Fold order per plane is ascending-index — bit-identical to a sequential
+  * SQL `list_dot_product`, so engines replaying the same (hash-derived)
+  * plane weights reproduce the buckets exactly.
+  */
+case class LshBuckets(left: Expression, right: Expression, bitsPerTable: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case _ if bitsPerTable < 1 || bitsPerTable > 63 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName bitsPerTable must be in [1, 63], got $bitsPerTable")
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> and array<array<double>>, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    val nPlanes = planes.numElements()
+    val out = new Array[Long]((nPlanes + bitsPerTable - 1) / bitsPerTable)
+    var i = 0
+    while (i < nPlanes) {
+      val plane = planes.getArray(i)
+      val n = math.min(v.numElements(), plane.numElements())
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v.getDouble(d) * plane.getDouble(d); d += 1 }
+      if (s >= 0) out(i / bitsPerTable) |= 1L << (i % bitsPerTable)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val np = ctx.freshName("nPlanes")
+      val plane = ctx.freshName("plane")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $np = $b.numElements();
+         |final long[] $out = new long[($np + $bitsPerTable - 1) / $bitsPerTable];
+         |for (int $i = 0; $i < $np; $i++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $plane = $b.getArray($i);
+         |  final int $n = java.lang.Math.min($a.numElements(), $plane.numElements());
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $s += $a.getDouble($d) * $plane.getDouble($d);
+         |  }
+         |  if ($s >= 0) $out[$i / $bitsPerTable] |= 1L << ($i % $bitsPerTable);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native element-wise vector-sum aggregate: sums `array<double>` rows into
   * one array, with proper partial aggregation (update per-partition, merge
   * across partitions). The composable alternative — `posexplode` to
@@ -211,6 +292,13 @@ object VectorFunctions {
     ColumnBridge.column(
       EqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Codegen'd multi-table LSH bucket keys for an `array<double>` vector
+    * against an `array<array<double>>` plane matrix.
+    */
+  def lshBuckets(v: Column, planes: Column, bitsPerTable: Int): Column =
+    ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(v), ColumnBridge.expression(planes), bitsPerTable))
+
   /** Register the native functions for SQL callers on this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -220,5 +308,8 @@ object VectorFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_eq_count", exprs => EqCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets", exprs => LshBuckets(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

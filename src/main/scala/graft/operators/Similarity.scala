@@ -25,10 +25,15 @@ object Similarity {
   /** L2 norm of a double-array column. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cast `embedding` float array to double and precompute the norm. */
+  /** Cast `embedding` float array to double and precompute the norm. A
+    * plain array cast, not `transform(_, _.cast(...))`: higher-order
+    * functions are excluded from whole-stage codegen, and this projection
+    * feeds every similarity hot loop. Element values are identical either
+    * way (same float→double widening).
+    */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k: for each query vector (small set), score
@@ -61,7 +66,7 @@ object Similarity {
     * values (|error| ≤ scale/127). Row-local, shuffle-free.
     */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
-    val v = transform(col("embedding"), _.cast("double"))
+    val v = col("embedding").cast("array<double>")
     val scale = array_max(transform(v, x => abs(x)))
     embeddings.select(
       col("vec_id"),
@@ -87,7 +92,7 @@ object Similarity {
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"),
-        norm(transform(col("embedding"), _.cast("double"))).as("nrm"))
+        norm(col("embedding").cast("array<double>")).as("nrm"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
@@ -164,39 +169,64 @@ object Similarity {
       .where(col("sim") >= minSim)
   }
 
-  /** Random-hyperplane LSH bucket key: `nBits` sign bits of projections
-    * onto pseudo-random unit directions. The "random" planes are
-    * deterministic: plane p, dim d weight = a fixed hash-derived value in
-    * [-1, 1]. Vectors in the same bucket are near-duplicate candidates —
-    * the scale path for all-pairs similarity (cost sum(bucket²), not n²).
+  /** Deterministic, engine-portable hyperplane weights: plane i, dim d
+    * weight = the portable 60-bit md5 hash of `"i:d"` scaled to [-1, 1)
+    * (same hash scheme as [[Dedup.portableHash64]], computed driver-side).
+    * Any engine with md5 replays them exactly — DuckDB:
+    * `('0x'||substr(md5(i||':'||d),1,15))::BIGINT / 2^59 - 1.0` — so LSH
+    * buckets are reproducible across engines, not just across runs.
     */
-  def lshBucket(v: Column, dims: Int, nBits: Int = 12): Column = {
-    val bits = (0 until nBits).map { p =>
-      // deterministic pseudo-random weight per (plane, dim) from an
-      // explicit murmur mix (stable across library versions)
-      val proj = (0 until dims).map { d =>
-        val h = scala.util.hashing.MurmurHash3.finalizeHash(
-          scala.util.hashing.MurmurHash3.mix(
-            scala.util.hashing.MurmurHash3.mix(0x9747b28c, p), d), 2)
-        val w = (h.toDouble / Int.MaxValue) % 1.0
-        element_at(v, d + 1) * lit(w)
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def lshPlanes(dims: Int, nPlanes: Int): Seq[Seq[Double]] = {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    Seq.tabulate(nPlanes, dims)((i, d) =>
+      h60(s"$i:$d").toDouble / 576460752303423488.0 - 1.0) // h / 2^59 - 1
   }
 
-  /** All-pairs near-neighbor candidates via LSH buckets, verified with the
-    * exact cosine and filtered by `minSim`. Scales as the bucket-join, not
-    * the cross product.
+  /** Multi-table random-hyperplane LSH bucket keys: `nTables` keys of
+    * `nBits` projection sign bits each (plane i = bit i % nBits of table
+    * i / nBits). One native codegen'd expression per row regardless of
+    * dimensionality — the plane matrix rides as a single literal, not
+    * nBits × dims column arithmetic nodes (which at 768-dim embeddings
+    * built ~9k-node trees that pushed Janino into interpreted fallback).
+    */
+  def lshBuckets(v: Column, dims: Int, nBits: Int = 12, nTables: Int = 8): Column =
+    graft.functions.VectorFunctions.lshBuckets(
+      v, typedlit[Seq[Seq[Double]]](lshPlanes(dims, nBits * nTables)), nBits)
+
+  /** Single-table LSH bucket key (see [[lshBuckets]]). */
+  def lshBucket(v: Column, dims: Int, nBits: Int = 12): Column =
+    element_at(lshBuckets(v, dims, nBits, nTables = 1), 1)
+
+  /** All-pairs near-neighbor pairs via multi-table LSH: vectors sharing any
+    * table's bucket are candidates, verified with the exact cosine and
+    * filtered by `minSim`. The scale path for all-pairs similarity — cost
+    * is the bucket self-join, sum(bucket²) per table, never n²; the
+    * candidate join carries only (table, bucket, vec_id), with vectors
+    * joined back for verification of the (much smaller) candidate set.
+    * More tables raise recall (any-of-T bucket agreement) at linearly more
+    * bucketing cost — the standard LSH amplification trade.
     */
   def lshNearPairs(embeddings: DataFrame, dims: Int, minSim: Double = 0.9,
-      nBits: Int = 12): DataFrame = {
-    val p = prepared(embeddings).withColumn("bucket", lshBucket(col("v"), dims, nBits))
-    p.as("x").join(p.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+      nBits: Int = 12, nTables: Int = 8): DataFrame = {
+    val p = prepared(embeddings)
+    val banded = p
+      .withColumn("bkts", lshBuckets(col("v"), dims, nBits, nTables))
+      .select(col("vec_id"), posexplode(col("bkts")).as(Seq("t", "bkt")))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("t", "bkt"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(p.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
+      .join(p.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .where(col("sim") >= minSim)
   }
 }

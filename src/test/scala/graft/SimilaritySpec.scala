@@ -60,6 +60,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshBuckets: one native node at dims=256, codegen'd, matches a Scala replay") {
+    import org.apache.spark.sql.functions._
+    val dims = 256
+    val nBits = 12
+    val nTables = 8
+    val raw: Map[Long, IndexedSeq[Float]] = (0L until 16L).map(i =>
+      i -> IndexedSeq.tabulate(dims)(d => (((i * 31 + d * 7) % 97).toFloat - 48f) / 97f)).toMap
+    val vecs = raw.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    // the column is a single native expression — not nBits × dims
+    // arithmetic nodes (the shape that used to blow up Janino)
+    val exprNode = org.apache.spark.sql.graft.ColumnBridge.expression(
+      Similarity.lshBuckets(col("v"), dims, nBits, nTables))
+    assert(exprNode.isInstanceOf[graft.functions.LshBuckets])
+    val df = vecs
+      .repartition(2) // defeat ConvertToLocalRelation so a real codegen stage exists
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Similarity.lshBuckets(col("v"), dims, nBits, nTables).as("bkts"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // after execution AQE has finalized the plan; the projection must sit
+    // inside a codegen stage — the `*(n)` node prefix is the
+    // WholeStageCodegen marker in the plan rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*graft_lsh_buckets""".r.findFirstIn(plan).isDefined,
+      s"lshBuckets must stay inside whole-stage codegen:\n${plan.take(800)}")
+    val planes = Similarity.lshPlanes(dims, nBits * nTables)
+    raw.foreach { case (id, vec) =>
+      val exp = Array.fill(nTables)(0L)
+      for (i <- 0 until nBits * nTables) {
+        val s = (0 until dims).map(d => vec(d).toDouble * planes(i)(d)).sum
+        if (s >= 0) exp(i / nBits) |= 1L << (i % nBits)
+      }
+      assert(got(id) === exp.toSeq, s"bucket mismatch for vec $id")
+    }
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")
