@@ -33,7 +33,10 @@ object Bench {
       0L
     }
 
+    // optional name filter for local iteration (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup: one untimed pass over everything (JIT, codegen cache, footers)
     names.foreach(n => try materialize(n) catch { case _: Throwable => })
 

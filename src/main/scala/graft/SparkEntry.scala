@@ -51,6 +51,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // hamming-banded near-dup pairs over the portable simhash — the
+    // text-side analog of lsh_near_pairs (exact recall for hamming<bands)
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // throughput variants: engine-native hash / no scalar digest. No SQL
     // oracle by design (xxhash64 / raw array output aren't replayable);
     // the portable variants above stay the hash-checked entries.
@@ -129,6 +132,8 @@ object SparkEntry {
     "q22_idle_rich" -> ((s, d) => RelationalX.q22IdleRich(s, d)),
     "q16_suppcnt" -> ((s, d) => RelationalX.q16SuppCount(s, d)),
     "rank_funcs" -> ((s, d) => RelationalX.rankFuncs(s, d)),
+    "window_shapes" -> ((s, d) => RelationalX.windowShapes(s, d)),
+    "date_funcs" -> ((s, d) => RelationalX.dateFuncs(s, d)),
     "string_agg" -> ((s, d) => RelationalX.stringAgg(s, d)),
     "histogram" -> ((s, d) => RelationalX.histogram(s, d)),
     "range_frame" -> ((s, d) => RelationalX.rangeFrameSpend(s, d)),
@@ -632,6 +637,26 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT) DESC)""".stripMargin,
+    "window_shapes" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |CAST(ntile(10) OVER w AS INT) AS decile,
+        |round(cume_dist() OVER w, 6) AS cd,
+        |first_value(o_orderkey) OVER wf AS top_order,
+        |nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+        |wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS INT) AS y,
+        |CAST(quarter(o_orderdate) AS INT) AS q,
+        |CAST(day(o_orderdate) AS INT) AS dom,
+        |strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        |CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+        |CAST(date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS INT) AS days_to_98,
+        |strftime(o_orderdate::DATE + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_q
+        |FROM orders""".stripMargin,
     "string_agg" ->
       """SELECT c_mktsegment, count(*) AS n,
         |array_to_string(list_sort(list(c_name))[1:5], ',') AS first5
@@ -727,6 +752,7 @@ object SparkEntry {
     // the hash-dependent ops use the portable 60-bit md5 hash
     // (Dedup.portableHash64), so DuckDB replays them exactly:
     "simhash" -> simhashOracle,
+    "simhash_pairs" -> simhashPairsOracle,
     "winnow_fp" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
         |hs AS (SELECT doc_id,
@@ -812,18 +838,39 @@ object SparkEntry {
     * lanes over the portable token hash, packed to one BIGINT. Generated
     * because the lane list is mechanical.
     */
-  private def simhashOracle: String = {
+  private def simhashCtes: (String, String) = {
     val sums = (0 until 60)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")
     val pack = (0 until 60)
       .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h
+    (s"""t AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
        |        FROM documents) u
        |  WHERE word <> ''),
-       |lanes AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
-       |SELECT doc_id, $pack AS simhash FROM lanes""".stripMargin
+       |lanes AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)""".stripMargin,
+     s"SELECT doc_id, $pack AS simhash FROM lanes")
+  }
+
+  private def simhashOracle: String = {
+    val (ctes, sel) = simhashCtes
+    s"WITH $ctes\n$sel"
+  }
+
+  /** DuckDB replay of [[graft.operators.Dedup.simhashPairs]] (6 bands ×
+    * 10 bits over the portable simhash, hamming ≤ 3).
+    */
+  private def simhashPairsOracle: String = {
+    val (ctes, sel) = simhashCtes
+    s"""WITH $ctes,
+       |sh AS ($sel),
+       |banded AS (SELECT doc_id, simhash, j AS band, (simhash >> (j*10)) & 1023 AS bh
+       |           FROM sh, (SELECT unnest(range(0,6)) AS j) b(j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT a, b, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 }

@@ -206,6 +206,37 @@ object Dedup {
     */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-duplicate pairs by SimHash hamming distance, banded for scale:
+    * the nBits fingerprint splits into `bands` equal chunks and docs
+    * sharing ANY band's bits are candidates — by pigeonhole a pair with
+    * hamming < bands must agree on some band, so recall is EXACT for
+    * `maxHamming <= bands - 1` while the join touches only same-band
+    * buckets (sum(bucket²), never n²). Candidates verify with the
+    * codegen'd `bit_count(xor)`. The fingerprint itself is the portable
+    * [[simhash]], so any engine replays bands, candidates and distances.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 6,
+      nBits: Int = 60): DataFrame = {
+    require(bands > maxHamming, "bands must exceed maxHamming for exact recall")
+    require(nBits % bands == 0, "bands must divide nBits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sh = simhash(docs, nBits)
+    val bandStructs = (0 until bands).map(j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * r).bitwiseAND(lit(mask)).as("bh")))
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
+    banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        hammingDist(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Resolve near-dup pairs into clusters and keep-decisions: connected
     * components by min-label propagation (cluster id = smallest doc_id in
     * the component; that doc is the survivor). Dedup graphs have tiny

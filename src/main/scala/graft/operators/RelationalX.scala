@@ -348,4 +348,36 @@ object RelationalX {
         round(stddev_samp("l_quantity"), 4).as("sd_qty"),
         round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
         count(lit(1)).as("n"))
+
+  /** Remaining ranking-window shapes: ntile deciles, cumulative
+    * distribution, and first/nth value over the full partition frame. The
+    * order key includes o_orderkey so ntile/nth are deterministic under
+    * ties.
+    */
+  def windowShapes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(10).over(w).as("decile"),
+      round(cume_dist().over(w), 6).as("cd"),
+      first(col("o_orderkey")).over(wf).as("top_order"),
+      nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
+  }
+
+  /** Calendar-function coverage: quarter, month-end, month bucket epoch,
+    * day delta to a fixed date, and clamped month arithmetic — emitted as
+    * ints/strings/epochs so every engine compares them exactly.
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"),
+      datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_q"))
 }

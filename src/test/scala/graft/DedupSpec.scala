@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpec {
     bystander.unpersist()
   }
 
+  test("simhashPairs: banded candidates recover ALL low-hamming pairs (pigeonhole)") {
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "q w e r t y u i o p"), // identical → hamming 0
+      (3L, "q w e r t y u i o x"), // near
+      (4L, "totally different words entirely another set")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, maxHamming = 5, bands = 6)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute-force reference: bands=6 > maxHamming=5 guarantees exact recall
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val exp = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 5
+    } yield (a, b, h)).toSet
+    assert(got === exp)
+    assert(got.contains((1L, 2L, 0)))
+  }
+
   test("simhash: identical docs hash identically; hamming distance 0") {
     val docs = Seq((1L, "q w e r t y"), (2L, "q w e r t y"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
