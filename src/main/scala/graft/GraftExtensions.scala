@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, LshBuckets, VectorSum}
+import graft.functions.{DotProduct, FrequentItems, LshBuckets, VectorSum}
 
 /** Spark extension entry point: registers the engine's native functions at
   * session build time —
@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LshBuckets(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FrequentItems(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

@@ -33,6 +33,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pushdown: joins inject a key filter into the
+      // probe-side scan, cutting shuffled bytes on selective joins — the
+      // kind of win that only shows at 100 TB fact-table scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // zstd: ~30% smaller than snappy at comparable scan speed — at 100 TB

@@ -42,6 +42,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "anomalies" -> ((s, d) => EventOps.anomalies(s, d)),
     "json_struct" -> ((s, d) => EventOps.jsonStruct(s, d)),
+    "funnel" -> ((s, d) => EventOps.funnel(s, d)),
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -262,6 +263,20 @@ object SparkEntry {
         |SELECT event_id, event_type, round((value - mu) / sigma, 4) AS z
         |FROM events JOIN stats ON event_type = t
         |WHERE abs(round((value - mu) / sigma, 4)) >= 3.0""".stripMargin,
+    "funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events
+        |            WHERE event_type IN ('view','click','purchase')),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view'
+        |      GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > t_view
+        |        AND e.ts <= t_view + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > t_click
+        |        AND e.ts <= t_click + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS name, count(*) AS n FROM v
+        |UNION ALL SELECT 2, 'view>click', count(*) FROM c
+        |UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -248,8 +248,14 @@ object Dedup {
     import org.apache.spark.sql.graft.CheckpointHandle
     // materialize the (expensive) pair computation once BEFORE the
     // direction-doubling union — otherwise each union branch re-executes
-    // the full candidate-generation plan
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    // the full candidate-generation plan. persist + count, NOT
+    // localCheckpoint: Dataset.checkpoint materializes through the
+    // non-adaptive toRdd path, which loses AQE's runtime replanning of the
+    // skewed candidate self-join (measured 30x slower on the blocked
+    // n-gram join at sf0.1); a persisted frame materializes through the
+    // normal adaptive path and the union branches read the cached blocks
+    val p = pairs.select(col("a"), col("b")).persist()
+    p.count()
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
     // active-set iteration: only docs that appear in an edge can ever move
     // off their own label, so the fixpoint loop runs on the (much smaller)
@@ -285,11 +291,11 @@ object Dedup {
       i += 1
     }
     // the final labels checkpoint must stay alive (the returned plan reads
-    // it); once an iteration ran, that checkpoint no longer reaches the
-    // pairs checkpoint, so release it — but with maxIter <= 0 the initial
-    // labels frame still reads p, and releasing would truncate the only
-    // copy of its data
-    if (i > 0) CheckpointHandle.release(p)
+    // it); the pairs cache is no longer needed once iteration ends. Unlike
+    // a checkpoint release, unpersisting a cached frame is safe even if
+    // maxIter <= 0 left `labels` reading p — the lineage is intact and
+    // would simply recompute
+    p.unpersist(blocking = false)
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("ld"), col("cluster")),
         col("doc_id") === col("ld"), "left")

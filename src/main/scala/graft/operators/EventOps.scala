@@ -141,6 +141,35 @@ object EventOps {
     * partitioning so Spark reuses the exchange and sort.
     * Output: per-user session count, max/total events.
     */
+  /** Ordered conversion funnel: users who did view → click → purchase in
+    * strict temporal order, each conversion within `windowHours` of the
+    * previous stage, counted per stage. Each stage is one narrow per-user
+    * aggregate (min qualifying timestamp) joined to the previous stage's
+    * frame — per-stage shuffle width is one (user, timestamp) row, so the
+    * chain scales with user count regardless of event volume, and the
+    * event scan prunes to the three relevant types.
+    */
+  def funnel(spark: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(of: String, after: DataFrame, afterCol: String, out: String): DataFrame =
+      ev.where(col("event_type") === of)
+        .join(after, Seq("user_id"))
+        .where(col("ts") > col(afterCol) &&
+          col("ts") <= col(afterCol) + expr(s"INTERVAL $windowHours HOURS"))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val viewed = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicked = stage("click", viewed, "t_view", "t_click")
+    val purchased = stage("purchase", clicked, "t_click", "t_purchase")
+    viewed.agg(count(lit(1)).as("n")).select(lit(1).as("stage"), lit("view").as("name"), col("n"))
+      .unionAll(clicked.agg(count(lit(1)).as("n"))
+        .select(lit(2).as("stage"), lit("view>click").as("name"), col("n")))
+      .unionAll(purchased.agg(count(lit(1)).as("n"))
+        .select(lit(3).as("stage"), lit("view>click>purchase").as("name"), col("n")))
+  }
+
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -41,6 +41,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got === Set((h10, "click", 2L), (h10, "view", 1L), (h11, "purchase", 1L)))
   }
 
+  test("funnel counts ordered windowed conversions per stage") {
+    val d = Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      // user 1: full ordered funnel inside the window
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE first view → stops at stage 1
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      // user 3: clicks in time, purchase outside the 24 h window
+      (6L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 11:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-03 11:00:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.funnel(spark, d).orderBy("stage")
+      .select("stage", "n").as[(Int, Long)].collect().toSeq
+    assert(got === Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+
   test("jsonExtract sums the JSON property per type") {
     val got = EventOps.jsonExtract(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
