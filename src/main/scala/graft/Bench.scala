@@ -41,6 +41,11 @@ object Bench {
     names.foreach(n => try materialize(n) catch { case _: Throwable => })
 
     val results = names.map { name =>
+      // settle the JVM between queries: accumulated shuffle/cache debris
+      // from the previous query otherwise bleeds GC pauses into this one's
+      // median (observed 4-7x inflation on allocation-heavy queries in
+      // full-suite runs vs isolated runs)
+      System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { materialize(name); true } catch { case _: Throwable => false }

@@ -150,6 +150,10 @@ object SparkEntry {
     "split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d))),
     "sample_strata" -> ((s, d) => TextOps.sampleStrata(Tables.documents(s, d))),
     "lev_pairs" -> ((s, d) => TextOps.levenshteinPairs(Tables.part(s, d))),
+    // column profiler, minus the HLL distinct estimate (engine-specific
+    // sketch) so the remaining metrics are exactly replayable
+    "profile_customer" -> ((s, d) => Profiler.profile(Tables.customer(s, d))
+      .where(org.apache.spark.sql.functions.col("metric") =!= "approx_distinct")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -764,6 +768,7 @@ object SparkEntry {
         |    ON x.p_brand = y.p_brand AND x.p_size = y.p_size
         |   AND x.p_partkey < y.p_partkey) t
         |WHERE dist <= 4 AND dist > 0""".stripMargin,
+    "profile_customer" -> profileCustomerOracle,
     // the hash-dependent ops use the portable 60-bit md5 hash
     // (Dedup.portableHash64), so DuckDB replays them exactly:
     "simhash" -> simhashOracle,
@@ -853,6 +858,21 @@ object SparkEntry {
     * lanes over the portable token hash, packed to one BIGINT. Generated
     * because the lane list is mechanical.
     */
+  /** DuckDB replay of [[graft.operators.Profiler.profile]] on `customer`
+    * (long-format nulls/min/max per column + table row count). Generated
+    * from the column list because the UNION ALL ladder is mechanical.
+    */
+  private def profileCustomerOracle: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val parts = cols.flatMap { c =>
+      Seq(
+        s"""SELECT '$c' AS "column", 'nulls' AS metric, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS value FROM customer""",
+        s"SELECT '$c', 'min', CAST(min($c) AS VARCHAR) FROM customer",
+        s"SELECT '$c', 'max', CAST(max($c) AS VARCHAR) FROM customer")
+    } :+ "SELECT ':table:', 'rows', CAST(count(*) AS VARCHAR) FROM customer"
+    parts.mkString("\nUNION ALL ")
+  }
+
   private def simhashCtes: (String, String) = {
     val sums = (0 until 60)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")

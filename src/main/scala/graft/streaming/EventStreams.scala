@@ -73,6 +73,29 @@ object EventStreams {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding `interval`. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark evicts click
+    * state once it can no longer match any future purchase — state stays
+    * O(interval × rate), never unbounded. The streaming twin of the batch
+    * as-of/range joins in [[graft.operators.EventOps]].
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour", interval: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $interval") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Session windows via the built-in gap-based `session_window` — the
     * streaming twin of the batch gaps-and-islands
     * [[graft.operators.EventOps.sessionize]].

@@ -169,6 +169,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.clickPurchaseJoin(
+      clicks.toDF().toDF("event_id", "ts", "user_id"),
+      purchases.toDF().toDF("event_id", "ts", "user_id"))
+    val query = joined.writeStream.format("memory")
+      .queryName("ssjoin_test").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L), // 30 min before purchase → match
+        (2L, ts("2024-01-01 08:00:00"), 1L), // 2.5 h before → outside interval
+        (3L, ts("2024-01-01 10:15:00"), 2L)) // other user
+      purchases.addData((10L, ts("2024-01-01 10:30:00"), 1L))
+      query.processAllAvailable()
+      // advance both watermarks past the join horizon so results emit
+      clicks.addData((4L, ts("2024-01-01 13:00:00"), 9L))
+      purchases.addData((11L, ts("2024-01-01 13:00:00"), 9L))
+      query.processAllAvailable()
+      val got = spark.table("ssjoin_test")
+        .select("purchase_id", "user_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((10L, 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("tumblingCounts over a real stream (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
