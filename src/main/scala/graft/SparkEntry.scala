@@ -92,6 +92,16 @@ object SparkEntry {
     // generation exactly, so this is hash-checked, not rows-checked)
     "lsh_near_pairs" -> ((s, d) =>
       Similarity.lshNearPairs(Tables.embeddings(s, d), dims = 64, minSim = 0.5)),
+    // the full semantic-dedup pipeline in one query: LSH candidate pairs →
+    // connected components → keep-decisions (embedding-level analog of
+    // dedup_resolve; every stage engine-portable, so DuckDB replays it)
+    "emb_dedup_resolve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Dedup.resolveClusters(
+        e.select(org.apache.spark.sql.functions.col("vec_id").as("doc_id")),
+        Similarity.lshNearPairs(e, dims = 64, minSim = 0.5))
+        .where(org.apache.spark.sql.functions.col("keep") === false)
+    }),
     "ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
@@ -424,6 +434,35 @@ object SparkEntry {
         |  SELECT a, b, round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) AS sim
         |  FROM cand JOIN n xa ON a = xa.vec_id JOIN n xb ON b = xb.vec_id) s
         |WHERE sim >= 0.5""".stripMargin,
+    "emb_dedup_resolve" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |planes AS (
+        |  SELECT i, list_transform(range(0, 64),
+        |    d -> ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,15))::BIGINT
+        |         / 576460752303423488.0 - 1.0) AS w
+        |  FROM (SELECT unnest(range(0, 96)) AS i)),
+        |proj AS (SELECT vec_id, i // 12 AS t, i % 12 AS p,
+        |           list_dot_product(v, w) AS pr FROM n CROSS JOIN planes),
+        |bkt AS (SELECT vec_id, t,
+        |          CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bkt
+        |        FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |         FROM bkt x JOIN bkt y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) AS sim
+        |    FROM cand JOIN n xa ON a = xa.vec_id JOIN n xb ON b = xb.vec_id) s
+        |  WHERE sim >= 0.5),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.a, w.label FROM edges ed JOIN walk w ON ed.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |SELECT doc_id, cluster, doc_id = cluster AS keep
+        |FROM labels WHERE doc_id <> cluster""".stripMargin,
     "embedding_stats" ->
       """WITH e AS (SELECT label,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

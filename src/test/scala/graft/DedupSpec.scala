@@ -116,6 +116,14 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0)))
   }
 
+  test("simhashPairs plans as an equi band join — never a cross product") {
+    val plan = Dedup.simhashPairs(Tables.documents(spark, sfDir))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in band-join plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in band-join plan:\n$plan")
+  }
+
   test("simhash: identical docs hash identically; hamming distance 0") {
     val docs = Seq((1L, "q w e r t y"), (2L, "q w e r t y"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

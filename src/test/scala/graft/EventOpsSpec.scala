@@ -62,6 +62,13 @@ class EventOpsSpec extends SparkSpec {
     assert(got === Seq((1, 3L), (2, 2L), (3, 1L)))
   }
 
+  test("funnel pushes the event-type filter into the parquet scan") {
+    val plan = EventOps.funnel(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(event_type, [click,purchase,view])"),
+      s"event_type IN filter must reach the scan:\n${plan.take(2000)}")
+  }
+
   test("jsonExtract sums the JSON property per type") {
     val got = EventOps.jsonExtract(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap

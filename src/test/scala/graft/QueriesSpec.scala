@@ -21,7 +21,7 @@ class QueriesSpec extends SparkSpec {
   private val mayBeEmpty =
     Set("join_anti", "minhash_pairs", "ngram_jaccard", "dedup_resolve", "cos_near_pairs",
       "q7_volume", "q18_big_orders", "q21_waiting", "q22_idle_rich", "lev_pairs",
-      "winnow_pairs", "lsh_near_pairs", "simhash_pairs")
+      "winnow_pairs", "lsh_near_pairs", "simhash_pairs", "emb_dedup_resolve")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query '$name' runs on sf0.001") {

@@ -95,6 +95,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshNearPairs plans as equi bucket joins — never a cross product") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = Similarity.lshNearPairs(e, dims = 64, minSim = 0.5)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in LSH plan:\n$plan")
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")
