@@ -266,25 +266,39 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster"))
     var converged = false
     var i = 0
-    // each iteration's checkpoint supersedes the previous one; release the
-    // superseded blocks eagerly — via the checkpointed frame's own handle,
+    // each iteration's materialized label table supersedes the previous
+    // one; release superseded blocks eagerly — via the frame's own handle,
     // never by diffing the global persistent-RDD registry (which would
     // catch and unpersist RDDs that concurrent jobs persist meanwhile) —
     // so a long-lived session doesn't accumulate one pinned copy of the
-    // label table per iteration
+    // label table per iteration. Iterations cache (adaptive execution
+    // path, tiny label tables, reads hit blocks) and a localCheckpoint
+    // every `truncateEvery` rounds bounds lineage depth — the
+    // checkpoint's non-adaptive materialization cost is paid rarely and
+    // on a cached, shallow plan.
+    val truncateEvery = 5
     var prevIter: Option[DataFrame] = None
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("nbr_doc")).agg(min("cluster").as("nbr_cluster"))
       // carry old + new label in one materialized pass: the convergence
-      // check then reads the checkpointed result instead of re-joining
-      val updated = labels
+      // check then reads the cached result instead of re-joining
+      var updated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
         .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint() // eager: materialized before we drop its parent
+        .persist()
       val changed = updated.where(col("cluster") =!= col("old_cluster")).count()
-      prevIter.foreach(CheckpointHandle.release)
+      if ((i + 1) % truncateEvery == 0) {
+        // shallow (cache-fed) plan, so the checkpoint is cheap here
+        val snapshot = updated.localCheckpoint()
+        updated.unpersist(blocking = false)
+        updated = snapshot
+      }
+      prevIter.foreach { f =>
+        CheckpointHandle.release(f)
+        f.unpersist(blocking = false)
+      }
       prevIter = Some(updated)
       labels = updated.select("doc_id", "cluster")
       converged = changed == 0

@@ -155,6 +155,61 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Persist an IVF index: the deterministic centroid table plus the
+    * corpus with nearest-centroid assignments, written as parquet with the
+    * corpus PARTITIONED BY cell id. A probe then reads only its `nProbe`
+    * cell directories — partition pruning turns ANN search into an index
+    * seek, the on-disk analog of an inverted file. Build cost is paid
+    * once; [[ivfTopKIndexed]] queries skip centroid build + assignment
+    * entirely.
+    */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String, nList: Int = 16): Unit = {
+    val corpus = prepared(embeddings)
+    val cents = corpus
+      .groupBy((col("vec_id") % nList).as("cid"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cn"))
+      // int cell ids: directory-partition columns read back as int, so
+      // keep every cid reference the same type end-to-end
+      .select(col("cid").cast("int").as("cid"),
+        transform(col("s"), x => x / col("cn")).as("c"))
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val centsSaved = corpus.sparkSession.read.parquet(s"$indexDir/centroids")
+    corpus.crossJoin(broadcast(centsSaved))
+      .withColumn("cs", dot(col("v"), col("c")))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("cs"), col("cid"))).getField("cid").as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/corpus")
+  }
+
+  /** Top-k over a persisted [[buildIvfIndex]] index: score the query
+    * against the (tiny) centroid table, then scan ONLY the probed cell
+    * partitions of the corpus — the cid filter is a partition filter, so
+    * unprobed cells are never read from disk.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/corpus")
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cs", dot(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Exact all-pairs cosine near-duplicates above `minSim`: the
     * brute-force complement to [[lshNearPairs]] — O(n²) pairs but each
     * scored by the codegen'd native dot product, and one side broadcast so

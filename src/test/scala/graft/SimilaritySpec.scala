@@ -95,6 +95,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index: persisted probe equals direct IVF; unprobed cells pruned via DPP") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.buildIvfIndex(e, dir, nList = 8)
+    val q = e.where($"vec_id" < 4)
+    val idx = Similarity.ivfTopKIndexed(spark, dir, q, nProbe = 4, k = 5)
+    val got = idx.select("query_id", "nbr_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = Similarity.ivfTopK(e, q, nList = 8, nProbe = 4, k = 5)
+      .select("query_id", "nbr_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got === direct)
+    // the probed-cell join must prune unprobed partitions at runtime
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cid:\n${plan.take(1500)}")
+  }
+
   test("lshNearPairs plans as equi bucket joins — never a cross product") {
     val e = Tables.embeddings(spark, sfDir)
     val plan = Similarity.lshNearPairs(e, dims = 64, minSim = 0.5)
