@@ -43,6 +43,7 @@ object SparkEntry {
     "anomalies" -> ((s, d) => EventOps.anomalies(s, d)),
     "json_struct" -> ((s, d) => EventOps.jsonStruct(s, d)),
     "funnel" -> ((s, d) => EventOps.funnel(s, d)),
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -277,6 +278,16 @@ object SparkEntry {
         |SELECT event_id, event_type, round((value - mu) / sigma, 4) AS z
         |FROM events JOIN stats ON event_type = t
         |WHERE abs(round((value - mu) / sigma, 4)) >= 3.0""".stripMargin,
+    "cohort_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_epoch,
+        |       CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM activity JOIN first_seen USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "funnel" ->
       """WITH ev AS (SELECT user_id, event_type, ts FROM events
         |            WHERE event_type IN ('view','click','purchase')),

@@ -170,6 +170,23 @@ object EventOps {
         .select(lit(3).as("stage"), lit("view>click>purchase").as("name"), col("n")))
   }
 
+  /** Cohort retention: users bucket by first-active day; each (cohort,
+    * day-offset) cell counts users active that many days after joining.
+    * Two narrow per-user aggregates plus one (cohort, offset) rollup —
+    * event volume collapses to user × active-day rows before any join.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val firstSeen = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(
+        unix_seconds(col("cohort")).as("cohort_epoch"),
+        datediff(col("d"), col("cohort")).cast("int").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -28,6 +28,26 @@ object Skew {
       .groupBy("key")
       .agg(sum("_n").as("n"), sum("_s").as("sum_value"))
 
+  /** Salted skew join: the big (skewed) side gets a deterministic salt in
+    * [0, buckets); the small side is replicated `buckets` times; the join
+    * key becomes (key, salt), so one hot key spreads across `buckets`
+    * tasks instead of landing in one straggler partition. Exact same rows
+    * as `big.join(small, key)` — the manual fallback for when AQE's
+    * runtime skew splitting can't apply (e.g. the skewed side feeds an
+    * aggregation in the same stage, or a non-shuffle join input).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    // the salt must split ROWS of a hot key, so it hashes the whole row,
+    // not the join key (key-derived salt would map a hot key to one
+    // bucket again); content-derived, so still reproducible run to run
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int"))
+    val replicated = small.crossJoin(
+      small.sparkSession.range(buckets).select(col("id").cast("int").as("_salt")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Salted distinct count: phase 1 dedups (key, value) within salt
     * buckets, phase 2 counts — the classic two-level exact distinct for a
     * hot key.

@@ -26,4 +26,17 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted === direct)
   }
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    // skewed big side: one hot key with 500 rows, a long tail of singletons
+    val big = (Seq.fill(500)(1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "cold"), (50L, "mid")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8)
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    val plain = big.join(small, "k")
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._1 == 1L) === 500)
+  }
 }
