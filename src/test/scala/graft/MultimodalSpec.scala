@@ -47,6 +47,24 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]](2).length === (32 * 32) / 64)
   }
 
+  test("media pipeline end-to-end: decoded features feed ANN search") {
+    import org.apache.spark.sql.functions._
+    // 6 media items; 1 and 4 share a payload, 2 and 5 share a payload
+    val raw = Seq(
+      (1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"),
+      (4L, "aaaa"), (5L, "bbbb"), (6L, "dddd"))
+      .map { case (id, s) => (id, s.getBytes("UTF-8")) }
+      .toDF("id", "bytes")
+    val media = Multimodal.fromBinary(raw, "id", "bytes", "image")
+    val embeddings = Multimodal.extractFeatures(media)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val top1 = graft.operators.Similarity.cosineTopK(embeddings, embeddings, k = 1)
+      .select("query_id", "nbr_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(top1(1L) === ((4L, 1.0)) && top1(4L) === ((1L, 1.0)))
+    assert(top1(2L) === ((5L, 1.0)) && top1(5L) === ((2L, 1.0)))
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
