@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, FrequentItems, LshBuckets, VectorSum}
+import graft.functions.{BottomK, DotProduct, FrequentItems, LshBuckets, VectorSum}
 
 /** Spark extension entry point: registers the engine's native functions at
   * session build time —
@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FrequentItems(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BottomK(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

@@ -165,6 +165,11 @@ object SparkEntry {
     // sketch) so the remaining metrics are exactly replayable
     "profile_customer" -> ((s, d) => Profiler.profile(Tables.customer(s, d))
       .where(org.apache.spark.sql.functions.col("metric") =!= "approx_distinct")),
+    // ── scale primitives: global index, mergeable bottom-k sample ──
+    "zip_index" -> ((s, d) => Relational.globalIndex(s, d)),
+    "bottomk_sample" -> ((s, d) => TextOps.bottomKSample(Tables.documents(s, d))),
+    // ── flagship composition: the full corpus-curation pipeline ──
+    "corpus_curate" -> ((s, d) => CorpusPipeline.curate(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -819,6 +824,74 @@ object SparkEntry {
         |   AND x.p_partkey < y.p_partkey) t
         |WHERE dist <= 4 AND dist > 0""".stripMargin,
     "profile_customer" -> profileCustomerOracle,
+    "zip_index" ->
+      """SELECT l_orderkey, l_linenumber,
+        |row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS idx
+        |FROM lineitem""".stripMargin,
+    "bottomk_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20""".stripMargin,
+    "corpus_curate" ->
+      """WITH RECURSIVE
+        |norm AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, source, t, len(string_split_regex(t, '\s+')) AS n_tokens
+        |  FROM norm WHERE len(string_split_regex(t, '\s+')) >= 5),
+        |scores AS (
+        |  SELECT doc_id, m.lang_code,
+        |         len(list_intersect(list_distinct(string_split_regex(t, '\s+')),
+        |             m.markers)) AS score, m.prio
+        |  FROM qual CROSS JOIN (VALUES
+        |    ('en', ['the','a','of','and','is'], 0),
+        |    ('de', ['der','die','das','und','ist'], 1),
+        |    ('fr', ['le','la','les','et','est'], 2),
+        |    ('es', ['el','la','los','y','es'], 3),
+        |    ('zh', ['de','le','shi','zai','he'], 4)) m(lang_code, markers, prio)),
+        |pred AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, lang_code,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio) AS rn
+        |    FROM scores) r
+        |  WHERE rn = 1 AND lang_code = 'en'),
+        |langed AS (SELECT q.* FROM qual q JOIN pred USING (doc_id)),
+        |ex AS (
+        |  SELECT doc_id, source, t, n_tokens FROM (
+        |    SELECT l.*, min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id
+        |    FROM langed l) x
+        |  WHERE doc_id = keep_id),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(t, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(t, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM ex),
+        |tt AS (SELECT doc_id, source, sh, len(sh) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      round(len(list_intersect(x.sh, y.sh))::DOUBLE
+        |            / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM tt x JOIN tt y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM ex
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |SELECT e.doc_id, e.n_tokens,
+        |  CASE WHEN substr(md5(e.doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(e.doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ex e JOIN labels l ON e.doc_id = l.doc_id AND l.doc_id = l.cluster""".stripMargin,
     // the hash-dependent ops use the portable 60-bit md5 hash
     // (Dedup.portableHash64), so DuckDB replays them exactly:
     "simhash" -> simhashOracle,

@@ -369,6 +369,44 @@ object Relational {
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
 
+  /** Scalable global row-number over lineitem in (l_orderkey,
+    * l_linenumber) order — the distributed replacement for
+    * `row_number() OVER (ORDER BY …)`, which moves EVERY row to one
+    * partition. Classic two-pass offset scheme, fully declarative:
+    *
+    *  1. range-partition on the sort key (each partition owns a
+    *     contiguous key range);
+    *  2. count rows per partition — a #partitions-row table — and
+    *     exclusive-prefix-sum it into per-partition start offsets (the
+    *     only single-partition window runs over those 32 rows);
+    *  3. broadcast the offsets back and add the within-partition rank.
+    *
+    * No driver-side collect anywhere; parallelism = #partitions at every
+    * step. The input is scanned twice (count pass + rank pass) — at
+    * cluster scale either cache the ranged frame or accept the second
+    * scan; both passes are narrow after the one range exchange.
+    * Deterministic because the range partitioner samples with fixed
+    * seeds and (l_orderkey, l_linenumber) is a unique total order.
+    */
+  def globalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val keys = Seq(col("l_orderkey"), col("l_linenumber"))
+    val ranged = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber")
+      .repartitionByRange(par, keys: _*)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid").orderBy(keys: _*)
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("idx", row_number().over(local).cast("long") + col("off"))
+      .select("l_orderkey", "l_linenumber", "idx")
+  }
+
   /** Global top-k via sort+limit: Spark computes per-partition top-k and
     * merges — no single-partition window, scales to any input size.
     */

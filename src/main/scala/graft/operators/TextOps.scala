@@ -135,22 +135,30 @@ object TextOps {
     * synthetic fixtures this mostly degenerates — the value is the
     * deterministic, shuffle-free scoring plumbing.
     */
+  /** Marker-scored language prediction over a distinct-token array column:
+    * argmax by (score, fixed priority) via array_max on (score, -index)
+    * structs. Shuffle-free scalar expression — reused by [[langId]] and
+    * the corpus-curation pipeline's language gate.
+    */
+  def predLangExpr(toks: Column): Column = {
+    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
+        lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     // materialize the distinct-token array once; every marker-set intersect
     // below references the column instead of re-splitting the text
     val withToks = docs.select(
       col("doc_id"), col("lang"),
       array_distinct(split(col("text"), "\\s+")).as("toks"))
-    // argmax by (score, fixed priority): array_max on (score, -index) structs
-    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        size(array_intersect(col("toks"), array(markers.map(lit): _*))).as("score"),
-        lit(-i).as("prio"), lit(lang).as("lang"))
-    }
     withToks.select(
       col("doc_id"),
       col("lang").as("true_lang"),
-      array_max(array(scored: _*)).getField("lang").as("pred_lang"))
+      predLangExpr(col("toks")).as("pred_lang"))
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
   }
 
@@ -224,6 +232,27 @@ object TextOps {
         levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
       .where(col("dist") <= maxDist && col("dist") > 0)
   }
+
+  /** Consistent bottom-k sample per language: the k documents with the
+    * smallest portable hash of their id. Unlike `TABLESAMPLE`/`rand()`,
+    * the selection is a pure function of the ids — re-runs, engine ports
+    * and differently-sharded corpora pick the same documents, and samples
+    * merge (bottom-k of a union = bottom-k of the shards' bottom-k's).
+    * Built on the [[graft.functions.BottomK]] aggregate, so map-side
+    * partial aggregation trims each partition to k pairs BEFORE the
+    * shuffle: shuffle width is O(partitions × groups × k) however many
+    * rows the corpus has — the scale answer to the row_number()-window
+    * formulation, which shuffles every row.
+    */
+  def bottomKSample(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(col("lang"),
+        Dedup.portableHash64(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy("lang")
+      .agg(graft.functions.BottomK.bottomK(col("h"), col("doc_id"), k).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rk"))
 
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{CorpusPipeline, Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val curated = CorpusPipeline.curate(docs).cache()
+
+  test("survivors exist, carry valid splits and meet the quality gate") {
+    val rows = curated.as[(Long, Int, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 5), "quality gate: every survivor has >= 5 tokens")
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // split is the deterministic md5 rule, reproducible row by row
+    rows.foreach { case (id, _, split) =>
+      val c = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+      val expect = if (c < 'c') "train" else if (c < 'e') "val" else "test"
+      assert(split === expect)
+    }
+  }
+
+  test("no two survivors share identical normalized text") {
+    val norm = TextOps.normalizeText(docs)
+    val dup = curated.join(norm, "doc_id")
+      .groupBy("norm_text").count().where(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("no near-dup pair survives within a source block") {
+    val norm = TextOps.normalizeText(docs)
+    val survivorDocs = curated.select("doc_id")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(norm, "doc_id")
+      .select(col("doc_id"), col("source"), col("norm_text").as("text"))
+    assert(Dedup.ngramJaccardPairs(survivorDocs).count() === 0L)
+  }
+
+  test("stages only shrink the survivor set") {
+    val total = docs.count()
+    assert(curated.count() <= total)
+    // language gate really fires: survivors are marker-scored 'en'
+    val langs = curated.join(docs, "doc_id")
+      .select(TextOps.predLangExpr(
+        array_distinct(split(
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), "\\s+", " ")),
+          "\\s+"))).as("pred"))
+      .distinct().as[String].collect().toSet
+    assert(langs === Set("en"))
+  }
+}

@@ -123,4 +123,22 @@ class RelationalSpec extends SparkSpec {
       .select("n").as[Long].head()
     assert(total === Tables.lineitem(spark, sfDir).count())
   }
+
+  test("globalIndex equals the single-partition window row_number") {
+    val got = Relational.globalIndex(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("l_orderkey", "l_linenumber")).cast("long").as("idx"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("globalIndex is a dense 1..n sequence") {
+    val n = Tables.lineitem(spark, sfDir).count()
+    val idx = Relational.globalIndex(spark, sfDir)
+    assert(idx.agg(min("idx"), max("idx"), countDistinct("idx"))
+      .as[(Long, Long, Long)].head() === ((1L, n, n)))
+  }
 }
