@@ -66,7 +66,21 @@ object Bench {
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}"""
+    // full-detail line first (log readers), and persisted as an artifact —
+    // the full line is ~4 KB and harness tail-captures truncate it
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("tools/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    // LAST line: compact and guaranteed to fit a 2000-char tail capture —
+    // headline total + the slowest queries + pointer to the full artifact
+    def r3(v: Double): String = f"$v%.3f"
+    val slowest = results.filterNot(_._2.isNaN).sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
     spark.stop()
   }
 }

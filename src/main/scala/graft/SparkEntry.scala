@@ -60,7 +60,15 @@ object SparkEntry {
     // oracle by design (xxhash64 / raw array output aren't replayable);
     // the portable variants above stay the hash-checked entries.
     "simhash_fast" -> ((s, d) => Dedup.simhashFast(Tables.documents(s, d))),
-    "quantize_emb_fast" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    // the raw array<tinyint> column is projected through xxhash64 so the
+    // rows/schema check can sort the frame (bare numpy arrays aren't
+    // hashable in the checker); the library surface keeps the raw array
+    "quantize_emb_fast" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, d))
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("scale"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("q")).as("q_hash"))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // resolution over the EXACT pair set (SQL-reproducible, unlike the
     // LSH-recall-dependent minhash pairs) so the oracle can replay it

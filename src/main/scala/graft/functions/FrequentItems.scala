@@ -111,11 +111,18 @@ case class FrequentItems(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws for items whose
+  // encoding exceeds 64 KB, which a pathological corpus token can hit
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    buf.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -125,7 +132,13 @@ case class FrequentItems(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -24,6 +24,13 @@ object CorpusPipeline {
 
   /** Curate a raw `documents` table into (doc_id, n_tokens, split) for the
     * surviving training documents.
+    *
+    * Cache contract: the RESULT is returned persisted and already
+    * materialized; every intermediate cache the pipeline created
+    * (gated-survivor set, cluster labels) is released before returning, so
+    * repeated invocations in a long-lived session pin exactly one frame
+    * each — the result — which the caller may `.unpersist()` when done
+    * (or leave to LRU eviction).
     */
   def curate(docs: DataFrame, minTokens: Int = 5, keepLang: String = "en",
       jaccard: Double = 0.8): DataFrame = {
@@ -58,14 +65,22 @@ object CorpusPipeline {
     // 5. near-dup resolution on the gated survivors: blocked n-gram
     //    jaccard candidates → connected components → keep the cluster min
     val pairs = Dedup.ngramJaccardPairs(exactKeep, jaccard)
-    val resolved = Dedup.resolveClusters(exactKeep.select("doc_id"), pairs)
+    val (resolved, releaseLabels) =
+      Dedup.resolveClustersReleasable(exactKeep.select("doc_id"), pairs)
     val survivors = exactKeep.join(
       resolved.where(col("keep")).select(col("doc_id").as("rd")),
       col("doc_id") === col("rd")).drop("rd")
     // 6. deterministic content-hash split assignment (stable under
     //    repartitioning, reproducible on any engine with md5)
     val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-    survivors.select(col("doc_id"), col("n_tokens"),
+    val out = survivors.select(col("doc_id"), col("n_tokens"),
       when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+      .persist()
+    out.count()
+    // result is materialized — drop the intermediate caches (lineage stays
+    // intact, so an evicted result recomputes slowly but correctly)
+    exactKeep.unpersist(blocking = false)
+    releaseLabels()
+    out
   }
 }

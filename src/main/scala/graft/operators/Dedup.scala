@@ -243,8 +243,24 @@ object Dedup {
     * dense components, so the fixpoint arrives in a few iterations; each
     * iteration localCheckpoints to truncate plan lineage (use reliable
     * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
+    *
+    * The returned plan reads a pinned label frame (sized to the edge-
+    * endpoint set, not the corpus). Long-lived sessions that invoke this
+    * repeatedly should use [[resolveClustersReleasable]] and call the
+    * release hook once the result is materialized.
     */
-  def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    resolveClustersReleasable(docs, pairs, maxIter)._1
+
+  /** [[resolveClusters]] plus a release hook for the label cache it pins.
+    * Call the hook AFTER materializing (or persisting) the result: plain
+    * persisted label frames are unpersisted (their lineage stays intact,
+    * so a later recompute is slow but correct); checkpoint-backed frames
+    * are left pinned, because a localCheckpoint's blocks ARE the data and
+    * releasing them would make recomputation impossible.
+    */
+  def resolveClustersReleasable(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 10): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.graft.CheckpointHandle
     // materialize the (expensive) pair computation once BEFORE the
     // direction-doubling union — otherwise each union branch re-executes
@@ -310,11 +326,15 @@ object Dedup {
     // maxIter <= 0 left `labels` reading p — the lineage is intact and
     // would simply recompute
     p.unpersist(blocking = false)
-    docs.select(col("doc_id"))
+    val out = docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("ld"), col("cluster")),
         col("doc_id") === col("ld"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keep", col("doc_id") === col("cluster"))
+    val release: () => Unit = () => prevIter.foreach { f =>
+      if (CheckpointHandle.rddOf(f).isEmpty) f.unpersist(blocking = false)
+    }
+    (out, release)
   }
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting): hash

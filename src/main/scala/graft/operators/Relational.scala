@@ -382,11 +382,15 @@ object Relational {
     *  3. broadcast the offsets back and add the within-partition rank.
     *
     * No driver-side collect anywhere; parallelism = #partitions at every
-    * step. The input is scanned twice (count pass + rank pass) — at
-    * cluster scale either cache the ranged frame or accept the second
-    * scan; both passes are narrow after the one range exchange.
-    * Deterministic because the range partitioner samples with fixed
-    * seeds and (l_orderkey, l_linenumber) is a unique total order.
+    * step. The ranged frame is persisted and counted BEFORE the offset
+    * pass: both passes must see the SAME range boundaries, and
+    * RangePartitioner's sampling seed derives from the RDD id, so two
+    * independent executions of the exchange can pick different
+    * boundaries — correctness would otherwise hinge on exchange reuse
+    * staying enabled. The barrier makes boundary agreement structural
+    * (and the second pass a cache read instead of a rescan). Blocks stay
+    * subject to LRU eviction; callers holding the result long-term can
+    * `.unpersist()` the input lineage once materialized.
     */
   def globalIndex(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
@@ -395,6 +399,8 @@ object Relational {
       .select("l_orderkey", "l_linenumber")
       .repartitionByRange(par, keys: _*)
       .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count()
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
         sum("cnt").over(

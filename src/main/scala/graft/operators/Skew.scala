@@ -38,14 +38,23 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16): DataFrame = {
+    // collision-checked salt column name: never shadow a user column
+    val saltCol = (Iterator.single("_graft_salt") ++
+      Iterator.from(1).map(i => s"_graft_salt$i"))
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
     // the salt must split ROWS of a hot key, so it hashes the whole row,
-    // not the join key (key-derived salt would map a hot key to one
-    // bucket again); content-derived, so still reproducible run to run
-    val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int"))
+    // not the join key — and mixes in a per-row id, because the common
+    // skew case is a hot key whose rows are FULL duplicates (row-content
+    // hash alone would send them all to one bucket again).
+    // monotonically_increasing_id is not reproducible across runs, but
+    // the salt only decides row PLACEMENT: the join RESULT is
+    // salt-invariant, so determinism of the output is unaffected.
+    val salted = big.withColumn(saltCol,
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*)
+        + monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = small.crossJoin(
-      small.sparkSession.range(buckets).select(col("id").cast("int").as("_salt")))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+      small.sparkSession.range(buckets).select(col("id").cast("int").as(saltCol)))
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Salted distinct count: phase 1 dedups (key, value) within salt

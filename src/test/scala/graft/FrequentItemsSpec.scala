@@ -37,6 +37,17 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
+  test("serialize round-trips items whose UTF-8 exceeds 64 KB") {
+    // writeUTF would throw UTFDataFormatException at 65536 bytes; the
+    // length-prefixed codec must survive any token length
+    val agg = FrequentItems(org.apache.spark.sql.graft.ColumnBridge.expression(lit("x")), 4)
+    val long = "tok" + ("a" * 70000)
+    val multi = "é" * 40000 // 80 KB in UTF-8, exercises non-ASCII
+    val buf = scala.collection.mutable.HashMap(long -> 7L, multi -> 3L, "small" -> 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back === buf)
+  }
+
   test("SQL-callable after registration") {
     FrequentItems.register(spark)
     Tables.documents(spark, sfDir).createOrReplaceTempView("fi_docs")

@@ -39,4 +39,36 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
     assert(salted.count(_._1 == 1L) === 500)
   }
+
+  test("saltedJoin spreads a hot key of FULL-duplicate rows across buckets") {
+    // every hot row identical: a row-content-only salt would collapse them
+    // into one bucket; the per-row discriminator must spread them
+    val big = Seq.fill(400)((1L, "same")).toDF("k", "payload")
+    val small = Seq((1L, "hot")).toDF("k", "tag")
+    val buckets = 8
+    val saltCol = "_graft_salt"
+    val salted = big.withColumn(saltCol,
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*)
+        + monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val distinctSalts = salted.select(saltCol).distinct().count()
+    assert(distinctSalts > 1, "duplicate rows must not all share one salt")
+    // and the join result is still exact
+    val got = Skew.saltedJoin(big, small, "k", buckets).count()
+    assert(got === 400)
+  }
+
+  test("saltedJoin picks a non-colliding salt column name") {
+    val big = Seq((1L, 7, "x"), (1L, 9, "y"), (2L, 3, "z"))
+      .toDF("k", "_graft_salt", "payload")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+    val out = Skew.saltedJoin(big, small, "k", buckets = 4)
+    // user column survives untouched; result matches the plain join
+    assert(out.columns.contains("_graft_salt"))
+    val got = out.select("k", "_graft_salt", "payload", "tag")
+      .as[(Long, Int, String, String)].collect().sorted.toSeq
+    val plain = big.join(small, "k")
+      .select("k", "_graft_salt", "payload", "tag")
+      .as[(Long, Int, String, String)].collect().sorted.toSeq
+    assert(got === plain)
+  }
 }
