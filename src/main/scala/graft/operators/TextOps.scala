@@ -254,6 +254,29 @@ object TextOps {
       .select(col("lang"), posexplode(col("picks")))
       .select(col("lang"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rk"))
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each doc draws key = -ln(u)/w where u is a uniform
+    * in (0,1) derived from the portable md5 hash of its id and w its
+    * weight (here: n_chars, i.e. longer docs proportionally likelier);
+    * the k smallest keys ARE an exact weighted sample. Like
+    * [[bottomKSample]] the selection is a pure function of ids — re-runs,
+    * engine ports and resharded corpora pick the same docs, and shard
+    * samples merge (bottom-k of a union = bottom-k of shard bottom-ks).
+    * Sort+limit compiles to per-partition top-k + merge, so no row
+    * leaves its partition except the k winners.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    // u in (0,1): the 60-bit portable hash scaled by 2^60, offset half a
+    // step so u is never exactly 0 (ln(0) = -inf)
+    val u = (Dedup.portableHash64(col("doc_id").cast("string")).cast("double") + 0.5) /
+      lit(1.152921504606846976e18)
+    val key = -log(u) / col("n_chars").cast("double")
+    docs.select(col("doc_id"), col("n_chars"), key.as("_k"))
+      .orderBy(col("_k"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
     * values of each column in input tables"). One global hash-agg with
