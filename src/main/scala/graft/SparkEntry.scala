@@ -187,6 +187,7 @@ object SparkEntry {
       Cdc.mergeQuery(Tables.customer(s, d), Tables.orders(s, d))),
     "zorder_box" -> ((s, d) => Layout.zBoxQuery(Tables.lineitem(s, d))),
     "dq_lineitem" -> ((s, d) => Profiler.dqLineitem(Tables.lineitem(s, d))),
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -878,9 +879,17 @@ object SparkEntry {
          |  min($z) AS z_min, max($z) AS z_max,
          |  round(sum(l_quantity), 2) AS sum_qty
          |FROM lineitem
-         |WHERE l_partkey BETWEEN 100 AND 2000 AND l_suppkey BETWEEN 10 AND 60
+         |WHERE l_partkey BETWEEN 100 AND 2000 AND l_suppkey BETWEEN 2 AND 8
          |GROUP BY l_suppkey""".stripMargin
     },
+    "pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+        |  (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT
+        |  AS bin
+        |FROM (SELECT doc_id,
+        |        len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        |      FROM documents) t""".stripMargin,
     "dq_lineitem" ->
       """WITH a AS (SELECT
         |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS r1,
@@ -940,18 +949,31 @@ object SparkEntry {
         |    FROM langed l) x
         |  WHERE doc_id = keep_id),
         |sh AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(string_split_regex(t, '\s+')) - 2, 1) + 1),
         |      i -> array_to_string((string_split_regex(t, '\s+'))[i:i+2], ' '))) AS sh
         |  FROM ex),
-        |tt AS (SELECT doc_id, source, sh, len(sh) AS n FROM sh),
+        |sigs AS (SELECT doc_id, sh, len(sh) AS n,
+        |  list_transform(range(0,32), i -> list_min(list_transform(sh,
+        |    s -> ('0x'||substr(md5(i::VARCHAR || ':' || s),1,15))::BIGINT))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, sig, b.band AS band,
+        |         array_to_string(sig[b.band*4+1:b.band*4+4], ',') AS bh
+        |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  WHERE len(list_filter(range(1,33), i -> x.sig[i] = y.sig[i])) >= 15),
         |pairs AS (
         |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |      round(len(list_intersect(x.sh, y.sh))::DOUBLE
-        |            / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM tt x JOIN tt y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |    SELECT c.a, c.b,
+        |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |            / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+        |    FROM cand c JOIN sigs sa ON c.a = sa.doc_id
+        |                JOIN sigs sb ON c.b = sb.doc_id) p
         |  WHERE jaccard >= 0.8),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |walk(node, label) AS (

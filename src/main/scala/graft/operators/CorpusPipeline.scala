@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: the scalar gates (normalize/quality/language) are
   * shuffle-free map work; exact dedup shuffles a 32-byte hash + id per doc;
-  * the near-dup stage runs on the (much smaller) gated survivor set, blocked
-  * by `source` with the shingle-count-ratio prefilter; cluster resolution
-  * iterates on the edge-endpoint subgraph only. Nothing in the pipeline is
-  * quadratic in the corpus — only within blocking buckets.
+  * the near-dup stage runs MinHash-LSH on the (much smaller) gated
+  * survivor set — banded buckets, sum(bucket²) not n², signature-agreement
+  * prefilter before the exact verify; cluster resolution is adaptive
+  * (driver union-find on tiny pair sets, edge-subgraph iteration above the
+  * threshold). Nothing in the pipeline is quadratic in the corpus — only
+  * within LSH buckets.
   */
 object CorpusPipeline {
 
@@ -41,13 +43,16 @@ object CorpusPipeline {
       trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
         "\\s+", " ")).as("text"))
-    // 2. quality gate: minimum token count on the normalized text
-    val qual = norm
-      .withColumn("n_tokens", size(split(col("text"), "\\s+")))
+    // 2+3. quality gate (min token count) and language gate (marker-scored
+    //    prediction) over ONE tokenization — the split regex runs once per
+    //    row, not once per gate
+    val toked = norm.withColumn("toks", split(col("text"), "\\s+"))
+    val qual = toked
+      .withColumn("n_tokens", size(col("toks")))
       .where(col("n_tokens") >= minTokens)
-    // 3. language gate: marker-scored prediction must match keepLang
-    val langed = qual.where(
-      TextOps.predLangExpr(array_distinct(split(col("text"), "\\s+"))) === keepLang)
+    val langed = qual
+      .where(TextOps.predLangExpr(array_distinct(col("toks"))) === keepLang)
+      .drop("toks")
     // 4. exact dedup: keep the smallest doc_id per normalized-content hash
     //    (one shuffle of hash + id width). The result is persisted +
     //    counted: the near-dup self-join below references it from BOTH
@@ -62,9 +67,13 @@ object CorpusPipeline {
       .drop("keep_id")
       .persist()
     exactKeep.count()
-    // 5. near-dup resolution on the gated survivors: blocked n-gram
-    //    jaccard candidates → connected components → keep the cluster min
-    val pairs = Dedup.ngramJaccardPairs(exactKeep, jaccard)
+    // 5. near-dup resolution on the gated survivors: MinHash-LSH banded
+    //    candidates (the UNBLOCKED scale path — sum(bucket²), not
+    //    sum(block²); catches cross-source duplicates a blocking key
+    //    would miss) → exact-jaccard verify → connected components →
+    //    keep the cluster min. Deterministic end-to-end: signatures use
+    //    the portable md5 hash, so any engine replays the same pairs.
+    val pairs = Dedup.minhashPairs(exactKeep, jaccard)
     val (resolved, releaseLabels) =
       Dedup.resolveClustersReleasable(exactKeep.select("doc_id"), pairs)
     val survivors = exactKeep.join(

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Deduplication operators for document corpora: exact, MinHash+LSH
   * near-dup, SimHash. Core training-data-pipeline ops (north star); the
@@ -271,7 +272,63 @@ object Dedup {
     // n-gram join at sf0.1); a persisted frame materializes through the
     // normal adaptive path and the union branches read the cached blocks
     val p = pairs.select(col("a"), col("b")).persist()
-    p.count()
+    val nPairs = p.count()
+    // adaptive path choice on the (already materialized) edge count — the
+    // same runtime-statistics trick AQE applies to joins. After good
+    // blocking the dedup graph is usually TINY relative to the corpus
+    // (near-dup pairs, not rows), and the distributed fixpoint's cost is
+    // then pure scheduling overhead: each round is a join + groupBy +
+    // count barrier costing ~0.2-0.3 s at any size. Under the threshold
+    // (bounded driver memory: 200k edges ≈ a few MB) a driver union-find
+    // computes the exact same min-label components in microseconds and
+    // broadcasts them back; above it, or for exotic key types, the
+    // distributed iteration runs as before.
+    val keyType = p.schema.head.dataType
+    val smallGraph = nPairs <= 200000L && (keyType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    })
+    if (smallGraph) {
+      val spark = docs.sparkSession
+      def less(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: java.lang.Number, b: java.lang.Number) => a.longValue < b.longValue
+        case (a: String, b: String) => a < b
+        case _ => false
+      }
+      // union-find with min-root union + path compression: the root of
+      // each set is its minimum member, matching the iterative path's
+      // min-label semantics exactly
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val collected = p.collect()
+      collected.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+          if (ra != rb) {
+            if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      val nodes = collected.iterator
+        .flatMap(r => Iterator(r.get(0), r.get(1))).filter(_ != null).toSet
+      val labelRows: Seq[Row] = nodes.toSeq.map(k => Row(k, find(k)))
+      val schema = StructType(Seq(
+        StructField("ld", keyType), StructField("cluster", keyType)))
+      val labelsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows.toIndexedSeq, 1), schema)
+      p.unpersist(blocking = false)
+      val out = docs.select(col("doc_id"))
+        .join(broadcast(labelsDf), col("doc_id") === col("ld"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("keep", col("doc_id") === col("cluster"))
+      return (out, () => ())
+    }
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
     // active-set iteration: only docs that appear in an edge can ever move
     // off their own label, so the fixpoint loop runs on the (much smaller)

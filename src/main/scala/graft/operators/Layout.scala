@@ -54,6 +54,41 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Per-file zone map: min/max of each listed column for every file of a
+    * parquet dataset — the file-skipping index that makes clustering pay.
+    * One scan computes all stats; persist the result as a table and
+    * refresh on write. (Parquet keeps row-group stats internally, but
+    * those only prune AFTER a task opens the footer; a zone-map table
+    * prunes the FILE LIST at plan time, which at 100 TB is the difference
+    * between launching 10 tasks and 100,000.)
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose zone-map interval for `c` intersects
+    * [lo, hi], with the exact predicate re-applied on the survivors.
+    * The driver materializes just the surviving FILE LIST (bounded by
+    * file count — the same metadata any planner holds), never data rows.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      stats: DataFrame, c: String, lo: Long, hi: Long): DataFrame = {
+    val files = stats
+      .where(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val full = spark.read.parquet(path)
+    if (files.isEmpty) full.where(lit(false))
+    else spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*)
+      .where(col(c).between(lo, hi))
+  }
+
   /** Headline query: per-supplier totals of lineitem rows inside a
     * (partkey, suppkey) box, keyed by the z-value so the clustering
     * column itself is oracle-checked. Engine-side this is the predicate
@@ -62,7 +97,7 @@ object Layout {
   def zBoxQuery(lineitem: DataFrame): DataFrame =
     lineitem
       .where(col("l_partkey").between(100, 2000) &&
-        col("l_suppkey").between(10, 60))
+        col("l_suppkey").between(2, 8))
       .select(col("l_suppkey"),
         zValue(col("l_partkey"), col("l_suppkey")).as("z"),
         col("l_quantity"))

@@ -277,6 +277,47 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Sequence packing for training: assign documents (in deterministic
+    * doc_id order) to fixed token-budget bins — bin = floor(exclusive-
+    * prefix-sum(n_tokens) / budget), the "concatenate then cut every
+    * `budget` tokens" packing an LLM data loader performs. Equivalent to
+    * `floor(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    * EXCLUDING CURRENT) / budget)` but without the global-window
+    * single-partition collapse: the prefix sum is distributed with the
+    * same two-pass offset scheme as `Relational.globalIndex` — range
+    * partition on doc_id, per-partition totals → exclusive offsets (the
+    * only single-partition window runs over #partitions rows), broadcast
+    * back, add the within-partition running sum.
+    *
+    * The ranged frame is persisted before the offset pass for the same
+    * boundary-agreement reason as globalIndex.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .repartitionByRange(par, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("start_tok",
+        coalesce(sum("n_tokens").over(local), lit(0L)) + col("off"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start_tok") / budget).as("bin"))
+  }
+
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
     * values of each column in input tables"). One global hash-agg with

@@ -55,6 +55,44 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC apply: maintain a keyed TABLE from a stream of change
+    * rows (key, op, ts, seq, payload...) by applying each micro-batch
+    * through [[graft.operators.Cdc.mergeUpsert]] with `foreachBatch` —
+    * the continuously-maintained variant of the batch merge (the
+    * streaming half of a MERGE INTO pipeline). The running state lives in
+    * a parquet directory that each batch rewrites from (previous state,
+    * batch) — at cluster scale swap the rewrite for a transactional table
+    * format commit, same dataflow.
+    *
+    * Trigger.AvailableNow: processes the backlog and stops, restartable
+    * from the checkpoint — incremental batch, the recommended production
+    * shape for CDC apply jobs.
+    */
+  def cdcApply(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+      changes: DataFrame, key: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    base.write.mode("overwrite").parquet(stateDir)
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur = spark.read.parquet(stateDir)
+        val merged = graft.operators.Cdc.mergeUpsert(cur, batch.toDF(), key)
+        // rewrite via a temp dir: the merge plan lazily reads stateDir,
+        // so materialize before replacing it
+        val tmp = stateDir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(stateDir))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming deduplication: drop repeated event ids while their
     * watermark window is open — bounded state, the streaming twin of the
     * batch exact-dedup operator.

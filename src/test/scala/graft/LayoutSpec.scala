@@ -55,4 +55,28 @@ class LayoutSpec extends SparkSpec {
     }
     assert(ranges.length > 1, "expected multiple files")
   }
+
+  test("zone-map pruned read skips files and matches the full-scan result") {
+    val dir = Files.createTempDirectory("graft_zonemap").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    // cluster on partkey so partkey zone maps are tight
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", dir, numFiles = 8)
+    val stats = Layout.fileStats(spark, dir, Seq("l_partkey", "l_suppkey"))
+    val nFiles = stats.count()
+    assert(nFiles > 1)
+    val (lo, hi) = (100L, 500L)
+    val survivors = stats
+      .where($"l_partkey_max" >= lo && $"l_partkey_min" <= hi).count()
+    assert(survivors < nFiles, "selective predicate must skip some files")
+    val pruned = Layout.readPruned(spark, dir, stats, "l_partkey", lo, hi)
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val full = spark.read.parquet(dir)
+      .where($"l_partkey".between(lo, hi))
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+  }
 }

@@ -216,4 +216,22 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 11:00:00", "view", 1L)))
     } finally query.stop()
   }
+
+  test("cdcApply maintains a keyed table from a change stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
+    val mem = MemoryStream[(Long, String, Timestamp, Long, Double)]
+    val t = ts("2024-01-01 00:00:00")
+    mem.addData(
+      (1L, "U", t, 1L, 11.0),  // update existing
+      (2L, "D", t, 2L, 0.0),   // delete existing
+      (3L, "U", t, 3L, 30.0))  // insert new key
+    val changes = mem.toDF().toDF("key", "op", "ts", "seq", "bal")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    EventStreams.cdcApply(spark, base, changes, "id",
+      s"$dir/state", s"$dir/ckpt")
+    val out = spark.read.parquet(s"$dir/state")
+      .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 11.0), (3L, 30.0)))
+  }
 }
