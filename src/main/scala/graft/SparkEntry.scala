@@ -188,6 +188,8 @@ object SparkEntry {
     "zorder_box" -> ((s, d) => Layout.zBoxQuery(Tables.lineitem(s, d))),
     "dq_lineitem" -> ((s, d) => Profiler.dqLineitem(Tables.lineitem(s, d))),
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "gap_fill" -> ((s, d) => EventOps.gapFill(s, d)),
+    "array_funcs" -> ((s, d) => RelationalX.arrayFuncs(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,6 +892,34 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
         |      FROM documents) t""".stripMargin,
+    "gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         count(*) AS n, round(avg(value), 4) AS av
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |      FROM daily GROUP BY 1),
+        |cal AS (SELECT event_type,
+        |          unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |        FROM b),
+        |f AS (SELECT c.event_type, c.day, d.n, d.av
+        |      FROM cal c LEFT JOIN daily d
+        |        ON c.event_type = d.event_type AND c.day = d.day)
+        |SELECT event_type, CAST(epoch(day) AS BIGINT) AS day_epoch,
+        |  coalesce(n, 0)::BIGINT AS n,
+        |  coalesce(av, last_value(av IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS avg_filled
+        |FROM f""".stripMargin,
+    "array_funcs" ->
+      """SELECT doc_id, len(tk)::INT AS n_toks,
+        |  array_to_string((list_sort(list_distinct(tk)))[1:3], ',') AS first3_sorted,
+        |  tk[1] AS first_tok, tk[-1] AS last_tok,
+        |  len(list_intersect(list_distinct(tk), ['the','a','of']))::INT AS n_stop,
+        |  len(array_to_string(tk, ''))::INT AS n_chars_joined,
+        |  len(list_filter(tk, x -> x <> 'the'))::INT AS n_no_the,
+        |  coalesce(list_position(tk, 'the'), 0)::BIGINT AS pos_the
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents) t""".stripMargin,
     "dq_lineitem" ->
       """WITH a AS (SELECT
         |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS r1,

@@ -209,4 +209,32 @@ object EventOps {
         max("n_events").as("max_session_events"),
         sum("n_events").as("n_events_total"))
   }
+
+  /** Calendar gap-fill (time-series resampling): densify per-type daily
+    * aggregates onto a complete day grid — missing days appear with n = 0
+    * and the value carried forward from the last observed day (the
+    * standard "resample + ffill" a metrics pipeline needs before
+    * window/trend math).
+    *
+    * The grid derives from each type's own [min, max] day span via
+    * `sequence` + `explode` — rows ∝ span × types, no driver-side
+    * calendar. One shuffle for the daily rollup, one broadcast-sized join
+    * back; the carry-forward window partitions by type (never global).
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("av"))
+    val cal = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val carry = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), unix_seconds(col("day")).as("day_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("av"), last(col("av"), ignoreNulls = true).over(carry))
+          .as("avg_filled"))
+  }
 }

@@ -380,4 +380,27 @@ object RelationalX {
       unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"),
       datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
       date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_q"))
+
+  /** Array-function coverage over a real array column (tokenized text):
+    * sort/distinct/slice/join, positional access (incl. negative index),
+    * set intersection, element removal, membership position — the §2.3
+    * "scalar functions (array)" surface, emitted as scalars so every
+    * engine compares exactly. `array_position` is coalesced to 0 on the
+    * oracle side (Spark returns 0 for absent, SQL engines NULL).
+    */
+  def arrayFuncs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",")
+          .as("first3_sorted"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(lit("the"), lit("a"), lit("of")))).as("n_stop"),
+        length(concat_ws("", col("toks"))).as("n_chars_joined"),
+        size(array_remove(col("toks"), "the")).as("n_no_the"),
+        array_position(col("toks"), "the").as("pos_the"))
 }
