@@ -190,6 +190,17 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "gap_fill" -> ((s, d) => EventOps.gapFill(s, d)),
     "array_funcs" -> ((s, d) => RelationalX.arrayFuncs(Tables.documents(s, d))),
+    // the Misra-Gries sketch in its EXACT regime (distinct tracked items
+    // < k ⇒ counts provably exact), so the custom aggregate itself rides
+    // through the oracle gate; the sketchy regime is property-tested
+    "freq_items_exact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.tokens(Tables.documents(s, d))
+        .where(col("word").isin("the", "a", "of", "and", "is", "to", "in"))
+        .agg(graft.functions.FrequentItems.freqItems(col("word"), 64).as("f"))
+        .select(explode(col("f")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -920,6 +931,11 @@ object SparkEntry {
         |  len(list_filter(tk, x -> x <> 'the'))::INT AS n_no_the,
         |  coalesce(list_position(tk, 'the'), 0)::BIGINT AS pos_the
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents) t""".stripMargin,
+    "freq_items_exact" ->
+      """SELECT word AS item, count(*)::BIGINT AS est
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word IN ('the','a','of','and','is','to','in')
+        |GROUP BY word""".stripMargin,
     "dq_lineitem" ->
       """WITH a AS (SELECT
         |  sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS r1,

@@ -59,10 +59,11 @@ object EventStreams {
     * rows (key, op, ts, seq, payload...) by applying each micro-batch
     * through [[graft.operators.Cdc.mergeUpsert]] with `foreachBatch` —
     * the continuously-maintained variant of the batch merge (the
-    * streaming half of a MERGE INTO pipeline). The running state lives in
-    * a parquet directory that each batch rewrites from (previous state,
-    * batch) — at cluster scale swap the rewrite for a transactional table
-    * format commit, same dataflow.
+    * streaming half of a MERGE INTO pipeline). The running state is a
+    * [[graft.sources.Versioned]] table: each batch commits a NEW snapshot
+    * and atomically swaps the pointer, so a failed batch never corrupts
+    * the serving table, readers pin consistent snapshots (time travel),
+    * and replayed batches simply re-commit.
     *
     * Trigger.AvailableNow: processes the backlog and stops, restartable
     * from the checkpoint — incremental batch, the recommended production
@@ -71,20 +72,13 @@ object EventStreams {
   def cdcApply(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
       changes: DataFrame, key: String, stateDir: String,
       checkpointDir: String): Unit = {
-    base.write.mode("overwrite").parquet(stateDir)
+    import graft.sources.Versioned
+    Versioned.commit(base, stateDir)
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cur = spark.read.parquet(stateDir)
-        val merged = graft.operators.Cdc.mergeUpsert(cur, batch.toDF(), key)
-        // rewrite via a temp dir: the merge plan lazily reads stateDir,
-        // so materialize before replacing it
-        val tmp = stateDir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(stateDir))
+        val cur = Versioned.read(spark, stateDir)
+        Versioned.commit(
+          graft.operators.Cdc.mergeUpsert(cur, batch.toDF(), key), stateDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

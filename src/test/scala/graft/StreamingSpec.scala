@@ -230,8 +230,12 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     EventStreams.cdcApply(spark, base, changes, "id",
       s"$dir/state", s"$dir/ckpt")
-    val out = spark.read.parquet(s"$dir/state")
+    val out = graft.sources.Versioned.read(spark, s"$dir/state")
       .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
     assert(out === Seq((1L, 11.0), (3L, 30.0)))
+    // the base snapshot is still readable: time travel to v0
+    val v0 = graft.sources.Versioned.read(spark, s"$dir/state", Some(0L))
+      .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(v0 === Seq((1L, 10.0), (2L, 20.0)))
   }
 }
