@@ -29,11 +29,14 @@ object Cdc {
     * `changes` schema: (key, op, ts, seq, <payload columns named like
     * base's>). Payload columns present in both frames are overwritten on
     * upsert; base columns absent from the change batch survive (SCD-1
-    * column-wise merge via coalesce).
+    * column-wise merge via coalesce). The names `key`/`op`/`ts`/`seq` are
+    * reserved for the change-batch envelope; every reference below is an
+    * attribute reference into the specific input frame, so a base table
+    * that also has columns with those names still merges correctly.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(col("key"))
-      .orderBy(col("ts").desc, col("seq").desc)
+    val w = Window.partitionBy(changes("key"))
+      .orderBy(changes("ts").desc, changes("seq").desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
@@ -46,7 +49,7 @@ object Cdc {
       else base(c)
     }
     joined
-      .where(col("op").isNull || col("op") =!= "D")
+      .where(latest("op").isNull || latest("op") =!= "D")
       .select(merged.toIndexedSeq: _*)
   }
 

@@ -43,6 +43,19 @@ class CdcSpec extends SparkSpec {
     assert(got === Seq((1L, 9.0)))
   }
 
+  test("mergeUpsert: base columns named like the change envelope don't collide") {
+    // base legitimately has its own `key` and `ts` columns; the merge must
+    // resolve the envelope columns by attribute, not by name
+    val base = Seq((1L, "k1", ts("2020-01-01"), 1.0), (2L, "k2", ts("2020-01-02"), 2.0))
+      .toDF("id", "key", "ts", "bal")
+    val changes = Seq((1L, "U", ts("2024-01-01"), 1L, 9.0))
+      .toDF("key", "op", "ts", "seq", "bal")
+    val got = Cdc.mergeUpsert(base, changes, "id")
+      .select("id", "key", "bal").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "k1", 9.0), (2L, "k2", 2.0)))
+  }
+
   test("mergeQuery applies the order-derived feed consistently") {
     val out = Cdc.mergeQuery(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
     val base = Tables.customer(spark, sfDir)

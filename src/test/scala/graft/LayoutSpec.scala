@@ -56,6 +56,15 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.length > 1, "expected multiple files")
   }
 
+  test("zBoxQuery plan: box predicate and column pruning reach the parquet scan") {
+    val plan = Layout.zBoxQuery(Tables.lineitem(spark, sfDir))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_partkey,100"),
+      s"box filter not pushed to scan:\n$plan")
+    assert(!plan.contains("l_orderkey"), "unused columns should be pruned")
+  }
+
   test("zone-map pruned read skips files and matches the full-scan result") {
     val dir = Files.createTempDirectory("graft_zonemap").toString + "/li"
     val li = Tables.lineitem(spark, sfDir)

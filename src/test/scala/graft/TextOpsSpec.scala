@@ -71,4 +71,42 @@ class TextOpsSpec extends SparkSpec {
     val expectSum = math.rint(li.agg(sum("l_quantity")).head().getDouble(0) * 100) / 100
     assert(row.getAs[Double]("sum_qty") === expectSum)
   }
+
+  test("packSequences: bins are contiguous, ordered, and budget-consistent") {
+    val budget = 512L
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.packSequences(docs, budget)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay the packing sequentially on the driver
+    var cum = 0L
+    got.foreach { case (id, n, bin) =>
+      assert(bin === cum / budget, s"doc $id bin mismatch")
+      cum += n
+    }
+    // bins are non-decreasing in doc order and start at 0
+    assert(got.head._3 === 0L)
+    assert(got.sliding(2).forall { case Array(a, b) => a._3 <= b._3; case _ => true })
+  }
+
+  test("packSequences plan: the only single-partition window is over per-partition offsets") {
+    val plan = TextOps.packSequences(Tables.documents(spark, sfDir))
+      .queryExecution.sparkPlan.toString
+    // the doc-scale window must be partitioned by pid, not global
+    assert(plan.contains("Window") && plan.contains("pid"),
+      s"expected pid-partitioned window:\n$plan")
+  }
+
+  test("weightedSample: deterministic across runs, favors heavier docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
+    val b = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sample must be a pure function of doc ids")
+    val sampleMean = TextOps.weightedSample(docs, 30)
+      .agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      "size-weighted sampling must overrepresent longer docs on average")
+  }
 }
