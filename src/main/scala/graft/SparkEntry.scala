@@ -115,6 +115,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    // PQ-ADC search: codebook build + encoding + lookup-table scoring are
+    // all deterministic (seed-partition means, smaller-code tie-breaks),
+    // so the oracle replays the whole quantization end-to-end
+    "pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
+    }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -1112,6 +1119,43 @@ object SparkEntry {
         |SELECT query_id, nbr_id, sim, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
+    "pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |subs AS (SELECT vec_id, s, v[s*4+1 : s*4+4] AS sv
+        |         FROM e, (SELECT unnest(range(0, 16)) AS s) ss),
+        |dims AS (SELECT unnest(range(1, 5)) AS d),
+        |cbm AS (SELECT s, vec_id % 32 AS code, d, avg(sv[d]) AS mval
+        |        FROM subs, dims GROUP BY 1, 2, 3),
+        |cb0 AS (SELECT s, code, list(mval ORDER BY d) AS c FROM cbm GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, s, code, sv FROM (
+        |  SELECT subs.vec_id, subs.s, cb0.code, subs.sv, row_number() OVER (
+        |    PARTITION BY subs.vec_id, subs.s
+        |    ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, c)
+        |             + list_dot_product(c, c), cb0.code) AS rn
+        |  FROM subs JOIN cb0 ON subs.s = cb0.s) t WHERE rn = 1),
+        |ref AS (SELECT s, code, d, avg(sv[d]) AS mval FROM asg, dims GROUP BY 1, 2, 3),
+        |cbr AS (SELECT s, code, list(mval ORDER BY d) AS c2 FROM ref GROUP BY 1, 2),
+        |cb AS (SELECT cb0.s, cb0.code, coalesce(cbr.c2, cb0.c) AS c
+        |       FROM cb0 LEFT JOIN cbr ON cb0.s = cbr.s AND cb0.code = cbr.code),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |  SELECT subs.vec_id, subs.s, cb.code, row_number() OVER (
+        |    PARTITION BY subs.vec_id, subs.s
+        |    ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, c)
+        |             + list_dot_product(c, c), cb.code) AS rn
+        |  FROM subs JOIN cb ON subs.s = cb.s) t WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, s, sv FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT query_id, qs.s, cb.code,
+        |          list_dot_product(qs.sv, cb.c) AS val
+        |        FROM qs JOIN cb ON qs.s = cb.s),
+        |sc AS (SELECT l.query_id, en.vec_id AS nbr_id, round(sum(l.val), 4) AS adc
+        |       FROM enc en JOIN lut l ON en.s = l.s AND en.code = l.code
+        |       WHERE en.vec_id <> l.query_id
+        |       GROUP BY 1, 2)
+        |SELECT query_id, nbr_id, adc, rnk FROM (
+        |  SELECT query_id, nbr_id, adc, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc DESC, nbr_id) AS rnk
+        |  FROM sc) t
         |WHERE rnk <= 5""".stripMargin,
     // approx_distinct: HLL sketch internals have no DuckDB equivalent —
     // intentionally no SQL oracle (rows-only check).

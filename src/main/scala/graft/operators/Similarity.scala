@@ -284,4 +284,96 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .where(col("sim") >= minSim)
   }
+
+  /** Product-quantization codebooks: split each vector into `m` subspaces
+    * of dims/m dimensions; per subspace, `codes` centroids seeded with the
+    * same deterministic seed-partition mean as the IVF centroids
+    * (seed = vec_id % codes, per-dimension mean via the native vector-sum
+    * aggregate) and sharpened by ONE Lloyd step (reassign to nearest seed
+    * centroid, recompute means) — still fully deterministic and
+    * replayable on any engine, no RNG. Returns (s, code,
+    * c: array<double>), m × codes rows — tiny, broadcastable.
+    */
+  def pqCodebooks(embeddings: DataFrame, dims: Int = 64, m: Int = 16,
+      codes: Int = 32): DataFrame = {
+    require(dims % m == 0, "dims must divide into m subspaces")
+    val subDim = dims / m
+    val p = prepared(embeddings)
+    val subs = p.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+    val seed = subs
+      .groupBy(col("s"), (col("vec_id") % codes).as("code"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("sv")).as("sum"),
+        count(lit(1)).as("cn"))
+      .select(col("s"), col("code"), transform(col("sum"), x => x / col("cn")).as("c"))
+    // one Lloyd refinement: nearest-seed assignment (L2, ties to smaller
+    // code), then per-cluster mean — empty clusters keep their seed via
+    // the left join fallback
+    val assigned = subs.join(broadcast(seed), Seq("s"))
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("c"))
+          + dot(col("c"), col("c")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"),
+        first(col("sv")).as("sv"))
+    val refined = assigned
+      .groupBy("s", "code")
+      .agg(graft.functions.VectorFunctions.vecSum(col("sv")).as("sum"),
+        count(lit(1)).as("cn"))
+      .select(col("s"), col("code"),
+        transform(col("sum"), x => x / col("cn")).as("c2"))
+    seed.join(refined, Seq("s", "code"), "left")
+      .select(col("s"), col("code"), coalesce(col("c2"), col("c")).as("c"))
+  }
+
+  /** PQ encoding: each vector's nearest codebook entry per subspace —
+    * (vec_id, s, code), i.e. m small ints per vector in place of dims
+    * floats (32× smaller at dims=64, m=4). Assignment minimizes the
+    * exact subspace L2 distance; ties break to the smaller code (the
+    * `min(struct(dist, code))` ordering any engine reproduces).
+    */
+  def pqEncode(embeddings: DataFrame, dims: Int = 64, m: Int = 16,
+      codes: Int = 32): DataFrame = {
+    val subDim = dims / m
+    val p = prepared(embeddings)
+    val subs = p.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+    val cb = pqCodebooks(embeddings, dims, m, codes)
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("c"))
+          + dot(col("c"), col("c")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"))
+  }
+
+  /** PQ-ADC approximate top-k (asymmetric distance computation): the
+    * query builds an m × codes lookup table of subspace dot products
+    * against the codebooks (tiny, broadcast), and every corpus vector's
+    * approximate dot score is the sum of its m table entries — scan-time
+    * work touches only the byte codes, never the float vectors. The
+    * memory-compressed complement to [[ivfTopK]] (IVF prunes WHICH
+    * vectors to score; PQ shrinks WHAT a score costs); production ANN
+    * stacks compose them (IVF-PQ).
+    */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, dims: Int = 64,
+      m: Int = 16, codes: Int = 32, k: Int = 5): DataFrame = {
+    val subDim = dims / m
+    val cb = pqCodebooks(embeddings, dims, m, codes)
+    val enc = pqEncode(embeddings, dims, m, codes)
+    val qsubs = prepared(queries).select(col("vec_id").as("query_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "qsv")))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("qsv"), col("c")).as("val"))
+    val scored = enc.join(broadcast(lut), Seq("s", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(round(sum("val"), 4).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 }

@@ -129,4 +129,48 @@ class SimilaritySpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(lsh)) // identical-direction vectors always share every sign bucket
   }
+
+  test("PQ: encoding is m codes per vector; codebooks are m x codes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.pqCodebooks(e, dims = 64, m = 16, codes = 32)
+    assert(cb.count() === 16L * 32L)
+    assert(cb.select("c").head().getSeq[Double](0).length === 4)
+    val enc = Similarity.pqEncode(e, dims = 64, m = 16, codes = 32)
+    val n = e.count()
+    assert(enc.count() === n * 16)
+    // every (vec, subspace) has exactly one code, all codes in range
+    assert(enc.groupBy("vec_id").count().where($"count" =!= 16).count() === 0)
+    assert(enc.where($"code" < 0 || $"code" >= 32).count() === 0)
+  }
+
+  test("PQ-ADC ranks approximate the exact dot-product ranking") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 4)
+    val pq = Similarity.pqTopK(e, q, k = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-10 by RAW dot product (what ADC approximates)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val p = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = p.as("c").crossJoin(q.select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qv")))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("nbr_id"),
+        Similarity.dot($"v", $"qv").as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy($"d".desc, $"nbr_id")))
+      .where($"rnk" <= 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // quantization loses precision but must preserve most of the top set
+    val recalls = exact.keys.toSeq.map { qid =>
+      (pq(qid) intersect exact(qid)).size.toDouble / exact(qid).size
+    }
+    // synthetic near-random embeddings are PQ's hardest case; the bar is
+    // far-above-chance (chance recall@10 = 10/corpus ≈ 0.02), not parity
+    assert(recalls.forall(_ >= 0.2), s"per-query recall@10 too low: $recalls")
+    assert(recalls.sum / recalls.size >= 0.35,
+      s"mean recall@10 too low: ${recalls.sum / recalls.size}")
+  }
 }
