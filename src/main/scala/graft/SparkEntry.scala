@@ -122,6 +122,20 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.pqTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    // multimodal plumbing end-to-end on fixture data (payload = text
+    // bytes; codec is the documented deterministic stub, whose JVM
+    // wrap-around hash has no SQL replay → rows-only check; features
+    // projected through xxhash64 so the checker can sort them)
+    "media_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"),
+          size(col("features")).as("n_dims"),
+          xxhash64(col("features")).as("f_hash"))
+    }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),

@@ -376,4 +376,52 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** IVF-PQ: the production ANN composition — IVF prunes WHICH vectors a
+    * query scores (probe the nProbe nearest cells), PQ-ADC shrinks WHAT a
+    * score costs (sum m lookup-table entries instead of a dims-wide dot).
+    * Candidates = corpus × nProbe/nList, per-candidate cost = m adds:
+    * both factors of brute force drop independently. All stages reuse the
+    * deterministic IVF centroids and PQ codebooks above.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, dims: Int = 64,
+      nList: Int = 16, nProbe: Int = 4, m: Int = 16, codes: Int = 32,
+      k: Int = 5): DataFrame = {
+    val subDim = dims / m
+    val corpus = prepared(embeddings)
+    val cents = corpus
+      .groupBy((col("vec_id") % nList).as("cid"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cn"))
+      .select(col("cid"), transform(col("s"), x => x / col("cn")).as("c"))
+    val assignedCell = corpus.crossJoin(broadcast(cents))
+      .withColumn("cs", dot(col("v"), col("c")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), col("cid"))).getField("cid").as("cid"))
+    // PQ codes per corpus vector, carrying the cell assignment
+    val enc = pqEncode(embeddings, dims, m, codes).join(assignedCell, "vec_id")
+    val cb = pqCodebooks(embeddings, dims, m, codes)
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cs", dot(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val qsubs = q.select(col("query_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("qv"), s * subDim + 1, subDim)): _*)).as(Seq("s", "qsv")))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("qsv"), col("c")).as("val"))
+    val scored = enc
+      .join(broadcast(probes), Seq("cid")) // cell prune: candidates only
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(round(sum("val"), 4).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 }

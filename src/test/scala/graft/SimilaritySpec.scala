@@ -173,4 +173,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.35,
       s"mean recall@10 too low: ${recalls.sum / recalls.size}")
   }
+
+  test("IVF-PQ with full probing equals plain PQ-ADC") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 4)
+    val full = Similarity.ivfPqTopK(e, q, nList = 8, nProbe = 8, k = 5)
+      .select("query_id", "nbr_id", "adc", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = Similarity.pqTopK(e, q, k = 5)
+      .select("query_id", "nbr_id", "adc", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === pq)
+    // partial probing returns a subset of cells' candidates, still k rows
+    val partial = Similarity.ivfPqTopK(e, q, nList = 8, nProbe = 2, k = 5)
+    assert(partial.groupBy("query_id").count()
+      .where($"count" =!= 5).count() === 0)
+  }
 }
