@@ -334,13 +334,22 @@ object Similarity {
     * `min(struct(dist, code))` ordering any engine reproduces).
     */
   def pqEncode(embeddings: DataFrame, dims: Int = 64, m: Int = 16,
-      codes: Int = 32): DataFrame = {
+      codes: Int = 32): DataFrame =
+    pqEncodeWith(embeddings, pqCodebooks(embeddings, dims, m, codes), dims, m)
+
+  /** [[pqEncode]] against a PREBUILT codebook table — the production
+    * shape: train codebooks once (possibly on a sample), persist them,
+    * then encode any number of corpora/batches without retraining.
+    * [[pqTopK]]/[[ivfPqTopK]] also route through this so the codebook
+    * plan is built exactly once per query.
+    */
+  def pqEncodeWith(embeddings: DataFrame, cb: DataFrame, dims: Int = 64,
+      m: Int = 16): DataFrame = {
     val subDim = dims / m
     val p = prepared(embeddings)
     val subs = p.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
-    val cb = pqCodebooks(embeddings, dims, m, codes)
     subs.join(broadcast(cb), Seq("s"))
       .withColumn("dist",
         dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("c"))
@@ -361,8 +370,12 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, queries: DataFrame, dims: Int = 64,
       m: Int = 16, codes: Int = 32, k: Int = 5): DataFrame = {
     val subDim = dims / m
-    val cb = pqCodebooks(embeddings, dims, m, codes)
-    val enc = pqEncode(embeddings, dims, m, codes)
+    // train once: the codebook feeds BOTH the corpus encoding and the
+    // query LUT; persist+count the (m x codes)-row table so the seed +
+    // Lloyd aggregation runs a single time per query
+    val cb = pqCodebooks(embeddings, dims, m, codes).persist()
+    cb.count()
+    val enc = pqEncodeWith(embeddings, cb, dims, m)
     val qsubs = prepared(queries).select(col("vec_id").as("query_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "qsv")))
@@ -398,9 +411,11 @@ object Similarity {
       .withColumn("cs", dot(col("v"), col("c")))
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), col("cid"))).getField("cid").as("cid"))
-    // PQ codes per corpus vector, carrying the cell assignment
-    val enc = pqEncode(embeddings, dims, m, codes).join(assignedCell, "vec_id")
-    val cb = pqCodebooks(embeddings, dims, m, codes)
+    // PQ codes per corpus vector, carrying the cell assignment; the
+    // codebook trains once (persist+count) and feeds encode + LUT
+    val cb = pqCodebooks(embeddings, dims, m, codes).persist()
+    cb.count()
+    val enc = pqEncodeWith(embeddings, cb, dims, m).join(assignedCell, "vec_id")
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probeW = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))
