@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Cdc, Dedup, Prune, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior of the round-5 operators: empty frames are
+  * the inputs a long-running pipeline WILL eventually see (an empty CDC
+  * batch, a fully-filtered corpus, a dimension with no survivors).
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  test("weightedSample and packSequences of an empty corpus are empty") {
+    assert(TextOps.weightedSample(emptyDocs).count() === 0)
+    assert(TextOps.packSequences(emptyDocs).count() === 0)
+  }
+
+  test("mergeUpsert with an empty change batch returns base unchanged") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
+    val changes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("key", LongType), StructField("op", StringType),
+        StructField("ts", TimestampType), StructField("seq", LongType),
+        StructField("bal", DoubleType))))
+    val got = Cdc.mergeUpsert(base, changes, "id")
+      .select("id", "name", "bal").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
+  test("resolveClusters with no pairs keeps every doc (union-find path)") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val got = Dedup.resolveClusters(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("bloomPrunedJoin with an empty build side returns no rows") {
+    val probe = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val build = Seq.empty[(Long, String)].toDF("k", "tag")
+    assert(Prune.bloomPrunedJoin(probe, build, "k", "k").count() === 0)
+  }
+}
