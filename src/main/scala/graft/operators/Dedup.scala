@@ -22,9 +22,13 @@ object Dedup {
     * hash-dependent operator (minhash, simhash, winnowing) fully
     * oracle-checkable, not just rows-checkable. Substitute `xxhash64` when
     * cross-engine reproducibility isn't needed and throughput is.
+    *
+    * Computed by the native [[graft.functions.Md5Hash64]] expression —
+    * digest bytes straight to long, no hex-string round trip; value
+    * identical to `conv(substring(md5(c), 1, 15), 16, 10).cast("long")`
+    * (property-tested in VectorFunctionsSpec).
     */
-  def portableHash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def portableHash64(c: Column): Column = graft.functions.Md5Hash64(c)
 
   /** [[portableHash64]] as a SQL expression fragment (for use inside
     * `transform(...)` lambdas, which take expression strings).

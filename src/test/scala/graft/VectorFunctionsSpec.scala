@@ -87,4 +87,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1L) === 3.0)
     assert(got(2L) === null)
   }
+
+  test("graft_md5_64 equals the conv(substring(md5)) formulation, inside codegen") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text").limit(200)
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val cmp = docs.select(
+      graft.functions.Md5Hash64($"text").as("native"),
+      expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("composed"))
+    assert(cmp.where($"native" =!= $"composed").count() === 0)
+    assert(cmp.where($"native" < 0).count() === 0, "60-bit value is non-negative")
+    // unicode + empty-string coverage
+    val edge = Seq("", "é" * 10, "a b\tc\nd", "é世界").toDF("text")
+      .repartition(2)
+      .select(
+        graft.functions.Md5Hash64($"text").as("native"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("composed"))
+    assert(edge.where($"native" =!= $"composed").count() === 0)
+    cmp.collect() // finalize AQE so the plan rendering shows codegen stages
+    val plan = cmp.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*graft_md5_64""".r.findFirstIn(plan).isDefined,
+      s"graft_md5_64 must stay inside whole-stage codegen:\n${plan.take(600)}")
+  }
 }
