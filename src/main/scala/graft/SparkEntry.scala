@@ -47,6 +47,17 @@ object SparkEntry {
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
+    // Gopher-style repetition gates + entropy quality signal + benchmark
+    // decontamination — the remaining standard LLM corpus-filtering trio
+    "rep_signals" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
+    "entropy" -> ((s, d) => TextOps.unigramEntropy(Tables.documents(s, d))),
+    "decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.decontaminate(
+        docs.where(org.apache.spark.sql.functions.col("source") =!= "src0"),
+        docs.where(org.apache.spark.sql.functions.col("source") === "src0"),
+        minHits = 3)
+    }),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     // ── LLM-pipeline: dedup ──
@@ -396,6 +407,38 @@ object SparkEntry {
         |      x -> length(x) <= 2))::DOUBLE
         |      / len(string_split_regex(text, '\s+')), 4) AS short_tok_ratio
         |FROM documents""".stripMargin,
+    "rep_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |g AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  round(1 - count(*)::DOUBLE / sum(c)::DOUBLE, 4) AS dup_bigram_frac,
+        |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS top_bigram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "entropy" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, word, max(n) AS n, count(*) AS c FROM w GROUP BY doc_id, word),
+        |i AS (SELECT doc_id, n,
+        |        CAST(round((c::DOUBLE/n) * log2(c::DOUBLE/n) * -1e6, 0) AS BIGINT) AS it
+        |      FROM c)
+        |SELECT doc_id, max(n) AS n_tokens,
+        |       CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS entropy_bits
+        |FROM i GROUP BY doc_id""".stripMargin,
+    "decontam" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks FROM documents
+        |           WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS n_contam_grams
+        |FROM g JOIN b USING (gram) WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id HAVING count(*) >= 3""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' '))

@@ -318,6 +318,87 @@ object TextOps {
         floor(col("start_tok") / budget).as("bin"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of word
+    * bigrams that are repeats (1 - distinct/total) and the fraction of all
+    * bigrams taken by the single most frequent one — the standard
+    * "duplicated n-gram" quality gates for LLM corpus filtering.
+    *
+    * Entirely shuffle-free: bigrams are built with `transform(sequence)`
+    * and both fractions are computed with array folds inside the row, so at
+    * 100 TB this is pure map work pipelined with the scan. The inner fold
+    * is O(distinct x total) per row — bounded by document length, not
+    * corpus size. Documents with fewer than 2 tokens have no bigrams and
+    * are dropped (same as the grouped oracle formulation).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4)
+          .as("dup_bigram_frac"),
+        round(expr(
+          "aggregate(array_distinct(bg), 0, (acc, x) -> greatest(acc, size(filter(bg, y -> y = x))))")
+          .cast("double") / size(col("bg")), 4).as("top_bigram_frac"))
+
+  /** Unigram token entropy per document (bits): H = -sum p(w) log2 p(w).
+    * Low entropy flags template/boilerplate text the same way compression
+    * ratio does, without needing a codec. Shuffle-free array fold — the
+    * same 100 TB posture as [[repetitionSignals]].
+    *
+    * Each term is scaled to an integer (round(term * 1e6)) before summing
+    * so the total is an ASSOCIATIVE integer sum — identical regardless of
+    * summation order, which makes the result bit-reproducible across
+    * engines (a float sum would depend on each engine's grouping order).
+    * The final 4-decimal rounding also happens in integer space
+    * (sum/100 → round → /1e4): a micro-bit sum ending in …50 divides to
+    * an EXACT half (k+0.5 is always representable), where decimal-string
+    * rounding (Spark) and binary rounding (DuckDB/C) agree — whereas
+    * round(sum/1e6, 4) would diverge on those boundaries.
+    */
+  def unigramEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .withColumn("it_sum", expr(
+        """aggregate(array_distinct(toks), 0L, (acc, x) ->
+          |  acc + cast(round(
+          |    (size(filter(toks, y -> y = x)) / cast(size(toks) as double))
+          |      * log2(size(filter(toks, y -> y = x)) / cast(size(toks) as double))
+          |      * -1e6, 0) as bigint))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (round(col("it_sum") / 100.0, 0).cast("long") / 10000.0).as("entropy_bits"))
+
+  /** Benchmark decontamination: for each training document, count the
+    * DISTINCT word 3-grams it shares with any document of the benchmark
+    * set. Docs whose overlap reaches `minHits` are contamination suspects
+    * and must be dropped before training.
+    *
+    * Scale shape: the benchmark n-gram set is tiny next to the corpus
+    * (thousands of eval docs vs billions of training docs), so its distinct
+    * grams are BROADCAST and the training side streams through a
+    * broadcast-hash semi-join — no corpus shuffle except the final per-doc
+    * count on `doc_id` (which partial aggregation collapses first).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, minHits: Int = 1): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"))
+        .as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam_grams"))
+      .where(col("n_contam_grams") >= minHits)
+  }
+
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates
     * values of each column in input tables"). One global hash-agg with

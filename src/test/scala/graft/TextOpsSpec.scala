@@ -98,6 +98,35 @@ class TextOpsSpec extends SparkSpec {
       s"expected pid-partitioned window:\n$plan")
   }
 
+  test("repetitionSignals: dup and top bigram fractions; short docs dropped") {
+    val d = Seq(
+      (1L, "a b a b a"), // bigrams: ab ba ab ba → dup=1-2/4=0.5, top=2/4=0.5
+      (2L, "x y z"),     // bigrams: xy yz → dup=0, top=0.5
+      (3L, "solo")       // < 2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(d).as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(1L -> (0.5, 0.5), 2L -> (0.0, 0.5)))
+  }
+
+  test("unigramEntropy: uniform text maxes entropy, repeated token zeroes it") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.unigramEntropy(d).as[(Long, Int, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 2.0) // 4 equiprobable tokens → log2(4)
+  }
+
+  test("decontaminate counts distinct shared 3-grams against the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
+      (2L, "totally clean document here now")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(train, bench, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L))
+  }
+
   test("weightedSample: deterministic across runs, favors heavier docs") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
