@@ -1064,10 +1064,14 @@ object SparkEntry {
         |      range(1, greatest(len(string_split_regex(t, '\s+')) - 2, 1) + 1),
         |      i -> array_to_string((string_split_regex(t, '\s+'))[i:i+2], ' '))) AS sh
         |  FROM ex),
-        |sigs AS (SELECT doc_id, sh, len(sh) AS n,
-        |  list_transform(range(0,32), i -> list_min(list_transform(sh,
-        |    s -> ('0x'||substr(md5(i::VARCHAR || ':' || s),1,15))::BIGINT))) AS sig
+        |hbs AS (SELECT doc_id,
+        |  list_distinct(list_transform(sh,
+        |    s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)) AS hb
         |  FROM sh),
+        |sigs AS (SELECT doc_id, hb, len(hb) AS n,
+        |  list_transform(range(0,32), i -> list_min(list_transform(hb,
+        |    h -> ((2*i+1)*h + 40503*i) % 2147483647))) AS sig
+        |  FROM hbs),
         |banded AS (
         |  SELECT doc_id, sig, b.band AS band,
         |         array_to_string(sig[b.band*4+1:b.band*4+4], ',') AS bh
@@ -1080,8 +1084,8 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a, b FROM (
         |    SELECT c.a, c.b,
-        |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        |            / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+        |      round(len(list_intersect(sa.hb, sb.hb))::DOUBLE
+        |            / (sa.n + sb.n - len(list_intersect(sa.hb, sb.hb))), 4) AS jaccard
         |    FROM cand c JOIN sigs sa ON c.a = sa.doc_id
         |                JOIN sigs sb ON c.b = sb.doc_id) p
         |  WHERE jaccard >= 0.8),
@@ -1130,10 +1134,14 @@ object SparkEntry {
         |shs AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
         |    i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM toks),
-        |sigs AS (SELECT doc_id, sh, len(sh) AS n,
-        |  list_transform(range(0,32), i -> list_min(list_transform(sh,
-        |    s -> ('0x'||substr(md5(i::VARCHAR || ':' || s),1,15))::BIGINT))) AS sig
+        |hbs AS (SELECT doc_id,
+        |  list_distinct(list_transform(sh,
+        |    s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)) AS hb
         |  FROM shs),
+        |sigs AS (SELECT doc_id, hb, len(hb) AS n,
+        |  list_transform(range(0,32), i -> list_min(list_transform(hb,
+        |    h -> ((2*i+1)*h + 40503*i) % 2147483647))) AS sig
+        |  FROM hbs),
         |banded AS (
         |  SELECT doc_id, sig, b.band AS band,
         |         array_to_string(sig[b.band*4+1:b.band*4+4], ',') AS bh
@@ -1144,7 +1152,7 @@ object SparkEntry {
         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
         |  WHERE len(list_filter(range(1,33), i -> x.sig[i] = y.sig[i])) >= 9),
         |v AS (
-        |  SELECT c.a, c.b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+        |  SELECT c.a, c.b, len(list_intersect(sa.hb, sb.hb)) AS inter,
         |         sa.n AS na, sb.n AS nb
         |  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id)
         |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard

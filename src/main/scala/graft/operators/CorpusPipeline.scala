@@ -76,9 +76,15 @@ object CorpusPipeline {
     val pairs = Dedup.minhashPairs(exactKeep, jaccard)
     val (resolved, releaseLabels) =
       Dedup.resolveClustersReleasable(exactKeep.select("doc_id"), pairs)
+    // anti-join the LOSERS (keep=false), not inner-join the keepers: the
+    // loser set is bounded by the near-dup pair endpoints — pair-scale,
+    // not corpus-scale — so at 100 TB this is a broadcast-able filter of
+    // the corpus instead of a corpus x corpus shuffle join (AQE picks
+    // broadcast from the runtime size; no hint so a pathological
+    // everything-is-duplicate corpus still degrades to SMJ, not OOM)
     val survivors = exactKeep.join(
-      resolved.where(col("keep")).select(col("doc_id").as("rd")),
-      col("doc_id") === col("rd")).drop("rd")
+      resolved.where(!col("keep")).select(col("doc_id").as("rd")),
+      col("doc_id") === col("rd"), "left_anti")
     // 6. deterministic content-hash split assignment (stable under
     //    repartitioning, reproducible on any engine with md5)
     val h = substring(md5(col("doc_id").cast("string")), 1, 1)
