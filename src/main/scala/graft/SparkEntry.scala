@@ -50,6 +50,7 @@ object SparkEntry {
     // Gopher-style repetition gates + entropy quality signal + benchmark
     // decontamination — the remaining standard LLM corpus-filtering trio
     "rep_signals" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
+    "lm_perplexity" -> ((s, d) => TextOps.lmPerplexity(Tables.documents(s, d))),
     "entropy" -> ((s, d) => TextOps.unigramEntropy(Tables.documents(s, d))),
     "decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -429,6 +430,22 @@ object SparkEntry {
         |SELECT doc_id, max(n) AS n_tokens,
         |       CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS entropy_bits
         |FROM i GROUP BY doc_id""".stripMargin,
+    "lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT word) AS vs
+        |      FROM (SELECT unnest(toks) AS word FROM t)),
+        |terms AS (SELECT bg.doc_id,
+        |            CAST(round(log2((big.c12 + 1) / (uni.c1 + v.vs)::DOUBLE) * -1e6, 0)
+        |                 AS BIGINT) AS it
+        |          FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0 AS bits_per_token
+        |FROM terms GROUP BY doc_id""".stripMargin,
     "decontam" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks FROM documents
         |           WHERE len(string_split_regex(text, '\s+')) >= 3),

@@ -374,6 +374,44 @@ object TextOps {
         size(col("toks")).as("n_tokens"),
         (round(col("it_sum") / 100.0, 0).cast("long") / 10000.0).as("entropy_bits"))
 
+  /** Per-document cross-entropy (bits/token) under a bigram language model
+    * trained on the corpus itself, with add-one smoothing:
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`. The classic model-based
+    * quality filter: boilerplate scores low, near-random token soup scores
+    * high, and scoring against a *reference* corpus is the same plan with
+    * the LM aggregates built from a different `docs` frame.
+    *
+    * Scale shape: the bigram LM table is corpus-vocabulary-squared in the
+    * worst case, so doc bigrams join it with a SHUFFLE hash join on
+    * (w1,w2) with map-side partial counts; the unigram context table and
+    * the single-row vocabulary size are broadcast. Per-occurrence log
+    * terms are integer-scaled (see [[unigramEntropy]]) so every sum is
+    * order-independent and the result replays bit-identically on any
+    * engine.
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val bg = toked.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> struct(element_at(toks, i) as w1, element_at(toks, i+1) as w2))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toked.select(explode(col("toks")).as("word"))
+      .agg(count_distinct(col("word")).as("vs"))
+    val terms = bg
+      .join(big, Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("cast(round(log2((c12 + 1) / cast(c1 + vs as double)) * -1e6, 0) as bigint)")
+          .as("it"))
+    terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
+        .as("bits_per_token"))
+  }
+
   /** Benchmark decontamination: for each training document, count the
     * DISTINCT word 3-grams it shares with any document of the benchmark
     * set. Docs whose overlap reaches `minHits` are contamination suspects

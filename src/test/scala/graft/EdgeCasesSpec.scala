@@ -23,6 +23,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextOps.packSequences(emptyDocs).count() === 0)
   }
 
+  test("corpus-filter ops handle empty and sub-minimal documents") {
+    // empty corpus → empty everywhere, no divide-by-zero
+    assert(TextOps.repetitionSignals(emptyDocs).count() === 0)
+    assert(TextOps.unigramEntropy(emptyDocs).count() === 0)
+    assert(TextOps.lmPerplexity(emptyDocs).count() === 0)
+    assert(TextOps.decontaminate(emptyDocs, emptyDocs).count() === 0)
+    // single-token docs: no bigrams/3-grams → dropped from the n-gram ops,
+    // entropy still defined (one token → 0 bits)
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextOps.repetitionSignals(tiny).count() === 0)
+    assert(TextOps.lmPerplexity(tiny).count() === 0)
+    assert(TextOps.decontaminate(tiny, tiny).count() === 0)
+    val e = TextOps.unigramEntropy(tiny).as[(Long, Int, Double)].collect()
+    assert(e.toSeq === Seq((1L, 1, 0.0)))
+  }
+
   test("mergeUpsert with an empty change batch returns base unchanged") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
     val changes = spark.createDataFrame(

@@ -117,6 +117,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === 2.0) // 4 equiprobable tokens → log2(4)
   }
 
+  test("lmPerplexity: add-one-smoothed bigram cross-entropy, hand-computed") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // LM: c(a,b)=2 c(a,c)=1 c(a·)=3 V=3
+    // p(b|a)=3/6 → 1 bit; p(c|a)=2/6 → log2(3)=1.585 bits
+    val got = TextOps.lmPerplexity(d).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.585))
+  }
+
   test("decontaminate counts distinct shared 3-grams against the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
