@@ -51,6 +51,15 @@ object SparkEntry {
     // decontamination — the remaining standard LLM corpus-filtering trio
     "rep_signals" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
     "lm_perplexity" -> ((s, d) => TextOps.lmPerplexity(Tables.documents(s, d))),
+    // domain-mixing pair: per-source KL from the corpus distribution, and
+    // the deterministic hash-threshold sampler that applies mix weights
+    "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
+    "mix_sources" -> ((s, d) =>
+      TextOps.mixSources(Tables.documents(s, d),
+        Map("src0" -> 0.25, "src1" -> 0.5))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("n_chars"))),
     "entropy" -> ((s, d) => TextOps.unigramEntropy(Tables.documents(s, d))),
     "decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -446,6 +455,26 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0 AS bits_per_token
         |FROM terms GROUP BY doc_id""".stripMargin,
+    "source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word
+        |             FROM documents),
+        |bysrc AS (SELECT source, word, count(*) AS cs FROM tok GROUP BY source, word),
+        |ns AS (SELECT source, word, cs, sum(cs) OVER (PARTITION BY source) AS ns
+        |       FROM bysrc),
+        |corpus AS (SELECT word, count(*) AS cc FROM tok GROUP BY word),
+        |t AS (SELECT count(*) AS nc FROM tok),
+        |terms AS (SELECT source,
+        |    CAST(round((cs / ns::DOUBLE)
+        |      * log2((cs / ns::DOUBLE) / (cc / nc::DOUBLE)) * 1e6, 0) AS BIGINT) AS it
+        |  FROM ns JOIN corpus USING (word) CROSS JOIN t)
+        |SELECT source, CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS kl_bits
+        |FROM terms GROUP BY source""".stripMargin,
+    "mix_sources" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE ('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,7))::BIGINT <
+        |  CASE WHEN source = 'src0' THEN CAST(268435456 * 0.25 AS BIGINT)
+        |       WHEN source = 'src1' THEN CAST(268435456 * 0.5 AS BIGINT)
+        |       ELSE 268435456 END""".stripMargin,
     "decontam" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks FROM documents
         |           WHERE len(string_split_regex(text, '\s+')) >= 3),

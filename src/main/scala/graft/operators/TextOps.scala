@@ -218,6 +218,57 @@ object TextOps {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
 
+  /** Per-source KL divergence from the corpus token distribution (bits):
+    * `KL(source ‖ corpus) = Σ_w p_s(w) · log2(p_s(w)/p_c(w))` — the
+    * domain-mixing diagnostic: sources far from the corpus mix dominate or
+    * starve a sampling schedule. Two hash aggregations (per-source and
+    * corpus token counts, map-side combined) plus a vocab-sized broadcast
+    * join; per-token terms use the integer-scaled sum of
+    * [[unigramEntropy]] so the result replays bit-identically anywhere.
+    * p_c(w) > 0 wherever p_s(w) > 0 (the corpus contains every source),
+    * so no smoothing is needed.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), "\\s+")).as("word"))
+    val bySrc = tok.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+      .withColumn("ns", sum("cs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val corpus = tok.groupBy("word").agg(count(lit(1)).as("cc"))
+    val total = tok.agg(count(lit(1)).as("nc"))
+    bySrc
+      .join(broadcast(corpus), "word")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        expr("""cast(round((cs / cast(ns as double))
+               |  * log2((cs / cast(ns as double)) / (cc / cast(nc as double)))
+               |  * 1e6, 0) as bigint)""".stripMargin).as("it"))
+      .groupBy("source")
+      .agg((round(sum(col("it")) / 100.0, 0).cast("long") / 10000.0).as("kl_bits"))
+  }
+
+  /** Deterministic source mixing: sample each source at its target rate by
+    * thresholding the content-independent md5(doc_id) hash — the
+    * data-mixing primitive that turns per-domain weights into a concrete
+    * document subset. Row-local (no shuffle), stable under repartitioning
+    * and re-runs. The hash is salted with a `mix:` prefix so the keep
+    * decision is independent of [[splitAssign]]'s unsalted hash — without
+    * the salt, the mix sample would be correlated with the train/val/test
+    * assignment. Rates outside [0,1] clamp.
+    */
+  def mixSources(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    // first 7 hex digits of the salted id hash → uniform int in [0, 16^7)
+    val bucket = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+    val span = 1L << 28 // 16^7
+    def cut(r: Double): Long = (span * math.max(0.0, math.min(1.0, r))).toLong
+    val rateCol = rates.foldLeft(lit(cut(defaultRate))) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(cut(r))).otherwise(acc)
+    }
+    docs.where(bucket < rateCol)
+  }
+
   /** Near-identical name pairs by edit distance within a blocking key
     * (brand, size): classic record-linkage shape. Blocking bounds the pair
     * count to sum(block²); levenshtein itself is a codegen'd built-in.

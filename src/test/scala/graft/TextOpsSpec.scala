@@ -136,6 +136,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 2L))
   }
 
+  test("sourceKl: hand-computed divergences; dominant source sits closest") {
+    val d = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"),
+      (3L, "a b", "s3"), (4L, "c c", "s3")  // s3 dominates the corpus mix
+    ).toDF("doc_id", "text", "source")
+    // corpus: a:3 b:3 c:2 (n=8). KL(s1)=KL(s2)=log2(4/3)=0.415;
+    // KL(s3)=.5*log2(2/3)+.5*log2(2)=0.2075 — closer, it IS most of the mix
+    val got = TextOps.sourceKl(d).as[(String, Double)].collect().toMap
+    assert(got === Map("s1" -> 0.415, "s2" -> 0.415, "s3" -> 0.2075))
+    val uniform = TextOps.sourceKl(
+      Seq((1L, "x y", "a"), (2L, "x y", "b")).toDF("doc_id", "text", "source"))
+      .as[(String, Double)].collect().toMap
+    assert(uniform === Map("a" -> 0.0, "b" -> 0.0))
+  }
+
+  test("mixSources: deterministic, rate-monotone, full-rate keeps everything") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = TextOps.mixSources(docs, Map("src0" -> 0.25))
+    assert(q.collect().map(_.getLong(0)).toSeq ===
+      TextOps.mixSources(docs, Map("src0" -> 0.25)).collect().map(_.getLong(0)).toSeq)
+    val n0 = docs.where($"source" === "src0").count()
+    val kept0 = q.where($"source" === "src0").count()
+    assert(kept0 < n0, "sampled source must shrink")
+    assert(q.where($"source" =!= "src0").count() ===
+      docs.where($"source" =!= "src0").count(), "default rate 1.0 keeps all")
+    assert(TextOps.mixSources(docs, Map.empty).count() === docs.count())
+  }
+
   test("weightedSample: deterministic across runs, favors heavier docs") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
