@@ -164,6 +164,21 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.mixSources(docs, Map.empty).count() === docs.count())
   }
 
+  test("plan shapes: decontam/lm_perplexity broadcast the small side, mixSources is shuffle-free") {
+    val docs = Tables.documents(spark, sfDir)
+    val dec = TextOps.decontaminate(
+      docs.where($"source" =!= "src0"), docs.where($"source" === "src0"))
+      .queryExecution.sparkPlan.toString
+    assert(dec.contains("BroadcastHashJoin"),
+      s"benchmark n-grams must broadcast:\n$dec")
+    val lm = TextOps.lmPerplexity(docs).queryExecution.sparkPlan.toString
+    assert(lm.contains("BroadcastHashJoin"),
+      s"unigram/vocab tables must broadcast:\n$lm")
+    val mix = TextOps.mixSources(docs, Map("src0" -> 0.25))
+      .queryExecution.sparkPlan.toString
+    assert(!mix.contains("Exchange"), s"mixSources must be row-local:\n$mix")
+  }
+
   test("weightedSample: deterministic across runs, favors heavier docs") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
