@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the canonical LLM training-data pipeline as
@@ -53,8 +52,11 @@ object CorpusPipeline {
     val langed = qual
       .where(TextOps.predLangExpr(array_distinct(col("toks"))) === keepLang)
       .drop("toks")
-    // 4. exact dedup: keep the smallest doc_id per normalized-content hash
-    //    (one shuffle of hash + id width). The result is persisted +
+    // 4. exact dedup: keep the smallest doc_id per normalized-content
+    //    hash, as a min_by hash-aggregation — duplicates collapse in the
+    //    map-side partial aggregate BEFORE the exchange (the dirtier the
+    //    corpus, the less it shuffles), and unlike the window formulation
+    //    there is no per-partition sort. The result is persisted +
     //    counted: the near-dup self-join below references it from BOTH
     //    sides and the survivor join a third time — without a
     //    materialization barrier each branch would re-run the whole gated
@@ -62,9 +64,9 @@ object CorpusPipeline {
     //    localCheckpoint, for the same AQE reason as
     //    Dedup.resolveClusters; blocks stay subject to LRU eviction.
     val exactKeep = langed
-      .withColumn("keep_id", min("doc_id").over(Window.partitionBy(md5(col("text")))))
-      .where(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min_by(struct(langed.columns.map(col).toIndexedSeq: _*), col("doc_id")).as("_r"))
+      .select(col("_r.*"))
       .persist()
     exactKeep.count()
     // 5. near-dup resolution on the gated survivors: MinHash-LSH banded

@@ -217,6 +217,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("row-local corpus filters run unchanged on a document stream") {
+    // quality scoring, repetition gates and mix sampling are pure row-local
+    // projections/filters, so the SAME operator code runs under
+    // readStream — the streaming-ingest shape of a training-data pipeline
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val gated = graft.operators.TextOps.repetitionSignals(
+      graft.operators.TextOps.mixSources(docs, Map("drop" -> 0.0)))
+    val query = gated.writeStream.format("memory")
+      .queryName("corpus_stream_test").outputMode("append").start()
+    try {
+      mem.addData((1L, "a b a b a", "keep"), (2L, "x y z", "keep"),
+        (3L, "a b a b a", "drop"))
+      query.processAllAvailable()
+      val got = spark.table("corpus_stream_test")
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === Map(1L -> (0.5, 0.5), 2L -> (0.0, 0.5)))
+    } finally query.stop()
+  }
+
   test("cdcApply maintains a keyed table from a change stream") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
