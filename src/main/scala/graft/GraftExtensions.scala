@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BottomK, DotProduct, FrequentItems, LshBuckets, VectorSum}
+import graft.functions.{BottomK, DotProduct, EqCount, FrequentItems, LshBuckets, Md5Hash64, VectorSum}
 
 /** Spark extension entry point: registers the engine's native functions at
   * session build time —
@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BottomK(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_eq_count"),
+      new ExpressionInfo(classOf[EqCount].getName, "graft_eq_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EqCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Md5Hash64].getName, "graft_hash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hash64(exprs.head)))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))
   }
 }

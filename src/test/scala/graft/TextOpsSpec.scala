@@ -179,6 +179,21 @@ class TextOpsSpec extends SparkSpec {
     assert(!mix.contains("Exchange"), s"mixSources must be row-local:\n$mix")
   }
 
+  test("corpus-filter invariants hold across the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    // fractions live in [0,1]; a top bigram always exists
+    assert(TextOps.repetitionSignals(docs).where(
+      $"dup_bigram_frac" < 0 || $"dup_bigram_frac" > 1 ||
+        $"top_bigram_frac" <= 0 || $"top_bigram_frac" > 1).count() === 0)
+    // 0 <= H <= log2(n_tokens), modulo the 1e-4 output quantization
+    assert(TextOps.unigramEntropy(docs).where(
+      $"entropy_bits" < -0.001 ||
+        $"entropy_bits" > log2($"n_tokens") + 0.001).count() === 0)
+    // smoothed LM surprisal and KL are non-negative (within term rounding)
+    assert(TextOps.lmPerplexity(docs).where($"bits_per_token" < 0).count() === 0)
+    assert(TextOps.sourceKl(docs).where($"kl_bits" < -0.001).count() === 0)
+  }
+
   test("weightedSample: deterministic across runs, favors heavier docs") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq

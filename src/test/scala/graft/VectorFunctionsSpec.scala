@@ -35,6 +35,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1L) === 32.0)
   }
 
+  test("graft_hash64 and graft_eq_count are SQL-callable via the extension") {
+    // extension-injected (GraftExtensions), no imperative registration
+    val h = spark.sql("SELECT graft_hash64('abc') AS h").head().getLong(0)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    assert(h === java.lang.Long.parseLong(hex, 16))
+    val n = spark.sql(
+      "SELECT graft_eq_count(array(1L,2L,3L), array(1L,9L,3L)) AS n")
+      .head().getInt(0)
+    assert(n === 2)
+  }
+
   test("vecSum aggregates element-wise across partitions") {
     val df = Seq(
       (0, Seq(1.0, 2.0, 3.0)),
