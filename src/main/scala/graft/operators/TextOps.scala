@@ -456,23 +456,41 @@ object TextOps {
     * order-independent and the result replays bit-identically on any
     * engine.
     */
-  def lmPerplexity(docs: DataFrame): DataFrame = {
-    val toked = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-    val bg = toked.where(size(col("toks")) >= 2)
+  def lmPerplexity(docs: DataFrame): DataFrame = lmPerplexity(docs, docs)
+
+  /** [[lmPerplexity]] scoring `docs` under a model trained on a SEPARATE
+    * `lmCorpus` — the held-out / reference-corpus shape, and the
+    * stream-scoring shape: with a static `lmCorpus` the LM aggregates are
+    * batch frames, so a STREAMING `docs` scores through stream-static
+    * joins; the only stateful piece is the final per-doc rollup, which
+    * runs in update mode or per-microbatch via `foreachBatch`.
+    *
+    * Bigrams unseen in the corpus get the add-one floor `1/(c1+V)` when
+    * their context w1 is known, and are DROPPED (inner join) when even the
+    * context is unknown — scoring only what the model can ground, rather
+    * than inventing an arbitrary unknown-context probability.
+    */
+  def lmPerplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks)-1), i -> struct(element_at(toks, i) as w1, element_at(toks, i+1) as w2))")).as("e"))
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
-    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = toked.select(explode(col("toks")).as("word"))
+    val corpusBg = bigrams(lmCorpus)
+    val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = corpusBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = lmCorpus
+      .select(explode(split(col("text"), "\\s+")).as("word"))
       .agg(count_distinct(col("word")).as("vs"))
-    val terms = bg
-      .join(big, Seq("w1", "w2"))
+    val terms = bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        expr("cast(round(log2((c12 + 1) / cast(c1 + vs as double)) * -1e6, 0) as bigint)")
-          .as("it"))
+        expr("""cast(round(
+               |  log2((coalesce(c12, 0L) + 1) / cast(c1 + vs as double)) * -1e6,
+               |  0) as bigint)""".stripMargin).as("it"))
     terms.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)

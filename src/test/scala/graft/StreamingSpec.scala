@@ -238,6 +238,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("lmPerplexity scores a document stream against a static reference LM") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((10L, "a b"), (11L, "a b")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // stream-static joins against the batch LM; per-doc rollup in update mode
+    val query = graft.operators.TextOps.lmPerplexity(docs, ref)
+      .writeStream.format("memory").queryName("lm_stream_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a b"), (2L, "a z"))
+      query.processAllAvailable()
+      val got = spark.table("lm_stream_test")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      assert(got === Map(1L -> 0.415, 2L -> 2.0))
+    } finally query.stop()
+  }
+
   test("cdcApply maintains a keyed table from a change stream") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")

@@ -126,6 +126,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.585))
   }
 
+  test("lmPerplexity against a reference corpus: unseen bigrams floor, unknown contexts drop") {
+    val ref = Seq((10L, "a b"), (11L, "a b")).toDF("doc_id", "text")
+    // LM: c(a,b)=2, c(a·)=2, V={a,b}→2
+    val docs = Seq(
+      (1L, "a b"),  // known bigram: p=(2+1)/(2+2) → log2(4/3)=0.415
+      (2L, "a z"),  // known context, unseen bigram: p=(0+1)/4 → 2 bits
+      (3L, "z z")   // unknown context → dropped entirely
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmPerplexity(docs, ref).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 0.415, 2L -> 2.0))
+  }
+
   test("decontaminate counts distinct shared 3-grams against the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox"
