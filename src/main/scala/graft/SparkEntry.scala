@@ -1100,10 +1100,8 @@ object SparkEntry {
         |  WHERE rn = 1 AND lang_code = 'en'),
         |langed AS (SELECT q.* FROM qual q JOIN pred USING (doc_id)),
         |ex AS (
-        |  SELECT doc_id, source, t, n_tokens FROM (
-        |    SELECT l.*, min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id
-        |    FROM langed l) x
-        |  WHERE doc_id = keep_id),
+        |  SELECT min(doc_id) AS doc_id, min(t) AS t, min(n_tokens) AS n_tokens
+        |  FROM langed GROUP BY md5(t)),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(

@@ -299,7 +299,13 @@ object VectorFunctions {
     ColumnBridge.column(
       LshBuckets(ColumnBridge.expression(v), ColumnBridge.expression(planes), bitsPerTable))
 
-  /** Register the native functions for SQL callers on this session. */
+  /** Register the native functions for SQL callers on this session —
+    * the imperative path for sessions built WITHOUT
+    * `spark.sql.extensions=graft.GraftExtensions`. On extension-built
+    * sessions this merely shadows the injected built-ins with identical
+    * builders (a harmless "replaced a previously registered function"
+    * log line); keep the two lists in sync when adding a function.
+    */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")

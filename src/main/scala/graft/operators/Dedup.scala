@@ -89,11 +89,23 @@ object Dedup {
     * shuffle (groupBy doc_id) computes all mins at once.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame = {
+    val (ex, aggs) = shingleHashAggs(docs, numHashes, k)
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared construction for the minhash family: the (doc_id, hb) shingle-
+    * hash frame and the numHashes min-aggregates over the affine family.
+    * ONE source of truth for the constants — [[minhashSignatures]] and
+    * [[minhashPairs]] must never drift apart (and both must stay in
+    * lockstep with the SQL oracle replicas in SparkEntry).
+    */
+  private def shingleHashAggs(docs: DataFrame, numHashes: Int, k: Int)
+      : (DataFrame, Seq[Column]) = {
     val ex = explodedShingles(docs, k)
       .select(col("doc_id"), (portableHash64(col("sh")) % MinhashP).as("hb"))
     val aggs = (0 until numHashes).map(i =>
       min((col("hb") * (2 * i + 1) + lit(40503L * i)) % MinhashP).as(s"mh$i"))
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    (ex, aggs)
   }
 
   /** MinHash-LSH near-duplicate pairs. Pipeline:
@@ -122,10 +134,7 @@ object Dedup {
     // shingle space — deterministic and replayed verbatim by the oracle;
     // intra-doc hash collisions (the only way it can differ from
     // string-space Jaccard) have probability ~len²/2³¹ per doc.
-    val ex = explodedShingles(docs, k)
-      .select(col("doc_id"), (portableHash64(col("sh")) % MinhashP).as("hb"))
-    val minAggs = (0 until numHashes).map(i =>
-      min((col("hb") * (2 * i + 1) + lit(40503L * i)) % MinhashP).as(s"mh$i"))
+    val (ex, minAggs) = shingleHashAggs(docs, numHashes, k)
     val sigs = ex.groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail :+ collect_set(col("hb")).as("hset"): _*)
       .select(col("doc_id"),

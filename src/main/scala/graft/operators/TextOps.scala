@@ -222,11 +222,14 @@ object TextOps {
     * `KL(source ‖ corpus) = Σ_w p_s(w) · log2(p_s(w)/p_c(w))` — the
     * domain-mixing diagnostic: sources far from the corpus mix dominate or
     * starve a sampling schedule. Two hash aggregations (per-source and
-    * corpus token counts, map-side combined) plus a vocab-sized broadcast
-    * join; per-token terms use the integer-scaled sum of
-    * [[unigramEntropy]] so the result replays bit-identically anywhere.
-    * p_c(w) > 0 wherever p_s(w) > 0 (the corpus contains every source),
-    * so no smoothing is needed.
+    * corpus token counts, map-side combined) plus a vocab-sized join the
+    * optimizer sizes itself (no broadcast hint: at web-corpus vocabularies
+    * a forced broadcast would OOM where AQE degrades to a shuffle join);
+    * the grand total derives from the corpus counts, not a third scan.
+    * Per-token terms use the integer-scaled sum of [[unigramEntropy]] so
+    * the result replays bit-identically anywhere. p_c(w) > 0 wherever
+    * p_s(w) > 0 (the corpus contains every source), so no smoothing is
+    * needed.
     */
   def sourceKl(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("source"),
@@ -235,9 +238,9 @@ object TextOps {
       .withColumn("ns", sum("cs").over(
         org.apache.spark.sql.expressions.Window.partitionBy("source")))
     val corpus = tok.groupBy("word").agg(count(lit(1)).as("cc"))
-    val total = tok.agg(count(lit(1)).as("nc"))
+    val total = corpus.agg(sum("cc").as("nc"))
     bySrc
-      .join(broadcast(corpus), "word")
+      .join(corpus, "word")
       .crossJoin(broadcast(total))
       .select(col("source"),
         expr("""cast(round((cs / cast(ns as double))
@@ -450,8 +453,10 @@ object TextOps {
     *
     * Scale shape: the bigram LM table is corpus-vocabulary-squared in the
     * worst case, so doc bigrams join it with a SHUFFLE hash join on
-    * (w1,w2) with map-side partial counts; the unigram context table and
-    * the single-row vocabulary size are broadcast. Per-occurrence log
+    * (w1,w2) with map-side partial counts; the unigram table carries no
+    * broadcast hint (AQE broadcasts it when it is small, degrades to a
+    * shuffle join at web-corpus vocabularies); only the single-row
+    * vocabulary size is hint-broadcast. Per-occurrence log
     * terms are integer-scaled (see [[unigramEntropy]]) so every sum is
     * order-independent and the result replays bit-identically on any
     * engine.
@@ -483,9 +488,12 @@ object TextOps {
     val vocab = lmCorpus
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .agg(count_distinct(col("word")).as("vs"))
+    // no broadcast hints on the LM tables: at web-corpus vocabularies the
+    // unigram table is multi-GB and a forced broadcast OOMs, while AQE
+    // picks broadcast automatically whenever the built side is small
     val terms = bigrams(docs)
       .join(big, Seq("w1", "w2"), "left")
-      .join(broadcast(uni), Seq("w1"))
+      .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         expr("""cast(round(

@@ -23,6 +23,20 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup keeps exactly one row per content hash, even for duplicated doc_ids") {
+    // a corpus re-ingesting doc_id 1 twice (identical text): the grouped
+    // min_by dedup — and the oracle's GROUP BY md5(t) formulation — must
+    // both emit ONE survivor, not one per tied input row
+    val dup = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "a"),
+      (1L, "the quick brown fox jumps over the lazy dog again", "b"),
+      (2L, "an entirely different document with many unique tokens here", "a"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.curate(dup, minTokens = 3)
+    assert(out.count() === 2)
+    assert(out.where(col("doc_id") === 1L).count() === 1)
+  }
+
   test("no two survivors share identical normalized text") {
     val norm = TextOps.normalizeText(docs)
     val dup = curated.join(norm, "doc_id")

@@ -184,9 +184,11 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(dec.contains("BroadcastHashJoin"),
       s"benchmark n-grams must broadcast:\n$dec")
+    // LM tables carry no broadcast hint (AQE decides); only the scalar
+    // vocab count is hint-broadcast, and nothing may go cartesian
     val lm = TextOps.lmPerplexity(docs).queryExecution.sparkPlan.toString
-    assert(lm.contains("BroadcastHashJoin"),
-      s"unigram/vocab tables must broadcast:\n$lm")
+    assert(lm.contains("BroadcastNestedLoopJoin") && !lm.contains("CartesianProduct"),
+      s"vocab scalar must broadcast, no cartesian:\n$lm")
     val mix = TextOps.mixSources(docs, Map("src0" -> 0.25))
       .queryExecution.sparkPlan.toString
     assert(!mix.contains("Exchange"), s"mixSources must be row-local:\n$mix")
