@@ -472,8 +472,8 @@ object SparkEntry {
     "mix_sources" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE ('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,7))::BIGINT <
-        |  CASE WHEN source = 'src0' THEN CAST(268435456 * 0.25 AS BIGINT)
-        |       WHEN source = 'src1' THEN CAST(268435456 * 0.5 AS BIGINT)
+        |  CASE WHEN source = 'src0' THEN CAST(floor(268435456 * 0.25) AS BIGINT)
+        |       WHEN source = 'src1' THEN CAST(floor(268435456 * 0.5) AS BIGINT)
         |       ELSE 268435456 END""".stripMargin,
     "decontam" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks FROM documents

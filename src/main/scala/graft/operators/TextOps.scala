@@ -257,7 +257,10 @@ object TextOps {
     * and re-runs. The hash is salted with a `mix:` prefix so the keep
     * decision is independent of [[splitAssign]]'s unsalted hash — without
     * the salt, the mix sample would be correlated with the train/val/test
-    * assignment. Rates outside [0,1] clamp.
+    * assignment. Rates outside [0,1] clamp. The cutoff is
+    * floor(2^28 · rate) — an engine replaying the decision must FLOOR
+    * (DuckDB: `CAST(floor(268435456 * r) AS BIGINT)`; a bare CAST rounds
+    * and diverges on non-dyadic rates).
     */
   def mixSources(docs: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {
