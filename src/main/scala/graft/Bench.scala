@@ -77,7 +77,10 @@ object Bench {
     } catch { case _: Throwable => }
     // LAST line: compact and guaranteed to fit a 2000-char tail capture —
     // headline total + the slowest queries + pointer to the full artifact
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale (de_DE …) would emit 53,8 — malformed JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.filterNot(_._2.isNaN).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")

@@ -35,9 +35,13 @@ object Cdc {
     * that also has columns with those names still merges correctly.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(changes("key"))
-      .orderBy(changes("ts").desc, changes("seq").desc)
-    val latest = changes
+    // a malformed null-key change would form its own window partition,
+    // miss every base row in the full_outer join, and inject an all-null
+    // phantom row into the merged table — drop such rows up front
+    val ch = changes.where(changes("key").isNotNull)
+    val w = Window.partitionBy(ch("key"))
+      .orderBy(ch("ts").desc, ch("seq").desc)
+    val latest = ch
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn", "ts", "seq")

@@ -333,7 +333,17 @@ object Dedup {
       val spark = docs.sparkSession
       def less(x: Any, y: Any): Boolean = (x, y) match {
         case (a: java.lang.Number, b: java.lang.Number) => a.longValue < b.longValue
-        case (a: String, b: String) => a < b
+        case (a: String, b: String) =>
+          // match Spark's StringType ordering (UTF8String: unsigned UTF-8
+          // byte comparison), NOT Java's UTF-16 compareTo — they disagree
+          // on supplementary-plane characters, and the driver path must
+          // pick the same component minimum as the distributed min()
+          val (u, v) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var i = 0
+          while (i < u.length && i < v.length && u(i) == v(i)) i += 1
+          if (i < u.length && i < v.length) (u(i) & 0xff) < (v(i) & 0xff)
+          else u.length < v.length
         case _ => false
       }
       // union-find with min-root union + path compression: the root of

@@ -35,11 +35,16 @@ object Layout {
         .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
-  /** The same interleave as ANSI SQL (for oracles / other engines). */
-  def zValueSql(x: String, y: String, bits: Int = 16): String =
+  /** The same interleave as ANSI SQL (for oracles / other engines). The
+    * 64-bit cast mirrors [[zValue]]'s `cast("long")`: without it a 32-bit
+    * column overflows the high shifts (DuckDB raises, Spark wraps).
+    */
+  def zValueSql(x: String, y: String, bits: Int = 16): String = {
+    val (xl, yl) = (s"CAST($x AS BIGINT)", s"CAST($y AS BIGINT)")
     (0 until bits).flatMap { i =>
-      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+      Seq(s"((($xl >> $i) & 1) << ${2 * i})", s"((($yl >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(", " | ", ")")
+  }
 
   /** Rewrite `df` clustered on the z-order of (xCol, yCol): range-
     * partition on the z-value (each output file owns a contiguous z

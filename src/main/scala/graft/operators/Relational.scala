@@ -388,9 +388,11 @@ object Relational {
     * independent executions of the exchange can pick different
     * boundaries — correctness would otherwise hinge on exchange reuse
     * staying enabled. The barrier makes boundary agreement structural
-    * (and the second pass a cache read instead of a rescan). Blocks stay
-    * subject to LRU eviction; callers holding the result long-term can
-    * `.unpersist()` the input lineage once materialized.
+    * (and the second pass a cache read instead of a rescan). The pinned
+    * frame is internal — the returned plan reads it, so there is no safe
+    * unpersist point inside this function; blocks stay subject to LRU
+    * eviction. Long-lived sessions invoking this repeatedly should wrap
+    * it in the release-hook pattern of `Dedup.resolveClustersReleasable`.
     */
   def globalIndex(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism

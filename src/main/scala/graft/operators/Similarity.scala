@@ -372,7 +372,11 @@ object Similarity {
     val subDim = dims / m
     // train once: the codebook feeds BOTH the corpus encoding and the
     // query LUT; persist+count the (m x codes)-row table so the seed +
-    // Lloyd aggregation runs a single time per query
+    // Lloyd aggregation runs a single time per query. The pinned frame is
+    // tiny (m x codes rows) and read by the returned plan, so there is no
+    // safe unpersist point here; blocks stay subject to LRU eviction —
+    // long-lived sessions can train once via pqCodebooks and use the
+    // prebuilt-codebook path instead
     val cb = pqCodebooks(embeddings, dims, m, codes).persist()
     cb.count()
     val enc = pqEncodeWith(embeddings, cb, dims, m)
@@ -412,7 +416,9 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), col("cid"))).getField("cid").as("cid"))
     // PQ codes per corpus vector, carrying the cell assignment; the
-    // codebook trains once (persist+count) and feeds encode + LUT
+    // codebook trains once (persist+count) and feeds encode + LUT — same
+    // pinned-tiny-frame contract as pqTopK (no safe unpersist point;
+    // LRU-evictable; prebuilt-codebook path for long-lived sessions)
     val cb = pqCodebooks(embeddings, dims, m, codes).persist()
     cb.count()
     val enc = pqEncodeWith(embeddings, cb, dims, m).join(assignedCell, "vec_id")

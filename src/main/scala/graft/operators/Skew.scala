@@ -37,21 +37,24 @@ object Skew {
     * aggregation in the same stage, or a non-shuffle join input).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, rowId: Option[Column] = None): DataFrame = {
     // collision-checked salt column name: never shadow a user column
     val saltCol = (Iterator.single("_graft_salt") ++
       Iterator.from(1).map(i => s"_graft_salt$i"))
       .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
-    // the salt must split ROWS of a hot key, so it hashes the whole row,
-    // not the join key — and mixes in a per-row id, because the common
-    // skew case is a hot key whose rows are FULL duplicates (row-content
-    // hash alone would send them all to one bucket again).
-    // monotonically_increasing_id is not reproducible across runs, but
-    // the salt only decides row PLACEMENT: the join RESULT is
-    // salt-invariant, so determinism of the output is unaffected.
+    // The salt must be a DETERMINISTIC function of the row: it becomes part
+    // of the shuffle key, and a nondeterministic component (e.g.
+    // monotonically_increasing_id) re-evaluates differently when a fetch
+    // failure re-runs part of the map stage — reducers would then see rows
+    // migrate between (key, salt) partitions mid-job and the join could
+    // drop or duplicate rows (the SPARK-23207 class of bug). Default salt =
+    // hash of the whole row, which splits a hot key's DISTINCT rows; a hot
+    // key whose rows are full duplicates still lands in one bucket, so
+    // callers with such data should pass `rowId` — any deterministic
+    // per-row column (ingest offset, primary key) — to spread them.
     val salted = big.withColumn(saltCol,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*)
-        + monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64((big.columns.map(col) ++ rowId).toIndexedSeq: _*),
+        lit(buckets.toLong)).cast("int"))
     val replicated = small.crossJoin(
       small.sparkSession.range(buckets).select(col("id").cast("int").as(saltCol)))
     salted.join(replicated, Seq(key, saltCol)).drop(saltCol)

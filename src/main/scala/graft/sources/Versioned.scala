@@ -41,16 +41,24 @@ object Versioned {
     }
   }
 
-  /** All committed snapshot versions on disk, ascending. */
+  /** All committed snapshot versions on disk, ascending. Directories above
+    * the committed pointer are a writer's in-flight (or abandoned) data —
+    * invisible until its pointer swap — so they are excluded: readers
+    * enumerating versions for time travel must never see a torn snapshot.
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val r = new Path(root)
     if (!fs.exists(r)) Seq.empty
-    else fs.listStatus(r).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
-      .sorted
+    else {
+      val committed = latestVersion(spark, root).getOrElse(-1L)
+      fs.listStatus(r).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong)
+        .filter(_ <= committed)
+        .sorted
+    }
   }
 
   /** Commit `df` as the next snapshot and return its version number.

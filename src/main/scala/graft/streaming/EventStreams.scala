@@ -73,7 +73,12 @@ object EventStreams {
       changes: DataFrame, key: String, stateDir: String,
       checkpointDir: String): Unit = {
     import graft.sources.Versioned
-    Versioned.commit(base, stateDir)
+    // seed the state table ONLY on first start: on a checkpoint restart the
+    // latest snapshot already contains every applied batch, and re-committing
+    // the original base would silently discard them (AvailableNow skips
+    // checkpointed batches, so nothing would replay the lost merges)
+    if (Versioned.latestVersion(spark, stateDir).isEmpty)
+      Versioned.commit(base, stateDir)
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val cur = Versioned.read(spark, stateDir)

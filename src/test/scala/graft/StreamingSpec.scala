@@ -272,6 +272,15 @@ class StreamingSpec extends SparkSpec {
     val out = graft.sources.Versioned.read(spark, s"$dir/state")
       .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
     assert(out === Seq((1L, 11.0), (3L, 30.0)))
+    // restart with the same checkpoint: the seed commit must NOT rerun
+    // (it would reset the state table and silently discard the merges;
+    // AvailableNow skips the already-checkpointed batch so nothing would
+    // replay them)
+    EventStreams.cdcApply(spark, base, mem.toDF().toDF("key", "op", "ts", "seq", "bal"),
+      "id", s"$dir/state", s"$dir/ckpt")
+    val after = graft.sources.Versioned.read(spark, s"$dir/state")
+      .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(after === Seq((1L, 11.0), (3L, 30.0)), "restart must preserve applied changes")
     // the base snapshot is still readable: time travel to v0
     val v0 = graft.sources.Versioned.read(spark, s"$dir/state", Some(0L))
       .select("id", "bal").as[(Long, Double)].collect().sortBy(_._1).toSeq
