@@ -54,6 +54,7 @@ object SparkEntry {
     // domain-mixing pair: per-source KL from the corpus distribution, and
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
+    "dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
     "mix_sources" -> ((s, d) =>
       TextOps.mixSources(Tables.documents(s, d),
         Map("src0" -> 0.25, "src1" -> 0.5))
@@ -469,6 +470,16 @@ object SparkEntry {
         |  FROM ns JOIN corpus USING (word) CROSS JOIN t)
         |SELECT source, CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS kl_bits
         |FROM terms GROUP BY source""".stripMargin,
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |           WHERE len(string_split_regex(text, '\s+')) >= 8),
+        |sp AS (SELECT doc_id,
+        |         ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS h
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-7)) AS i
+        |             FROM t)),
+        |c AS (SELECT h, count(*) AS c FROM sp GROUP BY h HAVING count(*) > 1)
+        |SELECT doc_id, count(*) AS n_spans, count(c.c) AS n_dup_spans
+        |FROM sp LEFT JOIN c USING (h) GROUP BY doc_id""".stripMargin,
     "mix_sources" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE ('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,7))::BIGINT <

@@ -218,6 +218,33 @@ object TextOps {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
 
+  /** Cross-document duplicated-span signal: for each document, how many of
+    * its k-token spans (every position, NOT distinct) occur more than once
+    * in the whole corpus — the span-level dedup diagnostic (the
+    * cross-corpus complement of [[repetitionSignals]], which is
+    * within-document). Counts are pure integers, so the oracle replays
+    * with zero FP risk.
+    *
+    * Scale shape: spans carry a 60-bit portable hash, not the text — the
+    * span-count aggregation shuffles hash-width rows with map-side
+    * combine, and the duplicated-hash table (small when duplication is
+    * rare, the normal case) joins back un-hinted so AQE broadcasts it when
+    * it can and degrades to a shuffle join on a pathological corpus.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .as("g"))
+      .select(col("doc_id"), Dedup.portableHash64(col("g")).as("h"))
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1)
+    spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("c")).as("n_dup_spans"))
+  }
+
   /** Per-source KL divergence from the corpus token distribution (bits):
     * `KL(source ‖ corpus) = Σ_w p_s(w) · log2(p_s(w)/p_c(w))` — the
     * domain-mixing diagnostic: sources far from the corpus mix dominate or

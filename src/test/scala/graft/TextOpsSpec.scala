@@ -194,6 +194,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!mix.contains("Exchange"), s"mixSources must be row-local:\n$mix")
   }
 
+  test("duplicatedSpans flags only cross-corpus repeated k-token spans") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight tail1"),
+      (2L, "one two three four five six seven eight tail2"), // shares the 8-span
+      (3L, "totally different words in this document here now")
+    ).toDF("doc_id", "text")
+    val got = TextOps.duplicatedSpans(d).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // docs 1/2: 2 spans each, only the first ("one..eight") is shared
+    assert(got === Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
+  }
+
   test("corpus-filter invariants hold across the fixture corpus") {
     val docs = Tables.documents(spark, sfDir)
     // fractions live in [0,1]; a top bigram always exists
