@@ -145,9 +145,10 @@ object SparkEntry {
       Similarity.pqTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
     // multimodal plumbing end-to-end on fixture data (payload = text
-    // bytes; codec is the documented deterministic stub, whose JVM
-    // wrap-around hash has no SQL replay → rows-only check; features
-    // projected through xxhash64 so the checker can sort them)
+    // bytes, which javax.imageio rejects → the deterministic md5 stub
+    // path runs; its features are (h % 1000003)/1000003 with the modulus
+    // < 2^24, so scaling back to integer space recovers the hash residues
+    // exactly and DuckDB replays the digest from the raw text)
     "media_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val media = Multimodal.fromBinary(
@@ -156,7 +157,9 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"),
           size(col("features")).as("n_dims"),
-          xxhash64(col("features")).as("f_hash"))
+          expr("aggregate(features, 0L, (acc, x) -> " +
+            "acc + cast(round(cast(x as double) * 1000003) as bigint))")
+            .as("f_digest"))
     }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
@@ -1277,6 +1280,14 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY adc DESC, nbr_id) AS rnk
         |  FROM sc) t
         |WHERE rnk <= 5""".stripMargin,
+    // media_features: the stub codec path is the portable md5 scheme, so
+    // DuckDB replays the integer feature digest from the raw text bytes
+    // (feature d's residue = md5_60bit(text || ':' || d) % 1000003).
+    "media_features" ->
+      """SELECT d.doc_id AS media_id, 'image' AS kind, 16 AS n_dims,
+        |  CAST(sum(('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003) AS BIGINT) AS f_digest
+        |FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+        |GROUP BY 1""".stripMargin,
     // approx_distinct: HLL sketch internals have no DuckDB equivalent —
     // intentionally no SQL oracle (rows-only check).
   )

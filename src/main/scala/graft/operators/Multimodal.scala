@@ -6,12 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages
-  * whose Spark-side plumbing (schema, batch shape, partitioning) is real
-  * while the codec itself is STUBBED — the actual image/audio libraries are
-  * not available in this environment, so `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. Swap
-  * [[MediaCodec.decode]] for a real codec (JNI/FFI) without touching any
-  * plan structure.
+  * whose Spark-side plumbing (schema, batch shape, partitioning) is real.
+  * Images decode for REAL through `javax.imageio` (in the JDK); audio/video
+  * codecs are not available in this environment, so those payloads — and
+  * undecodable images — fall through to a deterministic md5-derived stub
+  * feature vector that an external SQL engine can replay. Swap in a fuller
+  * codec (JNI/FFI) behind [[MediaCodec.decode]] without touching any plan
+  * structure.
   *
   * North-star scope (no analog in the reference — its records are newline
   * text, SURVEY.md §1). Design notes for 100 TB:
@@ -34,40 +35,131 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
-  /** The stubbed codec boundary. A real deployment replaces `decode` with
-    * an actual decoder; everything else in this module is production
-    * plumbing.
+  /** The codec boundary. Images decode for REAL through `javax.imageio`
+    * (pure JDK — no external libraries needed); audio/video stay STUBBED
+    * because their codecs are not available in this environment. Payloads
+    * that fail to decode fall back to a deterministic md5-derived
+    * pseudo-feature vector, which keeps the whole pipeline replayable by an
+    * external SQL engine (the same portability contract as
+    * [[graft.operators.Dedup.portableHash64]]).
     */
   object MediaCodec {
     val featureDim = 16
 
-    /** STUB: deterministic fake "decode + feature extract" — hashes the
-      * payload into a fixed-dim pseudo-feature vector. Real codec goes
-      * here (`???` semantics, made deterministic so tests can assert).
+    /** Modulus for the stub features — features are `h % FeatureMod /
+      * FeatureMod`, and `FeatureMod < 2^24` keeps the scaled-back integer
+      * exactly recoverable from the Float (so a SQL oracle can replay an
+      * integer digest of the vector without emulating float32 rounding).
       */
-    def decode(payload: Array[Byte]): Array[Float] = {
+    val FeatureMod = 1000003L
+
+    /** Real image decode via `javax.imageio`. Returns null when the payload
+      * is not a decodable image (wrong magic bytes, truncated stream) —
+      * callers fall back to [[stubFeatures]].
+      */
+    def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+      if (payload == null) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+
+    /** Decode + feature-extract. `kind == "image"` attempts the real
+      * decoder first; everything else (and undecodable images) takes the
+      * deterministic stub path.
+      */
+    def decode(payload: Array[Byte], kind: String): Array[Float] = {
+      if (kind == "image") {
+        val img = readImage(payload)
+        if (img != null) return imageFeatures(img)
+      }
+      stubFeatures(payload)
+    }
+
+    /** Real features for decoded images: a 4×4 grid of mean luminance
+      * (Rec.601 weights) in [0,1] — a minimal but genuine visual
+      * descriptor computed from actual pixels.
+      */
+    def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      val w = img.getWidth
+      val h = img.getHeight
+      var gy = 0
+      while (gy < 4) {
+        var gx = 0
+        while (gx < 4) {
+          val x0 = gx * w / 4
+          val x1 = math.min(math.max((gx + 1) * w / 4, x0 + 1), w)
+          val y0 = gy * h / 4
+          val y1 = math.min(math.max((gy + 1) * h / 4, y0 + 1), h)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)) / 255.0
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(gy * 4 + gx) = if (n == 0) 0f else (sum / n).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
+    /** STUB fallback for codecs this environment lacks: feature `d` is
+      * `md5_60bit(payload ++ ":d") % FeatureMod / FeatureMod` — the
+      * portable 60-bit md5 scheme, so an external engine replays the
+      * vector from the raw bytes (DuckDB:
+      * `('0x'||substr(md5(s || ':' || d),1,15))::BIGINT % 1000003`).
+      */
+    def stubFeatures(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       if (payload != null) {
-        var h = 1125899906842597L
-        var i = 0
-        while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
         var d = 0
         while (d < featureDim) {
-          val x = h ^ (0x9e3779b97f4a7c15L * (d + 1))
-          out(d) = ((x % 1000003L).toFloat / 1000003f)
+          val suffix = (":" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val buf = java.util.Arrays.copyOf(payload, payload.length + suffix.length)
+          System.arraycopy(suffix, 0, buf, payload.length, suffix.length)
+          out(d) = (graft.functions.PortableMd5.hash64(buf) % FeatureMod).toFloat / FeatureMod
           d += 1
         }
       }
       out
     }
 
-    /** STUB: deterministic fake "re-encode at new dimensions" — truncates /
-      * zero-pads bytes where a real codec would resample pixels. Real
-      * resize goes here.
+    /** Re-encode at new dimensions. Decodable images resample for real
+      * (Graphics2D bilinear draw, re-encoded as PNG); anything else keeps
+      * the deterministic stub truncation so the plan shape stays testable
+      * for audio/video.
       */
-    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    def resize(payload: Array[Byte], width: Int, height: Int, kind: String = ""): Array[Byte] = {
+      if (kind == "image") {
+        val img = readImage(payload)
+        if (img != null) {
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          return bos.toByteArray
+        }
+      }
       if (payload == null) null
       else java.util.Arrays.copyOf(payload, math.max(1, (width * height) / 64))
+    }
   }
 
   /** Wrap raw media rows into the canonical schema (payload + metadata). */
@@ -91,13 +183,14 @@ object Multimodal {
       media.schema.fields.filterNot(_.name == "payload") :+
         StructField("features", ArrayType(FloatType, containsNull = false)))
     val payloadIdx = media.schema.fieldIndex("payload")
+    val kindIdx = media.schema.fieldIndex("kind")
     val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
     implicit val enc = Encoders.row(outSchema)
     media.mapPartitions { rows =>
       // per-partition codec init would happen here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val features = MediaCodec.decode(payload)
+        val features = MediaCodec.decode(payload, r.getString(kindIdx))
         Row.fromSeq(keepIdx.map(r.get) :+ features.toSeq)
       }
     }
@@ -121,7 +214,7 @@ object Multimodal {
       rows.map { r =>
         Row.fromSeq(schema.fields.indices.map {
           case i if i == payloadIdx =>
-            MediaCodec.resize(r.getAs[Array[Byte]](payloadIdx), width, height)
+            MediaCodec.resize(r.getAs[Array[Byte]](payloadIdx), width, height, "image")
           case i if i == widthIdx => width
           case i if i == heightIdx => height
           case i => r.get(i)

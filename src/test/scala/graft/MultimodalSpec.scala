@@ -65,6 +65,65 @@ class MultimodalSpec extends SparkSpec {
     assert(top1(2L) === ((5L, 1.0)) && top1(5L) === ((2L, 1.0)))
   }
 
+  private def pngBytes(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode round-trip: imageFeatures reflect actual pixels") {
+    // left half black, right half white → grid columns 0,1 dark / 2,3 bright
+    val png = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val df = Seq((1L, png)).toDF("id", "bytes")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .select("features").as[Seq[Float]].head()
+    assert(feats.length === Multimodal.MediaCodec.featureDim)
+    for (row <- 0 until 4) {
+      assert(feats(row * 4) < 0.01f && feats(row * 4 + 1) < 0.01f,
+        s"left cells of row $row should be black: $feats")
+      assert(feats(row * 4 + 2) > 0.99f && feats(row * 4 + 3) > 0.99f,
+        s"right cells of row $row should be white: $feats")
+    }
+  }
+
+  test("resize on a real PNG re-encodes at the new dimensions") {
+    val png = pngBytes(64, 64)((x, y) => if ((x + y) % 2 == 0) 0xff0000 else 0x00ff00)
+    val out = Multimodal.MediaCodec.resize(png, 8, 8, "image")
+    val back = Multimodal.MediaCodec.readImage(out)
+    assert(back != null && back.getWidth === 8 && back.getHeight === 8)
+  }
+
+  test("stub features replay the portable md5 formula (oracle contract)") {
+    val payload = "payload-one".getBytes("UTF-8")
+    val feats = Multimodal.MediaCodec.stubFeatures(payload)
+    val residues = (0 until Multimodal.MediaCodec.featureDim).map { d =>
+      graft.functions.PortableMd5.hash64(s"payload-one:$d".getBytes("UTF-8")) %
+        Multimodal.MediaCodec.FeatureMod
+    }
+    for (d <- residues.indices)
+      assert(feats(d) === residues(d).toFloat / Multimodal.MediaCodec.FeatureMod)
+    // the integer digest round-trips through the Float exactly — the
+    // media_features oracle depends on this
+    val digest = feats.map(x => math.round(x.toDouble * 1000003)).sum
+    assert(digest === residues.sum)
+  }
+
+  test("mixed corpus: images decode real, non-images fall back to stub") {
+    val png = pngBytes(16, 16)((_, _) => 0x808080)
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    // gray image → all cells ≈ 128/255
+    assert(feats(1L).forall(f => math.abs(f - 128f / 255f) < 0.01f))
+    assert(feats(2L) === Multimodal.MediaCodec.stubFeatures("not an image".getBytes("UTF-8")).toSeq)
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
