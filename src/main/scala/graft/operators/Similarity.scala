@@ -210,18 +210,31 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
-  /** Exact all-pairs cosine near-duplicates above `minSim`: the
-    * brute-force complement to [[lshNearPairs]] — O(n²) pairs but each
-    * scored by the codegen'd native dot product, and one side broadcast so
-    * the other streams. Use the LSH/IVF paths beyond ~10⁵ vectors.
+  /** All-pairs cosine near-duplicates above `minSim` — adaptive. At or
+    * below `maxBroadcastRows` vectors it runs the exact O(n²) plan: each
+    * pair scored by the codegen'd native dot product, one side broadcast so
+    * the other streams (a count-guarded choice, same pattern as
+    * `Dedup.resolveClusters`: the broadcast payload itself OOMs executors
+    * long before n² compute hurts, so the exact path must be provably
+    * small). Beyond the guard it delegates to [[lshNearPairs]] at the same
+    * `minSim` verify threshold — candidates come from banded buckets
+    * instead of exhaustive enumeration (multi-table any-of recall), and
+    * every emitted pair is still exact-cosine verified.
     */
-  def cosNearPairs(embeddings: DataFrame, minSim: Double = 0.5): DataFrame = {
+  def cosNearPairs(embeddings: DataFrame, minSim: Double = 0.5,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
     val p = prepared(embeddings)
-    p.as("x")
-      .join(broadcast(p.as("y")), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
-      .where(col("sim") >= minSim)
+    val guard = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    if (p.limit(guard).count() <= maxBroadcastRows) {
+      p.as("x")
+        .join(broadcast(p.as("y")), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+        .where(col("sim") >= minSim)
+    } else {
+      val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+      lshNearPairs(embeddings, dims, minSim)
+    }
   }
 
   /** Deterministic, engine-portable hyperplane weights: plane i, dim d

@@ -121,6 +121,26 @@ class SimilaritySpec extends SparkSpec {
       s"nested-loop join in LSH plan:\n$plan")
   }
 
+  test("cosNearPairs below the guard keeps the exact broadcast plan") {
+    val small = Similarity.cosNearPairs(emb, minSim = 0.99)
+    val plan = small.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"small input should take the exact broadcast path:\n$plan")
+    assert(small.select("a", "b").as[(Long, Long)].collect().toSet === Set((0L, 1L)))
+  }
+
+  test("cosNearPairs above the guard delegates to LSH — no broadcast NL join") {
+    val adaptive = Similarity.cosNearPairs(emb, minSim = 0.99, maxBroadcastRows = 3)
+    val plan = adaptive.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"guarded path must not broadcast the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in guarded plan:\n$plan")
+    // same rows as calling the LSH path directly (dims inferred from data)
+    val viaLsh = Similarity.lshNearPairs(emb, dims = 2, minSim = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(adaptive.as[(Long, Long, Double)].collect().toSet === viaLsh)
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")
