@@ -3,12 +3,16 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Minimal versioned parquet table: every write lands in a fresh
-  * `v=N` snapshot directory and becomes visible only when a one-line
-  * pointer file is atomically renamed into place — readers either see the
-  * previous complete snapshot or the new complete snapshot, never a
-  * half-written directory. Old snapshots stay readable (time travel)
-  * until vacuumed.
+/** Minimal versioned parquet table with concurrent-writer-safe commits:
+  * every write lands in a fresh `v=N` snapshot directory that the writer
+  * first CLAIMS via create-fails-if-exists (colliding writers bump to the
+  * next free version and retry), and the snapshot becomes visible only
+  * when a `_COMMITTED` marker lands inside it after all data files are
+  * closed. Readers resolve "latest" by scanning for the highest marked
+  * directory — there is no shared mutable pointer at all, so there is no
+  * pointer-swap gap to race through and no way for a slow writer to
+  * regress the table: each writer touches only its own claimed directory.
+  * Old snapshots stay readable (time travel) until vacuumed.
   *
   * This is the smallest useful slice of a transactional table format,
   * built on nothing but a Hadoop `FileSystem`: the reference's
@@ -17,81 +21,96 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * no atomicity or history at all; a 100 TB pipeline needs both (a failed
   * CDC apply must not corrupt the serving table, and training runs need
   * to pin the exact snapshot they read). At cluster scale the same
-  * protocol holds on any FS with atomic rename; on object stores swap the
-  * pointer rename for a conditional put.
+  * protocol holds on any FS with atomic exclusive-create; on object
+  * stores swap the claim for a conditional put. Resolving latest is one
+  * directory listing plus one marker probe per snapshot — bounded
+  * metadata, kept small by [[vacuum]].
   *
-  * Layout: `<root>/v=<N>/...parquet`, `<root>/_latest` containing `N`.
+  * Layout: `<root>/v=<N>/{_CLAIM,_COMMITTED,...parquet}`. A directory
+  * with a claim but no marker is a writer's in-flight (or abandoned)
+  * snapshot — invisible to readers.
   */
 object Versioned {
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(root: String) = new Path(root, "_latest")
+  private def claimPath(root: String, v: Long) = new Path(root, s"v=$v/_CLAIM")
+
+  private def markerPath(root: String, v: Long) = new Path(root, s"v=$v/_COMMITTED")
 
   /** Current committed version, if any. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
-    val fs = fsOf(spark, root)
-    val p = pointer(root)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
 
-  /** All committed snapshot versions on disk, ascending. Directories above
-    * the committed pointer are a writer's in-flight (or abandoned) data —
-    * invisible until its pointer swap — so they are excluded: readers
-    * enumerating versions for time travel must never see a torn snapshot.
+  /** All committed snapshot versions on disk, ascending — a snapshot is
+    * committed iff its `_COMMITTED` marker exists, so readers enumerating
+    * versions for time travel never see a torn snapshot.
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val r = new Path(root)
     if (!fs.exists(r)) Seq.empty
-    else {
-      val committed = latestVersion(spark, root).getOrElse(-1L)
+    else
       fs.listStatus(r).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong)
-        .filter(_ <= committed)
+        .filter(v => fs.exists(markerPath(root, v)))
         .sorted
-    }
   }
 
   /** Commit `df` as the next snapshot and return its version number.
-    * Write order guarantees atomic visibility: data first (invisible —
-    * no pointer references it), then the pointer via write-temp +
-    * atomic rename.
+    * Concurrency: the claim file is created with overwrite=false —
+    * atomic exclusive-create — so exactly one writer owns each version
+    * number; losers bump and retry on the next number. Data is written
+    * into the claimed directory (append mode, so the claim survives) and
+    * the `_COMMITTED` marker goes last, making the snapshot visible only
+    * once complete. Two concurrent committers both succeed with distinct,
+    * monotonically increasing versions and neither's data is orphaned.
     */
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
-    val next = latestVersion(spark, root).getOrElse(-1L) + 1L
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
-    val tmp = new Path(root, s"_latest.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // rename onto the pointer (delete-then-rename: HDFS rename won't
-    // overwrite; the delete+rename pair is the standard pointer swap and
-    // readers retry through the sub-millisecond gap)
-    fs.delete(pointer(root), false)
-    if (!fs.rename(tmp, pointer(root)))
-      throw new java.io.IOException(s"pointer swap failed for $root v=$next")
+    var next = latestVersion(spark, root).getOrElse(-1L) + 1L
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(claimPath(root, next), false).close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          // lost the claim race (or a crashed writer holds this number):
+          // move to the next free version; anything else is a real error
+          attempts += 1
+          if (!fs.exists(claimPath(root, next)) || attempts > 10000) throw e
+          next += 1
+      }
+    }
+    df.write.mode("append").parquet(s"$root/v=$next")
+    fs.create(markerPath(root, next), true).close()
     next
   }
 
-  /** Read the latest snapshot, or a pinned `version` for time travel. */
+  /** Read the latest snapshot, or a pinned `version` for time travel.
+    * Pinned reads require a committed snapshot — a claimed-but-unmarked
+    * directory is in-flight and must not be readable.
+    */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed version under $root"))
+    if (!fsOf(spark, root).exists(markerPath(root, v)))
+      throw new java.util.NoSuchElementException(s"version $v not committed under $root")
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Drop all snapshots older than `keep` versions behind latest.
-    * Returns the removed versions.
+  /** Drop all committed snapshots older than `keep` versions behind
+    * latest. Returns the removed versions. Claimed-but-unmarked
+    * directories are deliberately left alone — a low-numbered claim may
+    * belong to a slow writer still mid-write, and deleting under it would
+    * tear its eventual commit; abandoned claims cost only their partial
+    * bytes and are safe to remove manually once provably dead.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val fs = fsOf(spark, root)

@@ -38,12 +38,52 @@ class VersionedSpec extends SparkSpec {
   test("a failed write between snapshots leaves the old snapshot serving") {
     val root = Files.createTempDirectory("graft_versioned2").toString + "/t"
     Versioned.commit(Seq((1, 10.0)).toDF("k", "x"), root)
-    // simulate a writer that died after writing data but BEFORE the
-    // pointer swap: an uncommitted v=1 directory appears
+    // simulate a writer that died after writing data but BEFORE its
+    // _COMMITTED marker landed: an unmarked v=99 directory appears
     Seq((2, 20.0)).toDF("k", "x").write.parquet(s"$root/v=99")
-    // readers still see v0 — the pointer never moved
+    // readers still see v0 — the torn snapshot has no marker
     assert(Versioned.latestVersion(spark, root) === Some(0L))
     assert(Versioned.read(spark, root).as[(Int, Double)].collect().toSeq
       === Seq((1, 10.0)))
+    // pinning the torn snapshot is refused, not silently read
+    intercept[java.util.NoSuchElementException] {
+      Versioned.read(spark, root, Some(99L))
+    }
+  }
+
+  test("two concurrent committers: distinct versions, both retained, no lost update") {
+    val root = Files.createTempDirectory("graft_versioned3").toString + "/t"
+    Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
+    // both writers start from latest=0 and race for v=1 — the exclusive
+    // claim forces the loser onto v=2; neither overwrites the other
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() =>
+        results.add(Versioned.commit(Seq((1, tag)).toDF("k", "v"), root)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSeq.map(_.toLong).sorted
+    assert(got === Seq(1L, 2L), s"committers must land distinct versions: $got")
+    assert(Versioned.versions(spark, root) === Seq(0L, 1L, 2L))
+    // both snapshots are retained and readable (no orphaned data)
+    val tags = Seq(1L, 2L).map(v =>
+      Versioned.read(spark, root, Some(v)).as[(Int, String)].head()._2).toSet
+    assert(tags === Set("left", "right"))
+    assert(Versioned.latestVersion(spark, root) === Some(2L))
+  }
+
+  test("a claim race loser bumps past a crashed writer's burned version") {
+    val root = Files.createTempDirectory("graft_versioned4").toString + "/t"
+    Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
+    // a crashed writer claimed v=1 and died before writing anything
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "v=1/_CLAIM"), false).close()
+    // the next commit skips the burned number
+    assert(Versioned.commit(Seq((1, "next")).toDF("k", "v"), root) === 2L)
+    assert(Versioned.latestVersion(spark, root) === Some(2L))
+    assert(Versioned.versions(spark, root) === Seq(0L, 2L))
   }
 }
