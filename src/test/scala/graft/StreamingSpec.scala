@@ -256,6 +256,76 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  // ── batch-parity harness: each streaming op runs with
+  // Trigger.AvailableNow over the STATIC events fixture and must produce
+  // exactly its batch twin's frame — the hard-check for ops DuckDB cannot
+  // replay (watermarked streams have no SQL oracle) ──
+
+  /** Round-trip `df` through parquet → readStream → `f` → memory sink,
+    * processing everything with AvailableNow, and return the sink table.
+    */
+  private def streamed(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_parity_$name").toString
+    df.write.parquet(s"$dir/in")
+    val q = f(spark.readStream.schema(df.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("batch parity: tumblingCounts (AvailableNow) equals hourlyRollup") {
+    val got = streamed(Tables.events(spark, sfDir), "parity_tumbling", "complete")(
+      EventStreams.tumblingCounts(_, "1 hour", "2 hours"))
+      .select(unix_seconds(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val want = graft.operators.EventOps.hourlyRollup(spark, sfDir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("batch parity: sessionWindows rollup (AvailableNow) equals sessionize") {
+    val perUser = streamed(Tables.events(spark, sfDir), "parity_sessions", "complete")(
+      EventStreams.sessionWindows(_, gap = "30 minutes"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_session_events"),
+        sum("n_events").as("n_events_total"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.EventOps.sessionize(spark, sfDir, gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(perUser === want)
+  }
+
+  test("batch parity: dedupStream (AvailableNow) equals batch dropDuplicates") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val duplicated = events.union(events) // every id arrives twice
+    val got = streamed(duplicated, "parity_dedup", "append")(
+      EventStreams.dedupStream(_, watermark = "1 hour"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = duplicated.dropDuplicates("event_id")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("batch parity: cdcApply (AvailableNow) equals one-shot mergeUpsert") {
+    val base = Tables.customer(spark, sfDir)
+    val changes = graft.operators.Cdc.customerChanges(Tables.orders(spark, sfDir))
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity_cdc").toString
+    changes.coalesce(1).write.parquet(s"$dir/changes")
+    EventStreams.cdcApply(spark, base,
+      spark.readStream.schema(changes.schema).parquet(s"$dir/changes"),
+      "c_custkey", s"$dir/state", s"$dir/ckpt")
+    val got = graft.sources.Versioned.read(spark, s"$dir/state")
+    val want = graft.operators.Cdc.mergeUpsert(base, changes, "c_custkey")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming CDC apply must reproduce the batch merge exactly")
+  }
+
   test("cdcApply maintains a keyed table from a change stream") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
