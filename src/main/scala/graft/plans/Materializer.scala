@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The reference's key is unsound under changed inputs (SURVEY.md §7.4): it
   * never looks at input *content*. Here the cache key fingerprints the
-  * operator name, its normalized parameters, AND an input snapshot (path,
-  * length, modification time of every input file), so a changed input is a
+  * code version ([[codeVersion]]), the operator name, its normalized
+  * parameters, AND an input snapshot (path, length, modification time of
+  * every input file), so a changed input — or an upgraded library — is a
   * miss, never a stale replay.
   *
   * Storage is parquet under `cacheDir/<fingerprint>` — works on any Hadoop
@@ -26,7 +27,46 @@ object Materializer {
 
   final case class CacheKey(op: String, params: Map[String, String], inputPaths: Seq[String])
 
-  /** Stable hex fingerprint of (op, params, input snapshot). */
+  /** Fingerprint of the CODE that computes operators, mixed into every
+    * cache key: SURVEY.md §7.4 requires the Icache key to capture "app
+    * version + input content", and without it upgrading the library would
+    * silently serve results materialized by an operator whose semantics
+    * have since changed. Derived from the classpath entry this class was
+    * loaded from — a rebuilt jar (name, length, mtime) or recompiled
+    * classes directory (file count + newest class mtime) is a different
+    * version. Deployments with a real release stamp can override via the
+    * `graft.cache.version` system property (re-read on every call, so a
+    * long-lived session can be repointed).
+    */
+  def codeVersion: String =
+    sys.props.getOrElse("graft.cache.version", buildFingerprint)
+
+  private lazy val buildFingerprint: String = {
+    val src = getClass.getProtectionDomain.getCodeSource
+    if (src == null || src.getLocation == null) "unversioned"
+    else {
+      val f = new java.io.File(src.getLocation.toURI)
+      if (f.isFile) s"${f.getName}|${f.length}|${f.lastModified}"
+      else if (f.isDirectory) {
+        // dev classes dir: newest class-file mtime + count — one walk,
+        // cached for the JVM lifetime (a recompile means a new JVM)
+        val walk = java.nio.file.Files.walk(f.toPath)
+        try {
+          var n = 0L
+          var newest = 0L
+          walk.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) {
+              n += 1
+              newest = math.max(newest, p.toFile.lastModified)
+            }
+          }
+          s"${f.getName}|$n|$newest"
+        } finally walk.close()
+      } else "unversioned"
+    }
+  }
+
+  /** Stable hex fingerprint of (code version, op, params, input snapshot). */
   def fingerprint(spark: SparkSession, key: CacheKey): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val snapshot = key.inputPaths.sorted.flatMap { p =>
@@ -46,7 +86,8 @@ object Materializer {
       } else Seq(s"$p|missing")
     }
     val material =
-      (Seq(key.op) ++ key.params.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ snapshot)
+      (Seq(s"code=$codeVersion", key.op) ++
+        key.params.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ snapshot)
         .mkString("\n")
     MessageDigest.getInstance("MD5").digest(material.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

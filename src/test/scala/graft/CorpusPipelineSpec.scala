@@ -53,6 +53,57 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(survivorDocs).count() === 0L)
   }
 
+  test("curateIncremental: cache hit on unchanged input, append-only recompute") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_curate").toString
+    val docsDir = s"$base/docs"
+    val cacheDir = s"$base/cache"
+    // seed corpus: write a deterministic slice of the fixture docs
+    val seed = docs.where(col("doc_id") < 400)
+    seed.write.parquet(docsDir)
+
+    // first run = full curate, seeds the cache
+    val first = CorpusPipeline.curateIncremental(spark, docsDir, cacheDir)
+    val direct = CorpusPipeline.curate(spark.read.parquet(docsDir))
+    assert(first.exceptAll(direct).isEmpty && direct.exceptAll(first).isEmpty,
+      "seeding run must equal the one-shot pipeline")
+    direct.unpersist()
+
+    // second run over unchanged input: pure cache read — the cache dir's
+    // file listing must be byte-identical before and after
+    def listing() = {
+      val fs = new org.apache.hadoop.fs.Path(cacheDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(cacheDir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      buf.sorted.toSeq
+    }
+    val before = listing()
+    val second = CorpusPipeline.curateIncremental(spark, docsDir, cacheDir)
+    assert(listing() === before, "unchanged input must not write anything")
+    assert(second.exceptAll(first).isEmpty && first.exceptAll(second).isEmpty)
+
+    // append: one exact duplicate of a survivor (must be dropped) and one
+    // genuinely new doc (must be admitted); old results must be unchanged
+    val survivorId = first.select("doc_id").as[Long].collect().min
+    val survivorText = seed.where(col("doc_id") === survivorId)
+      .select("text").as[String].head()
+    Seq(
+      (9001L, survivorText, "append"),
+      (9002L, "completely fresh appended document with the usual english the and of tokens", "append"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(docsDir)
+    val third = CorpusPipeline.curateIncremental(spark, docsDir, cacheDir)
+    val thirdRows = third.select("doc_id").as[Long].collect().toSet
+    val firstRows = first.select("doc_id").as[Long].collect().toSet
+    assert(firstRows.subsetOf(thirdRows), "previously released docs are never revoked")
+    assert(!thirdRows.contains(9001L), "appended exact duplicate must be dropped")
+    assert(thirdRows.contains(9002L), "appended novel doc must be admitted")
+  }
+
   test("stages only shrink the survivor set") {
     val total = docs.count()
     assert(curated.count() <= total)

@@ -34,6 +34,26 @@ class MaterializerSpec extends SparkSpec {
     assert(fp1 === Materializer.fingerprint(spark, base)) // stable
   }
 
+  test("a code-version bump misses the old cache entry") {
+    val cacheDir = Files.createTempDirectory("graft-mat-ver").toString
+    val computeCount = new AtomicInteger(0)
+    val key = CacheKey("op", Map(), Seq(s"$sfDir/region.parquet"))
+    def run() = Materializer.lookupOrCompute(spark, cacheDir, key) {
+      computeCount.incrementAndGet()
+      Seq(1).toDF("x")
+    }
+    sys.props("graft.cache.version") = "release-1"
+    try {
+      val fp1 = Materializer.fingerprint(spark, key)
+      run(); run()
+      assert(computeCount.get() === 1) // same version → hit
+      sys.props("graft.cache.version") = "release-2"
+      assert(Materializer.fingerprint(spark, key) !== fp1)
+      run()
+      assert(computeCount.get() === 2) // upgraded code → miss, recompute
+    } finally sys.props -= "graft.cache.version"
+  }
+
   test("invalidate forces recompute") {
     val cacheDir = Files.createTempDirectory("graft-mat2").toString
     val computeCount = new AtomicInteger(0)
