@@ -220,8 +220,8 @@ object Relational {
     * Scales with partitions, not groups.
     */
   def quantiles(spark: SparkSession, dir: String,
-      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-      : DataFrame = {
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75),
+      maxCoordRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     val vals = Tables.lineitem(spark, dir)
@@ -229,13 +229,22 @@ object Relational {
       .repartitionByRange(par, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
     val typed = vals.as[(String, Double)]
-    // pass 1: per-(partition, group) counts — tiny table, driver-side offsets
-    val partCounts = typed.rdd
+    // pass 1: per-(partition, group) counts — driver-side offsets. The
+    // coordinator holds one row per (partition, group) here and one per
+    // (group, boundary rank) in pass 2, so it is bounded metadata at 32
+    // partitions but O(groups x partitions) in general: probe with
+    // take(cap + 1) and fall back to the mergeable sketch path
+    // (quantilesApprox, no driver coordination) the moment the cap is
+    // exceeded — the same adaptive pattern as Dedup.resolveClusters.
+    val countsRdd = typed.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
         m.iterator.map { case (g, n) => (pid, g, n) }
-      }.collect()
+      }
+    val partCounts = countsRdd.take(maxCoordRows + 1)
+    if (partCounts.length > maxCoordRows)
+      return quantilesApprox(spark, dir) // same schema, sketch-merged
     val groupTotals = partCounts.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
     // global rank offset of each (partition, group): counts of same group in earlier partitions
     val offsets: Map[(Int, String), Long] = partCounts

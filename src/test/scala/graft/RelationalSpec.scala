@@ -87,6 +87,15 @@ class RelationalSpec extends SparkSpec {
     assert(q.agg(sum("n")).head().getLong(0) === Tables.lineitem(spark, sfDir).count())
   }
 
+  test("quantiles over the coordinator cap falls back to the sketch path") {
+    // cap of 1 is always exceeded (3 groups x 4 partitions) → the exact
+    // op must delegate to quantilesApprox instead of collecting
+    val guarded = Relational.quantiles(spark, sfDir, maxCoordRows = 1)
+    val approx = Relational.quantilesApprox(spark, sfDir)
+    assert(guarded.columns.toSeq === approx.columns.toSeq)
+    assert(guarded.exceptAll(approx).isEmpty && approx.exceptAll(guarded).isEmpty)
+  }
+
   test("quantilesApprox: same schema as exact, values within sketch tolerance") {
     val exact = Relational.quantiles(spark, sfDir)
       .as[(String, Double, Double, Double, Long)].collect()
