@@ -452,10 +452,16 @@ object SparkEntry {
         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
         |v AS (SELECT count(DISTINCT word) AS vs
         |      FROM (SELECT unnest(toks) AS word FROM t)),
+        |-- LEFT JOIN big + coalesce replays the add-one smoothing for
+        |-- bigrams absent from the LM, so this SQL stays correct for the
+        |-- reference-corpus lmPerplexity(docs, lmCorpus) variant too (in
+        |-- the self-corpus case here every doc bigram is in the LM and the
+        |-- coalesce never fires); unknown-context bigrams still drop via
+        |-- the inner uni join, matching the Spark plan
         |terms AS (SELECT bg.doc_id,
-        |            CAST(round(log2((big.c12 + 1) / (uni.c1 + v.vs)::DOUBLE) * -1e6, 0)
+        |            CAST(round(log2((coalesce(big.c12, 0) + 1) / (uni.c1 + v.vs)::DOUBLE) * -1e6, 0)
         |                 AS BIGINT) AS it
-        |          FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        |          FROM bg LEFT JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0 AS bits_per_token
         |FROM terms GROUP BY doc_id""".stripMargin,

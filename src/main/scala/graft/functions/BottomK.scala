@@ -132,7 +132,10 @@ object BottomK {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k",
-      exprs => BottomK(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      exprs => {
+        val a = Arity.check("graft_bottom_k", "graft_bottom_k(key, id, k)", 3)(exprs)
+        BottomK(a.head, a(1),
+          a(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      },
       "built-in")
 }

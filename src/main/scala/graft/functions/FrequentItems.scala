@@ -162,7 +162,10 @@ object FrequentItems {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_items",
-      exprs => FrequentItems(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      exprs => {
+        val a = Arity.check("graft_freq_items", "graft_freq_items(col, k)", 2)(exprs)
+        FrequentItems(a.head,
+          a(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      },
       "built-in")
 }

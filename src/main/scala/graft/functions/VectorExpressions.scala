@@ -308,14 +308,25 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", exprs => {
+        val a = Arity.check("graft_dot", "graft_dot(array, array)", 2)(exprs)
+        DotProduct(a.head, a(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_sum", exprs => VectorSum(exprs.head).toAggregateExpression(),
-      "built-in")
+      "graft_vec_sum", exprs => {
+        val a = Arity.check("graft_vec_sum", "graft_vec_sum(array)", 1)(exprs)
+        VectorSum(a.head).toAggregateExpression()
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_eq_count", exprs => EqCount(exprs.head, exprs(1)), "built-in")
+      "graft_eq_count", exprs => {
+        val a = Arity.check("graft_eq_count", "graft_eq_count(array, array)", 2)(exprs)
+        EqCount(a.head, a(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_buckets", exprs => LshBuckets(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+      "graft_lsh_buckets", exprs => {
+        val a = Arity.check("graft_lsh_buckets",
+          "graft_lsh_buckets(array, planes, nBits)", 3)(exprs)
+        LshBuckets(a.head, a(1), a(2).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
   }
 }

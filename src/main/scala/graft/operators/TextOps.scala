@@ -225,11 +225,15 @@ object TextOps {
     * within-document). Counts are pure integers, so the oracle replays
     * with zero FP risk.
     *
-    * Scale shape: spans carry a 60-bit portable hash, not the text — the
-    * span-count aggregation shuffles hash-width rows with map-side
-    * combine, and the duplicated-hash table (small when duplication is
-    * rare, the normal case) joins back un-hinted so AQE broadcasts it when
-    * it can and degrades to a shuffle join on a pathological corpus.
+    * Scale shape: spans carry a 60-bit portable hash, not the text, and
+    * the tokenize→explode→hash subtree runs ONCE — the first aggregate
+    * groups by (doc_id, h) so both downstream consumers (the global
+    * duplicated-hash table, derived by re-aggregating those partials on h,
+    * and the per-doc rollup) read the SAME shuffled aggregate (identical
+    * subtrees → reused exchange; the ADVICE-flagged double scan is gone).
+    * The dup table joins back un-hinted so AQE broadcasts it when small
+    * (the normal case) and degrades to a shuffle join on a pathological
+    * corpus.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     val spans = docs
@@ -239,20 +243,24 @@ object TextOps {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
         .as("g"))
       .select(col("doc_id"), Dedup.portableHash64(col("g")).as("h"))
-    val dup = spans.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1)
-    spans.join(dup, Seq("h"), "left")
+    val grouped = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    val dup = grouped.groupBy("h").agg(sum("cnt").as("c")).where(col("c") > 1)
+    grouped.join(dup, Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), count(col("c")).as("n_dup_spans"))
+      .agg(sum("cnt").as("n_spans"),
+        sum(when(col("c").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_dup_spans"))
   }
 
   /** Per-source KL divergence from the corpus token distribution (bits):
     * `KL(source ‖ corpus) = Σ_w p_s(w) · log2(p_s(w)/p_c(w))` — the
     * domain-mixing diagnostic: sources far from the corpus mix dominate or
-    * starve a sampling schedule. Two hash aggregations (per-source and
-    * corpus token counts, map-side combined) plus a vocab-sized join the
-    * optimizer sizes itself (no broadcast hint: at web-corpus vocabularies
-    * a forced broadcast would OOM where AQE degrades to a shuffle join);
-    * the grand total derives from the corpus counts, not a third scan.
+    * starve a sampling schedule. ONE token-scale hash aggregation (per
+    * (source, word), map-side combined) feeds everything: the corpus
+    * counts re-aggregate those partials on word (identical subtrees →
+    * reused exchange, no second scan of the corpus), the grand total
+    * derives from the corpus counts, and the vocab-sized join is left to
+    * the optimizer (no broadcast hint: at web-corpus vocabularies a forced
+    * broadcast would OOM where AQE degrades to a shuffle join).
     * Per-token terms use the integer-scaled sum of [[unigramEntropy]] so
     * the result replays bit-identically anywhere. p_c(w) > 0 wherever
     * p_s(w) > 0 (the corpus contains every source), so no smoothing is
@@ -261,10 +269,10 @@ object TextOps {
   def sourceKl(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("source"),
       explode(split(col("text"), "\\s+")).as("word"))
-    val bySrc = tok.groupBy("source", "word").agg(count(lit(1)).as("cs"))
-      .withColumn("ns", sum("cs").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")))
-    val corpus = tok.groupBy("word").agg(count(lit(1)).as("cc"))
+    val srcCounts = tok.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+    val bySrc = srcCounts.withColumn("ns", sum("cs").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val corpus = srcCounts.groupBy("word").agg(sum("cs").as("cc"))
     val total = corpus.agg(sum("cc").as("nc"))
     bySrc
       .join(corpus, "word")
@@ -514,7 +522,11 @@ object TextOps {
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
     val corpusBg = bigrams(lmCorpus)
     val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = corpusBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the unigram context counts are exactly the bigram counts re-summed
+    // on w1 — deriving uni FROM big (instead of re-aggregating corpusBg)
+    // makes the two LM tables share one bigram explode + exchange, so the
+    // dominant corpus scan runs once, not twice
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = lmCorpus
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .agg(count_distinct(col("word")).as("vs"))

@@ -40,21 +40,36 @@ class SkewSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) === 500)
   }
 
-  test("saltedJoin spreads a hot key of FULL-duplicate rows across buckets") {
-    // every hot row identical: a row-content-only salt would collapse them
-    // into one bucket; the per-row discriminator must spread them
+  test("saltedJoin(rowId): ingest-offset discriminator spreads full-duplicate hot rows") {
+    // 400 content-identical hot rows carrying an ingest offset — the
+    // deterministic per-row column the rowId contract asks callers to pass
+    val big = Seq.fill(400)((1L, "same")).zipWithIndex
+      .map { case ((k, p), i) => (k, p, i.toLong) }.toDF("k", "payload", "off")
+    val small = Seq((1L, "hot")).toDF("k", "tag")
+    // replay the documented salt contract (hash of row columns ++ rowId,
+    // mod buckets) to observe the spread the join gets internally
+    val spread = big.select(
+      pmod(xxhash64(col("k"), col("payload"), col("off"), col("off")), lit(8L))
+        .cast("int").as("s")).distinct().count()
+    assert(spread > 1, "offset-salted duplicates must land in multiple buckets")
+    // and the join with the discriminator is still exact
+    val got = Skew.saltedJoin(big, small, "k", buckets = 8,
+      rowId = Some(col("off"))).count()
+    assert(got === 400)
+  }
+
+  test("saltedJoin default salt is deterministic: full duplicates share ONE bucket") {
+    // without a rowId the salt is a pure function of row content — identical
+    // rows deliberately collapse into one bucket (no spreading), because a
+    // nondeterministic spreader would migrate rows between (key, salt)
+    // partitions on fetch-failure re-runs (SPARK-23207) and corrupt the join
     val big = Seq.fill(400)((1L, "same")).toDF("k", "payload")
     val small = Seq((1L, "hot")).toDF("k", "tag")
-    val buckets = 8
-    val saltCol = "_graft_salt"
-    val salted = big.withColumn(saltCol,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*)
-        + monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
-    val distinctSalts = salted.select(saltCol).distinct().count()
-    assert(distinctSalts > 1, "duplicate rows must not all share one salt")
-    // and the join result is still exact
-    val got = Skew.saltedJoin(big, small, "k", buckets).count()
-    assert(got === 400)
+    val salts = big.select(
+      pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int").as("s"))
+    assert(salts.distinct().count() === 1)
+    assert(salts.distinct().count() === 1) // re-evaluation: same assignment
+    assert(Skew.saltedJoin(big, small, "k", buckets = 8).count() === 400)
   }
 
   test("saltedJoin picks a non-colliding salt column name") {

@@ -48,6 +48,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("wrong SQL arity raises an analysis error naming the signature") {
+    // every injected builder validates arity up front — a bad call must
+    // not surface as an IndexOutOfBoundsException from exprs(1)
+    Seq(
+      "SELECT graft_hash64()",
+      "SELECT graft_hash64('a', 'b')",
+      "SELECT graft_eq_count(array(1L))",
+      "SELECT graft_dot(array(1.0))",
+      "SELECT graft_lsh_buckets(array(1.0))").foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("graft_"), s"$sql: ${e.getMessage}")
+    }
+  }
+
   test("vecSum aggregates element-wise across partitions") {
     val df = Seq(
       (0, Seq(1.0, 2.0, 3.0)),
