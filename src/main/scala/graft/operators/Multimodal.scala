@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages
   * whose Spark-side plumbing (schema, batch shape, partitioning) is real.
-  * Images decode for REAL through `javax.imageio` (in the JDK); audio/video
-  * codecs are not available in this environment, so those payloads — and
-  * undecodable images — fall through to a deterministic md5-derived stub
-  * feature vector that an external SQL engine can replay. Swap in a fuller
-  * codec (JNI/FFI) behind [[MediaCodec.decode]] without touching any plan
-  * structure.
+  * Images decode for REAL through `javax.imageio` and audio through
+  * `javax.sound.sampled` (both in the JDK); video codecs — and compressed
+  * audio (mp3/ogg) — are not available in this environment, so those
+  * payloads and undecodable inputs fall through to a deterministic
+  * md5-derived stub feature vector that an external SQL engine can replay.
+  * Swap in a fuller codec (JNI/FFI) behind [[MediaCodec.decode]] without
+  * touching any plan structure.
   *
   * North-star scope (no analog in the reference — its records are newline
   * text, SURVEY.md §1). Design notes for 100 TB:
@@ -36,9 +37,10 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true)))
 
   /** The codec boundary. Images decode for REAL through `javax.imageio`
-    * (pure JDK — no external libraries needed); audio/video stay STUBBED
-    * because their codecs are not available in this environment. Payloads
-    * that fail to decode fall back to a deterministic md5-derived
+    * and audio (WAV/PCM) through `javax.sound.sampled` — both pure JDK, no
+    * external libraries; video and compressed-audio codecs are not
+    * available in this environment, so those stay STUBBED. Payloads that
+    * fail to decode fall back to a deterministic md5-derived
     * pseudo-feature vector, which keeps the whole pipeline replayable by an
     * external SQL engine (the same portability contract as
     * [[graft.operators.Dedup.portableHash64]]).
@@ -63,16 +65,64 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
 
-    /** Decode + feature-extract. `kind == "image"` attempts the real
-      * decoder first; everything else (and undecodable images) takes the
-      * deterministic stub path.
+    /** Decode + feature-extract. Images and audio attempt the real JDK
+      * decoders first; everything else (video, and undecodable payloads)
+      * takes the deterministic stub path.
       */
     def decode(payload: Array[Byte], kind: String): Array[Float] = {
       if (kind == "image") {
         val img = readImage(payload)
         if (img != null) return imageFeatures(img)
       }
+      if (kind == "audio") {
+        val af = audioFeatures(payload)
+        if (af != null) return af
+      }
       stubFeatures(payload)
+    }
+
+    /** Real audio decode for formats the JDK ships (WAV / PCM-signed
+      * 16-bit via `javax.sound.sampled`): 16 RMS-energy windows over the
+      * first channel, each in [0,1] — a genuine loudness-envelope
+      * descriptor from decoded samples. Returns null (→ stub fallback)
+      * for anything the JDK cannot parse (mp3/ogg/etc.).
+      */
+    def audioFeatures(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return null
+          val bytes = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) return null
+          val big = fmt.isBigEndian
+          val out = new Array[Float](featureDim)
+          var w = 0
+          while (w < featureDim) {
+            val f0 = w * nFrames / featureDim
+            val f1 = math.min(math.max((w + 1) * nFrames / featureDim, f0 + 1), nFrames)
+            var sum = 0.0
+            var f = f0
+            while (f < f1) {
+              val off = f * frameSize // first channel
+              val s =
+                if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              val x = s.toDouble / 32768.0
+              sum += x * x
+              f += 1
+            }
+            out(w) = math.sqrt(sum / (f1 - f0)).toFloat
+            w += 1
+          }
+          out
+        } finally ais.close()
+      } catch { case _: Exception => null }
     }
 
     /** Real features for decoded images: a 4×4 grid of mean luminance

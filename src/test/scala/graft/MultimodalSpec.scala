@@ -112,6 +112,34 @@ class MultimodalSpec extends SparkSpec {
     assert(digest === residues.sum)
   }
 
+  test("real WAV decode: RMS-envelope features reflect actual samples") {
+    // mono 16-bit PCM: first half silence, second half full-scale square
+    // wave (RMS 1.0) → first 8 windows ~0, last 8 ~1
+    val sampleRate = 8000f
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val s: Short = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinary(
+        Seq((1L, wav)).toDF("id", "bytes"), "id", "bytes", "audio"))
+      .select("features").as[Seq[Float]].head()
+    assert(feats.length === Multimodal.MediaCodec.featureDim)
+    for (w <- 0 until 8) assert(feats(w) < 0.01f, s"window $w should be silent: $feats")
+    for (w <- 8 until 16) assert(feats(w) > 0.9f, s"window $w should be loud: $feats")
+  }
+
   test("mixed corpus: images decode real, non-images fall back to stub") {
     val png = pngBytes(16, 16)((_, _) => 0x808080)
     val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
