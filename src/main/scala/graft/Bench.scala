@@ -40,7 +40,7 @@ object Bench {
     // warmup: one untimed pass over everything (JIT, codegen cache, footers)
     names.foreach(n => try materialize(n) catch { case _: Throwable => })
 
-    val results = names.map { name =>
+    val timed = names.map { name =>
       // settle the JVM between queries: accumulated shuffle/cache debris
       // from the previous query otherwise bleeds GC pauses into this one's
       // median (observed 4-7x inflation on allocation-heavy queries in
@@ -51,8 +51,13 @@ object Bench {
         val ok = try { materialize(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      // a query that threw records NaN and is excluded from the total —
-      // a failure must not fold into the report as a fast success
+      name -> times
+    }
+    // per-query MEDIAN of the 3 runs — the stable round-over-round signal
+    // (full-suite totals at sf0.1 swing ±50% run to run; medians don't).
+    // A query that threw records NaN and is excluded from the total — a
+    // failure must not fold into the report as a fast success.
+    val results = timed.map { case (name, times) =>
       name -> (if (times.exists(_.isNaN)) Double.NaN else times.sorted.apply(1))
     }
     val rows = names.map { name =>
@@ -63,10 +68,15 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
     }.mkString("{", ",", "}")
+    // raw per-run times ride in the artifact so future rounds can compare
+    // medians AND see the spread without re-running
+    val runsJson = timed.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => if (t.isNaN) "null" else t.toString).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"runs":$runsJson,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}"""
     // full-detail line first (log readers), and persisted as an artifact —
     // the full line is ~4 KB and harness tail-captures truncate it
     println(full)
@@ -83,7 +93,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.filterNot(_._2.isNaN).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_3","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
     spark.stop()
   }
 }
