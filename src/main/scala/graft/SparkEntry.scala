@@ -100,6 +100,7 @@ object SparkEntry {
         .where(org.apache.spark.sql.functions.col("keep") === false)
     }),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "chunk_docs" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
@@ -758,6 +759,19 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // chunk_docs: 64-token windows advancing by 48 (overlap 16); window
+    // count = max(1, ceil((n - overlap)/step)); trailing shorter window kept
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks,
+        |        greatest(CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1) AS nw
+        |      FROM t),
+        |c AS (SELECT doc_id, i - 1 AS chunk_id,
+        |        array_to_string(toks[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk_text
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, nw)) AS i FROM w))
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text,
+        |       CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+        |FROM c""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag AS key, count(*) AS n,
         |round(sum(l_quantity), 2) AS sum_value

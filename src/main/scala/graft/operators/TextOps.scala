@@ -109,6 +109,31 @@ object TextOps {
         regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
         "\\s+", " ")).as("norm_text"))
 
+  /** Overlapping token-window chunking — the embedding/RAG preparation
+    * stage: each document splits into windows of `chunkTokens` tokens
+    * advancing by `chunkTokens - overlap`, the trailing window kept even
+    * when shorter. `chunk_id` is the 0-based window index, so
+    * (doc_id, chunk_id) is a stable chunk key under repartitioning and
+    * re-runs (ready to join embeddings back to their source spans).
+    *
+    * Scale shape: pure row-local explode — no shuffle at any corpus size;
+    * downstream embedding/ANN stages decide their own partitioning.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(1, greatest(cast(ceil((size(toks) - $overlap) / $step.0) as int), 1)),
+           |  i -> concat_ws(' ', slice(toks, (i - 1) * $step + 1, $chunkTokens)))"""
+          .stripMargin)).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * (`\w+` runs or single non-space symbols) — the usual pre-tokenizer
     * granularity for LLM data budgeting. Shuffle-free.
@@ -514,12 +539,25 @@ object TextOps {
     * than inventing an arbitrary unknown-context probability.
     */
   def lmPerplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
+    // Exchange-reuse-friendly bigram explode. Two subtleties keep the
+    // big/uni consumers sharing ONE shuffled bigram-count subtree instead
+    // of exploding the corpus twice: (a) arrays_zip of two shifted slices
+    // instead of a transform(...) lambda — named-lambda-variable exprIds
+    // defeat plan canonicalization; (b) EXPLICIT w1/w2 not-null guards —
+    // otherwise constraint inference adds isnotnull(w1, w2) under the
+    // (w1,w2) probe join but only isnotnull(w1) under the uni join, and
+    // the now-different subtrees stop deduping. Both are no-ops on the
+    // data (tokens are never null); pinned by TextOpsSpec's runtime-reuse
+    // test.
     def bigrams(d: DataFrame): DataFrame = d
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> struct(element_at(toks, i) as w1, element_at(toks, i+1) as w2))")).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .select(col("doc_id"),
+        expr("slice(toks, 1, size(toks) - 1)").as("h1"),
+        expr("slice(toks, 2, size(toks) - 1)").as("h2"))
+      .select(col("doc_id"), explode(arrays_zip(col("h1"), col("h2"))).as("e"))
+      .select(col("doc_id"), col("e.h1").as("w1"), col("e.h2").as("w2"))
+      .where(col("w1").isNotNull && col("w2").isNotNull)
     val corpusBg = bigrams(lmCorpus)
     val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // the unigram context counts are exactly the bigram counts re-summed

@@ -206,6 +206,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
   }
 
+  test("chunkDocuments: overlapping windows cover the doc, trailing window kept") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens → 4 windows
+      (2L, "a b c d e"),                      // 5 tokens → 2, last shorter
+      (3L, "solo"))                            // under one window → 1 chunk
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(docs, chunkTokens = 4, overlap = 2)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(got(1L) === Seq(
+      ("t1 t2 t3 t4", 4), ("t3 t4 t5 t6", 4), ("t5 t6 t7 t8", 4), ("t7 t8 t9 t10", 4)))
+    assert(got(2L) === Seq(("a b c d", 4), ("c d e", 3)))
+    assert(got(3L) === Seq(("solo", 1)))
+    // stable key: (doc_id, chunk_id) unique
+    val keys = TextOps.chunkDocuments(docs, 4, 2).select("doc_id", "chunk_id")
+    assert(keys.distinct().count() === keys.count())
+  }
+
+  test("single-scan plans reuse the aggregate exchange at runtime (AQE)") {
+    // dup_spans / source_kl / lm_perplexity derive their secondary table
+    // from the first aggregate's partials; the identical subtrees must
+    // materialize as ONE shuffle at runtime — pin it so a refactor can't
+    // silently reintroduce the double scan
+    val docs = Tables.documents(spark, sfDir)
+    Seq(
+      "duplicatedSpans" -> TextOps.duplicatedSpans(docs),
+      "sourceKl" -> TextOps.sourceKl(docs),
+      "lmPerplexity" -> TextOps.lmPerplexity(docs)).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"$name lost runtime exchange reuse:\n${plan.take(1500)}")
+    }
+  }
+
   test("corpus-filter invariants hold across the fixture corpus") {
     val docs = Tables.documents(spark, sfDir)
     // fractions live in [0,1]; a top bigram always exists
