@@ -78,9 +78,11 @@ object Bench {
     val total = results.map(_._2).filterNot(_.isNaN).sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"runs":$runsJson,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}"""
     // full-detail line first (log readers), and persisted as an artifact —
-    // the full line is ~4 KB and harness tail-captures truncate it
+    // the full line is ~4 KB and harness tail-captures truncate it.
+    // BENCH_ONLY runs skip the artifact write: a filtered iteration run
+    // must not clobber the committed full-suite record.
     println(full)
-    try {
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("tools/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))

