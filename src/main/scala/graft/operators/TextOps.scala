@@ -195,7 +195,14 @@ object TextOps {
   def tfidf(docs: DataFrame): DataFrame = {
     val t = tokens(docs)
     val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency derives from tf's groups. The tf >= 1 guard is a
+    // semantic no-op (counts are always >= 1) but an important plan fence:
+    // without it the optimizer prunes tf's count from this branch,
+    // rewriting it to a DISTINCT whose exchange no longer matches the
+    // probe side's — and the token explode (the dominant cost at corpus
+    // scale) runs twice instead of sharing one shuffled aggregate
+    // (runtime reuse pinned in TextOpsSpec).
+    val df = tf.where(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "word")
       .crossJoin(broadcast(total))

@@ -233,7 +233,8 @@ class TextOpsSpec extends SparkSpec {
     Seq(
       "duplicatedSpans" -> TextOps.duplicatedSpans(docs),
       "sourceKl" -> TextOps.sourceKl(docs),
-      "lmPerplexity" -> TextOps.lmPerplexity(docs)).foreach { case (name, df) =>
+      "lmPerplexity" -> TextOps.lmPerplexity(docs),
+      "tfidf" -> TextOps.tfidf(docs)).foreach { case (name, df) =>
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
