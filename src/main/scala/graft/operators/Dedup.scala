@@ -184,8 +184,27 @@ object Dedup {
     * the pair count to sum(block²); at 100 TB the blocking key is whatever
     * natural partition the corpus has (crawl, shard, domain), with
     * [[minhashPairs]] as the unblocked path.
+    *
+    * Adaptive (same pattern as `Similarity.cosNearPairs`): a cheap
+    * sum(block²) probe guards the quadratic plan, and above
+    * `maxBlockPairs` the operator delegates to the banded-LSH candidates
+    * (exact-verified, restricted back to same-source pairs) instead of
+    * letting one mega-block go O(n²) — the result is then LSH-recall
+    * rather than exhaustive, which is the documented trade at scale.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3,
+      maxBlockPairs: Long = 25000000L): DataFrame = {
+    val load = Option(docs.groupBy("source").count()
+      .agg(sum(col("count") * col("count"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (load > maxBlockPairs) {
+      val src = docs.select(col("doc_id"), col("source"))
+      return minhashPairs(docs, threshold, k = k)
+        .join(src.select(col("doc_id").as("a"), col("source").as("_sa")), Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("_sb")), Seq("b"))
+        .where(col("_sa") === col("_sb"))
+        .select("a", "b", "jaccard")
+    }
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val s = docs
       .select(col("doc_id"), col("source"), col("text"))

@@ -64,6 +64,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ngramJaccardPairs above the block guard delegates to LSH within sources") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s1"), (2L, base, "s1"),                       // dup inside s1
+      (3L, base, "s2"),                                          // same text, other source
+      (4L, (1 to 40).map(i => s"z$i").mkString(" "), "s1"))      // unrelated
+      .toDF("doc_id", "text", "source")
+    // guard of 1 always trips → banded-LSH path, still same-source only
+    val guarded = Dedup.ngramJaccardPairs(docs, threshold = 0.9, maxBlockPairs = 1L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(guarded.contains((1L, 2L)), "identical same-source pair must survive delegation")
+    assert(!guarded.exists { case (a, b) =>
+      Set(a, b) == Set(1L, 3L) || Set(a, b) == Set(2L, 3L) },
+      "cross-source pairs stay blocked out on the delegated path")
+    // on this corpus the exact path agrees exactly
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact === guarded)
+  }
+
   test("resolveClusters: concurrent resolves don't unpersist each other's state") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
