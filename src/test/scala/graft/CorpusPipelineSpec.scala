@@ -104,6 +104,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(thirdRows.contains(9002L), "appended novel doc must be admitted")
   }
 
+  test("curateIncremental: rewritten-but-identical input re-serves the previous result") {
+    // same rows, new file mtimes: the snapshot fingerprint changes, so the
+    // exact-hit path misses — the incremental branch must then find an
+    // EMPTY appended slice and re-commit the previous result unchanged
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_rewrite").toString
+    val docsDir = s"$base/docs"
+    val cacheDir = s"$base/cache"
+    val seed = docs.where(col("doc_id") < 200)
+    seed.write.parquet(docsDir)
+    val first = CorpusPipeline.curateIncremental(spark, docsDir, cacheDir)
+      .collect().toSet
+    seed.write.mode("overwrite").parquet(docsDir) // identical rows, fresh files
+    val second = CorpusPipeline.curateIncremental(spark, docsDir, cacheDir)
+      .collect().toSet
+    assert(second === first)
+  }
+
   test("stages only shrink the survivor set") {
     val total = docs.count()
     assert(curated.count() <= total)

@@ -312,6 +312,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("batch parity: slidingCounts and clickPurchaseJoin match their batch execution") {
+    // both functions run unchanged on batch frames; the parity check is
+    // that STREAMING execution (watermarks, state store, AvailableNow)
+    // emits exactly the batch result on a bounded input
+    val events = Tables.events(spark, sfDir)
+    val gotSliding = streamed(events, "parity_sliding", "complete")(
+      EventStreams.slidingCounts(_))
+      .select(unix_seconds(col("window.start")).as("ws"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val wantSliding = EventStreams.slidingCounts(events)
+      .select(unix_seconds(col("window.start")).as("ws"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotSliding === wantSliding)
+
+    val clicks = events.where(col("event_type") === "click")
+    val purchases = events.where(col("event_type") === "purchase")
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity_ssj").toString
+    clicks.write.parquet(s"$dir/c")
+    purchases.write.parquet(s"$dir/p")
+    val q = EventStreams.clickPurchaseJoin(
+      spark.readStream.schema(clicks.schema).parquet(s"$dir/c"),
+      spark.readStream.schema(purchases.schema).parquet(s"$dir/p"))
+      .writeStream.format("memory").queryName("parity_ssj").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val gotJoin = spark.table("parity_ssj")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val wantJoin = EventStreams.clickPurchaseJoin(clicks, purchases)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(gotJoin === wantJoin)
+  }
+
   test("batch parity: cdcApply (AvailableNow) equals one-shot mergeUpsert") {
     val base = Tables.customer(spark, sfDir)
     val changes = graft.operators.Cdc.customerChanges(Tables.orders(spark, sfDir))

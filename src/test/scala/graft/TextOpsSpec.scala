@@ -224,6 +224,33 @@ class TextOpsSpec extends SparkSpec {
     assert(keys.distinct().count() === keys.count())
   }
 
+  test("chunkDocuments reconstruction property: stepped prefixes rebuild every doc") {
+    // dropping each chunk's overlap prefix (except chunk 0) and
+    // concatenating must reproduce the original token stream exactly,
+    // for arbitrary docs and (chunkTokens, overlap) combinations
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 25L).map { id =>
+      (id, (0 until (1 + rng.nextInt(40))).map(i => s"w${rng.nextInt(9)}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((ck, ov) <- Seq((4, 2), (8, 0), (5, 4))) {
+      val step = ck - ov
+      val rebuilt = TextOps.chunkDocuments(docs, ck, ov)
+        .as[(Long, Int, String, Int)].collect()
+        .groupBy(_._1).view.mapValues { chunks =>
+          chunks.sortBy(_._2).zipWithIndex.flatMap { case ((_, _, text, _), i) =>
+            val toks = text.split(" ").toSeq
+            if (i == 0) toks else toks.drop(ov min toks.length)
+          }.mkString(" ")
+        }.toMap
+      val original = docs.as[(Long, String)].collect().toMap
+        .view.mapValues(_.split("\\s+").mkString(" ")).toMap
+      original.foreach { case (id, text) =>
+        assert(rebuilt(id) === text,
+          s"doc $id ck=$ck ov=$ov:\n orig: $text\n rebuilt: ${rebuilt(id)}")
+      }
+    }
+  }
+
   test("single-scan plans reuse the aggregate exchange at runtime (AQE)") {
     // dup_spans / source_kl / lm_perplexity derive their secondary table
     // from the first aggregate's partials; the identical subtrees must
