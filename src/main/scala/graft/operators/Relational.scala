@@ -244,7 +244,7 @@ object Relational {
       }
     val partCounts = countsRdd.take(maxCoordRows + 1)
     if (partCounts.length > maxCoordRows)
-      return quantilesApprox(spark, dir) // same schema, sketch-merged
+      return quantilesApprox(spark, dir, probs = probs) // same schema, sketch-merged
     val groupTotals = partCounts.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
     // global rank offset of each (partition, group): counts of same group in earlier partitions
     val offsets: Map[(Int, String), Long] = partCounts
@@ -299,18 +299,19 @@ object Relational {
     * coordination, rank error ≤ n/accuracy. Same output schema as the
     * exact op so callers can swap them.
     */
-  def quantilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+  def quantilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      : DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("ps"),
+          array(probs.map(p => lit(p._2)): _*), lit(accuracy)).as("ps"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 2).as("p25"),
-        round(element_at(col("ps"), 2), 2).as("p50"),
-        round(element_at(col("ps"), 3), 2).as("p75"),
-        col("n"))
+      .select(col("l_returnflag") +:
+        probs.zipWithIndex.map { case ((name, _), i) =>
+          round(element_at(col("ps"), i + 1), 2).as(name)
+        } :+ col("n"): _*)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =

@@ -94,6 +94,12 @@ class RelationalSpec extends SparkSpec {
     val approx = Relational.quantilesApprox(spark, sfDir)
     assert(guarded.columns.toSeq === approx.columns.toSeq)
     assert(guarded.exceptAll(approx).isEmpty && approx.exceptAll(guarded).isEmpty)
+    // custom probabilities survive the fallback (names AND values)
+    val custom = Seq("p10" -> 0.1, "p90" -> 0.9, "p99" -> 0.99)
+    val g2 = Relational.quantiles(spark, sfDir, probs = custom, maxCoordRows = 1)
+    assert(g2.columns.toSeq === Seq("l_returnflag", "p10", "p90", "p99", "n"))
+    val row = g2.where($"l_returnflag" === "N").head()
+    assert(row.getDouble(1) < row.getDouble(2) && row.getDouble(2) < row.getDouble(3))
   }
 
   test("quantilesApprox: same schema as exact, values within sketch tolerance") {
