@@ -101,6 +101,7 @@ object SparkEntry {
     }),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
+    "pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d), minCount = 5L)),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
@@ -759,6 +760,21 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // pmi_pairs: all margins and the total derive from the bigram counts;
+    // the pmi expression multiplies in DOUBLE exactly like the Spark side
+    "pmi_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+        |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM big)
+        |SELECT big.w1, big.w2, c12,
+        |       round(log2((c12::DOUBLE * n) / (c1::DOUBLE * c2)), 4) AS pmi
+        |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        |WHERE c12 >= 5""".stripMargin,
     // chunk_docs: 64-token windows advancing by 48 (overlap 16); window
     // count = max(1, ceil((n - overlap)/step)); trailing shorter window kept
     "chunk_docs" ->

@@ -545,26 +545,57 @@ object TextOps {
     * context is unknown — scoring only what the model can ground, rather
     * than inventing an arbitrary unknown-context probability.
     */
+  /** Exchange-reuse-friendly bigram explode, shared by [[lmPerplexity]]
+    * and [[pmiPairs]]. Two subtleties keep multiple consumers sharing ONE
+    * shuffled bigram-count subtree instead of exploding the corpus per
+    * consumer: (a) arrays_zip of two shifted slices instead of a
+    * transform(...) lambda — named-lambda-variable exprIds defeat plan
+    * canonicalization; (b) EXPLICIT w1/w2 not-null guards — otherwise
+    * constraint inference adds isnotnull(w1, w2) under a (w1,w2) probe
+    * join but only isnotnull(w1) under a w1-keyed join, and the
+    * now-different subtrees stop deduping. Both are no-ops on the data
+    * (tokens are never null); pinned by TextOpsSpec's runtime-reuse test.
+    */
+  private[operators] def bigrams(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    .where(size(col("toks")) >= 2)
+    .select(col("doc_id"),
+      expr("slice(toks, 1, size(toks) - 1)").as("h1"),
+      expr("slice(toks, 2, size(toks) - 1)").as("h2"))
+    .select(col("doc_id"), explode(arrays_zip(col("h1"), col("h2"))).as("e"))
+    .select(col("doc_id"), col("e.h1").as("w1"), col("e.h2").as("w2"))
+    .where(col("w1").isNotNull && col("w2").isNotNull)
+
+  /** Pointwise mutual information over adjacent word pairs:
+    * `pmi(w1,w2) = log2( p(w1,w2) / (p(w1·)·p(·w2)) )` with all three
+    * distributions estimated from the bigram table itself — the standard
+    * collocation / word-association analysis over a corpus.
+    *
+    * Scale shape: ONE corpus bigram explode feeds everything — both
+    * unigram margins (left-context and right-context counts) and the
+    * grand total re-aggregate the bigram counts' partials, so the four
+    * consumers share a single shuffled aggregate (same reuse contract as
+    * [[lmPerplexity]]); margins join un-hinted so AQE broadcasts them
+    * when small. `minCount` prunes the noise tail before the joins.
+    */
+  def pmiPairs(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val big = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = big.groupBy("w2").agg(sum("c12").as("c2"))
+    val total = big.agg(sum("c12").as("n"))
+    big.where(col("c12") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        // multiply in DOUBLE: c12·n and c1·c2 overflow Long at corpus
+        // scale (n up to 10^12 bigrams); the oracle mirrors the same
+        // double-space expression shape for bit-identical rounding
+        round(log2((col("c12").cast("double") * col("n")) /
+          (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
+  }
+
   def lmPerplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
-    // Exchange-reuse-friendly bigram explode. Two subtleties keep the
-    // big/uni consumers sharing ONE shuffled bigram-count subtree instead
-    // of exploding the corpus twice: (a) arrays_zip of two shifted slices
-    // instead of a transform(...) lambda — named-lambda-variable exprIds
-    // defeat plan canonicalization; (b) EXPLICIT w1/w2 not-null guards —
-    // otherwise constraint inference adds isnotnull(w1, w2) under the
-    // (w1,w2) probe join but only isnotnull(w1) under the uni join, and
-    // the now-different subtrees stop deduping. Both are no-ops on the
-    // data (tokens are never null); pinned by TextOpsSpec's runtime-reuse
-    // test.
-    def bigrams(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        expr("slice(toks, 1, size(toks) - 1)").as("h1"),
-        expr("slice(toks, 2, size(toks) - 1)").as("h2"))
-      .select(col("doc_id"), explode(arrays_zip(col("h1"), col("h2"))).as("e"))
-      .select(col("doc_id"), col("e.h1").as("w1"), col("e.h2").as("w2"))
-      .where(col("w1").isNotNull && col("w2").isNotNull)
     val corpusBg = bigrams(lmCorpus)
     val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // the unigram context counts are exactly the bigram counts re-summed

@@ -251,6 +251,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pmiPairs: hand-computed association scores; margins from the bigram table") {
+    // corpus: "a b" x4, "a c" x1, "d b" x1 → bigram counts c12(a,b)=4,
+    // c12(a,c)=1, c12(d,b)=1; margins c1(a)=5, c1(d)=1, c2(b)=5, c2(c)=1;
+    // n=6 → pmi(a,b) = log2(4*6/(5*5)), pmi(d,b) = log2(1*6/(1*5))
+    val docs = (Seq.fill(4)("a b") ++ Seq("a c", "d b")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(docs, minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) === ((4L, math.rint(math.log(24.0 / 25.0) / math.log(2) * 1e4) / 1e4)))
+    assert(got(("d", "b")) === ((1L, math.rint(math.log(6.0 / 5.0) / math.log(2) * 1e4) / 1e4)))
+    assert(got(("a", "c"))._2 === math.rint(math.log(6.0 / 5.0) / math.log(2) * 1e4) / 1e4)
+    // minCount prunes the tail
+    assert(TextOps.pmiPairs(docs, minCount = 2L).count() === 1L)
+  }
+
   test("single-scan plans reuse the aggregate exchange at runtime (AQE)") {
     // dup_spans / source_kl / lm_perplexity derive their secondary table
     // from the first aggregate's partials; the identical subtrees must
@@ -261,6 +277,7 @@ class TextOpsSpec extends SparkSpec {
       "duplicatedSpans" -> TextOps.duplicatedSpans(docs),
       "sourceKl" -> TextOps.sourceKl(docs),
       "lmPerplexity" -> TextOps.lmPerplexity(docs),
+      "pmiPairs" -> TextOps.pmiPairs(docs),
       "tfidf" -> TextOps.tfidf(docs)).foreach { case (name, df) =>
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
