@@ -102,6 +102,15 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
     "pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d), minCount = 5L)),
+    // per-doc MinHash signatures as a first-class output: persisting these
+    // is what makes cross-run incremental dedup practical (new docs join
+    // against stored signatures instead of re-shingling the archive)
+    "minhash_sigs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dedup.minhashSignatures(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(
+          array((0 until 32).map(i => col(s"mh$i")): _*)).as(Seq("i", "mh")))
+    }),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
@@ -760,6 +769,23 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // minhash_sigs: the same affine-family construction the pairs oracle
+    // replays, exploded one row per (doc, hash index)
+    "minhash_sigs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |shs AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM toks),
+        |hbs AS (SELECT doc_id,
+        |  list_distinct(list_transform(sh,
+        |    s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)) AS hb
+        |  FROM shs),
+        |sigs AS (SELECT doc_id,
+        |  list_transform(range(0,32), i -> list_min(list_transform(hb,
+        |    h -> ((2*i+1)*h + 40503*i) % 2147483647))) AS sig
+        |  FROM hbs)
+        |SELECT doc_id, CAST(g.i - 1 AS INT) AS i, sig[g.i] AS mh
+        |FROM sigs CROSS JOIN (SELECT unnest(range(1, 33)) AS i) g""".stripMargin,
     // pmi_pairs: all margins and the total derive from the bigram counts;
     // the pmi expression multiplies in DOUBLE exactly like the Spark side
     "pmi_pairs" ->

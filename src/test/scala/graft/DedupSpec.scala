@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("minhashSignatures: identical docs share all 32 mins, disjoint docs none") {
+    val a = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) === sigs(2L)) // same shingle set → same signature
+    // disjoint shingle sets: sharing a min is a ~1/2^31 fluke per lane
+    assert(sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } === 0)
+  }
+
   test("ngramJaccardPairs above the block guard delegates to LSH within sources") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
