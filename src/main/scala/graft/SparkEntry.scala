@@ -102,6 +102,7 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
     "pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d), minCount = 5L)),
+    "zipf_fit" -> ((s, d) => TextOps.zipfFit(Tables.documents(s, d))),
     // per-doc MinHash signatures as a first-class output: persisting these
     // is what makes cross-run incremental dedup practical (new docs join
     // against stored signatures instead of re-shingling the archive)
@@ -769,6 +770,24 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // zipf_fit: global rank decomposed as (words in higher count classes)
+    // + (ordinal within the class), exactly like the Spark plan
+    "zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word HAVING count(*) >= 2),
+        |byc AS (SELECT cnt, count(*) AS nw FROM wc GROUP BY cnt),
+        |h AS (SELECT cnt, coalesce(sum(nw) OVER (ORDER BY cnt DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher
+        |      FROM byc),
+        |r AS (SELECT wc.cnt,
+        |        h.higher + row_number() OVER (PARTITION BY wc.cnt ORDER BY wc.word) AS rank
+        |      FROM wc JOIN h USING (cnt))
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |       round(regr_slope(log2(cnt), log2(rank)), 4) AS zipf_slope,
+        |       round(regr_r2(log2(cnt), log2(rank)), 4) AS zipf_r2
+        |FROM r""".stripMargin,
     // minhash_sigs: the same affine-family construction the pairs oracle
     // replays, exploded one row per (doc, hash index)
     "minhash_sigs" ->

@@ -34,6 +34,34 @@ object TextOps {
   def wordCount(docs: DataFrame): DataFrame =
     tokens(docs).groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Zipf rank-frequency diagnostic: rank words by (count desc, word) and
+    * least-squares-fit log2(count) against log2(rank) — a healthy
+    * natural-language corpus sits near slope ≈ -1, and boilerplate/spam
+    * bends the curve (a cheap corpus-health signal next to
+    * [[unigramEntropy]]).
+    *
+    * Scale shape: the global rank is decomposed so no vocab-wide
+    * single-partition window exists — a tiny cumulative window over the
+    * DISTINCT count values (thousands at most) gives each count class its
+    * offset, and a row_number PARTITIONED by count orders words within a
+    * class; `regr_slope`/`regr_r2` are mergeable built-in aggregates.
+    */
+  def zipfFit(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = wordCount(docs).where(col("cnt") >= minCount)
+    val byCnt = wc.groupBy("cnt").agg(count(lit(1)).as("nw"))
+    val offsets = byCnt.withColumn("higher",
+      coalesce(sum("nw").over(Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    wc.join(offsets.select("cnt", "higher"), "cnt")
+      .withColumn("rank",
+        col("higher") + row_number().over(Window.partitionBy("cnt").orderBy("word")))
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(regr_slope(log2(col("cnt")), log2(col("rank"))), 4).as("zipf_slope"),
+        round(regr_r2(log2(col("cnt")), log2(col("rank"))), 4).as("zipf_r2"))
+  }
+
   /** Reference InvertedIndex app: word → postings. Emitted as one row per
     * (word, doc_id) with an occurrence count rather than a collected list —
     * keeps the operator fully streaming/spillable (no per-key

@@ -251,6 +251,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: least-squares slope matches a direct computation; ranks dense") {
+    // counts: "a" x8, "b" x4, "c" x4, "d" x2, "e" x1 (pruned by minCount)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(2)("d") ++ Seq("e")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = TextOps.zipfFit(docs).head()
+    assert(row.getLong(0) === 4L) // a,b,c,d survive minCount=2
+    // ranks: a→1; b,c tie on count 4 → word order gives b→2, c→3; d→4
+    val pts = Seq((8.0, 1.0), (4.0, 2.0), (4.0, 3.0), (2.0, 4.0))
+      .map { case (c, r) => (math.log(r) / math.log(2), math.log(c) / math.log(2)) }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getDouble(1) === math.rint(slope * 1e4) / 1e4)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
   test("pmiPairs: hand-computed association scores; margins from the bigram table") {
     // corpus: "a b" x4, "a c" x1, "d b" x1 → bigram counts c12(a,b)=4,
     // c12(a,c)=1, c12(d,b)=1; margins c1(a)=5, c1(d)=1, c2(b)=5, c2(c)=1;
