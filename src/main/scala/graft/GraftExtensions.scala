@@ -14,30 +14,26 @@ import graft.functions.{Arity, BottomK, DotProduct, EqCount, FrequentItems, LshB
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def arity(name: String, signature: String, n: Int)(
-      exprs: Seq[Expression]): Seq[Expression] =
-    Arity.check(name, signature, n)(exprs)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_dot", "graft_dot(array, array)", 2)(exprs)
+        val a = Arity.check("graft_dot", "graft_dot(array, array)", 2)(exprs)
         DotProduct(a.head, a(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vec_sum"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_vec_sum", "graft_vec_sum(array)", 1)(exprs)
+        val a = Arity.check("graft_vec_sum", "graft_vec_sum(array)", 1)(exprs)
         VectorSum(a.head).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_lsh_buckets",
+        val a = Arity.check("graft_lsh_buckets",
           "graft_lsh_buckets(array, planes, nBits)", 3)(exprs)
         LshBuckets(a.head, a(1), a(2).eval().asInstanceOf[Number].intValue())
       }))
@@ -45,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_freq_items", "graft_freq_items(col, k)", 2)(exprs)
+        val a = Arity.check("graft_freq_items", "graft_freq_items(col, k)", 2)(exprs)
         FrequentItems(a.head,
           a(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
@@ -53,7 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_bottom_k", "graft_bottom_k(hash, payload, k)", 3)(exprs)
+        val a = Arity.check("graft_bottom_k", "graft_bottom_k(hash, payload, k)", 3)(exprs)
         BottomK(a.head, a(1),
           a(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }))
@@ -61,14 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_eq_count"),
       new ExpressionInfo(classOf[EqCount].getName, "graft_eq_count"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_eq_count", "graft_eq_count(array, array)", 2)(exprs)
+        val a = Arity.check("graft_eq_count", "graft_eq_count(array, array)", 2)(exprs)
         EqCount(a.head, a(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[Md5Hash64].getName, "graft_hash64"),
       (exprs: Seq[Expression]) => {
-        val a = arity("graft_hash64", "graft_hash64(string)", 1)(exprs)
+        val a = Arity.check("graft_hash64", "graft_hash64(string)", 1)(exprs)
         Md5Hash64(a.head)
       }))
     ext.injectResolutionRule(session => graft.plans.ReuseMaterializedRule(session))

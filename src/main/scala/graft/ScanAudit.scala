@@ -4,6 +4,9 @@ import org.apache.spark.sql.SparkSession
   * same input path more than once without any exchange/stage reuse? */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,19 +19,25 @@ object PortableMd5 {
         java.security.MessageDigest.getInstance("MD5")
     })
 
-  /** First 60 bits of md5(bytes) as a non-negative long — bit-identical
-    * to `conv(substr(md5(s), 1, 15), 16, 10)`: the first 15 hex chars
+  /** The 60-bit extraction from a raw md5 digest — the first 15 hex chars
     * are the first 7.5 digest bytes, i.e. the big-endian first-8-byte
-    * word shifted right by one nibble.
+    * word shifted right by one nibble. Exposed for callers that build the
+    * digest incrementally (e.g. shared-prefix hashing).
     */
-  def hash64(bytes: Array[Byte]): Long = {
-    val d = md.get()
-    d.reset()
-    val dig = d.digest(bytes)
+  def fromDigest(dig: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  /** First 60 bits of md5(bytes) as a non-negative long — bit-identical
+    * to `conv(substr(md5(s), 1, 15), 16, 10)`.
+    */
+  def hash64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    fromDigest(d.digest(bytes))
   }
 }
 

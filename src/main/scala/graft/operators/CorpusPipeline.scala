@@ -145,8 +145,14 @@ object CorpusPipeline {
     val fs = new Path(cacheDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def complete(dir: String) = fs.exists(new Path(dir, "_SUCCESS"))
     val target = s"$cacheDir/$fp"
+    // the pointer is keyed by params AND code version: without the
+    // version an upgraded library would find the old pointer, see an
+    // empty appended slice, and re-commit the OLD code's output under a
+    // new-code fingerprint — exactly the stale-replay the Materializer's
+    // versioned keys exist to prevent
     val paramsTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(params.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      .digest((Materializer.codeVersion +: params.toSeq.sorted.map(_.toString))
+        .mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val pointer = new Path(cacheDir, s"_curate_latest_$paramsTag")
 

@@ -48,6 +48,12 @@ object Multimodal {
   object MediaCodec {
     val featureDim = 16
 
+    // keep ImageIO decoding fully in memory: the default disk-backed
+    // FileCacheImageInputStream creates and deletes a temp file on
+    // executor disk for EVERY decoded image — pure overhead in a hot
+    // mapPartitions decode loop
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Modulus for the stub features — features are `h % FeatureMod /
       * FeatureMod`, and `FeatureMod < 2^24` keeps the scaled-back integer
       * exactly recoverable from the Float (so a SQL oracle can replay an
@@ -55,13 +61,15 @@ object Multimodal {
       */
     val FeatureMod = 1000003L
 
-    /** Magic-byte sniff for the formats the JDK's ImageIO readers handle
-      * (PNG, JPEG, GIF, BMP, TIFF). In a mixed corpus most payloads are
-      * NOT images of a decodable format, and spinning up the ImageIO
-      * reader machinery per garbage payload measurably dominated the
-      * decode stage (~3x on the fixture corpus) — a 4-byte prefix check
-      * rejects them for free. ImageIO cannot decode a payload whose magic
-      * none of its readers recognize, so this changes no results.
+    /** Magic-byte sniff for the mainstream formats the JDK's ImageIO
+      * readers handle (PNG, JPEG, GIF, BMP, TIFF). In a mixed corpus most
+      * payloads are NOT images of a decodable format, and spinning up the
+      * ImageIO reader machinery per garbage payload measurably dominated
+      * the decode stage (~3x on the fixture corpus) — a 4-byte prefix
+      * check rejects them for free. Deliberate trade: WBMP (the one JDK
+      * format with no reliable magic — its header starts 0x00 0x00, which
+      * arbitrary binary matches constantly) is excluded and takes the
+      * stub path; every magic-bearing JDK format decodes for real.
       */
     private def looksLikeImage(p: Array[Byte]): Boolean =
       p != null && p.length >= 4 && (
@@ -74,13 +82,18 @@ object Multimodal {
 
     /** Real image decode via `javax.imageio`. Returns null when the payload
       * is not a decodable image (wrong magic bytes, truncated stream) —
-      * callers fall back to [[stubFeatures]].
+      * callers fall back to [[stubFeatures]]. Catches ALL non-fatal
+      * throwables, not just IOException: the JDK BMP/GIF/TIFF readers
+      * throw unchecked exceptions (IllegalArgument, NegativeArraySize,
+      * ArrayIndexOutOfBounds) on payloads whose magic matches but whose
+      * header fields are garbage — one such poison payload must degrade
+      * to the stub, not fail the task 4 times and abort the stage.
       */
     def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
       if (!looksLikeImage(payload)) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
 
     /** Decode + feature-extract. Images and audio attempt the real JDK
       * decoders first; everything else (video, and undecodable payloads)
@@ -199,12 +212,18 @@ object Multimodal {
     def stubFeatures(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       if (payload != null) {
+        // hash the payload ONCE, then clone the digest state per dimension
+        // and append only the ":d" suffix — md5(payload ++ ":d") exactly,
+        // without 16 full passes (and copies) of a possibly-multi-MB
+        // payload per row; the oracle contract is unchanged
+        val base = java.security.MessageDigest.getInstance("MD5")
+        base.update(payload)
         var d = 0
         while (d < featureDim) {
-          val suffix = (":" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val buf = java.util.Arrays.copyOf(payload, payload.length + suffix.length)
-          System.arraycopy(suffix, 0, buf, payload.length, suffix.length)
-          out(d) = (graft.functions.PortableMd5.hash64(buf) % FeatureMod).toFloat / FeatureMod
+          val md = base.clone().asInstanceOf[java.security.MessageDigest]
+          md.update((":" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out(d) = (graft.functions.PortableMd5.fromDigest(md.digest()) % FeatureMod)
+            .toFloat / FeatureMod
           d += 1
         }
       }

@@ -60,14 +60,29 @@ object Versioned {
         .sorted
   }
 
+  /** Atomic exclusive claim. HDFS/object-store `create(overwrite=false)`
+    * is atomic, but Hadoop's local ChecksumFileSystem implements it as a
+    * non-atomic exists-then-open — so on the `file` scheme the claim goes
+    * through NIO `Files.createFile`, which is O_EXCL at the OS level.
+    * Throws (a subclass of) IOException when the claim is already held.
+    */
+  private def claimExclusive(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local)
+      ()
+    } else fs.create(p, false).close()
+
   /** Commit `df` as the next snapshot and return its version number.
-    * Concurrency: the claim file is created with overwrite=false —
-    * atomic exclusive-create — so exactly one writer owns each version
-    * number; losers bump and retry on the next number. Data is written
-    * into the claimed directory (append mode, so the claim survives) and
-    * the `_COMMITTED` marker goes last, making the snapshot visible only
-    * once complete. Two concurrent committers both succeed with distinct,
-    * monotonically increasing versions and neither's data is orphaned.
+    * Concurrency: the claim file is created via [[claimExclusive]] —
+    * atomic exclusive-create on every supported scheme — so exactly one
+    * writer owns each version number; losers bump and retry on the next
+    * number. Data is written into the claimed directory (append mode, so
+    * the claim survives) and the `_COMMITTED` marker goes last, making
+    * the snapshot visible only once complete. Two concurrent committers
+    * both succeed with distinct, monotonically increasing versions and
+    * neither's data is orphaned.
     */
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
@@ -77,7 +92,7 @@ object Versioned {
     var claimed = false
     while (!claimed) {
       try {
-        fs.create(claimPath(root, next), false).close()
+        claimExclusive(fs, claimPath(root, next))
         claimed = true
       } catch {
         case e: java.io.IOException =>
