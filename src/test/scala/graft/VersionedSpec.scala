@@ -74,6 +74,28 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, root) === Some(2L))
   }
 
+  test("claim stress: 4 writers x 3 commits each land 12 distinct versions") {
+    val root = Files.createTempDirectory("graft_versioned5").toString + "/t"
+    Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => (1 to 3).foreach { i =>
+        results.add(Versioned.commit(Seq((t, s"w$t-$i")).toDF("k", "v"), root))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSeq.map(_.toLong).sorted
+    // O_EXCL claims: no two commits may ever share a version number
+    assert(got === (1L to 12L), s"expected 12 distinct versions, got $got")
+    assert(Versioned.versions(spark, root) === (0L to 12L))
+    // every snapshot is intact — exactly one row each, none mixed
+    (1L to 12L).foreach { v =>
+      assert(Versioned.read(spark, root, Some(v)).count() === 1L, s"torn snapshot v=$v")
+    }
+  }
+
   test("a claim race loser bumps past a crashed writer's burned version") {
     val root = Files.createTempDirectory("graft_versioned4").toString + "/t"
     Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
