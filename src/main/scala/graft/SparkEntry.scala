@@ -103,6 +103,7 @@ object SparkEntry {
     "chunk_docs" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
     "pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d), minCount = 5L)),
     "zipf_fit" -> ((s, d) => TextOps.zipfFit(Tables.documents(s, d))),
+    "source_overlap" -> ((s, d) => TextOps.sourceOverlap(Tables.documents(s, d))),
     // per-doc MinHash signatures as a first-class output: persisting these
     // is what makes cross-run incremental dedup practical (new docs join
     // against stored signatures instead of re-shingling the archive)
@@ -770,6 +771,22 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    // source_overlap: full a<b matrix with zero-overlap pairs kept
+    "source_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, word
+        |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |  WHERE word <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sv GROUP BY source),
+        |iv AS (SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS inter
+        |       FROM sv x JOIN sv y ON x.word = y.word AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT sa.source AS a, sb.source AS b,
+        |       coalesce(iv.inter, 0) AS shared,
+        |       round(coalesce(iv.inter, 0)::DOUBLE
+        |             / (sa.nv + sb.nv - coalesce(iv.inter, 0)), 4) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN iv ON iv.a = sa.source AND iv.b = sb.source""".stripMargin,
     // zipf_fit: global rank decomposed as (words in higher count classes)
     // + (ordinal within the class), exactly like the Spark plan
     "zipf_fit" ->

@@ -345,6 +345,39 @@ object TextOps {
       .agg((round(sum(col("it")) / 100.0, 0).cast("long") / 10000.0).as("kl_bits"))
   }
 
+  /** Pairwise source vocabulary overlap (Jaccard of distinct-token sets):
+    * the companion diagnostic to [[sourceKl]] — KL measures distributional
+    * divergence, this measures raw shared vocabulary, together deciding
+    * whether two domains should share a mixing bucket. Full symmetric
+    * matrix (a < b), zero-overlap pairs included.
+    *
+    * Scale shape: one distinct (source, word) aggregate feeds both the
+    * per-source vocabulary sizes and the intersection counts; the
+    * word-keyed self-join fans out at most #sources rows per word, so
+    * cost is Σ_w s_w² ≤ vocab·sources² — linear in vocabulary for any
+    * realistic source count. Sizes ride a broadcast (one row per source).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sv = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = sv.as("x")
+      .join(sv.as("y"), Seq("word"))
+      .where(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("a"), col("sb.source").as("b"),
+        col("sa.nv").as("na"), col("sb.nv").as("nb"))
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("inter"), lit(0L)).as("shared"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 4).as("jaccard"))
+  }
+
   /** Deterministic source mixing: sample each source at its target rate by
     * thresholding the content-independent md5(doc_id) hash — the
     * data-mixing primitive that turns per-domain weights into a concrete

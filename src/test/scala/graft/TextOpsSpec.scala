@@ -251,6 +251,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: hand-computed vocabulary Jaccard, zero-overlap pairs kept") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s1"), // s1 vocab {a,b,c,d}
+      (3L, "c d e", "s2"),                      // s2 vocab {c,d,e}
+      (4L, "x y", "s3"))                        // s3 vocab {x,y} — disjoint
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceOverlap(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size === 3) // full matrix over 3 sources
+    assert(got(("s1", "s2")) === ((2L, 0.4)))   // {c,d} / {a,b,c,d,e}
+    assert(got(("s1", "s3")) === ((0L, 0.0)))   // disjoint pair present
+    assert(got(("s2", "s3")) === ((0L, 0.0)))
+  }
+
   test("zipfFit: least-squares slope matches a direct computation; ranks dense") {
     // counts: "a" x8, "b" x4, "c" x4, "d" x2, "e" x1 (pruned by minCount)
     val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") ++
