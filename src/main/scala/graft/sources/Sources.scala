@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileStatus, FileUtil, Path}
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 
 /** Source/sink + catalog surface.
@@ -78,14 +78,33 @@ object Sources {
     * sink both fragment over time; scan cost at 100 TB is dominated by
     * file count if left unchecked).
     */
-  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long = {
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long =
+    compactWithHook(spark, dir, targetMB, () => ())
+
+  /** [[compact]] with a test seam invoked after the rewrite, before the
+    * swap — lets specs inject a concurrent append into the window the
+    * rewrite leaves open.
+    */
+  private[graft] def compactWithHook(spark: SparkSession, dir: String,
+      targetMB: Int, afterRewrite: () => Unit): Long = {
     val path = new Path(dir)
     val fileSys = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fileSys.getContentSummary(path).getLength
+    def isData(name: String) = !name.startsWith("_") && !name.startsWith(".")
+    // snapshot the EXACT data files being compacted: anything a concurrent
+    // writer appends after this listing is outside the rewrite and must
+    // survive the swap (recovered below), never silently deleted with the
+    // originals. (Reading the directory instead of the list would race the
+    // same way — the scan's file listing is captured at DataFrame creation.)
+    val snapshot = fileSys.listStatus(path).filter(_.isFile)
+      .filter(s => isData(s.getPath.getName))
+    if (snapshot.isEmpty) return 0L
+    val bytes = snapshot.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
     val tmp = new Path(dir + "._compact_tmp")
-    spark.read.parquet(dir).repartition(nFiles)
+    spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    afterRewrite()
     // swap via rename-aside so a crash between steps never loses the data:
     // dir -> dir._old, tmp -> dir, then drop dir._old; on any failed rename
     // restore the original and abort. (Plain delete-then-rename would leave
@@ -100,6 +119,14 @@ object Sources {
       fileSys.rename(old, path) // restore
       fileSys.delete(tmp, true)
       throw new java.io.IOException(s"compact: could not move compacted data into $dir")
+    }
+    // recover concurrent appends: data files that landed after the snapshot
+    // listing were moved aside with the originals — carry them into the
+    // compacted directory instead of deleting them with `old`
+    val snapNames = snapshot.map(_.getPath.getName).toSet
+    fileSys.listStatus(old).filter(_.isFile).foreach { s =>
+      val n = s.getPath.getName
+      if (isData(n) && !snapNames.contains(n)) fileSys.rename(s.getPath, new Path(path, n))
     }
     fileSys.delete(old, true)
     nFiles.toLong
@@ -127,8 +154,19 @@ object Sources {
     * [[readText]] for distributed reads).
     */
   def cat(spark: SparkSession, path: String): Iterator[String] = {
-    val in = fs(spark, path).open(new Path(path))
-    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    val src = scala.io.Source.fromInputStream(
+      fs(spark, path).open(new Path(path)), "UTF-8")
+    val lines = src.getLines()
+    // close the underlying stream on exhaustion — getLines alone leaks the
+    // FS handle even when the caller drains the iterator
+    new Iterator[String] {
+      def hasNext: Boolean = {
+        val h = lines.hasNext
+        if (!h) src.close()
+        h
+      }
+      def next(): String = lines.next()
+    }
   }
 
   /** `mrrm` parity: delete a file or directory tree. */

@@ -54,8 +54,9 @@ object Versioned {
     else
       fs.listStatus(r).toSeq
         .map(_.getPath.getName)
-        .filter(_.startsWith("v="))
-        .map(_.stripPrefix("v=").toLong)
+        // strict v=<digits> match: a stray foreign entry like `v=3.bak`
+        // must not brick every read/commit with NumberFormatException
+        .collect { case n if n.matches("v=\\d+") => n.stripPrefix("v=").toLong }
         .filter(v => fs.exists(markerPath(root, v)))
         .sorted
   }
@@ -83,8 +84,19 @@ object Versioned {
     * the snapshot visible only once complete. Two concurrent committers
     * both succeed with distinct, monotonically increasing versions and
     * neither's data is orphaned.
+    *
+    * `expectedParent` turns the commit into a compare-and-swap for
+    * read-merge-commit cycles: the commit succeeds only if the version it
+    * claims is exactly `expectedParent + 1` — i.e. no other writer
+    * committed (or is mid-commit on a claimed number) since the caller
+    * read its base snapshot. On conflict the claim is released and
+    * `ConcurrentModificationException` is thrown; the caller re-reads
+    * latest, re-merges, and retries. Without it, two concurrent
+    * read-merge-commit writers are last-writer-wins: both snapshots stay
+    * on disk, but the earlier writer's merged changes silently vanish
+    * from "latest" (a classic lost update).
     */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(df: DataFrame, root: String, expectedParent: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     var next = latestVersion(spark, root).getOrElse(-1L) + 1L
@@ -101,6 +113,15 @@ object Versioned {
           attempts += 1
           if (!fs.exists(claimPath(root, next)) || attempts > 10000) throw e
           next += 1
+      }
+    }
+    expectedParent.foreach { p =>
+      if (next != p + 1L) {
+        // another writer claimed/committed since our base read; release
+        // our claim (we own the directory, nothing visible references it)
+        fs.delete(new Path(root, s"v=$next"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"commit to $root expected parent v=$p but claimed v=$next; re-read and retry")
       }
     }
     df.write.mode("append").parquet(s"$root/v=$next")

@@ -81,10 +81,22 @@ object EventStreams {
       Versioned.commit(base, stateDir)
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cur = Versioned.read(spark, stateDir)
-        Versioned.commit(
-          graft.operators.Cdc.mergeUpsert(cur, batch.toDF(), key), stateDir)
-        ()
+        // CAS read-merge-commit: pin the base version, merge against it,
+        // and commit only if no other writer advanced the table meanwhile
+        // — otherwise the concurrent writer's committed merge would be
+        // silently shadowed (lost update). On conflict, re-read + re-merge.
+        var done = false
+        while (!done) {
+          val baseV = Versioned.latestVersion(spark, stateDir).getOrElse(
+            throw new IllegalStateException(s"cdcApply: state table $stateDir vanished"))
+          val cur = Versioned.read(spark, stateDir, Some(baseV))
+          try {
+            Versioned.commit(
+              graft.operators.Cdc.mergeUpsert(cur, batch.toDF(), key), stateDir,
+              expectedParent = Some(baseV))
+            done = true
+          } catch { case _: java.util.ConcurrentModificationException => () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -107,8 +119,12 @@ object EventStreams {
     * event stream with slowly-changing reference data.
     */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
-      dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      dimKey: String): DataFrame = {
+    // frame-qualified keys: unqualified col(k) === col(k) is ambiguous the
+    // moment both sides share the key name (the common enrichment shape)
+    val joined = events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+    if (eventKey == dimKey) joined.drop(dim(dimKey)) else joined
+  }
 
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding `interval`. Both sides carry watermarks and
@@ -224,11 +240,21 @@ object EventStreams {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = t))
-                case Some(s) =>
+                // within gap of the open session's interval — including
+                // late-but-in-watermark events older than lastUs (state
+                // carried from a previous batch): widen, never regress.
+                // A plain `lastUs = t` here would invert the interval and
+                // set a too-early event-time timeout.
+                case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.nEvents + 1,
+                    math.min(s.startUs, t), math.max(s.lastUs, t)))
+                case Some(s) if t > s.lastUs =>
                   closed += SessionUpdate(userId, s.nEvents, s.startUs, s.lastUs, expired = true)
                   cur = Some(SessionState(1L, t, t))
+                case Some(_) =>
+                  // late event more than a gap OLDER than the open session:
+                  // its own session, already closed by the time it arrived
+                  closed += SessionUpdate(userId, 1L, t, t, expired = true)
                 case None =>
                   cur = Some(SessionState(1L, t, t))
               }

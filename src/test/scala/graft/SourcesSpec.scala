@@ -110,6 +110,20 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readParquet(spark, dir).as[Int].collect().sorted.toSeq === (1 to 500))
   }
 
+  test("compact preserves files appended concurrently during the rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-conc").toString + "/t"
+    (1 to 100).toDF("x").repartition(10).write.parquet(dir)
+    // the hook fires after the rewrite finishes, inside the window where a
+    // concurrent writer lands an append — the appended file is NOT in the
+    // compaction's snapshot and must survive the swap
+    Sources.compactWithHook(spark, dir, 128,
+      () => Seq(999).toDF("x").write.mode("append").parquet(dir))
+    val got = Sources.readParquet(spark, dir).as[Int].collect().sorted.toSeq
+    assert(got === ((1 to 100) :+ 999),
+      "concurrently appended data must not be deleted by compaction")
+  }
+
   test("profiler: nulls, distincts, min/max per column in one pass") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("id", "s")

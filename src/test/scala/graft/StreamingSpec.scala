@@ -54,6 +54,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("statefulSessions: a late-but-in-watermark event widens the session, never regresses it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val query = EventStreams.statefulSessions(events, gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("sess_late_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 12:00:00")), (1L, ts("2024-01-01 12:10:00")))
+      query.processAllAvailable()
+      // batch 2: 11:55 is LATE (older than the stored lastUs=12:10) but
+      // inside the watermark and within the gap → must merge by widening
+      // start, not regress lastUs; 09:00 is more than a gap older than the
+      // session → its own already-closed singleton; 12:30 is 20 min after
+      // the true last event and must merge (a regressed lastUs would
+      // wrongly split it off)
+      mem.addData((1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 11:55:00")),
+        (1L, ts("2024-01-01 12:30:00")))
+      query.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 14:00:00"))) // gap exceeded → closes the session
+      query.processAllAvailable()
+      val closed = spark.table("sess_late_test").as[EventStreams.SessionUpdate]
+        .collect().sortBy(_.startUs)
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(closed.length === 2, s"expected singleton + main session: ${closed.toSeq}")
+      assert(closed(0).nEvents === 1L && closed(0).startUs === us("2024-01-01 09:00:00"))
+      assert(closed(1).nEvents === 4L, "12:30 must merge with the un-regressed session")
+      assert(closed(1).startUs === us("2024-01-01 11:55:00"), "late event widens start")
+      assert(closed(1).endUs === us("2024-01-01 12:30:00"), "lastUs never regresses")
+    } finally query.stop()
+  }
+
+  test("enrich resolves same-name keys on both sides (no ambiguous reference)") {
+    val events = Seq((100L, 1L), (101L, 3L)).toDF("event_id", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val got = EventStreams.enrich(events, dim, "user_id", "user_id")
+    assert(got.columns.count(_ == "user_id") === 1, "dim's duplicate key column is dropped")
+    val byId = got.select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId === Map(100L -> Some("gold"), 101L -> None))
+  }
+
   test("file pipeline: readStream parquet → transform → writeStream parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-file").toString
     Tables.events(spark, sfDir).write.parquet(s"$base/in")

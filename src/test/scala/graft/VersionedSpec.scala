@@ -96,6 +96,41 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("a foreign v=* entry does not brick the table") {
+    val root = Files.createTempDirectory("graft_versioned6").toString + "/t"
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), root)
+    // an operator copies a snapshot aside before a risky run — the stray
+    // non-numeric entry must not make every read/commit throw
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=0.bak"))
+    assert(Versioned.versions(spark, root) === Seq(0L))
+    assert(Versioned.commit(Seq((2, "b")).toDF("k", "v"), root) === 1L)
+    assert(Versioned.read(spark, root).count() === 1L)
+  }
+
+  test("CAS commit: a concurrent commit fails the expected-parent check, retry lands cleanly") {
+    val root = Files.createTempDirectory("graft_versioned7").toString + "/t"
+    Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
+    // writer A pins its base read at v0...
+    val aBase = Versioned.latestVersion(spark, root).get
+    // ...then writer B commits v1 before A finishes its merge
+    Versioned.commit(Seq((1, "from-b")).toDF("k", "v"), root)
+    // A's CAS commit must refuse rather than shadow B's merge from latest
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commit(Seq((1, "from-a")).toDF("k", "v"), root,
+        expectedParent = Some(aBase))
+    }
+    assert(Versioned.read(spark, root).as[(Int, String)].head()._2 === "from-b")
+    // the aborted attempt released its claim: the retry (re-read, re-merge)
+    // lands on v2, not on a number burned by the failed CAS
+    val retryV = Versioned.commit(Seq((1, "from-a-retried")).toDF("k", "v"), root,
+      expectedParent = Versioned.latestVersion(spark, root))
+    assert(retryV === 2L)
+    assert(Versioned.versions(spark, root) === Seq(0L, 1L, 2L))
+    assert(Versioned.read(spark, root).as[(Int, String)].head()._2 === "from-a-retried")
+  }
+
   test("a claim race loser bumps past a crashed writer's burned version") {
     val root = Files.createTempDirectory("graft_versioned4").toString + "/t"
     Versioned.commit(Seq((0, "base")).toDF("k", "v"), root)
