@@ -27,19 +27,28 @@ object Layout {
 
   /** Morton z-value of two non-negative ints using `bits` bits each:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    *
+    * Bits above `bits` are DISCARDED — values ≥ 2^bits alias onto the low
+    * range and the bounded-box clustering contract silently degrades, so
+    * pick `bits` ≥ log2(max value) (e.g. 21 covers 2M part keys; the
+    * default 16 covers 65k). Capped at 31 so the top interleaved bit
+    * (2·30+1 = 61) stays clear of the long sign bit.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue bits must be in [1, 31], got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
 
   /** The same interleave as ANSI SQL (for oracles / other engines). The
     * 64-bit cast mirrors [[zValue]]'s `cast("long")`: without it a 32-bit
     * column overflows the high shifts (DuckDB raises, Spark wraps).
     */
   def zValueSql(x: String, y: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, s"zValueSql bits must be in [1, 31], got $bits")
     val (xl, yl) = (s"CAST($x AS BIGINT)", s"CAST($y AS BIGINT)")
     (0 until bits).flatMap { i =>
       Seq(s"((($xl >> $i) & 1) << ${2 * i})", s"((($yl >> $i) & 1) << ${2 * i + 1})")
@@ -52,12 +61,17 @@ object Layout {
     * nest the same way, and drop the helper column before writing.
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-      numFiles: Int = 16, bits: Int = 16): Unit =
-    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      numFiles: Int = 16, bits: Int = 16): Unit = {
+    // collision-checked helper name: withColumn REPLACES an existing
+    // column, so a fixed "_z" would silently destroy a user column
+    val zCol = (Iterator.single("_z") ++ Iterator.from(1).map(i => s"_z$i"))
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zCol, zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Per-file zone map: min/max of each listed column for every file of a
     * parquet dataset — the file-skipping index that makes clustering pay.

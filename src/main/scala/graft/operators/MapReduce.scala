@@ -63,11 +63,13 @@ object MapReduce {
   /** Per-FILE mapper parity: the reference invokes `map(inputpath)` once per
     * input file and lets the mapper keep cross-record state while pulling
     * records with `getnextrecord` (`/root/reference/src/mapreduce/dht/
-    * mapreduce.hh:557-593, 905-942`). Spark-side: one task per file
-    * (`binaryFiles` never splits a file), the mapper sees the file name and
-    * a streaming line iterator — lines are never materialized whole-file.
-    * Accepts many paths (reference `add_inputpath` multi-input,
-    * `mapreduce.hh:760-774`).
+    * mapreduce.hh:557-593, 905-942`). Spark-side: `binaryFiles` never
+    * splits a file (it may PACK many small files into one task), the
+    * mapper sees the file name and a streaming line iterator — lines are
+    * never materialized whole-file, and each file's stream closes as soon
+    * as its iterator drains, so a task over thousands of packed files
+    * holds one descriptor at a time. Accepts many paths (reference
+    * `add_inputpath` multi-input, `mapreduce.hh:760-774`).
     */
   def runPerFile[K: Encoder, V, O: Encoder](spark: SparkSession, paths: Seq[String])(
       mapper: (String, Iterator[String]) => IterableOnce[(K, V)])(
@@ -78,9 +80,18 @@ object MapReduce {
       .binaryFiles(paths.mkString(","))
       .flatMap { case (file, portable) =>
         val in = portable.open()
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        // completion listener is the safety net for mappers that never
+        // drain their iterator; the exhaustion hook below is what bounds
+        // open descriptors at 1 per task for packed small-file partitions
         Option(TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val raw = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        val lines = new Iterator[String] {
+          def hasNext: Boolean = { val h = raw.hasNext; if (!h) closeOnce(); h }
+          def next(): String = raw.next()
+        }
         mapper(file, lines)
       }
     spark.createDataset(pairs)(kvEnc)
@@ -96,9 +107,12 @@ object MapReduce {
     */
   def runAggregating[K: Encoder, V, B: Encoder, O: Encoder](input: Dataset[String])(
       mapper: String => IterableOnce[(K, V)])(
-      zeroB: B)(seqOp: (B, V) => B)(combOp: (B, B) => B)(finishOp: B => O)(
+      zeroB: => B)(seqOp: (B, V) => B)(combOp: (B, B) => B)(finishOp: B => O)(
       implicit kvEnc: Encoder[(K, V)], koEnc: Encoder[(K, O)]): Dataset[(K, O)] = {
     val agg = new Aggregator[(K, V), B, O] {
+      // zeroB is by-name: every group must get a FRESH buffer, or a
+      // mutable B (e.g. Array) mutated in-place by seqOp would be shared
+      // across all keys in a task and corrupt every aggregate
       def zero: B = zeroB
       def reduce(b: B, a: (K, V)): B = seqOp(b, a._2)
       def merge(b1: B, b2: B): B = combOp(b1, b2)

@@ -21,7 +21,20 @@ object Skew {
   private def salt(value: Column, buckets: Int): Column =
     pmod(xxhash64(value), lit(buckets.toLong))
 
-  /** Salted equivalent of `groupBy(key).agg(count, sum(value))`. */
+  /** Salted equivalent of `groupBy(key).agg(count, sum(value))` — the
+    * explicit two-level aggregation pattern.
+    *
+    * Honesty note on when this pays: for ALGEBRAIC aggregates like
+    * count/sum, Spark's map-side partial aggregation already collapses
+    * each key to one row per partition before the shuffle, so the plain
+    * groupBy has no hot-key straggler and this helper's second exchange
+    * is pure overhead. Salting earns its keep when partials can't save
+    * you: disabled partial aggregation, `flatMapGroups`-style typed
+    * pipelines, or buffer-heavy aggregates (collect_list/set) — this
+    * function is the checked template for those shapes. Caveat shared
+    * with [[saltedJoin]]: the salt derives from `value`, so a hot key
+    * whose rows all carry ONE value still lands in a single bucket.
+    */
   def saltedAgg(df: DataFrame, key: Column, value: Column, buckets: Int = 16): DataFrame =
     df.groupBy(key.as("key"), salt(value, buckets).as("_salt"))
       .agg(count(lit(1)).as("_n"), sum(value).as("_s"))
@@ -60,14 +73,19 @@ object Skew {
     salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
-  /** Salted distinct count: phase 1 dedups (key, value) within salt
-    * buckets, phase 2 counts — the classic two-level exact distinct for a
-    * hot key.
+  /** Two-level exact distinct count for a hot key: phase 1 dedups
+    * (key, value) pairs — that shuffle hash-partitions on BOTH columns,
+    * so a hot key's distinct values spread across the cluster on their
+    * own (no salt column needed: a salt derived from `value` would be a
+    * pure function of a column already in the shuffle key, dead weight) —
+    * and phase 2 counts per key with map-side partial aggregation.
+    * `count(v)` skips the NULL row each key's distinct set may carry —
+    * matching `countDistinct(value)` exactly, including a 0 (not a
+    * missing row, not a 1) for keys whose values are all NULL.
     */
-  def saltedDistinctCount(df: DataFrame, key: Column, value: Column,
-      buckets: Int = 16): DataFrame =
-    df.select(key.as("key"), value.as("v"), salt(value, buckets).as("_salt"))
+  def saltedDistinctCount(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("key"), value.as("v"))
       .distinct()
       .groupBy("key")
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count(col("v")).as("n_distinct"))
 }

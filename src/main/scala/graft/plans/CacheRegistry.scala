@@ -23,7 +23,19 @@ object CacheRegistry {
     */
   def cache(name: String, df: => DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    registry.getOrElseUpdate(name, df.persist(level))
+    registry.get(name) match {
+      case Some(cached) => cached
+      case None =>
+        // no getOrElseUpdate: TrieMap evaluates the thunk in BOTH racing
+        // threads and discards the loser's value — the loser's persist()
+        // would stay registered in Spark's CacheManager with no registry
+        // entry, unreleasable by uncache/clear for the session lifetime
+        val fresh = df.persist(level)
+        registry.putIfAbsent(name, fresh) match {
+          case Some(winner) => fresh.unpersist(blocking = false); winner
+          case None => fresh
+        }
+    }
 
   def lookup(name: String): Option[DataFrame] = registry.get(name)
 

@@ -85,9 +85,14 @@ object Materializer {
         files.sorted.toSeq
       } else Seq(s"$p|missing")
     }
+    // length-prefix every component so the encoding is injective: without
+    // it a param VALUE containing "\n" or "=" could collide with a
+    // differently-shaped key and serve the wrong materialization
+    def enc(s: String) = s"${s.length}:$s"
     val material =
-      (Seq(s"code=$codeVersion", key.op) ++
-        key.params.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ snapshot)
+      (Seq(enc(s"code=$codeVersion"), enc(key.op)) ++
+        key.params.toSeq.sorted.map { case (k, v) => enc(k) + "=" + enc(v) } ++
+        snapshot.map(enc))
         .mkString("\n")
     MessageDigest.getInstance("MD5").digest(material.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -95,23 +100,68 @@ object Materializer {
 
   private def successMarker(dir: String): Path = new Path(dir, "_SUCCESS")
 
+  /** Atomic exclusive claim (same scheme split as
+    * [[graft.sources.Versioned]]: Hadoop's local ChecksumFileSystem
+    * implements create(overwrite=false) as a non-atomic exists-then-open,
+    * so the `file` scheme claims through NIO O_EXCL). Returns false when
+    * another writer already holds the claim.
+    */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+        true
+      } else { fs.create(p, false).close(); true }
+    } catch {
+      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    }
+
   /** Serve from cache when the fingerprint matches a completed
     * materialization; otherwise compute, persist, and serve the persisted
     * copy (so downstream reads get parquet scans with pruning, not the
-    * original plan). Incomplete writes (no _SUCCESS) are recomputed —
-    * mirrors the reference's `is_being_written` concurrent-writer guard
-    * (`fileserver.hh:473-538`) without its race.
+    * original plan). Incomplete writes (no _SUCCESS) are recomputed.
+    *
+    * Concurrency (the reference's `is_being_written` guard,
+    * `fileserver.hh:473-538`, without its check-then-act race): the writer
+    * for a fingerprint is elected by an atomic exclusive claim file, so
+    * two sessions sharing `cacheDir` can never interleave writes into the
+    * same target. A loser waits up to `waitMs` for the winner's marker
+    * and serves the cached copy; on timeout (winner crashed or is slower
+    * than the wait) it removes the stale claim for future callers and
+    * serves its own computed frame UNCACHED — duplicated work is the
+    * worst case, never a corrupted or torn read.
     */
-  def lookupOrCompute(spark: SparkSession, cacheDir: String, key: CacheKey)(
-      compute: => DataFrame): DataFrame = {
+  def lookupOrCompute(spark: SparkSession, cacheDir: String, key: CacheKey,
+      waitMs: Long = 300000L)(compute: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, key)
     val target = s"$cacheDir/$fp"
     val path = new Path(target)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!(fs.exists(path) && fs.exists(successMarker(target)))) {
-      compute.write.mode("overwrite").parquet(target)
+    def committed = fs.exists(successMarker(target))
+    if (committed) return spark.read.parquet(target)
+    val claim = new Path(s"$cacheDir/$fp._claim")
+    if (tryClaim(fs, claim)) {
+      try {
+        // re-check under the claim: a racing writer may have committed
+        // between our probe and the claim; a torn leftover (crashed
+        // writer, no marker) is cleared and rewritten
+        if (!committed) {
+          if (fs.exists(path)) fs.delete(path, true)
+          compute.write.mode("overwrite").parquet(target)
+        }
+      } finally fs.delete(claim, false)
+      spark.read.parquet(target)
+    } else {
+      val deadline = System.nanoTime + waitMs * 1000000L
+      while (!committed && System.nanoTime < deadline) Thread.sleep(100)
+      if (committed) spark.read.parquet(target)
+      else {
+        fs.delete(claim, false) // stale claim: don't strand future callers
+        compute
+      }
     }
-    spark.read.parquet(target)
   }
 
   /** Drop one materialization (or the whole cache namespace with `op=None`). */

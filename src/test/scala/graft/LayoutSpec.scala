@@ -56,6 +56,20 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.length > 1, "expected multiple files")
   }
 
+  test("zorderWrite never clobbers a user column named _z") {
+    val dir = Files.createTempDirectory("graft_zorder_zcol").toString + "/t"
+    val df = Seq((1L, 2L, "keep"), (3L, 4L, "also")).toDF("x", "y", "_z")
+    Layout.zorderWrite(df, "x", "y", dir, numFiles = 1)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet === Set("x", "y", "_z"))
+    assert(back.select("_z").as[String].collect().toSet === Set("keep", "also"))
+  }
+
+  test("zValue rejects bit widths that reach the long sign bit") {
+    intercept[IllegalArgumentException] { Layout.zValue(lit(1L), lit(1L), 32) }
+    intercept[IllegalArgumentException] { Layout.zValueSql("x", "y", 0) }
+  }
+
   test("zBoxQuery plan: box predicate and column pruning reach the parquet scan") {
     val plan = Layout.zBoxQuery(Tables.lineitem(spark, sfDir))
       .queryExecution.sparkPlan.toString

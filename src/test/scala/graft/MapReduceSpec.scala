@@ -29,6 +29,21 @@ class MapReduceSpec extends SparkSpec {
     assert(general === algebraic)
   }
 
+  test("runAggregating hands every group a FRESH buffer (in-place mutation safe)") {
+    // Array buffer mutated in place by seqOp/combOp: if zero returned a
+    // shared instance, all keys in a task would accumulate into one
+    // buffer and every aggregate would be wrong
+    val ds = spark.createDataset(Seq("a 1", "b 2", "a 3", "c 5"))
+    val mapper: String => IterableOnce[(String, Long)] =
+      line => { val Array(k, v) = line.split(" "); Iterator.single((k, v.toLong)) }
+    val got = MapReduce.runAggregating(ds)(mapper)(Array(0L))(
+      (b, v) => { b(0) += v; b })(
+      (b1, b2) => { b1(0) += b2(0); b1 })(
+      (b: Array[Long]) => b(0))
+      .collect().toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 5L))
+  }
+
   test("runSortedByKey aggregates correctly") {
     val ds = spark.createDataset(Seq("c 1", "a 2", "b 3", "a 4"))
     val seen = MapReduce.runSortedByKey(ds)(

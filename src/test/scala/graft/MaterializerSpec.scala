@@ -54,6 +54,35 @@ class MaterializerSpec extends SparkSpec {
     } finally sys.props -= "graft.cache.version"
   }
 
+  test("fingerprint is injective for newline/equals-shaped params") {
+    // without length-prefixed encoding these two keys serialize to the
+    // same material and silently share one cache slot
+    val tricky = CacheKey("op", Map("a" -> "1\n1:b=1:2"), Seq.empty)
+    val plain = CacheKey("op", Map("a" -> "1", "b" -> "2"), Seq.empty)
+    assert(Materializer.fingerprint(spark, tricky)
+      !== Materializer.fingerprint(spark, plain))
+  }
+
+  test("concurrent lookupOrCompute: the claim elects exactly one writer") {
+    val cacheDir = Files.createTempDirectory("graft-mat-conc").toString
+    val computeCount = new AtomicInteger(0)
+    val key = CacheKey("conc", Map(), Seq(s"$sfDir/region.parquet"))
+    def run() = Materializer.lookupOrCompute(spark, cacheDir, key) {
+      computeCount.incrementAndGet()
+      Thread.sleep(500) // hold the claim so the loser takes the wait path
+      Seq((1, "x"), (2, "y")).toDF("id", "v")
+    }
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = (1 to 2).map(_ => new Thread(() => counts.add(run().count())))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.toSeq.map(_.toLong) === Seq(2L, 2L),
+      "both callers must see the complete materialization")
+    assert(computeCount.get() === 1,
+      "the loser must wait for the winner's marker, not double-write the target")
+  }
+
   test("invalidate forces recompute") {
     val cacheDir = Files.createTempDirectory("graft-mat2").toString
     val computeCount = new AtomicInteger(0)

@@ -19,12 +19,25 @@ class SkewSpec extends SparkSpec {
 
   test("saltedDistinctCount equals countDistinct") {
     val li = Tables.lineitem(spark, sfDir)
-    val salted = Skew.saltedDistinctCount(li, col("l_returnflag"), col("l_partkey"))
+    val salted = Skew.saltedDistinctCount(li, $"l_returnflag", $"l_partkey")
       .as[(String, Long)].collect().toMap
     val direct = li.groupBy($"l_returnflag")
       .agg(countDistinct("l_partkey").as("n"))
       .as[(String, Long)].collect().toMap
     assert(salted === direct)
+  }
+
+  test("saltedDistinctCount matches countDistinct NULL semantics") {
+    // key 1: one real value + a NULL → 1; key 2: only NULLs → 0, not a
+    // missing row and not an inflated 1
+    val df = Seq((1L, Option("a")), (1L, Option("a")), (1L, None), (2L, None))
+      .toDF("k", "v")
+    val got = Skew.saltedDistinctCount(df, col("k"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    val direct = df.groupBy($"k".as("key")).agg(countDistinct("v").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L))
+    assert(got === direct)
   }
 
   test("saltedJoin returns exactly the rows of the plain join") {
