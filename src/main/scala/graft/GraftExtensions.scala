@@ -35,23 +35,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val a = Arity.check("graft_lsh_buckets",
           "graft_lsh_buckets(array, planes, nBits)", 3)(exprs)
-        LshBuckets(a.head, a(1), a(2).eval().asInstanceOf[Number].intValue())
+        LshBuckets(a.head, a(1), Arity.literalInt("graft_lsh_buckets",
+          "graft_lsh_buckets(array, planes, nBits)", a(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
       (exprs: Seq[Expression]) => {
         val a = Arity.check("graft_freq_items", "graft_freq_items(col, k)", 2)(exprs)
-        FrequentItems(a.head,
-          a(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        FrequentItems(a.head, Arity.literalInt("graft_freq_items",
+          "graft_freq_items(col, k)", a(1))).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (exprs: Seq[Expression]) => {
         val a = Arity.check("graft_bottom_k", "graft_bottom_k(hash, payload, k)", 3)(exprs)
-        BottomK(a.head, a(1),
-          a(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        BottomK(a.head, a(1), Arity.literalInt("graft_bottom_k",
+          "graft_bottom_k(hash, payload, k)", a(2))).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_eq_count"),

@@ -134,8 +134,8 @@ object BottomK {
       "graft_bottom_k",
       exprs => {
         val a = Arity.check("graft_bottom_k", "graft_bottom_k(key, id, k)", 3)(exprs)
-        BottomK(a.head, a(1),
-          a(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        BottomK(a.head, a(1), Arity.literalInt("graft_bottom_k",
+          "graft_bottom_k(key, id, k)", a(2))).toAggregateExpression()
       },
       "built-in")
 }

@@ -164,8 +164,8 @@ object FrequentItems {
       "graft_freq_items",
       exprs => {
         val a = Arity.check("graft_freq_items", "graft_freq_items(col, k)", 2)(exprs)
-        FrequentItems(a.head,
-          a(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        FrequentItems(a.head, Arity.literalInt("graft_freq_items",
+          "graft_freq_items(col, k)", a(1))).toAggregateExpression()
       },
       "built-in")
 }

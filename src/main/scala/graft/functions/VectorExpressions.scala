@@ -326,7 +326,13 @@ object VectorFunctions {
       "graft_lsh_buckets", exprs => {
         val a = Arity.check("graft_lsh_buckets",
           "graft_lsh_buckets(array, planes, nBits)", 3)(exprs)
-        LshBuckets(a.head, a(1), a(2).eval().asInstanceOf[Number].intValue())
+        LshBuckets(a.head, a(1), Arity.literalInt("graft_lsh_buckets",
+          "graft_lsh_buckets(array, planes, nBits)", a(2)))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash64", exprs => {
+        val a = Arity.check("graft_hash64", "graft_hash64(string)", 1)(exprs)
+        Md5Hash64(a.head)
       }, "built-in")
   }
 }

@@ -36,6 +36,37 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Cosine similarity with a zero-norm guard: a zero vector has no
+    * direction and 0/0 = NaN — which Spark's total ordering sorts ABOVE
+    * every real double, so an unguarded zero embedding would outrank
+    * every true neighbor in the top-k windows and pass every
+    * `sim >= minSim` filter. Zero-norm pairs score -1 instead: ranked
+    * last, excluded by any non-degenerate threshold.
+    */
+  private def cosSim(d: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0d, lit(-1.0)).otherwise(round(d / (na * nb), 4))
+
+  /** Self-pair join condition: by default queries are corpus rows and the
+    * trivial sim=1 self match is excluded by id. External queries with
+    * their OWN id space must pass excludeSelf=false — the id equality
+    * would otherwise silently drop one unrelated corpus neighbor per
+    * colliding id.
+    */
+  private def notSelf(excludeSelf: Boolean): Column =
+    if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+
+  /** Dimensionality of the embedding column (first-row probe; 0 when
+    * empty). The PQ/LSH paths slice by a caller-passed `dims` — a
+    * mismatch would silently truncate vectors or score empty slices, so
+    * they fail fast here instead.
+    */
+  private def requireDims(embeddings: DataFrame, dims: Int, op: String): Unit =
+    embeddings.select(size(col("embedding"))).head(1).foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dims,
+        s"$op: dims=$dims but the embedding column has $actual dimensions")
+    }
+
   /** Brute-force cosine top-k: for each query vector (small set), score
     * every corpus vector and keep the k best. The query side is broadcast;
     * the corpus streams through a nested-loop join — one pass, no shuffle
@@ -44,14 +75,15 @@ object Similarity {
     * narrow). Rounded similarity gives deterministic, engine-portable
     * ordering.
     */
-  def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     val corpus = prepared(embeddings)
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = corpus
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), notSelf(excludeSelf))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+        cosSim(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
@@ -111,9 +143,15 @@ object Similarity {
     * driver collect, no giant literal expression trees — so the same plan
     * shape works for any nList/dim and the corpus shuffles exactly once
     * (the assignment group-by).
+    *
+    * Probe precondition: cell assignment and probing rank centroids by
+    * RAW dot product while the final candidate ranking is cosine — the
+    * probe's recall against the [[cosineTopK]] baseline holds when
+    * embeddings are (approximately) unit-norm; for widely varying norms,
+    * normalize upstream (see the same note on [[pqTopK]]).
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, nList: Int = 16,
-      nProbe: Int = 4, k: Int = 5): DataFrame = {
+      nProbe: Int = 4, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     val corpus = prepared(embeddings)
     // deterministic centroids: per-dimension mean over seed partition,
     // via the native vector-sum aggregate — one array per group per
@@ -148,9 +186,9 @@ object Similarity {
 
     val scored = assigned
       .join(broadcast(probes), Seq("cid"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(notSelf(excludeSelf))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+        cosSim(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
@@ -190,7 +228,8 @@ object Similarity {
     * unprobed cells are never read from disk.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      queries: DataFrame, nProbe: Int = 4, k: Int = 5): DataFrame = {
+      queries: DataFrame, nProbe: Int = 4, k: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val assigned = spark.read.parquet(s"$indexDir/corpus")
     val q = prepared(queries)
@@ -203,9 +242,9 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
     val scored = assigned
       .join(broadcast(probes), Seq("cid"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(notSelf(excludeSelf))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+        cosSim(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
@@ -222,17 +261,25 @@ object Similarity {
     * every emitted pair is still exact-cosine verified.
     */
   def cosNearPairs(embeddings: DataFrame, minSim: Double = 0.5,
-      maxBroadcastRows: Long = 100000L): DataFrame = {
+      maxBroadcastRows: Long = 100000L,
+      maxBroadcastCells: Long = 8000000L): DataFrame = {
     val p = prepared(embeddings)
-    val guard = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
-    if (p.limit(guard).count() <= maxBroadcastRows) {
+    val dims = embeddings.select(size(col("embedding")))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    // the broadcast payload is rows × dims doubles, so the guard must be
+    // byte-aware: a row-only bound would wave through 100k × 768-dim
+    // vectors (~600 MB broadcast — the OOM this guard exists to prevent).
+    // Default cell budget 8M cells ≈ 64 MB of vector doubles.
+    val cap = math.min(maxBroadcastRows,
+      if (dims > 0) math.max(1L, maxBroadcastCells / dims) else maxBroadcastRows)
+    val guard = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    if (p.limit(guard).count() <= cap) {
       p.as("x")
         .join(broadcast(p.as("y")), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+          cosSim(dot(col("x.v"), col("y.v")), col("x.nrm"), col("y.nrm")).as("sim"))
         .where(col("sim") >= minSim)
     } else {
-      val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
       lshNearPairs(embeddings, dims, minSim)
     }
   }
@@ -245,12 +292,11 @@ object Similarity {
     * buckets are reproducible across engines, not just across runs.
     */
   def lshPlanes(dims: Int, nPlanes: Int): Seq[Seq[Double]] = {
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
+    // the shared portable 60-bit md5 (thread-local digest, no hex string
+    // round-trip) — one definition, so plane weights can never drift from
+    // the hash the rest of the engine replays in SQL
+    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Seq.tabulate(nPlanes, dims)((i, d) =>
       h60(s"$i:$d").toDouble / 576460752303423488.0 - 1.0) // h / 2^59 - 1
   }
@@ -281,6 +327,7 @@ object Similarity {
     */
   def lshNearPairs(embeddings: DataFrame, dims: Int, minSim: Double = 0.9,
       nBits: Int = 12, nTables: Int = 8): DataFrame = {
+    requireDims(embeddings, dims, "lshNearPairs")
     val p = prepared(embeddings)
     val banded = p
       .withColumn("bkts", lshBuckets(col("v"), dims, nBits, nTables))
@@ -294,7 +341,7 @@ object Similarity {
       .join(p.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
       .join(p.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+        cosSim(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
       .where(col("sim") >= minSim)
   }
 
@@ -310,6 +357,7 @@ object Similarity {
   def pqCodebooks(embeddings: DataFrame, dims: Int = 64, m: Int = 16,
       codes: Int = 32): DataFrame = {
     require(dims % m == 0, "dims must divide into m subspaces")
+    requireDims(embeddings, dims, "pqCodebooks")
     val subDim = dims / m
     val p = prepared(embeddings)
     val subs = p.select(col("vec_id"),
@@ -358,6 +406,7 @@ object Similarity {
     */
   def pqEncodeWith(embeddings: DataFrame, cb: DataFrame, dims: Int = 64,
       m: Int = 16): DataFrame = {
+    requireDims(embeddings, dims, "pqEncodeWith")
     val subDim = dims / m
     val p = prepared(embeddings)
     val subs = p.select(col("vec_id"),
@@ -379,9 +428,17 @@ object Similarity {
     * memory-compressed complement to [[ivfTopK]] (IVF prunes WHICH
     * vectors to score; PQ shrinks WHAT a score costs); production ANN
     * stacks compose them (IVF-PQ).
+    *
+    * Ranking precondition (shared with the IVF probe): ADC scores are RAW
+    * summed dot products, not cosine — they track the [[cosineTopK]]
+    * baseline when embeddings are (approximately) unit-norm. For corpora
+    * with widely varying norms, normalize upstream or expect recall
+    * against the cosine baseline to degrade (the protocol stays exact;
+    * the metric it approximates differs).
     */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, dims: Int = 64,
-      m: Int = 16, codes: Int = 32, k: Int = 5): DataFrame = {
+      m: Int = 16, codes: Int = 32, k: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     val subDim = dims / m
     // train once: the codebook feeds BOTH the corpus encoding and the
     // query LUT; persist+count the (m x codes)-row table so the seed +
@@ -400,7 +457,7 @@ object Similarity {
       .select(col("query_id"), col("s"), col("code"),
         dot(col("qsv"), col("c")).as("val"))
     val scored = enc.join(broadcast(lut), Seq("s", "code"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(notSelf(excludeSelf))
       .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
       .agg(round(sum("val"), 4).as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nbr_id"))
@@ -416,7 +473,7 @@ object Similarity {
     */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, dims: Int = 64,
       nList: Int = 16, nProbe: Int = 4, m: Int = 16, codes: Int = 32,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     val subDim = dims / m
     val corpus = prepared(embeddings)
     val cents = corpus
@@ -452,7 +509,7 @@ object Similarity {
     val scored = enc
       .join(broadcast(probes), Seq("cid")) // cell prune: candidates only
       .join(broadcast(lut), Seq("query_id", "s", "code"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(notSelf(excludeSelf))
       .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
       .agg(round(sum("val"), 4).as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nbr_id"))

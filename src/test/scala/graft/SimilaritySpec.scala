@@ -141,6 +141,39 @@ class SimilaritySpec extends SparkSpec {
     assert(adaptive.as[(Long, Long, Double)].collect().toSet === viaLsh)
   }
 
+  test("a zero-norm vector never outranks real neighbors or emits near-pairs") {
+    // 0/0 = NaN sorts above every double in Spark — unguarded, the zero
+    // vector would be rank 1 for every query and pass every minSim filter
+    val withZero = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 0f)), (3L, Seq(0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(withZero, withZero.where($"vec_id" === 0), k = 2)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(top === Set(1L, 3L), s"zero vector must rank last, got $top")
+    val pairs = Similarity.cosNearPairs(withZero, minSim = 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "zero vector must not appear in near-duplicate pairs")
+  }
+
+  test("external queries keep same-id corpus neighbors with excludeSelf=false") {
+    val corpus = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    // external query whose OWN id collides with corpus vec_id=0 — with the
+    // default exclusion the true nearest neighbor would silently vanish
+    val q = Seq((0L, Seq(0.9f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(corpus, q, k = 1, excludeSelf = false)
+      .select("nbr_id").as[Long].head()
+    assert(got === 0L)
+  }
+
+  test("PQ and LSH fail fast on a dims mismatch instead of silently truncating") {
+    val e8 = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] { Similarity.pqCodebooks(e8, dims = 4, m = 2) }
+    intercept[IllegalArgumentException] { Similarity.lshNearPairs(e8, dims = 16) }
+  }
+
   test("brute-force and LSH agree on high-similarity pairs") {
     val exact = Similarity.cosineTopKPrefix(emb, nQueries = 4, k = 1)
       .where($"sim" >= 0.99).select("query_id", "nbr_id")

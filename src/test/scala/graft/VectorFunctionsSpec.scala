@@ -64,6 +64,23 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash64 is SQL-callable via the imperative register path too") {
+    // a session built WITHOUT GraftExtensions relies on register(spark)
+    // alone — the two registration lists must expose the same functions
+    VectorFunctions.register(spark)
+    val h = spark.sql("SELECT graft_hash64('abc') AS h").head().getLong(0)
+    assert(h === graft.functions.PortableMd5.hash64("abc".getBytes("UTF-8")))
+  }
+
+  test("a non-literal scalar argument raises a clear error, not an opaque NPE") {
+    vecs.createOrReplaceTempView("vf_scalar_test")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_freq_items(id, id) FROM vf_scalar_test").collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"expected the literal-int validation message, got: ${e.getMessage}")
+  }
+
   test("vecSum aggregates element-wise across partitions") {
     val df = Seq(
       (0, Seq(1.0, 2.0, 3.0)),
