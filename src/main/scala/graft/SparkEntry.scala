@@ -417,23 +417,27 @@ object SparkEntry {
         |       CAST(sum(n_events) AS BIGINT) AS n_events_total
         |FROM per_sess GROUP BY user_id""".stripMargin,
     "token_stats" ->
-      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens,
-        |len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
-        |round(len(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
-        |      / len(string_split_regex(text, '\s+')), 4) AS ttr,
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, len(tk) AS n_tokens,
+        |len(list_distinct(tk)) AS n_uniq,
+        |round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS ttr,
         |round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |      / len(string_split_regex(text, '\s+')), 4) AS mean_tok_len
-        |FROM documents""".stripMargin,
+        |      / len(tk), 4) AS mean_tok_len
+        |FROM t""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id, length(text) AS n_chars_actual,
-        |len(string_split_regex(text, '\s+')) AS n_tokens,
-        |round(len(list_filter(string_split_regex(text, '\s+'),
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars_actual,
+        |len(tk) AS n_tokens,
+        |round(len(list_filter(tk,
         |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::DOUBLE
-        |      / len(string_split_regex(text, '\s+')), 4) AS stopword_ratio,
-        |round(len(list_filter(string_split_regex(text, '\s+'),
-        |      x -> length(x) <= 2))::DOUBLE
-        |      / len(string_split_regex(text, '\s+')), 4) AS short_tok_ratio
-        |FROM documents""".stripMargin,
+        |      / len(tk), 4) AS stopword_ratio,
+        |round(len(list_filter(tk, x -> length(x) <= 2))::DOUBLE
+        |      / len(tk), 4) AS short_tok_ratio
+        |FROM t""".stripMargin,
     "rep_signals" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
@@ -568,10 +572,10 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a, b FROM (
         |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |      round(len(list_intersect(x.sh, y.sh))::DOUBLE
-        |            / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE
+        |        / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
         |    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
-        |  WHERE jaccard >= 0.8),
+        |  WHERE j >= 0.8),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |walk(node, label) AS (
         |  SELECT doc_id, doc_id FROM documents
@@ -588,12 +592,12 @@ object SparkEntry {
         |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
         |  FROM documents),
         |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s)
-        |SELECT a, b, jaccard FROM (
+        |SELECT a, b, round(j, 4) AS jaccard FROM (
         |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    round(len(list_intersect(x.sh, y.sh))::DOUBLE
-        |          / (x.n + y.n - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE
+        |      / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
         |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
-        |WHERE jaccard >= 0.8""".stripMargin,
+        |WHERE j >= 0.8""".stripMargin,
     "cos_near_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a, b, sim FROM (
@@ -768,7 +772,8 @@ object SparkEntry {
         |     '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
     "token_counts" ->
-      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+      """SELECT doc_id,
+        |len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     // source_overlap: full a<b matrix with zero-overlap pairs kept
@@ -1240,11 +1245,11 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a, b FROM (
         |    SELECT c.a, c.b,
-        |      round(len(list_intersect(sa.hb, sb.hb))::DOUBLE
-        |            / (sa.n + sb.n - len(list_intersect(sa.hb, sb.hb))), 4) AS jaccard
+        |      len(list_intersect(sa.hb, sb.hb))::DOUBLE
+        |        / (sa.n + sb.n - len(list_intersect(sa.hb, sb.hb))) AS j
         |    FROM cand c JOIN sigs sa ON c.a = sa.doc_id
         |                JOIN sigs sb ON c.b = sb.doc_id) p
-        |  WHERE jaccard >= 0.8),
+        |  WHERE j >= 0.8),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |walk(node, label) AS (
         |  SELECT doc_id, doc_id FROM ex
@@ -1312,7 +1317,7 @@ object SparkEntry {
         |         sa.n AS na, sb.n AS nb
         |  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id)
         |SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
-        |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.5""".stripMargin,
+        |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.5""".stripMargin,
     // IVF is deterministic end-to-end (seed partition = vec_id % nList,
     // ascending-fold dot products, explicit tie-breaks), so the oracle
     // replays centroid build + assignment + probing exactly:

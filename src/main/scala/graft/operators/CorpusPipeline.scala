@@ -55,13 +55,13 @@ object CorpusPipeline {
   }
 
   /** Deterministic content-hash split assignment (stable under
-    * repartitioning, reproducible on any engine with md5).
+    * repartitioning, reproducible on any engine with md5). The cutoff
+    * expression lives in [[TextOps.splitExpr]] — one definition, so
+    * curation can never drift from the standalone split operator.
     */
-  private def withSplit(survivors: DataFrame): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+  private def withSplit(survivors: DataFrame): DataFrame =
     survivors.select(col("doc_id"), col("n_tokens"),
-      when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
-  }
+      TextOps.splitExpr(col("doc_id")).as("split"))
 
   def curate(docs: DataFrame, minTokens: Int = 5, keepLang: String = "en",
       jaccard: Double = 0.8): DataFrame = {
@@ -82,33 +82,42 @@ object CorpusPipeline {
       .agg(min_by(struct(langed.columns.map(col).toIndexedSeq: _*), col("doc_id")).as("_r"))
       .select(col("_r.*"))
       .persist()
-    exactKeep.count()
-    // 5. near-dup resolution on the gated survivors: MinHash-LSH banded
-    //    candidates (the UNBLOCKED scale path — sum(bucket²), not
-    //    sum(block²); catches cross-source duplicates a blocking key
-    //    would miss) → exact-jaccard verify → connected components →
-    //    keep the cluster min. Deterministic end-to-end: signatures use
-    //    the portable md5 hash, so any engine replays the same pairs.
-    val pairs = Dedup.minhashPairs(exactKeep, jaccard)
-    val (resolved, releaseLabels) =
-      Dedup.resolveClustersReleasable(exactKeep.select("doc_id"), pairs)
-    // anti-join the LOSERS (keep=false), not inner-join the keepers: the
-    // loser set is bounded by the near-dup pair endpoints — pair-scale,
-    // not corpus-scale — so at 100 TB this is a broadcast-able filter of
-    // the corpus instead of a corpus x corpus shuffle join (AQE picks
-    // broadcast from the runtime size; no hint so a pathological
-    // everything-is-duplicate corpus still degrades to SMJ, not OOM)
-    val survivors = exactKeep.join(
-      resolved.where(!col("keep")).select(col("doc_id").as("rd")),
-      col("doc_id") === col("rd"), "left_anti")
-    // 6. deterministic split assignment
-    val out = withSplit(survivors).persist()
-    out.count()
-    // result is materialized — drop the intermediate caches (lineage stays
-    // intact, so an evicted result recomputes slowly but correctly)
-    exactKeep.unpersist(blocking = false)
-    releaseLabels()
-    out
+    // intermediates release in the finally — without it a failed near-dup
+    // stage leaks one corpus-scale pinned cache per retry in a long-lived
+    // session
+    var releaseLabels: () => Unit = () => ()
+    try {
+      exactKeep.count()
+      // 5. near-dup resolution on the gated survivors: MinHash-LSH banded
+      //    candidates (the UNBLOCKED scale path — sum(bucket²), not
+      //    sum(block²); catches cross-source duplicates a blocking key
+      //    would miss) → exact-jaccard verify → connected components →
+      //    keep the cluster min. Deterministic end-to-end: signatures use
+      //    the portable md5 hash, so any engine replays the same pairs.
+      val pairs = Dedup.minhashPairs(exactKeep, jaccard)
+      val (resolved, release) =
+        Dedup.resolveClustersReleasable(exactKeep.select("doc_id"), pairs)
+      releaseLabels = release
+      // anti-join the LOSERS (keep=false), not inner-join the keepers: the
+      // loser set is bounded by the near-dup pair endpoints — pair-scale,
+      // not corpus-scale — so at 100 TB this is a broadcast-able filter of
+      // the corpus instead of a corpus x corpus shuffle join (AQE picks
+      // broadcast from the runtime size; no hint so a pathological
+      // everything-is-duplicate corpus still degrades to SMJ, not OOM)
+      val survivors = exactKeep.join(
+        resolved.where(!col("keep")).select(col("doc_id").as("rd")),
+        col("doc_id") === col("rd"), "left_anti")
+      // 6. deterministic split assignment
+      val out = withSplit(survivors).persist()
+      out.count()
+      out
+    } finally {
+      // result (when reached) is materialized — dropping the intermediate
+      // caches is safe (lineage stays intact, so an evicted result
+      // recomputes slowly but correctly)
+      exactKeep.unpersist(blocking = false)
+      releaseLabels()
+    }
   }
 
   /** Incremental curation through the [[graft.plans.Materializer]] — the
@@ -129,9 +138,18 @@ object CorpusPipeline {
     *
     * Alongside each result the cache stores a `_seen` sidecar (every
     * doc_id considered, survivors AND losers) so the appended slice is an
-    * anti-join away; a per-params pointer file links the latest snapshot.
-    * At 100 TB this turns re-curation of a growing corpus from
-    * O(corpus) into O(append + survivors).
+    * anti-join away, and a `_seenh` sidecar (the content hash of every
+    * GATED doc ever considered, survivors AND losers) so an appended
+    * exact copy of a previously dropped document is still recognized as
+    * a duplicate — without it, a copy of a dropped doc would re-enter
+    * whenever it isn't near any survivor. A per-(params, corpus) pointer
+    * file links the latest snapshot. At 100 TB this turns re-curation of
+    * a growing corpus from O(corpus) into O(append + survivors).
+    *
+    * Known incremental-vs-full divergence (deliberate): a NEAR-copy (not
+    * exact) of a previously dropped doc is compared only against the
+    * retained survivor set — re-checking it against every dropped doc
+    * would be O(corpus) and defeat incrementality.
     */
   def curateIncremental(spark: org.apache.spark.sql.SparkSession,
       docsDir: String, cacheDir: String, minTokens: Int = 5,
@@ -145,13 +163,15 @@ object CorpusPipeline {
     val fs = new Path(cacheDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def complete(dir: String) = fs.exists(new Path(dir, "_SUCCESS"))
     val target = s"$cacheDir/$fp"
-    // the pointer is keyed by params AND code version: without the
-    // version an upgraded library would find the old pointer, see an
+    // the pointer is keyed by params, code version AND corpus dir: the
+    // version so an upgraded library can't find the old pointer, see an
     // empty appended slice, and re-commit the OLD code's output under a
-    // new-code fingerprint — exactly the stale-replay the Materializer's
-    // versioned keys exist to prevent
+    // new-code fingerprint; the corpus dir so two corpora sharing one
+    // cacheDir can't read each other's state and serve corpus A's
+    // curation as corpus B's
     val paramsTag = java.security.MessageDigest.getInstance("MD5")
-      .digest((Materializer.codeVersion +: params.toSeq.sorted.map(_.toString))
+      .digest((Seq(Materializer.codeVersion, docsDir) ++
+        params.toSeq.sorted.map(_.toString))
         .mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val pointer = new Path(cacheDir, s"_curate_latest_$paramsTag")
@@ -162,22 +182,43 @@ object CorpusPipeline {
         val in = fs.open(pointer)
         try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
       }
-    def commitState(result: DataFrame, allIds: DataFrame): DataFrame = {
-      result.write.mode("overwrite").parquet(target)
-      allIds.select("doc_id").write.mode("overwrite").parquet(s"${target}_seen")
-      val out = fs.create(pointer, true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
-      spark.read.parquet(target)
+    // single-writer election per fingerprint (same claim protocol as
+    // Materializer.lookupOrCompute): two sessions sharing cacheDir must
+    // not interleave overwrites of the same target — the loser waits for
+    // the winner's _SUCCESS and serves the committed copy, or serves its
+    // own frame UNCACHED on timeout
+    def commitState(result: DataFrame, allIds: DataFrame,
+        gatedHashes: DataFrame): DataFrame = {
+      val claim = new Path(s"$target._claim")
+      if (Materializer.tryClaim(fs, claim)) {
+        try {
+          if (!complete(target)) {
+            result.write.mode("overwrite").parquet(target)
+            allIds.select("doc_id").write.mode("overwrite").parquet(s"${target}_seen")
+            gatedHashes.write.mode("overwrite").parquet(s"${target}_seenh")
+            val out = fs.create(pointer, true)
+            try out.write(fp.getBytes("UTF-8")) finally out.close()
+          }
+        } finally fs.delete(claim, false)
+        spark.read.parquet(target)
+      } else {
+        val deadline = System.nanoTime + 300000L * 1000000L
+        while (!complete(target) && System.nanoTime < deadline) Thread.sleep(100)
+        if (complete(target)) spark.read.parquet(target)
+        else { fs.delete(claim, false); result }
+      }
     }
 
     if (complete(target)) return spark.read.parquet(target) // unchanged input
 
     val docs = spark.read.parquet(docsDir)
     readPointer().filter(prev =>
-      complete(s"$cacheDir/$prev") && complete(s"$cacheDir/${prev}_seen")) match {
+      complete(s"$cacheDir/$prev") && complete(s"$cacheDir/${prev}_seen") &&
+        complete(s"$cacheDir/${prev}_seenh")) match {
       case Some(prevFp) =>
         val prev = spark.read.parquet(s"$cacheDir/$prevFp")
         val seen = spark.read.parquet(s"$cacheDir/${prevFp}_seen")
+        val seenH = spark.read.parquet(s"$cacheDir/${prevFp}_seenh")
         val appended = docs.join(seen, Seq("doc_id"), "left_anti")
         // gates touch ONLY the appended slice; survivor texts re-derive
         // from the current input (immutable under the append-only contract)
@@ -185,39 +226,54 @@ object CorpusPipeline {
         val prevGated = gated(
           docs.join(prev.select("doc_id"), Seq("doc_id"), "left_semi"),
           minTokens, keepLang).persist()
-        prevGated.count()
-        // exact dedup: smallest new id per hash, then drop anything whose
-        // hash is already retained
-        val newHashed = gatedNew.withColumn("_h", md5(col("text")))
-        val newExact = newHashed
-          .groupBy(col("_h"))
-          .agg(min_by(struct(newHashed.columns.map(col).toIndexedSeq: _*),
-            col("doc_id")).as("_r"))
-          .select(col("_r.*"))
-          .join(prevGated.select(md5(col("text")).as("_h")), Seq("_h"), "left_anti")
-          .drop("_h")
-          .persist()
-        newExact.count()
-        // near-dup: pairs over survivors ∪ fresh docs; cluster-min keep
-        // (new ids are larger, so any new doc linked to a survivor loses)
-        val union = prevGated.select("doc_id", "text")
-          .unionByName(newExact.select("doc_id", "text"))
-        val pairs = Dedup.minhashPairs(union, jaccard)
-        val (resolved, releaseLabels) =
-          Dedup.resolveClustersReleasable(union.select("doc_id"), pairs)
-        val newSurvivors = newExact.join(
-          resolved.where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-        val result = prev.unionByName(withSplit(newSurvivors))
-        val served = commitState(result, docs.select("doc_id"))
-        prevGated.unpersist(blocking = false)
-        newExact.unpersist(blocking = false)
-        releaseLabels()
-        served
+        var releaseLabels: () => Unit = () => ()
+        val newExact = {
+          // exact dedup: smallest new id per hash, then drop anything
+          // whose hash was EVER seen — the `_seenh` sidecar covers
+          // dropped docs too, so an exact copy of a previously discarded
+          // document cannot re-enter the corpus
+          val newHashed = gatedNew.withColumn("_h", md5(col("text")))
+          newHashed
+            .groupBy(col("_h"))
+            .agg(min_by(struct(newHashed.columns.map(col).toIndexedSeq: _*),
+              col("doc_id")).as("_r"))
+            .select(col("_r.*"), col("_h"))
+            .join(seenH, Seq("_h"), "left_anti")
+            .drop("_h")
+            .persist()
+        }
+        try {
+          prevGated.count()
+          newExact.count()
+          // near-dup: pairs over survivors ∪ fresh docs; cluster-min keep
+          // (new ids are larger, so any new doc linked to a survivor loses)
+          val union = prevGated.select("doc_id", "text")
+            .unionByName(newExact.select("doc_id", "text"))
+          val pairs = Dedup.minhashPairs(union, jaccard)
+          val (resolved, release) =
+            Dedup.resolveClustersReleasable(union.select("doc_id"), pairs)
+          releaseLabels = release
+          val newSurvivors = newExact.join(
+            resolved.where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+          val result = prev.unionByName(withSplit(newSurvivors))
+          val allSeenH = seenH
+            .unionByName(gatedNew.select(md5(col("text")).as("_h")))
+            .distinct()
+          commitState(result, docs.select("doc_id"), allSeenH)
+        } finally {
+          prevGated.unpersist(blocking = false)
+          newExact.unpersist(blocking = false)
+          releaseLabels()
+        }
       case None =>
         val full = curate(docs, minTokens, keepLang, jaccard)
-        val served = commitState(full, docs.select("doc_id"))
-        full.unpersist(blocking = false)
-        served
+        try {
+          // one extra gating pass to seed the seen-hash sidecar — paid
+          // once, on the full run that is already O(corpus)
+          val allSeenH = gated(docs, minTokens, keepLang)
+            .select(md5(col("text")).as("_h")).distinct()
+          commitState(full, docs.select("doc_id"), allSeenH)
+        } finally full.unpersist(blocking = false)
     }
   }
 }

@@ -173,10 +173,13 @@ object Dedup {
       .select(col("a"), col("b"),
         size(array_intersect(col("sa.hset"), col("sb.hset"))).as("inter"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      // threshold on the UNROUNDED ratio (a ratio of exact ints —
+      // bit-identical in any engine): rounding first would admit pairs up
+      // to 5e-5 below the requested similarity. Only the reported column
+      // rounds.
+      .withColumn("_j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("_j") >= threshold)
+      .select(col("a"), col("b"), round(col("_j"), 4).as("jaccard"))
   }
 
   /** Exact all-pairs n-gram Jaccard within a blocking key (`source`):
@@ -226,10 +229,11 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      // unrounded threshold, rounded report — see the same note in
+      // [[minhashPairs]]
+      .withColumn("_j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("_j") >= threshold)
+      .select(col("a"), col("b"), round(col("_j"), 4).as("jaccard"))
   }
 
   /** SimHash per document over the portable 60-bit token hash: each bit of
@@ -421,6 +425,7 @@ object Dedup {
     // on a cached, shallow plan.
     val truncateEvery = 5
     var prevIter: Option[DataFrame] = None
+    var liveCheckpoint: Option[DataFrame] = None
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("nbr_doc")).agg(min("cluster").as("nbr_cluster"))
@@ -436,11 +441,20 @@ object Dedup {
         // shallow (cache-fed) plan, so the checkpoint is cheap here
         val snapshot = updated.localCheckpoint()
         updated.unpersist(blocking = false)
+        // only NOW is the previous checkpoint safe to release: the
+        // persist-only frames of the intervening rounds recompute
+        // through it if their blocks get LRU-evicted, so releasing it
+        // while it was still the lineage root would turn an eviction
+        // into a fatal "checkpoint block not found". The new snapshot is
+        // eager and self-contained — nothing references the old one.
+        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+        liveCheckpoint = Some(snapshot)
         updated = snapshot
       }
       prevIter.foreach { f =>
-        CheckpointHandle.release(f)
-        f.unpersist(blocking = false)
+        // superseded plain-persist frames release eagerly; the live
+        // checkpoint's blocks must survive until the next truncation
+        if (!liveCheckpoint.exists(_ eq f)) f.unpersist(blocking = false)
       }
       prevIter = Some(updated)
       labels = updated.select("doc_id", "cluster")

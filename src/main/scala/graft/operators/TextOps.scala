@@ -91,7 +91,11 @@ object TextOps {
     * no shuffle at all.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
+    // drop the empty boundary tokens split('\s+') emits for leading/
+    // trailing whitespace — the same tokenization as [[tokens]], so these
+    // per-doc stats agree with every token-based operator in the file
+    // (unfiltered, " a b" would count 3 tokens and an empty "type")
+    val toks = array_remove(split(col("text"), "\\s+"), "")
     docs.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
@@ -105,10 +109,12 @@ object TextOps {
     * short-token ratio. Shuffle-free row-local expressions.
     */
   def textQuality(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
+    // empty boundary tokens filtered (see [[tokenStats]]): unfiltered,
+    // "" counts as a short token and inflates every ratio's denominator
+    val toks = array_remove(split(col("text"), "\\s+"), "")
     val nTok = size(toks)
-    val stop = size(expr("filter(split(text, '\\\\s+'), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')"))
-    val short = size(expr("filter(split(text, '\\\\s+'), x -> length(x) <= 2)"))
+    val stop = size(filter(toks, x => x === "the" || x === "a" || x === "of" || x === "and"))
+    val short = size(filter(toks, x => length(x) <= 2))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_actual"),
@@ -169,7 +175,7 @@ object TextOps {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+      size(array_remove(split(col("text"), "\\s+"), "")).as("n_ws_tokens"),
       size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_bpe_tokens"))
 
   /** Marker-token sets per language for the n-gram/stopword language-id
@@ -216,9 +222,13 @@ object TextOps {
   }
 
   /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))
-    * with df = documents containing the word. Three hash-aggregations and
-    * one broadcast of the word→df table (vocab-sized) + the single-row
-    * total — no driver collect, fully incremental at any corpus size.
+    * with df = documents containing the word. Three hash-aggregations; the
+    * vocab-sized word→df join is left UNHINTED (same convention as
+    * [[sourceKl]]/[[lmPerplexity]]: at web-corpus vocabularies a forced
+    * broadcast OOMs where AQE degrades to a shuffle join — and at small
+    * vocab AQE picks broadcast on its own); only the single-row total is
+    * hint-broadcast. No driver collect, fully incremental at any corpus
+    * size.
     */
   def tfidf(docs: DataFrame): DataFrame = {
     val t = tokens(docs)
@@ -232,7 +242,7 @@ object TextOps {
     // (runtime reuse pinned in TextOpsSpec).
     val df = tf.where(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "word")
+    tf.join(df, "word")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("word"),
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
@@ -260,12 +270,17 @@ object TextOps {
     * re-partitioning — the property a 100 TB pipeline needs so splits never
     * drift between jobs.
     */
-  def splitAssign(docs: DataFrame): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-    docs.select(
-      col("doc_id"),
-      when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+  /** The split expression itself — the ONE definition of the cutoffs,
+    * shared with [[CorpusPipeline]] so curation's split assignment can
+    * never drift from the standalone operator.
+    */
+  def splitExpr(docId: Column): Column = {
+    val h = substring(md5(docId.cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
   }
+
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitExpr(col("doc_id")).as("split"))
 
   /** Stratified sample audit: per (lang, split) document counts and mean
     * length over the deterministic hash split — the sanity check that the
@@ -330,8 +345,12 @@ object TextOps {
     val tok = docs.select(col("source"),
       explode(split(col("text"), "\\s+")).as("word"))
     val srcCounts = tok.groupBy("source", "word").agg(count(lit(1)).as("cs"))
-    val bySrc = srcCounts.withColumn("ns", sum("cs").over(
-      org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    // per-source totals as a tiny aggregate joined back — NOT a window
+    // partitioned by source, which would shuffle the whole (source, word)
+    // vocabulary into #sources partitions and buffer each source's
+    // vocabulary in a single task while the rest of the cluster idles
+    val srcTotals = srcCounts.groupBy("source").agg(sum("cs").as("ns"))
+    val bySrc = srcCounts.join(srcTotals, "source")
     val corpus = srcCounts.groupBy("word").agg(sum("cs").as("cc"))
     val total = corpus.agg(sum("cc").as("nc"))
     bySrc

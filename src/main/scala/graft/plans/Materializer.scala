@@ -106,7 +106,7 @@ object Materializer {
     * so the `file` scheme claims through NIO O_EXCL). Returns false when
     * another writer already holds the claim.
     */
-  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+  private[graft] def tryClaim(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     try {
       if (fs.getScheme == "file") {
         val local = java.nio.file.Paths.get(p.toUri.getPath)

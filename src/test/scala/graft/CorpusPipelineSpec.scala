@@ -104,6 +104,53 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(thirdRows.contains(9002L), "appended novel doc must be admitted")
   }
 
+  test("curateIncremental: an exact copy of a previously DROPPED doc is not readmitted") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_seenh").toString
+    val (docsDir, cacheDir) = (s"$base/docs", s"$base/cache")
+    // transitive near-dup chain at threshold 0.5: jaccard(s,b)=0.6,
+    // jaccard(b,a)=0.78, jaccard(s,a)=0.45 → one cluster {1,2,3}, min id 1
+    // survives; doc 3 is dropped while NOT being within threshold of the
+    // surviving doc
+    val s = "the cat sat on a mat of red and blue"
+    val b = "sat on a mat of red and blue is nice"
+    val a = "on a mat of red and blue is nice wow"
+    Seq((1L, s, "x"), (2L, b, "x"), (3L, a, "x"))
+      .toDF("doc_id", "text", "source").write.parquet(docsDir)
+    val first = CorpusPipeline.curateIncremental(
+      spark, docsDir, cacheDir, minTokens = 3, jaccard = 0.5)
+    assert(first.select("doc_id").as[Long].collect().toSet === Set(1L))
+    // append an exact copy of dropped doc 3: it is 0.45 < 0.5 from the
+    // survivor, so the near-dup check alone would readmit it — the
+    // seen-hash sidecar must recognize the content as already considered
+    Seq((10L, a, "x")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(docsDir)
+    val second = CorpusPipeline.curateIncremental(
+      spark, docsDir, cacheDir, minTokens = 3, jaccard = 0.5)
+    assert(second.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "an exact copy of a previously dropped doc must not re-enter the corpus")
+    // incremental equals a full re-curation of the appended corpus
+    val full = CorpusPipeline.curate(
+      spark.read.parquet(docsDir), minTokens = 3, jaccard = 0.5)
+    assert(full.select("doc_id").as[Long].collect().toSet === Set(1L))
+    full.unpersist()
+  }
+
+  test("curateIncremental: two corpora sharing one cacheDir stay isolated") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_iso").toString
+    val cacheDir = s"$base/cache"
+    val (aDir, bDir) = (s"$base/a", s"$base/b")
+    docs.where(col("doc_id") < 150).write.parquet(aDir)
+    docs.where(col("doc_id") >= 150 && col("doc_id") < 300).write.parquet(bDir)
+    CorpusPipeline.curateIncremental(spark, aDir, cacheDir)
+    // corpus B must be curated from scratch — a pointer not keyed by the
+    // corpus dir would treat B as an append to A and serve A's curation
+    val rb = CorpusPipeline.curateIncremental(spark, bDir, cacheDir)
+    val directB = CorpusPipeline.curate(spark.read.parquet(bDir))
+    assert(rb.exceptAll(directB).isEmpty && directB.exceptAll(rb).isEmpty,
+      "two corpora sharing a cacheDir must not cross-contaminate")
+    directB.unpersist()
+  }
+
   test("curateIncremental: rewritten-but-identical input re-serves the previous result") {
     // same rows, new file mtimes: the snapshot fingerprint changes, so the
     // exact-hit path misses — the incremental branch must then find an
