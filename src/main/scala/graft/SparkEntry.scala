@@ -372,7 +372,7 @@ object SparkEntry {
         |  FROM events GROUP BY event_type)
         |SELECT event_id, event_type, round((value - mu) / sigma, 4) AS z
         |FROM events JOIN stats ON event_type = t
-        |WHERE abs(round((value - mu) / sigma, 4)) >= 3.0""".stripMargin,
+        |WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) >= 3.0""".stripMargin,
     "cohort_retention" ->
       """WITH first_seen AS (
         |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id),

@@ -55,6 +55,11 @@ object EventOps {
     val stats = ev.groupBy(col("event_type").as("t"))
       .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
     ev.join(broadcast(stats), col("event_type") === col("t"))
+      // zero-variance types have no anomalies by definition — and the
+      // explicit guard keeps engines aligned where x/0 semantics differ
+      // (Spark yields NULL, IEEE engines ±Infinity which would PASS the
+      // z filter for a constant-valued type whose mean differs by ulps)
+      .where(col("sigma") > 0)
       .select(col("event_id"), col("event_type"),
         round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
       .where(abs(col("z")) >= zMin)
@@ -135,19 +140,18 @@ object EventOps {
         round(col("value") - col("prev_value"), 4).as("delta"))
   }
 
-  /** Batch sessionization: a session breaks after `gapMinutes` of user
-    * inactivity. Classic gaps-and-islands: lag → boundary flag → prefix-sum
-    * session id. One shuffle on user_id; both windows share the same
-    * partitioning so Spark reuses the exchange and sort.
-    * Output: per-user session count, max/total events.
-    */
-  /** Ordered conversion funnel: users who did view → click → purchase in
-    * strict temporal order, each conversion within `windowHours` of the
-    * previous stage, counted per stage. Each stage is one narrow per-user
-    * aggregate (min qualifying timestamp) joined to the previous stage's
-    * frame — per-stage shuffle width is one (user, timestamp) row, so the
-    * chain scales with user count regardless of event volume, and the
-    * event scan prunes to the three relevant types.
+  /** Ordered conversion funnel with GREEDY first-touch attribution: each
+    * stage anchors at the user's FIRST qualifying event (min timestamp
+    * within `windowHours` of the previous stage's anchor), and the next
+    * stage must convert relative to that anchor. This is the standard
+    * first-touch funnel, NOT an any-path existence test — a user whose
+    * only converting path runs through a LATER qualifying event is
+    * deliberately not counted (the oracle replays the same greedy shape).
+    * Each stage is one narrow per-user aggregate (min qualifying
+    * timestamp) joined to the previous stage's frame — per-stage shuffle
+    * width is one (user, timestamp) row, so the chain scales with user
+    * count regardless of event volume, and the event scan prunes to the
+    * three relevant types.
     */
   def funnel(spark: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -187,6 +191,12 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Classic gaps-and-islands: lag → boundary flag → prefix-sum
+    * session id. One shuffle on user_id; both windows share the same
+    * partitioning so Spark reuses the exchange and sort.
+    * Output: per-user session count, max/total events.
+    */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

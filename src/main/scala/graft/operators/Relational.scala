@@ -16,8 +16,12 @@ import graft.Tables
   * table), AQE handles skew, and aggregates run partial+final.
   *
   * Scale notes (100 TB posture): every query below shuffles the fact table
-  * at most once on its natural key; dimensions are broadcast explicitly;
-  * top-k uses sort+limit (per-partition top-k then merge) instead of a
+  * at most once on its natural key; FIXED-cardinality dims (nation,
+  * region, single-row/bounded aggregates) are broadcast explicitly, while
+  * SF-scaling tables (customer, supplier, part) are left UNHINTED — the
+  * planner broadcasts them from stats while they fit and degrades to a
+  * shuffle join at scale, where a forced hint would OOM the driver; top-k
+  * uses sort+limit (per-partition top-k then merge) instead of a
   * single-partition global window.
   */
 object Relational {
@@ -49,7 +53,7 @@ object Relational {
     val ord = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
     val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
     val grouped = li
-      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -68,8 +72,8 @@ object Relational {
     val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
     val dims = broadcast(nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey")))
-    val supp = broadcast(Tables.supplier(spark, dir))
-    val cust = broadcast(Tables.customer(spark, dir))
+    val supp = Tables.supplier(spark, dir)
+    val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
@@ -88,7 +92,7 @@ object Relational {
   def joinSemi(spark: SparkSession, dir: String): DataFrame = {
     val machinery = Tables.customer(spark, dir).where(col("c_mktsegment") === "MACHINERY")
     Tables.orders(spark, dir)
-      .join(broadcast(machinery), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(machinery, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
   }
@@ -165,7 +169,7 @@ object Relational {
       .join(Tables.orders(spark, dir)
         .where(col("o_orderdate") >= lo && col("o_orderdate") < hi),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "c_mktsegment")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     val top = grouped.orderBy(col("revenue").desc, col("c_custkey")).limit(20)
@@ -181,7 +185,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev),
         4).as("promo_revenue_pct"),
@@ -288,8 +292,22 @@ object Relational {
       }
       (g, qs, n)
     }
-    rows.map { case (g, qs, n) => (g, qs(0), qs(1), qs(2), n) }
-      .toDF("l_returnflag", probs(0)._1, probs(1)._1, probs(2)._1, "n")
+    // schema built from probs — NOT hardcoded to 3 entries, so any
+    // probability list matches the sketch fallback's output shape (the
+    // documented "same schema so callers can swap them" contract)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType) +:
+        probs.map(p => org.apache.spark.sql.types.StructField(p._1,
+          org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (g, qs, n) =>
+          org.apache.spark.sql.Row.fromSeq(g +: qs :+ n)
+        }.toIndexedSeq, 1),
+      schema)
   }
 
   /** Sketch-based quantiles — the 100 TB path. [[quantiles]] is exact but
@@ -319,17 +337,16 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
 
-  /** GROUPING SETS through the engine's SQL surface (distinct shapes from
-    * rollup/cube): per-returnflag and per-linestatus marginals only.
+  /** GROUPING SETS (distinct shapes from rollup/cube): per-returnflag and
+    * per-linestatus marginals only. Built with the typed `groupingSets`
+    * API — no temp view, so concurrent builders on a shared session can't
+    * race each other's catalog registrations.
     */
-  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |round(sum(l_quantity), 2) AS qty
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
-  }
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
 
   /** Bag-semantics set ops: intersectAll/exceptAll keep multiplicities. */
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {

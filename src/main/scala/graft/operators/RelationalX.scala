@@ -41,12 +41,12 @@ object RelationalX {
   def q7Volume(spark: SparkSession, dir: String,
       nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    val supp = broadcast(Tables.supplier(spark, dir)
+    val supp = Tables.supplier(spark, dir)
       .join(n, col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
-    val cust = broadcast(Tables.customer(spark, dir)
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
       .join(n, col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
@@ -65,17 +65,17 @@ object RelationalX {
   def q8Share(spark: SparkSession, dir: String, supplierNation: String = "NATION_3",
       regionName: String = "AMERICA", partType: String = "PROMO"): DataFrame = {
     val n = Tables.nation(spark, dir)
-    val custRegion = broadcast(Tables.customer(spark, dir)
+    val custRegion = Tables.customer(spark, dir)
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(Tables.region(spark, dir).where(col("r_name") === regionName),
         col("n_regionkey") === col("r_regionkey"))
-      .select("c_custkey"))
-    val supp = broadcast(Tables.supplier(spark, dir)
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
       .join(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
         col("s_nationkey") === col("sn_key"))
-      .select("s_suppkey", "supp_nation"))
-    val parts = broadcast(Tables.part(spark, dir)
-      .where(col("p_type") === partType).select("p_partkey"))
+      .select("s_suppkey", "supp_nation")
+    val parts = Tables.part(spark, dir)
+      .where(col("p_type") === partType).select("p_partkey")
     val vol = Tables.lineitem(spark, dir)
       .join(parts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
@@ -95,12 +95,12 @@ object RelationalX {
     * year, for parts matching a name fragment.
     */
   def q9Profit(spark: SparkSession, dir: String, nameLike: String = "small"): DataFrame = {
-    val parts = broadcast(Tables.part(spark, dir)
+    val parts = Tables.part(spark, dir)
       .where(col("p_name").contains(nameLike))
-      .select("p_partkey", "p_retailprice"))
-    val supp = broadcast(Tables.supplier(spark, dir)
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir)
       .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("nation")))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
       .join(parts, col("l_partkey") === col("p_partkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
@@ -155,7 +155,7 @@ object RelationalX {
     val best = revenue.agg(max("total_revenue").as("mr"))
     revenue
       .join(broadcast(best), col("total_revenue") === col("mr"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
@@ -167,8 +167,8 @@ object RelationalX {
     val li = Tables.lineitem(spark, dir)
     val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
       .agg(avg("l_quantity").as("avg_qty"))
-    val parts = broadcast(Tables.part(spark, dir)
-      .where(col("p_brand") === brand).select("p_partkey"))
+    val parts = Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select("p_partkey")
     li.join(parts, col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("ap_key"))
       .where(col("l_quantity") < col("avg_qty") * 0.2)
@@ -187,7 +187,7 @@ object RelationalX {
       .where(col("raw_qty") > minQty)
       .select(col("l_orderkey"), round(col("raw_qty"), 2).as("sum_qty"))
     big.join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
       .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
   }
 
@@ -196,7 +196,7 @@ object RelationalX {
     */
   def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val p = broadcast(Tables.part(spark, dir))
+    val p = Tables.part(spark, dir)
     li.join(p, col("l_partkey") === col("p_partkey"))
       .where(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
@@ -265,7 +265,7 @@ object RelationalX {
     */
   def q16SuppCount(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).where(col("p_type") =!= "PROMO")),
+      .join(Tables.part(spark, dir).where(col("p_type") =!= "PROMO"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
