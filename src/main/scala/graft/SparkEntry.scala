@@ -55,6 +55,7 @@ object SparkEntry {
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
     "dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
+    "seg_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
     "mix_sources" -> ((s, d) =>
       TextOps.mixSources(Tables.documents(s, d),
         Map("src0" -> 0.25, "src1" -> 0.5))
@@ -197,7 +198,10 @@ object SparkEntry {
     "date_agg" -> ((s, d) => Relational.dateAgg(s, d)),
     "pivot_events" -> ((s, d) => EventOps.pivotByType(s, d)),
     // ── relational batch 2: remaining TPC-H shapes on this schema ──
+    "q2_min_cost" -> ((s, d) => RelationalX.q2MinCostSupp(s, d)),
     "q4_exists" -> ((s, d) => RelationalX.q4Exists(s, d)),
+    "q11_important" -> ((s, d) => RelationalX.q11ImportantParts(s, d)),
+    "q20_dominant" -> ((s, d) => RelationalX.q20DominantShippers(s, d)),
     "q7_volume" -> ((s, d) => RelationalX.q7Volume(s, d)),
     "q8_share" -> ((s, d) => RelationalX.q8Share(s, d)),
     "q9_profit" -> ((s, d) => RelationalX.q9Profit(s, d)),
@@ -506,6 +510,27 @@ object SparkEntry {
         |c AS (SELECT h, count(*) AS c FROM sp GROUP BY h HAVING count(*) > 1)
         |SELECT doc_id, count(*) AS n_spans, count(c.c) AS n_dup_spans
         |FROM sp LEFT JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+    // seg_dedup: C4-style segment dedup + rewrite; first occurrence =
+    // smallest (doc_id, position) per 60-bit segment hash, so the window
+    // replay is exactly deterministic and the reassembled text is
+    // byte-comparable
+    "seg_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, s,
+        |         array_to_string(toks[s*8+1 : LEAST((s+1)*8, len(toks))], ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks)/8.0) AS INT))) AS s
+        |        FROM t)),
+        |f AS (
+        |  SELECT doc_id, s, seg,
+        |         row_number() OVER (
+        |           PARTITION BY ('0x'||substr(md5(seg),1,15))::BIGINT
+        |           ORDER BY doc_id, s) AS rn
+        |  FROM seg)
+        |SELECT doc_id, count(*) AS n_seg,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY s), '') AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
     "mix_sources" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE ('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,7))::BIGINT <
@@ -903,6 +928,47 @@ object SparkEntry {
         |    JOIN nation ON s_nationkey = n_nationkey
         |  WHERE p_name LIKE '%small%') t
         |GROUP BY 1, 2""".stripMargin,
+    // Q2/Q11/Q20 adaptations (no partsupp in the fixture): the
+    // supplier↔part relationship derives from lineitem; shapes preserved
+    "q2_min_cost" ->
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name
+        |  FROM part JOIN rel ON p_partkey = l_partkey
+        |    JOIN rs ON l_suppkey = s_suppkey
+        |  WHERE p_size >= 40 AND p_type = 'PROMO'),
+        |mn AS (SELECT p_partkey AS mk, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+        |FROM cand JOIN mn ON p_partkey = mk AND s_acctbal = min_bal""".stripMargin,
+    "q11_important" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_i
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT p_partkey, round(value_i / 100.0, 2) AS part_value
+        |FROM pv WHERE value_i > (SELECT sum(value_i) FROM pv) * 0.001""".stripMargin,
+    "q20_dominant" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, sum(sq) AS tq FROM sp GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM sp JOIN pt ON l_partkey = pk
+        |        WHERE sq > 0.3 * tq)
+        |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM dom WHERE l_suppkey = s_suppkey)""".stripMargin,
     "q12_priority" ->
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

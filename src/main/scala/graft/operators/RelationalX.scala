@@ -7,8 +7,11 @@ import graft.Tables
 
 /** Second relational batch: the remaining TPC-H query shapes expressible on
   * the fixture schema (FIXTURES.md — no partsupp, no l_commitdate /
-  * l_receiptdate / l_shipmode, so Q2/Q11/Q16/Q20 are out of scope and Q4 /
-  * Q12 / Q21 are adapted to the columns that exist).
+  * l_receiptdate / l_shipmode; Q4 / Q12 / Q16 / Q21 are adapted to the
+  * columns that exist, and Q2 / Q11 / Q20 — whose originals live on
+  * partsupp — are adapted by deriving the supplier↔part relationship from
+  * lineitem, preserving each query's SHAPE: correlated per-group min,
+  * HAVING over a scalar-subquery total, and nested correlated aggregates).
   *
   * Like [[Relational]], everything is declarative: correlated EXISTS /
   * NOT-EXISTS become semi/anti joins, scalar subqueries become broadcast
@@ -17,6 +20,104 @@ import graft.Tables
   * these exist to make the engine a complete analytics surface.
   */
 object RelationalX {
+
+  /** Q2-shaped minimum-cost supplier (no partsupp / ps_supplycost in the
+    * fixture, so "cost" is the supplier's account balance and the
+    * supplier↔part relationship comes from lineitem): for each qualifying
+    * part, the region's supplier(s) holding the MINIMUM balance among those
+    * who ever supplied it. The correlated scalar-min subquery becomes a
+    * per-part aggregate joined back on equality — Q2's defining shape.
+    *
+    * Scale: region suppliers and filtered parts are dimension-sized →
+    * broadcast; the only fact-scale stage is the distinct (part, supp)
+    * projection of lineitem (one narrow shuffle, map-side combined); the
+    * per-part min table is bounded by |part| → broadcast join back.
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String, regionName: String = "AMERICA",
+      minSize: Int = 40, partType: String = "PROMO"): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(spark, dir)
+      .where(col("p_size") >= minSize && col("p_type") === partType)
+      .select("p_partkey")
+    val rel = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val cand = rel
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    val mn = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min("s_acctbal").as("min_bal"))
+    // min(s_acctbal) returns one of the exact input doubles, so the
+    // equality join-back is exact on any engine (no epsilon needed)
+    cand.join(broadcast(mn),
+        col("p_partkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"),
+        col("s_name"), col("n_name"), col("p_partkey"))
+  }
+
+  /** Q11-shaped important parts (no partsupp, so a part's "value" is the
+    * extended-price volume shipped by the chosen nations' suppliers): parts
+    * whose value exceeds `shareThreshold` of the all-parts total — the
+    * HAVING-over-scalar-subquery shape. Per-row prices have exactly 2
+    * decimals, so summing scaled-integer cents keeps both the per-part
+    * values and the grand total exact and order-independent; only the final
+    * display value returns to 2-decimal doubles.
+    *
+    * Scale: supplier⋈nation is dimension-sized → broadcast against
+    * lineitem; one narrow shuffle on l_partkey; the one-row total
+    * cross-joins back as a broadcast.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+      nations: Seq[String] = Seq("NATION_1", "NATION_2", "NATION_3"),
+      shareThreshold: Double = 0.001): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).where(col("n_name").isInCollection(nations)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_i"))
+    val total = perPart.agg(sum("value_i").as("total_i"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("value_i") > col("total_i") * shareThreshold)
+      .select(col("p_partkey"), round(col("value_i") / 100.0, 2).as("part_value"))
+  }
+
+  /** Q20-shaped dominant shippers (no partsupp / ps_availqty, so the
+    * "excess stock" test becomes a volume-dominance test): suppliers who,
+    * for some part matching the name fragment, shipped more than
+    * `shareThreshold` of that part's total 1997 volume — Q20's nested
+    * correlated-aggregate shape (per-(supp,part) sum vs per-part sum),
+    * closed with a semi join onto supplier. Quantities are small integral
+    * doubles, so every sum is exact; the part total re-aggregates the
+    * per-(supp,part) partials (identical subtree → Spark reuses the
+    * exchange instead of rescanning lineitem).
+    */
+  def q20DominantShippers(spark: SparkSession, dir: String,
+      nameLike: String = "small", shareThreshold: Double = 0.3): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameLike)).select("p_partkey")
+    val perSuppPart = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("sq"))
+    val perPart = perSuppPart.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("sq").as("tq"))
+    val dominant = perSuppPart
+      .join(perPart, col("l_partkey") === col("pk"))
+      .where(col("sq") > col("tq") * shareThreshold)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+  }
 
   /** Q4-shaped: priority count of orders with at least one returned line
     * (EXISTS → left-semi join; lineitem side is pre-filtered + distinct so

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text operators: the reference's three benchmark apps (word count,
@@ -324,6 +325,48 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_spans"),
         sum(when(col("c").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_dup_spans"))
+  }
+
+  /** C4-style segment-level dedup WITH corpus rewrite (the canonical "drop
+    * duplicated three-sentence spans" preprocessing step, adapted to
+    * fixed-k token segments on this punctuation-less fixture): each
+    * document splits into consecutive k-token segments, every segment
+    * duplicated anywhere in the corpus is dropped except its first
+    * occurrence (smallest (doc_id, position)), and each document's
+    * surviving segments reassemble in order. Unlike [[duplicatedSpans]],
+    * which only measures duplication, this op REWRITES the corpus —
+    * emitting the cleaned text plus per-doc segment counts.
+    *
+    * Scale shape: exactly two shuffles, both unavoidable for the
+    * semantics — (1) segments shuffle on their 60-bit portable hash and
+    * first-occurrence is a `row_number` within each hash partition (hash
+    * cardinality ≈ distinct segments, so partitions stay balanced; no
+    * join-back, no recomputed subtree); (2) survivors shuffle on doc_id to
+    * reassemble. Segment text rides the first shuffle because the rewrite
+    * needs it back — ~text-sized shuffle, the same order as the C4 job it
+    * mirrors. Fully-deduplicated documents remain with empty text so the
+    * output stays 1:1 with the input (callers filter, mirroring
+    * [[CorpusPipeline]]'s explicit gate style).
+    */
+  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $k.0) as int) - 1), " +
+          s"i -> struct(i as s, concat_ws(' ', slice(toks, i * $k + 1, $k)) as seg))")).as("e"))
+      .select(col("doc_id"), col("e.s").as("s"), col("e.seg").as("seg"))
+      .withColumn("h", Dedup.portableHash64(col("seg")))
+    val w = Window.partitionBy("h").orderBy("doc_id", "s")
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("s"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
   }
 
   /** Per-source KL divergence from the corpus token distribution (bits):

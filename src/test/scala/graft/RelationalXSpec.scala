@@ -63,6 +63,61 @@ class RelationalXSpec extends SparkSpec {
     assert(got.except(brute).count() === 0 && brute.except(got).count() === 0)
   }
 
+  test("q2 min-cost supplier rows hold the true per-part minimum balance") {
+    val out = RelationalX.q2MinCostSupp(spark, sfDir, minSize = 1).cache()
+    // brute force via a window min over the same candidate set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    val rel = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey").distinct()
+    val rs = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir).where($"r_name" === "AMERICA"),
+        $"n_regionkey" === $"r_regionkey")
+    val brute = rel
+      .join(Tables.part(spark, sfDir).where($"p_type" === "PROMO"),
+        $"l_partkey" === $"p_partkey")
+      .join(rs, $"l_suppkey" === $"s_suppkey")
+      .withColumn("mb", min("s_acctbal").over(w))
+      .where($"s_acctbal" === $"mb")
+      .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name", $"p_partkey")
+    assert(out.count() > 0)
+    assert(out.except(brute).count() === 0 && brute.except(out).count() === 0)
+  }
+
+  test("q11 important parts all clear the share-of-total threshold") {
+    val out = RelationalX.q11ImportantParts(spark, sfDir, shareThreshold = 0.002).cache()
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir)
+        .join(Tables.nation(spark, sfDir)
+          .where($"n_name".isin("NATION_1", "NATION_2", "NATION_3")),
+          $"s_nationkey" === $"n_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("v"))
+    val total = perPart.agg(sum("v")).as[Long].head()
+    val brute = perPart.where($"v" > total * 0.002)
+      .select($"l_partkey".as("p_partkey"), round($"v" / 100.0, 2).as("part_value"))
+    assert(out.except(brute).count() === 0 && brute.except(out).count() === 0)
+  }
+
+  test("q20 dominant shippers each own the required share of some part") {
+    // lower threshold on the smoke fixture so the result is non-empty
+    val out = RelationalX.q20DominantShippers(spark, sfDir, shareThreshold = 0.1).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val brute = Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir).where($"p_name".contains("small")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy("l_suppkey", "l_partkey").agg(sum("l_quantity").as("sq"))
+      .withColumn("tq", sum("sq").over(w))
+      .where($"sq" > $"tq" * 0.1)
+      .select("l_suppkey").distinct()
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"s_acctbal", 2).as("s_acctbal"))
+    assert(out.count() > 0)
+    assert(out.except(brute).count() === 0 && brute.except(out).count() === 0)
+  }
+
   test("argmax join returns one row per segment with the max balance") {
     val out = RelationalX.argmaxJoin(spark, sfDir).cache()
     val segs = Tables.customer(spark, sfDir).select("c_mktsegment").distinct().count()

@@ -206,6 +206,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
   }
 
+  test("segmentDedup: rewrite keeps each distinct segment exactly once, in order") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.segmentDedup(docs, k = 8).cache()
+    // 1:1 with the input — fully-deduplicated docs stay as empty text
+    assert(out.count() === docs.count())
+    // each distinct segment survives exactly once corpus-wide
+    val segs = docs
+      .select($"doc_id", split($"text", "\\s+").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")).as("seg"))
+    val distinctSegs = segs.distinct().count()
+    val kept = out.agg(sum("n_kept")).as[Long].head()
+    assert(kept === distinctSegs)
+    // untouched docs reassemble to their original (single-spaced) text
+    val untouched = out.where($"n_seg" === $"n_kept")
+      .join(docs, "doc_id")
+      .where($"clean_text" =!= regexp_replace(trim($"text"), "\\s+", " "))
+    assert(untouched.count() === 0)
+    // deterministic under a different input partitioning
+    val b = TextOps.segmentDedup(docs.repartition(7), k = 8)
+    assert(out.except(b).count() === 0 && b.except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("chunkDocuments: overlapping windows cover the doc, trailing window kept") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens → 4 windows
