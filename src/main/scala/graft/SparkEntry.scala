@@ -63,6 +63,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("source"),
           org.apache.spark.sql.functions.col("n_chars"))),
     "entropy" -> ((s, d) => TextOps.unigramEntropy(Tables.documents(s, d))),
+    "curriculum_bins" -> ((s, d) => TextOps.curriculumBins(Tables.documents(s, d))),
     "decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextOps.decontaminate(
@@ -151,6 +152,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    // deterministic Lloyd k-means: seed = vec_id % k per-dim means, two
+    // reassign+refine rounds, empty clusters keep their previous centroid
+    // — every step exact, so the oracle replays the full iteration
+    "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d))),
     // PQ-ADC search: codebook build + encoding + lookup-table scoring are
     // all deterministic (seed-partition means, smaller-code tie-breaks),
     // so the oracle replays the whole quantization end-to-end
@@ -464,6 +469,25 @@ object SparkEntry {
         |SELECT doc_id, max(n) AS n_tokens,
         |       CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS entropy_bits
         |FROM i GROUP BY doc_id""".stripMargin,
+    // curriculum_bins: entropy ranking replayed via window row_number;
+    // bin assignment is pure integer math ((rank-1)*10 // n)
+    "curriculum_bins" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, word, max(n) AS n, count(*) AS c FROM w GROUP BY doc_id, word),
+        |i AS (SELECT doc_id, n,
+        |        CAST(round((c::DOUBLE/n) * log2(c::DOUBLE/n) * -1e6, 0) AS BIGINT) AS it
+        |      FROM c),
+        |e AS (SELECT doc_id,
+        |        CAST(round(sum(it)/100.0, 0) AS BIGINT)/10000.0 AS entropy_bits
+        |      FROM i GROUP BY doc_id),
+        |r AS (SELECT doc_id, entropy_bits,
+        |        row_number() OVER (ORDER BY entropy_bits, doc_id) AS rank,
+        |        count(*) OVER () AS n
+        |      FROM e)
+        |SELECT doc_id, entropy_bits, CAST(rank AS BIGINT) AS rank,
+        |       CAST((rank - 1) * 10 // n AS BIGINT) AS bin
+        |FROM r""".stripMargin,
     "lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
@@ -1412,6 +1436,40 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM scored) t
         |WHERE rnk <= 5""".stripMargin,
+    // kmeans_assign: the full deterministic Lloyd replay — seed means,
+    // two reassignment rounds (L2 expansion, ties to smaller cid), empty
+    // clusters inherit the previous centroid via the left-join coalesce
+    "kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |sm AS (SELECT vec_id % 8 AS cid, i, avg(v[i]) AS m FROM e, dims GROUP BY 1, 2),
+        |c0 AS (SELECT cid, list(m ORDER BY i) AS c FROM sm GROUP BY cid),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) t WHERE rn = 1),
+        |r1m AS (SELECT cid, i, avg(v[i]) AS m FROM a1, dims GROUP BY 1, 2),
+        |r1 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r1m GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(r1.c2, c0.c) AS c
+        |       FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) t WHERE rn = 1),
+        |r2m AS (SELECT cid, i, avg(v[i]) AS m FROM a2, dims GROUP BY 1, 2),
+        |r2 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r2m GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(r2.c2, c1.c) AS c
+        |       FROM c1 LEFT JOIN r2 ON c1.cid = r2.cid)
+        |SELECT vec_id, cid, round(dist, 4) AS d2 FROM (
+        |  SELECT e.vec_id, c2.cid,
+        |         list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |           + list_dot_product(c, c) AS dist,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |                    + list_dot_product(c, c), c2.cid) AS rn
+        |  FROM e CROSS JOIN c2) t WHERE rn = 1""".stripMargin,
     "pq_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |subs AS (SELECT vec_id, s, v[s*4+1 : s*4+4] AS sv

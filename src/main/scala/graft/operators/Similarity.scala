@@ -193,6 +193,51 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Distributed k-means (Lloyd) over the embedding column — the clustering
+    * primitive under SemDeDup-style semantic curation, data-selection and
+    * IVF-style index builds. Fully deterministic: seed centroid `i` is the
+    * per-dimension mean of vectors with `vec_id % k == i`, each iteration
+    * reassigns by exact squared-L2 (ties to the smaller cid) and recomputes
+    * means; clusters that empty out keep their previous centroid (same
+    * left-join fallback as [[pqCodebooks]]), so the centroid count is
+    * stable and every step replays on any engine.
+    *
+    * Scale shape: centroids are a k×dims table — always broadcast; each
+    * iteration is one map-side-combined aggregate over the corpus (the
+    * native [[graft.functions.VectorFunctions.vecSum]] carries one array
+    * per group per partition across the shuffle). Iterations are plan
+    * compositions, so `iters` stays a small constant (production loops
+    * persist the assignment frame per step instead).
+    */
+  def kmeansAssign(embeddings: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    def toCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        vCol: String, out: String): DataFrame =
+      grouped
+        .agg(graft.functions.VectorFunctions.vecSum(col(vCol)).as("sum"),
+          count(lit(1)).as("cn"))
+        .select(col("cid"), transform(col("sum"), x => x / col("cn")).as(out))
+    def nearest(cents: DataFrame): DataFrame =
+      p.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
+            + dot(col("c"), col("c")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("v")).as("v"))
+    val seed = toCentroid(p.groupBy((col("vec_id") % kClusters).as("cid")), "v", "c")
+    val cents = (1 to iters).foldLeft(seed) { (cb, _) =>
+      val refined = toCentroid(
+        nearest(cb).select(col("m").getField("cid").as("cid"), col("v"))
+          .groupBy("cid"), "v", "c2")
+      cb.join(refined, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c2"), col("c")).as("c"))
+    }
+    nearest(cents)
+      .select(col("vec_id"), col("m").getField("cid").as("cid"),
+        round(col("m").getField("dist"), 4).as("d2"))
+  }
+
   /** Persist an IVF index: the deterministic centroid table plus the
     * corpus with nearest-centroid assignments, written as parquet with the
     * corpus PARTITIONED BY cell id. A probe then reads only its `nProbe`

@@ -369,6 +369,45 @@ object TextOps {
           " ").as("clean_text"))
   }
 
+  /** Curriculum / quality binning: rank every document by its unigram
+    * entropy ([[unigramEntropy]] — a standard difficulty/diversity proxy)
+    * and assign equal-population bins (`bin = (rank-1)·nBins div n`), the
+    * schedule tables curriculum training and quality-stratified sampling
+    * read. Exact integer math end-to-end, so any engine replays it.
+    *
+    * Scale shape: the global rank uses the distributed two-pass prefix
+    * sum of [[graft.operators.Relational.globalIndex]] — range-partition
+    * on the sort key, per-partition counts prefix-summed into offsets
+    * (the only single-partition window runs over #partition rows), local
+    * `row_number` + offset. No driver collect, no global-window collapse;
+    * the ranged frame is persisted+counted so both passes see the same
+    * range boundaries (RangePartitioner sampling is execution-dependent).
+    */
+  def curriculumBins(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val keys = Seq(col("entropy_bits"), col("doc_id"))
+    val ranged = unigramEntropy(docs)
+      .select("doc_id", "entropy_bits")
+      .repartitionByRange(par, keys: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val total = ranged.agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy("pid").orderBy(keys: _*)
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("rank", row_number().over(local).cast("long") + col("off"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("entropy_bits"), col("rank"),
+        expr(s"(rank - 1) * $nBins div n").as("bin"))
+  }
+
   /** Per-source KL divergence from the corpus token distribution (bits):
     * `KL(source ‖ corpus) = Σ_w p_s(w) · log2(p_s(w)/p_c(w))` — the
     * domain-mixing diagnostic: sources far from the corpus mix dominate or

@@ -141,6 +141,25 @@ class SimilaritySpec extends SparkSpec {
     assert(adaptive.as[(Long, Long, Double)].collect().toSet === viaLsh)
   }
 
+  test("kmeansAssign: exhaustive, deterministic, and Lloyd steps don't increase inertia") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.kmeansAssign(e, kClusters = 8, iters = 2).cache()
+    assert(out.count() === e.count())
+    assert(out.select("cid").distinct().as[Long].collect().forall(c => c >= 0 && c < 8))
+    // squared distances (rounded) are non-negative up to FP noise
+    assert(out.where($"d2" < -0.0001).count() === 0)
+    // two Lloyd rounds never worsen the seed assignment's inertia
+    val inertia2 = out.agg(org.apache.spark.sql.functions.sum("d2")).as[Double].head()
+    val inertia0 = Similarity.kmeansAssign(e, kClusters = 8, iters = 0)
+      .agg(org.apache.spark.sql.functions.sum("d2")).as[Double].head()
+    assert(inertia2 <= inertia0 + 1e-6)
+    // deterministic under a different input partitioning
+    val b = Similarity.kmeansAssign(
+      e.repartition(7), kClusters = 8, iters = 2)
+    assert(out.except(b).count() === 0 && b.except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("a zero-norm vector never outranks real neighbors or emits near-pairs") {
     // 0/0 = NaN sorts above every double in Spark — unguarded, the zero
     // vector would be rank 1 for every query and pass every minSim filter

@@ -231,6 +231,31 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curriculumBins: ranks are a permutation, bins balanced and entropy-monotone") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.curriculumBins(docs, nBins = 10).cache()
+    val n = docs.count()
+    assert(out.count() === n)
+    // ranks are exactly 1..n
+    val (mn, mx, d) = out
+      .agg(min("rank"), max("rank"), countDistinct("rank"))
+      .as[(Long, Long, Long)].head()
+    assert(mn === 1L && mx === n && d === n)
+    // bins are 0..9 with sizes within one of each other (equal-population)
+    val sizes = out.groupBy("bin").count().select("count").as[Long].collect()
+    assert(sizes.length === 10 && sizes.max - sizes.min <= 1)
+    // bin is monotone in rank: no row of a higher bin has a lower rank
+    // than any row of a lower bin
+    val cross = out.select($"bin".as("b1"), $"rank".as("r1"))
+      .join(out.select($"bin".as("b2"), $"rank".as("r2")),
+        $"b1" < $"b2" && $"r1" > $"r2")
+    assert(cross.count() === 0)
+    // deterministic under a different input partitioning
+    val b = TextOps.curriculumBins(docs.repartition(7), nBins = 10)
+    assert(out.except(b).count() === 0 && b.except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("chunkDocuments: overlapping windows cover the doc, trailing window kept") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens → 4 windows
