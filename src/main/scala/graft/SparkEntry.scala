@@ -156,6 +156,25 @@ object SparkEntry {
     // reassign+refine rounds, empty clusters keep their previous centroid
     // — every step exact, so the oracle replays the full iteration
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d))),
+    // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
+    // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
+    // never corpus²); every stage deterministic, oracle replays it all
+    "semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
+    // PageRank over the supplier→customer trade graph — integer micro-unit
+    // arithmetic (truncating div at every step) so per-group sums are
+    // order-independent and the 3-iteration cascade hash-matches
+    "pagerank" -> ((s, d) => Graph.pageRank(Graph.tradeEdges(s, d))),
+    // BM25 retrieval: fixed literal query set; per-term scores integer-
+    // scaled before the (query, doc) sum so aggregation order can't
+    // perturb the hash
+    "bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(
+        (0L, Seq("spark", "join", "merge")),
+        (1L, Seq("window", "scan")),
+        (2L, Seq("customer", "vector", "slow"))).toDF("query_id", "terms")
+      TextOps.bm25TopK(Tables.documents(s, d), q)
+    }),
     // PQ-ADC search: codebook build + encoding + lookup-table scoring are
     // all deterministic (seed-partition means, smaller-code tie-breaks),
     // so the oracle replays the whole quantization end-to-end
@@ -1470,6 +1489,115 @@ object SparkEntry {
         |           ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
         |                    + list_dot_product(c, c), c2.cid) AS rn
         |  FROM e CROSS JOIN c2) t WHERE rn = 1""".stripMargin,
+    // semdedup: the kmeans_assign replay (same CTE chain) extended with
+    // the within-cluster keep-first drop rule — a vector is dropped iff a
+    // lower-id cluster-mate reaches rounded-cosine >= 0.6
+    "semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |sm AS (SELECT vec_id % 8 AS cid, i, avg(v[i]) AS m FROM e, dims GROUP BY 1, 2),
+        |c0 AS (SELECT cid, list(m ORDER BY i) AS c FROM sm GROUP BY cid),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) t WHERE rn = 1),
+        |r1m AS (SELECT cid, i, avg(v[i]) AS m FROM a1, dims GROUP BY 1, 2),
+        |r1 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r1m GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(r1.c2, c0.c) AS c
+        |       FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) t WHERE rn = 1),
+        |r2m AS (SELECT cid, i, avg(v[i]) AS m FROM a2, dims GROUP BY 1, 2),
+        |r2 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r2m GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(r2.c2, c1.c) AS c
+        |       FROM c1 LEFT JOIN r2 ON c1.cid = r2.cid),
+        |a3 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c2.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c2.cid) AS rn
+        |  FROM e CROSS JOIN c2) t WHERE rn = 1),
+        |p AS (SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM a3),
+        |dr AS (SELECT DISTINCT y.vec_id
+        |       FROM p x JOIN p y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |       WHERE (CASE WHEN x.nrm * y.nrm = 0 THEN -1.0
+        |              ELSE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4)
+        |              END) >= 0.6)
+        |SELECT p.vec_id, p.cid, (dr.vec_id IS NOT NULL) AS dropped
+        |FROM p LEFT JOIN dr ON p.vec_id = dr.vec_id""".stripMargin,
+    // pagerank: 3 integer-arithmetic iterations — `//` (floor div) equals
+    // Spark's `div` truncation on the all-positive rank mass, and every
+    // BIGINT sum is cast back from DuckDB's HUGEINT
+    "pagerank" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r0 LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c1.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node
+        |       CROSS JOIN d1 CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r1 LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c2.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node
+        |       CROSS JOIN d2 CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r2 LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c3.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
+        |       CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+    // bm25_topk: constants written as the SAME compound expressions the
+    // Scala side computes ((1.2 + 1), (1 - 0.75 + ...)) so both engines
+    // produce bit-identical doubles before the integer scaling
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t WHERE word <> ''
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES
+        |        (0, ['spark', 'join', 'merge']),
+        |        (1, ['window', 'scan']),
+        |        (2, ['customer', 'vector', 'slow'])) AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS word FROM q),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(round(1000000.0
+        |           * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |           AS BIGINT) AS ts
+        |       FROM tf JOIN qt USING (word) JOIN dl USING (doc_id)
+        |       JOIN df USING (word) CROSS JOIN st),
+        |ag AS (SELECT query_id, doc_id, CAST(sum(ts) AS BIGINT) AS s
+        |       FROM sc GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |       s / 1000000.0 AS score, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY s DESC, doc_id) AS rnk FROM ag) t
+        |WHERE rnk <= 10""".stripMargin,
     "pq_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |subs AS (SELECT vec_id, s, v[s*4+1 : s*4+4] AS sv

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists — PageRank as the flagship
+  * iterative-propagation primitive (the same shape serves label
+  * propagation, HITS, Katz centrality). North-star scope: the reference
+  * has no graph model, but an analytics engine curating web-scale training
+  * corpora needs link-graph signals (PageRank-weighted sampling is a
+  * standard corpus-quality prior).
+  *
+  * All rank arithmetic is INTEGER (micro-units): per-edge contribution is
+  * `rank div out_degree`, damping is `(85 · mass) div 100`, dangling mass
+  * redistributes as `dang div n` — truncating integer division at every
+  * step, so per-group sums are order-independent and any engine replays
+  * the iteration bit-exactly (no FP accumulation-order hazard).
+  *
+  * Scale shape: each iteration is (1) a join of the rank table to edges on
+  * `src` — edges pre-partitioned once on `src` and persisted, so every
+  * iteration's join reuses that layout while only the (much smaller) rank
+  * table moves — and (2) one map-side-combined integer-sum shuffle on
+  * `dst`. Dangling mass is a single scalar aggregate broadcast back.
+  * Iterations compose the plan a fixed small number of times (production
+  * loops persist the rank frame per step; convergence looping belongs to
+  * the caller).
+  */
+object Graph {
+
+  /** One PageRank unit in micro-units. */
+  val Unit_ : Long = 1000000L
+
+  /** PageRank over a directed edge list `(src, dst)` (strings; duplicate
+    * edges are collapsed). Damping 0.85 as `dampNum/dampDen` integers.
+    * Returns every node with its rank in micro-units (`rank_micro`) —
+    * initial rank is 1.0 per node, so ranks sum to ~n·10⁶ (minus
+    * truncation dust).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")) // iteration joins reuse this layout
+      .persist()
+    e.count() // barrier: materialize before the iteration chain re-reads
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nTotal = nodes.agg(count(lit(1)).as("n"))
+    val init = nodes.withColumn("r", lit(Unit_))
+    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div od").as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      // dangling = rank mass on nodes with no out-edges (left anti on
+      // outdeg); a single scalar, broadcast back into the update
+      val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      r.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(nTotal))
+        .select(col("node"),
+          (lit(Unit_ * (dampDen - dampNum) / dampDen) +
+            expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
+            .as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** The supplier→customer trade graph: one directed edge per (supplier,
+    * customer) pair that ever transacted (lineitem ⨝ orders). Node ids are
+    * prefixed (`S…`/`C…`) so the two key spaces cannot collide. Customers
+    * have no out-edges — the graph is all-dangling on one side, which
+    * exercises the dangling-mass redistribution for real.
+    */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+}

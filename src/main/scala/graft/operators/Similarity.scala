@@ -210,7 +210,19 @@ object Similarity {
     * persist the assignment frame per step instead).
     */
   def kmeansAssign(embeddings: DataFrame, kClusters: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    kmeansAssignFull(embeddings, kClusters, iters)
+      .select(col("vec_id"), col("cid"), col("d2"))
+
+  /** [[kmeansAssign]] keeping the prepared vector and its norm on every
+    * output row, so cluster-scoped consumers ([[semDedup]]) read the
+    * assignment frame directly instead of joining the corpus back on
+    * `vec_id` (one less shuffle; at 100 TB the join-back would be a
+    * full-corpus shuffle purely to rehydrate columns the plan already
+    * carried).
+    */
+  private[graft] def kmeansAssignFull(embeddings: DataFrame, kClusters: Int,
+      iters: Int): DataFrame = {
     val p = prepared(embeddings)
     def toCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
         vCol: String, out: String): DataFrame =
@@ -224,7 +236,8 @@ object Similarity {
           dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
             + dot(col("c"), col("c")))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("v")).as("v"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
     val seed = toCentroid(p.groupBy((col("vec_id") % kClusters).as("cid")), "v", "c")
     val cents = (1 to iters).foldLeft(seed) { (cb, _) =>
       val refined = toCentroid(
@@ -235,7 +248,41 @@ object Similarity {
     }
     nearest(cents)
       .select(col("vec_id"), col("m").getField("cid").as("cid"),
-        round(col("m").getField("dist"), 4).as("d2"))
+        round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * [[kmeansAssign]], then inside each cluster drop every vector whose
+    * cosine similarity to a LOWER-id cluster-mate reaches `minSim` (the
+    * keep-first rule of the SemDeDup paper — arXiv:2303.09540 — which
+    * needs no transitive resolution pass; [[graft.operators.Dedup
+    * .resolveClusters]] is the connected-components alternative). Output
+    * keeps every vector with its cluster and a `dropped` flag so callers
+    * can either filter survivors or audit the drop rate per cluster.
+    *
+    * This is the scale path for embedding dedup: candidate pairs are
+    * cluster-scoped — Σ(cluster²) with k centroids tuned so clusters fit
+    * the shuffle partition budget — never the O(n²) corpus cross join.
+    * All math is the same rounded-cosine contract as [[cosineTopK]], so
+    * an external engine replays the full cluster→pair→drop cascade.
+    */
+  def semDedup(embeddings: DataFrame, kClusters: Int = 8, iters: Int = 2,
+      minSim: Double = 0.6): DataFrame = {
+    val a = kmeansAssignFull(embeddings, kClusters, iters)
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+    // one pass builds both sides of the cluster-scoped self-join; persist
+    // would be wasted here — AQE reuses the assignment exchange because
+    // the two branches are identical subtrees (pinned in SimilaritySpec)
+    val dropped = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .where(cosSim(dot(col("x.v"), col("y.v")),
+        col("x.nrm"), col("y.nrm")) >= minSim)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    a.select("vec_id", "cid")
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("hit"), lit(false)).as("dropped"))
   }
 
   /** Persist an IVF index: the deterministic centroid table plus the

@@ -250,6 +250,59 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** BM25 retrieval scoring — the query-side complement of [[tfidf]]:
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 −
+    * b + b·|d|/avgdl)), idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the
+    * Robertson/Sparck-Jones "plus one" form — always positive). Returns
+    * the top-`k` docs per query with ties broken by `doc_id`.
+    *
+    * Determinism: each per-term score is scaled to an integer (×10⁶,
+    * half-up) BEFORE the per-(query, doc) sum, so the aggregate is an
+    * order-independent integer sum — same contract as the corpus-filter
+    * suite — and the final `score` is that sum divided back (exact: the
+    * sums sit far below 2⁵³).
+    *
+    * Scale shape: `queries` (query_id, terms array) explodes to a
+    * term list that is broadcast against the tf table — the corpus-side
+    * explode/aggregate dominates and shuffles once on (doc_id, word);
+    * df/dl/avgdl derive from tf's groups (no second corpus scan; same
+    * plan-fence pattern as [[tfidf]]); top-k per query is a window over
+    * the scored frame, which is |matched docs| × |queries| — never the
+    * corpus.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = tokens(docs)
+    val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // tf >= 1 is the same semantic-no-op plan fence as tfidf's: keeps df
+    // and dl reading tf's shuffled aggregate instead of re-exploding
+    val fenced = tf.where(col("tf") >= 1)
+    val df = fenced.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = fenced.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("word"))
+    tf.join(broadcast(qterms), "word")
+      .join(dl, "doc_id")
+      .join(df, "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_scaled",
+        round(lit(1000000.0) *
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_scaled").as("s"))
+      .withColumn("score", col("s") / 1000000.0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("s").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
   /** PII-style redaction: mask digit runs and email-shaped tokens, report
     * how many of each were masked. Row-local regex work — codegen'd, no
     * shuffle; the patterns are deliberately simple enough to behave

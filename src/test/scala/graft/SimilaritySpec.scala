@@ -160,6 +160,29 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semDedup drops near-duplicates cluster-locally, keeps the lowest id") {
+    // two exact-duplicate groups plus two isolated vectors; with k=2 the
+    // duplicates land in the same cluster by construction (identical
+    // vectors always share a nearest centroid)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),   // dup of 0 → dropped
+      (2L, Seq(0f, 5f, 0f, 0f)),
+      (3L, Seq(0f, 5.01f, 0f, 0f)), // near-dup of 2 → dropped
+      (4L, Seq(0f, 0f, 3f, 4f))     // isolated → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, kClusters = 2, iters = 1, minSim = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length === 5)
+    val dropped = out.filter(_._3).map(_._1).toSet
+    assert(dropped === Set(1L, 3L))
+    // survivors of the fixture run are deterministic under repartitioning
+    val e = Tables.embeddings(spark, sfDir)
+    val a = Similarity.semDedup(e, minSim = 0.6)
+    val b = Similarity.semDedup(e.repartition(7), minSim = 0.6)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("a zero-norm vector never outranks real neighbors or emits near-pairs") {
     // 0/0 = NaN sorts above every double in Spark — unguarded, the zero
     // vector would be rank 1 for every query and pass every minSim filter

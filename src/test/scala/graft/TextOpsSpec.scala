@@ -256,6 +256,41 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bm25TopK: hand-checked scoring — tf saturation and length normalization") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple apple apple apple apple apple apple"),
+      (3L, "cherry date fig grape kiwi lemon mango nut orange pear")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, Seq("apple")), (1L, Seq("cherry", "banana"))).toDF("query_id", "terms")
+    val out = TextOps.bm25TopK(docs, q, k = 10)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    val q0 = out.filter(_._1 == 0L).sortBy(_._4)
+    // only docs 1 and 2 contain "apple"
+    assert(q0.map(_._2).toSet === Set(1L, 2L))
+    // doc 2 wins (tf=8 → tf-part 17.6/9.38 ≈ 1.88 vs doc 1's 2.2/1.57 ≈
+    // 1.40) but saturation + length normalization keep the gap well under
+    // the raw 8x tf ratio
+    assert(q0.head._2 === 2L)
+    assert(q0.head._3 / q0.last._3 < 1.5)
+    // every score is positive (the +1 idf form cannot go negative even
+    // at df close to N) and ranks are 1..n per query
+    assert(out.forall(_._3 > 0))
+    assert(out.filter(_._1 == 1L).map(_._4).sorted.toSeq === Seq(1, 2))
+    // a multi-term query scores the union of matching docs
+    assert(out.filter(_._1 == 1L).map(_._2).toSet === Set(1L, 3L))
+    // exact expected score for the singleton-match case, computed from
+    // the formula by hand: doc 3 for "cherry": tf=1, df=1, dl=10, N=3,
+    // avgdl = 20/3; idf = ln((3-1+0.5)/(1+0.5)+1) = ln(8/3);
+    // denom = 1 + 1.2*(0.25 + 0.75*10/(20/3)) = 1 + 1.2*1.375 = 2.65
+    // score = idf * 2.2 / 2.65
+    val cherry = out.find(t => t._1 == 1L && t._2 == 3L).get._3
+    val expected = math.round(
+      1000000.0 * math.log(8.0 / 3.0) * (1 * 2.2) / 2.65) / 1000000.0
+    assert(math.abs(cherry - expected) < 2e-6)
+  }
+
   test("chunkDocuments: overlapping windows cover the doc, trailing window kept") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens → 4 windows
