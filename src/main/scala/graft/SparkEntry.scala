@@ -251,6 +251,25 @@ object SparkEntry {
     "asof_join" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "range_join" -> ((s, d) => EventOps.rangeFollowups(s, d)),
     "lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
+    // trailing-horizon EWMA with α=1/2: every weight an exact power of
+    // two, so the float math is engine-portable despite no integer scaling
+    "ewma" -> ((s, d) => EventOps.ewma(s, d)),
+    // snapshot diff: v2 = v1 minus 'F' orders, urgent prices bumped 10%,
+    // plus a remapped-key slice re-added — exercises all three change kinds
+    "snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      val changed = o.where(col("o_orderstatus") =!= "F")
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT",
+            round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+      val added = o.where(col("o_orderstatus") === "F" && col("o_orderkey") % 41 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      RelationalX.snapshotDiff(o, changed.unionByName(added), "o_orderkey")
+    }),
+    "histogram_eqdepth" -> ((s, d) => RelationalX.histogramEqDepth(s, d)),
+    "skyline" -> ((s, d) => RelationalX.skylineParts(s, d)),
     // ── LLM-pipeline batch 2: redaction, splits, linkage ──
     "pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d))),
@@ -1159,6 +1178,50 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_id, user_id, round(value - pv, 4) AS delta
         |FROM t WHERE pv IS NOT NULL""".stripMargin,
+    // ewma: generated — 8 lag terms with exact power-of-two weights in
+    // a fixed left-to-right sum (see ewmaOracle)
+    "ewma" -> ewmaOracle,
+    "snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN round(o_totalprice * 1.1, 2)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 41 = 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         ELSE 'changed' END AS change,
+        |    CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+        |         ELSE (CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 1 ELSE 0 END
+        |             + CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END
+        |             + CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END
+        |             + CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 1 ELSE 0 END
+        |             + CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 1 ELSE 0 END)
+        |         END AS n_cols_changed
+        |  FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey) t
+        |WHERE change <> 'changed' OR n_cols_changed > 0""".stripMargin,
+    "histogram_eqdepth" ->
+      """WITH r AS (SELECT l_extendedprice,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT (rank - 1) * 10 // n AS bucket, count(*) AS n_rows,
+        |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+    "skyline" ->
+      """WITH pp AS (SELECT p_retailprice AS price, max(p_size) AS size
+        |            FROM part GROUP BY 1),
+        |r AS (SELECT price, size, max(size) OVER (
+        |        ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |      FROM pp)
+        |SELECT price, size FROM r WHERE run IS NULL OR size > run""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
         |regexp_replace(regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
@@ -1655,6 +1718,21 @@ object SparkEntry {
     * (long-format nulls/min/max per column + table row count). Generated
     * from the column list because the UNION ALL ladder is mechanical.
     */
+  /** DuckDB replay of [[graft.operators.EventOps.ewma]]: 8 lag terms with
+    * exact power-of-two weights summed left-to-right — generated so the
+    * term order and weight literals can never drift from the Scala fold.
+    */
+  private def ewmaOracle: String = {
+    val num = (0 until 8)
+      .map(j => s"coalesce(lag(value, $j) OVER w, 0) * ${math.pow(0.5, j)}")
+      .mkString(" + ")
+    val den = (0 until 8)
+      .map(j => s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT event_id, user_id, round(($num) / ($den), 4) AS ewma
+       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  }
+
   private def profileCustomerOracle: String = {
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val parts = cols.flatMap { c =>

@@ -140,6 +140,37 @@ object EventOps {
         round(col("value") - col("prev_value"), 4).as("delta"))
   }
 
+  /** Exponentially-weighted moving average of `value` per user over the
+    * trailing `horizon` events (decay α = 1/2): `ewma_i = Σ_j 2⁻ʲ·x_{i−j}
+    * / Σ_j 2⁻ʲ` over the available lags j ∈ [0, horizon). The truncated-
+    * horizon form is deliberate: the infinite recursion s_i = αx + (1−α)s
+    * is inherently sequential, while the truncated window is `horizon`
+    * codegen'd `lag` columns in ONE window pass — and with α = 1/2 every
+    * weight 2⁻ʲ is an exact power of two, so each product is exact double
+    * scaling and the fixed left-to-right sum is bit-identical on any
+    * engine (no FP-order hazard despite being float math).
+    *
+    * Scale shape: a single `lag` window partitioned by user — one shuffle
+    * on user_id, no global window, per-row state is `horizon` doubles.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(spark, dir))
+
+  /** [[ewma]] on an explicit events frame (event_id, ts, user_id, value). */
+  def ewmaOf(events: DataFrame, horizon: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lags = (0 until horizon).map(j => lag(col("value"), j).over(w))
+    val num = lags.zipWithIndex
+      .map { case (x, j) => coalesce(x, lit(0.0)) * lit(math.pow(0.5, j)) }
+      .reduce(_ + _)
+    val den = lags.zipWithIndex
+      .map { case (x, j) =>
+        when(x.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    events.select(col("event_id"), col("user_id"),
+      round(num / den, 4).as("ewma"))
+  }
+
   /** Ordered conversion funnel with GREEDY first-touch attribution: each
     * stage anchors at the user's FIRST qualifying event (min timestamp
     * within `windowHours` of the previous stage's anchor), and the next

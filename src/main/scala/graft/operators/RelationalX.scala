@@ -504,4 +504,107 @@ object RelationalX {
         length(concat_ws("", col("toks"))).as("n_chars_joined"),
         size(array_remove(col("toks"), "the")).as("n_no_the"),
         array_position(col("toks"), "the").as("pos_the"))
+
+  /** Snapshot diff between two keyed frames (same schema): one full-outer
+    * shuffle join on the key — the canonical diff plan — classifying each
+    * key as `added` / `removed` / `changed` and counting changed columns
+    * via null-safe comparison. Keys present and identical in both are not
+    * emitted. `n_cols_changed` is 0 for added/removed — the column delta
+    * is only meaningful for `changed` rows (0, not NULL, keeps the column
+    * non-nullable integer on every engine). This is the batch complement of
+    * [[Cdc.mergeUpsert]]: merge applies changes, diff recovers them —
+    * together they round-trip a snapshot pair through a change stream.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String): DataFrame = {
+    val cols = old.columns.filterNot(_ == key).toSeq
+    val o = old.as("o")
+    val n = neu.as("n")
+    val nChanged = cols
+      .map(c => when(not(col(s"o.$c") <=> col(s"n.$c")), 1).otherwise(0))
+      .reduce(_ + _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        when(col(s"o.$key").isNull, lit("added"))
+          .when(col(s"n.$key").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"),
+        when(col(s"o.$key").isNull || col(s"n.$key").isNull,
+          lit(0)).otherwise(nChanged).as("n_cols_changed"))
+      .where(col("change") =!= "changed" || col("n_cols_changed") > 0)
+  }
+
+  /** Equi-depth histogram of `l_extendedprice`: global rank via the
+    * distributed two-pass prefix sum (the [[Relational.globalIndex]]
+    * pattern — range partition on the sort key, per-partition counts
+    * prefix-summed into offsets, local row_number + offset; the only
+    * single-partition window runs over #partitions rows), bucket =
+    * `(rank−1)·nBuckets div n`, then one aggregate per bucket. The
+    * equi-WIDTH histogram ([[histogram]]) bins by value; this bins by
+    * population — the form query optimizers and data-quality monitors
+    * want for skew-robust range stats.
+    */
+  def histogramEqDepth(spark: SparkSession, dir: String,
+      nBuckets: Int = 10): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val keys = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranged = Tables.lineitem(spark, dir)
+      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+      .repartitionByRange(par, keys: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count() // barrier: both passes must see the same range bounds
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val total = ranged.agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy("pid").orderBy(keys: _*)
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("rank", row_number().over(local).cast("long") + col("off"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"(rank - 1) * $nBuckets div n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+  }
+
+  /** 2-D skyline (Pareto frontier) of `part` on (retail price ↓ better,
+    * size ↑ better): the DISTINCT (price, size) points not dominated by
+    * any other (dominator: price ≤, size ≥, strict in at least one).
+    *
+    * Shuffle-lean shape: a per-price max-size aggregate collapses the
+    * corpus to ≤ |distinct prices| rows, and strict-lower-price running
+    * max uses the same distributed two-pass prefix scan as
+    * [[histogramEqDepth]] — range partition on price, per-partition maxes
+    * combined into a strictly-before running max via a #partitions-row
+    * window, local rows-frame max + cross-partition carry. A point
+    * survives iff its size exceeds every strictly-cheaper point's max
+    * size (same-price domination is already collapsed by the aggregate).
+    * No n² self-join at any scale.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val perPrice = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max("p_size").as("size"))
+      .repartitionByRange(par, col("price"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    perPrice.count() // barrier: both passes must agree on range bounds
+    // running max of size over partitions strictly before pid (tiny frame)
+    val carry = perPrice.groupBy("pid").agg(max("size").as("pmax"))
+      .withColumn("prev", max("pmax").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("pid", "prev")
+    val local = Window.partitionBy("pid").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perPrice.join(broadcast(carry), "pid")
+      .withColumn("run", greatest(
+        coalesce(max("size").over(local), lit(Int.MinValue)),
+        coalesce(col("prev"), lit(Int.MinValue))))
+      .where(col("size") > col("run"))
+      .select("price", "size")
+  }
 }

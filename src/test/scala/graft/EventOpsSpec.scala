@@ -75,4 +75,36 @@ class EventOpsSpec extends SparkSpec {
     assert(got("click") === ((12L, 2L)))
     assert(got("purchase") === ((2L, 1L)))
   }
+
+  test("ewma: first event equals its value; constant series is a fixed point") {
+    val out = EventOps.ewma(spark, sfDir).cache()
+    val events = Tables.events(spark, sfDir)
+    assert(out.count() === events.count())
+    // the FIRST event of every user has no history: ewma == value exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val firsts = events
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rn" === 1)
+      .select($"event_id", org.apache.spark.sql.functions.round($"value", 4).as("v"))
+    val joined = out.join(firsts, "event_id")
+    assert(joined.count() > 0)
+    assert(joined.where($"ewma" =!= $"v").count() === 0)
+    // a constant-valued series is a fixed point of any weighted average,
+    // and a step series hand-checks the weights: after [10, 20] the ewma
+    // is (20 + 0.5*10) / 1.5 = 16.6667
+    val const = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7L, 5.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 7L, 5.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 8L, 10.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 8L, 20.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventOps.ewmaOf(const).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) === 5.0 && got(2L) === 5.0 && got(3L) === 5.0)
+    assert(got(4L) === 10.0)
+    assert(got(5L) === 16.6667)
+    out.unpersist()
+  }
 }

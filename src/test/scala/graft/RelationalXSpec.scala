@@ -138,4 +138,60 @@ class RelationalXSpec extends SparkSpec {
     val out = TextOps.piiRedact(Tables.documents(spark, sfDir))
     assert(out.where($"red_text".rlike("[0-9]")).count() === 0)
   }
+
+  test("snapshotDiff classifies added/removed/changed and counts column deltas") {
+    val old = Seq(
+      (1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
+      (3L, "c", Some(30.0)), (4L, "d", None: Option[Double]))
+      .toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, "a", Some(10.0)),  // identical → not emitted
+      (2L, "B", Some(21.0)),  // changed (2 cols)
+      (4L, "d", Some(40.0)),  // null → value: changed (1 col, null-safe)
+      (5L, "e", Some(50.0)))  // added
+      .toDF("k", "s", "v")
+    val got = RelationalX.snapshotDiff(old, neu, "k")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      2L -> (("changed", 2)), 3L -> (("removed", 0)),
+      4L -> (("changed", 1)), 5L -> (("added", 0))))
+  }
+
+  test("histogramEqDepth: bucket populations within one row, ranges ordered") {
+    val out = RelationalX.histogramEqDepth(spark, sfDir).cache()
+    val rows = out.orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === (0L until 10L))
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum === n)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // bucket value ranges are disjoint and ascending: each hi <= next lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3)
+    }
+    // deterministic under repartitioning is covered by the range
+    // partitioner barrier; re-run equality pins it
+    val again = RelationalX.histogramEqDepth(spark, sfDir)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("skylineParts equals the brute-force dominance filter") {
+    val out = RelationalX.skylineParts(spark, sfDir).cache()
+    val pts = Tables.part(spark, sfDir)
+      .select($"p_retailprice".as("price"), $"p_size".as("size"))
+      .distinct()
+    // brute force: a (price, size) point survives iff no other point
+    // weakly dominates it with at least one strict inequality
+    val dominated = pts.as("x").join(pts.as("y"),
+      col("y.price") <= col("x.price") && col("y.size") >= col("x.size") &&
+        (col("y.price") < col("x.price") || col("y.size") > col("x.size")))
+      .select(col("x.price").as("price"), col("x.size").as("size")).distinct()
+    val brute = pts.except(dominated)
+    // skyline emits distinct points; compare as sets
+    assert(out.distinct().except(brute).count() === 0)
+    assert(brute.except(out).count() === 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
 }
