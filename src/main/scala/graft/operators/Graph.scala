@@ -47,8 +47,14 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val nTotal = nodes.agg(count(lit(1)).as("n"))
-    val init = nodes.withColumn("r", lit(Unit_))
-    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+    // each iteration reads the previous rank table THREE times (edge
+    // join, dangling scan, node-preserving left join) — composed lazily
+    // that triples the lineage per step (27x the base subtree at 3
+    // iterations). Persist each rank frame behind a count barrier and
+    // release the parent: the plan stays one-iteration deep and the rank
+    // table (|nodes| rows, two columns) is the only pinned state.
+    val init = nodes.withColumn("r", lit(Unit_)).persist()
+    val ranks = (1 to iters).foldLeft(init) { case (r, i) =>
       val contrib = e.join(r, e("src") === r("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div od").as("c"))
@@ -57,7 +63,7 @@ object Graph {
       // outdeg); a single scalar, broadcast back into the update
       val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      r.select(col("node"))
+      val next = r.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
@@ -65,6 +71,19 @@ object Graph {
           (lit(Unit_ * (dampDen - dampNum) / dampDen) +
             expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
             .as("r"))
+        .persist()
+      next.count() // materialize before releasing the parent
+      r.unpersist()
+      // persisted frames keep full lineage — every 4 rounds truncate it
+      // with a localCheckpoint so the logical tree stays bounded on long
+      // runs (Dedup.resolveClusters' pattern; the checkpoint's
+      // non-adaptive materialization cost lands on a cached shallow plan.
+      // Use reliable checkpointing on a real cluster.)
+      if (i % 4 == 0) {
+        val t = next.localCheckpoint(true)
+        next.unpersist()
+        t
+      } else next
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }

@@ -205,9 +205,10 @@ object Similarity {
     * Scale shape: centroids are a k×dims table — always broadcast; each
     * iteration is one map-side-combined aggregate over the corpus (the
     * native [[graft.functions.VectorFunctions.vecSum]] carries one array
-    * per group per partition across the shuffle). Iterations are plan
-    * compositions, so `iters` stays a small constant (production loops
-    * persist the assignment frame per step instead).
+    * per group per partition across the shuffle). Each Lloyd round's
+    * k-row centroid table is persisted behind a count barrier (parent
+    * released), so a round aggregates the corpus exactly once and the
+    * plan depth stays constant in `iters`.
     */
   def kmeansAssign(embeddings: DataFrame, kClusters: Int = 8,
       iters: Int = 2): DataFrame =
@@ -238,13 +239,23 @@ object Similarity {
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("m"),
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // each fold step reads the previous centroid table twice (assignment
+    // cross-join + empty-cluster fallback join) — composed lazily the
+    // corpus aggregate under it would replay per use. The centroid frame
+    // is k rows: persist each step behind a count barrier and release
+    // the parent, so every Lloyd round aggregates the corpus exactly once
     val seed = toCentroid(p.groupBy((col("vec_id") % kClusters).as("cid")), "v", "c")
+      .persist()
     val cents = (1 to iters).foldLeft(seed) { (cb, _) =>
       val refined = toCentroid(
         nearest(cb).select(col("m").getField("cid").as("cid"), col("v"))
           .groupBy("cid"), "v", "c2")
-      cb.join(refined, Seq("cid"), "left")
+      val next = cb.join(refined, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("c2"), col("c")).as("c"))
+        .persist()
+      next.count() // materialize before releasing the parent
+      cb.unpersist()
+      next
     }
     nearest(cents)
       .select(col("vec_id"), col("m").getField("cid").as("cid"),
