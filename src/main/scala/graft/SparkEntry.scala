@@ -164,6 +164,38 @@ object SparkEntry {
     // arithmetic (truncating div at every step) so per-group sums are
     // order-independent and the 3-iteration cascade hash-matches
     "pagerank" -> ((s, d) => Graph.pageRank(Graph.tradeEdges(s, d))),
+    // per-part triangle counts over the co-purchase graph — degree-ordered
+    // orientation (integer-keyed), so the oracle replays the exact joins
+    "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
+    // engine-portable HLL: registers from the md5-derived 60-bit hash,
+    // integer-scaled weight sum — the sketch itself hash-matches, unlike
+    // approx_count_distinct whose HLL++ bytes are Spark-private
+    "hll_distinct" -> ((s, d) => RelationalX.hllDistinct(
+      Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // gaps-and-islands interval merging on per-user activity windows
+    // (event ± 5 min), all epoch-second integer math
+    "merge_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      RelationalX.mergeIntervals(Tables.events(s, d).select(col("user_id"),
+        col("ts").cast("long").as("start_s"),
+        (col("ts").cast("long") + 300L).as("end_s")))
+    }),
+    // hybrid retrieval: BM25 lexical ∪ cosine semantic rankings fused by
+    // reciprocal rank (integer-scaled truncating division)
+    "rrf_fuse" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val q = Seq(
+        (0L, Seq("spark", "join", "merge")),
+        (1L, Seq("window", "scan")),
+        (2L, Seq("customer", "vector", "slow"))).toDF("query_id", "terms")
+      val lex = TextOps.bm25TopK(Tables.documents(s, d), q, k = 20)
+        .select("query_id", "doc_id", "rnk")
+      val e = Tables.embeddings(s, d)
+      val sem = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("nbr_id").as("doc_id"), col("rnk"))
+      TextOps.rrfFuse(lex, sem)
+    }),
     // BM25 retrieval: fixed literal query set; per-term scores integer-
     // scaled before the (query, doc) sum so aggregation order can't
     // perturb the hash
@@ -1630,6 +1662,119 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
         |       CROSS JOIN d3 CROSS JOIN nn)
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+    // triangles: the degree-ordered orientation is pure integer plumbing
+    // (packed (deg, id) keys), so DuckDB replays the exact wedge/closure
+    // joins; UNION ALL mirrors Spark's union-then-count degree aggregate
+    "triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT a AS node FROM pe UNION ALL SELECT b FROM pe) u
+        |        GROUP BY node),
+        |ke AS (SELECT da.dg * 4294967296 + pe.a AS ka,
+        |              db.dg * 4294967296 + pe.b AS kb
+        |       FROM pe JOIN deg da ON pe.a = da.node
+        |       JOIN deg db ON pe.b = db.node),
+        |o AS (SELECT least(ka, kb) AS kx, greatest(ka, kb) AS ky FROM ke),
+        |w AS (SELECT e1.kx AS k1, e1.ky AS k2, e2.ky AS k3
+        |      FROM o e1 JOIN o e2 ON e1.kx = e2.kx AND e1.ky < e2.ky),
+        |t AS (SELECT k1, k2, k3 FROM w JOIN o e3 ON w.k2 = e3.kx AND w.k3 = e3.ky),
+        |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
+        |      UNION ALL SELECT k3 FROM t)
+        |SELECT k % 4294967296 AS node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin,
+    // hll_distinct: the whole sketch replays — portable md5 hash, bin()
+    // bit length (minimal digits in both engines), integer-scaled register
+    // weights; estimator constants are the same compound literals Spark
+    // folds, so the doubles agree bit-for-bit
+    "hll_distinct" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag, h % 512 AS bucket,
+        |    CASE WHEN h // 512 = 0 THEN 52
+        |         ELSE 52 - length(bin(h // 512)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT l_returnflag, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+        |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS sum_used
+        |  FROM reg GROUP BY 1),
+        |sc AS (SELECT l_returnflag, n_used,
+        |    sum_used + (512 - n_used) * (1::BIGINT << 52) AS sum_scaled FROM ag),
+        |est AS (SELECT *,
+        |    (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0
+        |      / CAST(sum_scaled AS DOUBLE) AS est_raw FROM sc)
+        |SELECT l_returnflag, n_used, sum_scaled,
+        |  round(CASE WHEN n_used < 512 AND est_raw <= 1280.0
+        |    THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est_distinct
+        |FROM est""".stripMargin,
+    // merge_intervals: epoch-second integer intervals; the running-max
+    // island flag can never depend on the ambiguous order of tied rows
+    // (an equal-start row's end ≥ its start), so the window replay is safe
+    "merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) // 1000000 AS start_s,
+        |    epoch_us(ts) // 1000000 + 300 AS end_s FROM events),
+        |fl AS (SELECT user_id, start_s, end_s,
+        |    max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv),
+        |fm AS (SELECT user_id, start_s, end_s,
+        |    CASE WHEN prev_end IS NULL OR start_s > prev_end THEN 1 ELSE 0 END AS ni
+        |  FROM fl),
+        |isl AS (SELECT user_id, start_s, end_s,
+        |    CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM fm)
+        |SELECT user_id, island, min(start_s) AS start_s, max(end_s) AS end_s,
+        |  count(*) AS n_merged
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+    // rrf_fuse: both upstream rankers replay (bm25_topk's and
+    // cosine_topk's oracles at k=20), then the fusion is pure integer math
+    "rrf_fuse" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t WHERE word <> ''
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES
+        |        (0, ['spark', 'join', 'merge']),
+        |        (1, ['window', 'scan']),
+        |        (2, ['customer', 'vector', 'slow'])) AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS word FROM q),
+        |bsc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(round(1000000.0
+        |           * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |           AS BIGINT) AS ts
+        |       FROM tf JOIN qt USING (word) JOIN dl USING (doc_id)
+        |       JOIN df USING (word) CROSS JOIN st),
+        |bag AS (SELECT query_id, doc_id, CAST(sum(ts) AS BIGINT) AS s
+        |       FROM bsc GROUP BY 1, 2),
+        |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY s DESC, doc_id) AS rnk FROM bag) z WHERE rnk <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |se AS (SELECT query_id, e.vec_id AS doc_id,
+        |        round(list_dot_product(qv, v)
+        |              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |              4) AS sim
+        |      FROM qe CROSS JOIN e WHERE e.vec_id <> query_id),
+        |sem AS (SELECT query_id, doc_id, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, doc_id) AS rnk FROM se) z WHERE rnk <= 20),
+        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+        |      UNION ALL
+        |      SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM sem),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |       CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf_micro, n_lists, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fu) z
+        |WHERE rnk <= 10""".stripMargin,
     // bm25_topk: constants written as the SAME compound expressions the
     // Scala side computes ((1.2 + 1), (1 - 0.75 + ...)) so both engines
     // produce bit-identical doubles before the integer scaling

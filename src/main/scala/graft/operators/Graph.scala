@@ -100,4 +100,61 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("S"), col("l_suppkey")).as("src"),
         concat(lit("C"), col("o_custkey")).as("dst"))
+
+  /** Part co-occurrence edges: an undirected edge between every pair of
+    * parts appearing in the same order (the "bought together" graph — the
+    * trade graph is bipartite and so triangle-free; this one is not).
+    * Per-order fanout is C(items, 2), bounded by order width, and the
+    * final distinct collapses repeat co-purchases.
+    */
+  def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst")).distinct()
+  }
+
+  /** Per-node triangle counts via degree-ordered edge orientation (the
+    * standard compact-forward / Schank-Wagner scheme): orient every edge
+    * from its lower-(degree, id) endpoint to the higher, enumerate wedges
+    * on the oriented out-neighborhoods, and close each wedge against the
+    * oriented edge set. Orientation bounds every out-degree by O(√E), so
+    * wedge count — the dominant intermediate — is O(E^{3/2}) instead of
+    * Σ deg² (which a hub node would blow up quadratically).
+    *
+    * The (degree, id) order is packed into one long key `deg·2^32 + id` so
+    * the wedge and closure joins are single-column equi/range conditions —
+    * node ids must be non-negative ints (< 2^32) and degrees < 2^31, which
+    * any keyed fixture satisfies; the id recovers as `key % 2^32`.
+    *
+    * Scale shape: three shuffles (degree aggregate, wedge join on the
+    * shared out-endpoint, closure join on the wedge's far pair) — each an
+    * equi-join Catalyst plans as shuffled hash/sort-merge with AQE skew
+    * splitting; nothing is driver-side and nothing is quadratic in any
+    * node's raw degree.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val SHIFT = 4294967296L // 2^32
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val keyed = und
+      .join(deg.select(col("node").as("a"), (col("dg") * SHIFT + col("a")).as("ka")), "a")
+      .join(deg.select(col("node").as("b"), (col("dg") * SHIFT + col("b")).as("kb")), "b")
+    val o = keyed.select(least(col("ka"), col("kb")).as("kx"),
+      greatest(col("ka"), col("kb")).as("ky"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.kx") === col("e2.kx") && col("e1.ky") < col("e2.ky"))
+      .select(col("e1.kx").as("k1"), col("e1.ky").as("k2"), col("e2.ky").as("k3"))
+      .join(o.as("e3"), col("k2") === col("e3.kx") && col("k3") === col("e3.ky"))
+      .select("k1", "k2", "k3")
+    tri.select(explode(array(col("k1"), col("k2"), col("k3"))).as("k"))
+      .select((col("k") % SHIFT).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

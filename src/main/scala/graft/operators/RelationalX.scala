@@ -584,6 +584,97 @@ object RelationalX {
     * size (same-price domination is already collapsed by the aggregate).
     * No n² self-join at any scale.
     */
+  /** Engine-portable HyperLogLog distinct-count sketch: `2^p` registers
+    * keyed by the low bits of the 60-bit portable md5 hash
+    * ([[Dedup.portableHash64]]), register value = leading-zero rank of the
+    * remaining `60-p` bits. Unlike `approx_count_distinct` (whose HLL++
+    * internals are Spark-private), every stage here replays on any engine
+    * with md5 + integer shifts — so the sketch is hash-CHECKABLE, not just
+    * rows-checkable, and two engines can even merge each other's registers
+    * (max per bucket is the HLL merge).
+    *
+    * Determinism: the register weight sum is integer-scaled — register
+    * `r` contributes `2^(maxRho − r)` (a long; Σ ≤ 2^(p + maxRho) < 2^62)
+    * and empty registers contribute `2^maxRho` — so the only FP math is
+    * the final estimator division on exact integers plus `ln` on the
+    * small-range branch, both written as the SAME literal expression both
+    * engines evaluate (bm25's constant-folding contract).
+    *
+    * Scale shape: one map-side-combined `max` aggregate per (group,
+    * bucket) — shuffle width = groups × 2^p tiny rows — then a per-group
+    * rollup. The sketch never sees the value column after the hash
+    * projection; this is the 100 TB cardinality path the exact
+    * `distinct_agg` cannot walk.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllDistinct: p=$p outside [4, 16]")
+    val m = 1 << p            // register count
+    val maxRho = 60 - p + 1   // rho of an all-zero remainder
+    val pow2MaxRho = 1L << maxRho
+    val hashed = df
+      .select(col(groupCol), Dedup.portableHash64(col(valueCol).cast("string")).as("h"))
+      .select(col(groupCol), (col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+      // bit length via bin(): minimal binary digits in Spark AND DuckDB,
+      // so rho = maxRho − bitlen(w) needs no log2 (whose libm rounding
+      // differs between engines at power-of-two boundaries)
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("w")))).as("rho"))
+    val registers = hashed.groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("r"))
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("sum_used"))
+      .withColumn("sum_scaled",
+        col("sum_used") + (lit(m.toLong) - col("n_used")) * lit(pow2MaxRho))
+      // alpha_m · m² / Σ2^(−M_j), with the Σ in scaled integer space; the
+      // linear-counting branch (small cardinalities) uses the empty-register
+      // count. Constants written as the same compound literals the oracle
+      // evaluates so both engines fold them to identical doubles.
+      .withColumn("est_raw", expr(
+        s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * $pow2MaxRho.0" +
+          " / cast(sum_scaled as double)"))
+      .withColumn("est_distinct", round(
+        when(col("n_used") < m && col("est_raw") <= lit(2.5 * m),
+          expr(s"$m.0 * ln($m.0 / ($m - n_used))"))
+          .otherwise(col("est_raw")), 2))
+      .select(col(groupCol), col("n_used"), col("sum_scaled"), col("est_distinct"))
+  }
+
+  /** Merge overlapping-or-touching `[start, end]` intervals per key — the
+    * classic gaps-and-islands rewrite: an interval starts a new island iff
+    * its start exceeds the running max of every earlier interval's end
+    * (NOT just the previous row's — an early long interval can span many
+    * short ones), island id = cumulative count of island starts, then one
+    * aggregate per island. Inputs are epoch-second longs so every engine
+    * compares identically.
+    *
+    * Determinism under ties: rows ordering ambiguously (equal (start,
+    * end)) can never open an island (prev running max ≥ their start since
+    * an equal-start row's end ≥ its start), so island BOUNDARIES — and the
+    * per-island aggregates — are order-independent even though row_number
+    * would not be.
+    *
+    * Scale shape: one shuffle on the key; both windows and the final
+    * aggregate run inside each key partition with rows-frame running
+    * state (no second shuffle). Skewed keys are bounded by per-user event
+    * counts — the same posture as [[EventOps.sessionize]].
+    */
+  def mergeIntervals(intervals: DataFrame, keyCol: String = "user_id",
+      startCol: String = "start_s", endCol: String = "end_s"): DataFrame = {
+    val byStart = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("new_island",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(startCol).as("start_s"), max(endCol).as("end_s"),
+        count(lit(1)).as("n_merged"))
+  }
+
   def skylineParts(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val perPrice = Tables.part(spark, dir)

@@ -303,6 +303,35 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-retrieval
+    * combiner (lexical BM25 + embedding cosine, or any two rankers over
+    * the same (query_id, doc_id) space): each list contributes
+    * `1 ÷ (kRrf + rank)` per hit and documents rank by the summed score.
+    * Contributions are integer-scaled with TRUNCATING division
+    * (`1000000 div (kRrf + rnk)`) so the per-(query, doc) sum is an exact
+    * order-independent integer — same determinism contract as
+    * [[bm25TopK]] — and ties break by doc_id.
+    *
+    * Scale shape: ranked lists are k rows per query — sub-dimension-sized
+    * at any corpus scale — so the union/aggregate/window pipeline never
+    * touches the corpus; the expensive work stays inside the upstream
+    * rankers. Inputs need columns (query_id, doc_id, rnk).
+    */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame, kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    def contrib(r: DataFrame) = r.select(col("query_id"), col("doc_id"),
+      expr(s"1000000 div ($kRrf + rnk)").as("c"))
+    contrib(rankA).unionAll(contrib(rankB))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .where(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("n_lists"), col("rnk"))
+  }
+
   /** PII-style redaction: mask digit runs and email-shaped tokens, report
     * how many of each were masked. Row-local regex work — codegen'd, no
     * shuffle; the patterns are deliberately simple enough to behave

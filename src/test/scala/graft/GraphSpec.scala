@@ -32,6 +32,31 @@ class GraphSpec extends SparkSpec {
     assert(dup.values.forall(_ > 0))
   }
 
+  test("triangleCounts: K4 has four triangles, three per node") {
+    // complete graph on 4 nodes: C(4,3) = 4 triangles, each node in 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: bipartite graphs are triangle-free; dup/reversed edges collapse") {
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(bip).count() === 0)
+    // one triangle written with duplicates, reversals, and a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L), (1L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(messy).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: hub plus pendant — orientation never counts open wedges") {
+    // star K1,3 (no triangle) plus one closing edge → exactly one triangle
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("pageRank on the trade graph: suppliers share one rank tier, heavy customers rise") {
     val pr = Graph.pageRank(Graph.tradeEdges(spark, sfDir), iters = 3)
     val byKind = pr

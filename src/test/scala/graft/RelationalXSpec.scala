@@ -176,6 +176,65 @@ class RelationalXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hllDistinct: estimate tracks exact cardinality; sketch is repartition-stable") {
+    val li = Tables.lineitem(spark, sfDir)
+    val est = RelationalX.hllDistinct(li, "l_returnflag", "l_partkey")
+      .select($"l_returnflag", $"est_distinct").as[(String, Double)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    // standard error for m=512 registers is ~1.04/√512 ≈ 4.6%; allow 3σ
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) / n.toDouble < 0.14,
+        s"group $k: est=${est(k)} exact=$n")
+    }
+    // register state is a pure function of the value set — input layout
+    // must not matter
+    val a = RelationalX.hllDistinct(li.repartition(7), "l_returnflag", "l_partkey")
+    val b = RelationalX.hllDistinct(li, "l_returnflag", "l_partkey")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("hllDistinct: small cardinalities take the near-exact linear-counting branch") {
+    val tiny = (1 to 40).map(i => ("g", s"v$i")).toDF("grp", "value")
+    val est = RelationalX.hllDistinct(tiny, "grp", "value")
+      .select($"est_distinct").as[Double].head()
+    // linear counting at 40/512 occupancy is accurate to a few percent
+    assert(math.abs(est - 40.0) < 4.0, s"est=$est")
+  }
+
+  test("mergeIntervals: islands split only on true gaps; early long interval spans") {
+    val iv = Seq(
+      // key 1: [0,10],[5,12],[12,20] merge (overlap + touch); [25,30] apart
+      (1L, 0L, 10L), (1L, 5L, 12L), (1L, 12L, 20L), (1L, 25L, 30L),
+      // key 2: the long [0,100] swallows [10,20] and [30,40] — a lag-based
+      // implementation (prev row's end, not running max) would wrongly
+      // split before [150,160]
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 30L, 40L), (2L, 150L, 160L))
+      .toDF("user_id", "start_s", "end_s")
+    val got = RelationalX.mergeIntervals(iv)
+      .select($"user_id", $"start_s", $"end_s", $"n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 20L, 3L), (1L, 25L, 30L, 1L),
+      (2L, 0L, 100L, 3L), (2L, 150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals covers every input and never overlaps within a key") {
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("long").as("start_s"),
+        ($"ts".cast("long") + 300L).as("end_s"))
+    val merged = RelationalX.mergeIntervals(ev).cache()
+    // conservation: merged interval memberships sum to the input rows
+    assert(merged.agg(sum("n_merged")).as[Long].head() === ev.count())
+    // within a key, islands are disjoint: sort by start, check gaps
+    val overlaps = merged.as("a").join(merged.as("b"),
+      col("a.user_id") === col("b.user_id") && col("a.island") < col("b.island") &&
+        col("a.end_s") >= col("b.start_s") && col("b.end_s") >= col("a.start_s"))
+    assert(overlaps.count() === 0)
+    merged.unpersist()
+  }
+
   test("skylineParts equals the brute-force dominance filter") {
     val out = RelationalX.skylineParts(spark, sfDir).cache()
     val pts = Tables.part(spark, sfDir)

@@ -420,6 +420,31 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.sourceKl(docs).where($"kl_bits" < -0.001).count() === 0)
   }
 
+  test("rrfFuse: both-list docs beat single-list docs; scores are exact integers") {
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = TextOps.rrfFuse(lex, sem)
+      .select($"doc_id", $"rrf_micro", $"n_lists", $"rnk")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // 1000000 div (60 + rnk): rnk1→16393, rnk2→16129, rnk3→15873
+    assert(got(11L) === ((11L, 16129L + 16393L, 2L, 1)))
+    assert(got(10L) === ((10L, 16393L, 1L, 2)))
+    assert(got(13L) === ((13L, 16129L, 1L, 3)))
+    assert(got(12L) === ((12L, 15873L, 1L, 4)))
+  }
+
+  test("rrfFuse: topK caps per query; ties break by doc_id") {
+    val a = (1 to 30).map(i => (0L, i.toLong, i)).toDF("query_id", "doc_id", "rnk")
+    val b = (1 to 30).map(i => (0L, (100 + i).toLong, i)).toDF("query_id", "doc_id", "rnk")
+    val out = TextOps.rrfFuse(a, b, topK = 5)
+      .orderBy("rnk").as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.length === 5)
+    // same rnk in both lists → identical scores → lower doc_id first
+    assert(out.map(_._2).toSeq === Seq(1L, 101L, 2L, 102L, 3L))
+  }
+
   test("weightedSample: deterministic across runs, favors heavier docs") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.weightedSample(docs, 30).collect().map(_.getLong(0)).toSeq
