@@ -172,6 +172,29 @@ object SparkEntry {
     // approx_count_distinct whose HLL++ bytes are Spark-private
     "hll_distinct" -> ((s, d) => RelationalX.hllDistinct(
       Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // Count-Min sketch point queries: the frequency sketch replays whole
+    // (md5-derived buckets, integer counters) — probes include an
+    // out-of-vocabulary word so the collision floor is visible
+    "cms_wordfreq" -> ((s, d) => {
+      import s.implicits._
+      RelationalX.cmsEstimate(
+        RelationalX.cmsSketch(Tables.documents(s, d)),
+        Seq("join", "hash", "scan", "merge", "vector", "window", "zzz_absent")
+          .toDF("word"))
+    }),
+    // DSIR importance weights (integer ppm ratios of hashed-bigram target
+    // vs corpus frequencies) — the data-selection prior for corpus mixing
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    // cluster-aware split: near-dup components (exact SQL-replayable pair
+    // set, as in dedup_resolve) assign train/val/test by CLUSTER hash so
+    // near-duplicates can never straddle a split boundary
+    "leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.leakageSplit(docs, Dedup.ngramJaccardPairs(docs))
+    }),
+    // first-order Markov transitions over per-user event sequences —
+    // deterministic lead() ordering by (ts, event_id), integer ppm probs
+    "page_transitions" -> ((s, d) => EventOps.pageTransitions(s, d)),
     // gaps-and-islands interval merging on per-user activity windows
     // (event ± 5 min), all epoch-second integer math
     "merge_intervals" -> ((s, d) => {
@@ -1708,6 +1731,81 @@ object SparkEntry {
         |  round(CASE WHEN n_used < 512 AND est_raw <= 1280.0
         |    THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est_distinct
         |FROM est""".stripMargin,
+    // cms_wordfreq: the sketch matrix and the probe replay exactly — md5
+    // buckets, integer counters, min over depth rows; % is safe because
+    // the 60-bit hash is non-negative in both engines
+    "cms_wordfreq" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |k AS (SELECT w, unnest(range(0, 4)) AS d FROM w WHERE w <> ''),
+        |cms AS (SELECT d,
+        |    ('0x'||substr(md5(w || ':' || CAST(d AS VARCHAR)),1,15))::BIGINT % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM k GROUP BY 1, 2),
+        |probes(word) AS (VALUES ('join'), ('hash'), ('scan'), ('merge'),
+        |    ('vector'), ('window'), ('zzz_absent')),
+        |pb AS (SELECT word, d,
+        |    ('0x'||substr(md5(word || ':' || CAST(d AS VARCHAR)),1,15))::BIGINT % 512 AS bucket
+        |  FROM probes, (SELECT unnest(range(0, 4)) AS d))
+        |SELECT word, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+        |FROM pb LEFT JOIN cms USING (d, bucket) GROUP BY word""".stripMargin,
+    // dsir_weights: hashed-bigram buckets, add-one-smoothed integer ppm
+    // ratio, count-weighted sum — every term integer, `//` = Spark's div
+    "dsir_weights" ->
+      """WITH t AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+        |    string_split_regex(text, '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, tgt, unnest(list_transform(range(1, len(toks)),
+        |    i -> ('0x'||substr(md5(array_to_string(toks[i:i+1], ' ')),1,15))::BIGINT % 4096))
+        |    AS bucket
+        |  FROM t WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id, tgt, bucket, count(*) AS cnt FROM f GROUP BY 1, 2, 3),
+        |wt AS (SELECT bucket,
+        |    CAST(((sum(CASE WHEN tgt = 1 THEN cnt ELSE 0 END) + 1) * 1000000)
+        |      // (sum(cnt) + 1) AS BIGINT) AS w_ppm
+        |  FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(sum(g.cnt) AS BIGINT) AS n_grams,
+        |  CAST(sum(g.cnt * wt.w_ppm) AS BIGINT) AS score_ppm
+        |FROM g JOIN wt USING (bucket) GROUP BY 1""".stripMargin,
+    // leakage_split: dedup_resolve's recursive components + the cluster-
+    // keyed md5 split cutoffs (c/e hex boundaries = 12/2/2 sixteenths)
+    "leakage_split" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE
+        |        / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
+        |    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM labels""".stripMargin,
+    // page_transitions: lead() over the unique (ts, event_id) order, then
+    // integer ppm against per-source totals
+    "page_transitions" ->
+      """WITH st AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM st WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, CAST((c.n * 1000000) // tot.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
     // merge_intervals: epoch-second integer intervals; the running-max
     // island flag can never depend on the ambiguous order of tied rows
     // (an equal-start row's end ≥ its start), so the window replay is safe

@@ -514,4 +514,22 @@ object Dedup {
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .where(col("fp").isNotNull)
   }
+
+  /** Leakage-free train/val/test split: near-duplicate documents must land
+    * in the SAME split, or evaluation silently tests on paraphrases of
+    * training data (the standard contamination failure a per-doc hash
+    * split cannot prevent). Resolves the near-dup pair graph to connected
+    * components ([[resolveClusters]]) and derives each document's split
+    * from its CLUSTER label — singleton clusters reduce to the plain
+    * [[TextOps.splitExpr]] assignment, so this strictly refines
+    * `splitAssign` rather than re-randomizing it.
+    *
+    * Scale shape: inherits [[resolveClusters]]' adaptive components (the
+    * pair graph, not the corpus, is the iterated state); the split itself
+    * is a row-local hash expression on the resolved frame.
+    */
+  def leakageSplit(docs: DataFrame, pairs: DataFrame): DataFrame =
+    resolveClusters(docs, pairs)
+      .select(col("doc_id"), col("cluster"),
+        TextOps.splitExpr(col("cluster")).as("split"))
 }

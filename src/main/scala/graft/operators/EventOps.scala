@@ -278,4 +278,34 @@ object EventOps {
         coalesce(col("av"), last(col("av"), ignoreNulls = true).over(carry))
           .as("avg_filled"))
   }
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * counts and ppm-probabilities of `from_type → to_type` steps in
+    * per-user time order (the clickstream "next-page" model behind
+    * navigation analysis and sequence featurization).
+    *
+    * Determinism: the lead window orders by (ts, event_id) — event_id is
+    * unique, so the sequence (and the counts) are a pure function of the
+    * data, never of partitioning. Probabilities are truncating integer
+    * ppm so the matrix replays exactly on any engine.
+    *
+    * Scale shape: one shuffle on user_id for the lead window (per-user
+    * partitions, bounded by user activity); the transition counts
+    * aggregate map-side; per-source totals re-aggregate those partials
+    * (≤ types² rows) and broadcast back.
+    */
+  def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+    val cnt = steps
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+    cnt.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div tot").as("p_ppm"))
+  }
 }

@@ -698,4 +698,55 @@ object RelationalX {
       .where(col("size") > col("run"))
       .select("price", "size")
   }
+
+  /** Count-Min sketch over a token stream: a `depth × width` counter matrix
+    * where row `d` increments bucket `md5_60bit(token:d) % width`. The
+    * sketch is the HLL's frequency-counting sibling (mergeable bounded
+    * summary) and the mergeable complement of the exact
+    * [[graft.functions.FrequentItems]] Misra-Gries summary: MG tracks top
+    * items, CMS answers arbitrary point queries after the fact.
+    *
+    * Scale shape: the explode multiplies rows ×depth BEFORE the aggregate,
+    * but partial (map-side) aggregation bounds every partition's shuffle
+    * contribution at depth × width counter rows regardless of input size —
+    * the whole point of the sketch. Final sketch ≤ depth·width rows: a
+    * broadcastable probe table.
+    *
+    * Portable by construction (md5-derived buckets, integer counts) — an
+    * external SQL engine rebuilds the identical matrix.
+    */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cmsSketch: bad depth=$depth width=$width")
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .select(explode(expr(
+        s"transform(sequence(0, ${depth - 1}), d -> named_struct(" +
+          s"'d', d, 'bucket', ${Dedup.portableHash64Sql("concat(w, ':', cast(d as string))")} % $width))"))
+        .as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for a fixed probe vocabulary: estimate =
+    * min over the depth rows of the probed bucket (the classic CMS
+    * over-estimate: `true ≤ est ≤ true + εN` with ε = e/width w.h.p.).
+    * This is the sketch's genuine access pattern — counts for named keys
+    * without storing (or ever shuffling) the full vocabulary.
+    *
+    * Scale shape: the sketch (≤ depth·width rows) broadcasts; probes never
+    * shuffle. An absent bucket means count 0 (left join + coalesce).
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    probes
+      .select(col("word"), explode(expr(
+        s"transform(sequence(0, ${depth - 1}), d -> named_struct(" +
+          s"'d', d, 'bucket', ${Dedup.portableHash64Sql("concat(word, ':', cast(d as string))")} % $width))"))
+        .as("db"))
+      .select(col("word"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 }

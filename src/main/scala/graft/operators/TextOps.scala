@@ -586,6 +586,50 @@ object TextOps {
     docs.where(bucket < rateCol)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * adapted to engine-portable integer arithmetic): featurize every
+    * document as hashed bigram buckets, estimate the target-vs-corpus
+    * frequency ratio per bucket, and score each document by the
+    * count-weighted sum of its buckets' ratios. High scores ≈ documents
+    * whose n-gram profile resembles the target domain — the standard
+    * importance-resampling prior for corpus selection. The published
+    * method sums log-ratios; this uses the add-one-smoothed ratio itself
+    * in ppm (`(tgt+1)·10⁶ div (src+1)`, truncating integer division) so
+    * every term — and therefore the order-independent per-doc sum — is an
+    * exact integer any engine replays (same trade as [[sourceKl]]'s
+    * integer-scaled terms, without libm `log` in the hot path).
+    *
+    * Scale shape: ONE corpus-sized shuffle — the (doc, tgt, bucket) count
+    * aggregate — whose partials feed both consumers: the bucket weight
+    * table re-aggregates those partials on bucket (identical subtree →
+    * reused exchange), and the per-doc score joins the resulting
+    * ≤`buckets`-row table back by broadcast. Bucket count is a fixed
+    * constant, so the weight table stays broadcastable at any corpus size.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), (col("lang") === targetLang).cast("int").as("tgt"),
+        split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        s"transform(sequence(1, size(toks) - 1), i -> " +
+          s"${Dedup.portableHash64Sql("concat_ws(' ', slice(toks, i, 2))")} % $buckets)"))
+        .as("bucket"))
+    val grouped = feats.groupBy("doc_id", "tgt", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val weights = grouped.groupBy("bucket")
+      .agg(sum("cnt").as("src_c"),
+        sum(when(col("tgt") === 1, col("cnt")).otherwise(0L)).as("tgt_c"))
+      .select(col("bucket"),
+        expr("((tgt_c + 1) * 1000000L) div (src_c + 1)").as("w_ppm"))
+    grouped.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt") * col("w_ppm")).as("score_ppm"))
+  }
+
   /** Near-identical name pairs by edit distance within a blocking key
     * (brand, size): classic record-linkage shape. Blocking bounds the pair
     * count to sum(block²); levenshtein itself is a codegen'd built-in.

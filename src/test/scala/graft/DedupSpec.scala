@@ -167,4 +167,22 @@ class DedupSpec extends SparkSpec {
       Dedup.hammingDist(lit(sh(1L)), lit(sh(2L))).as("d")).head().getAs[Int]("d")
     assert(dist === 0)
   }
+
+  test("leakageSplit: near-dup clusters never straddle a split boundary") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.leakageSplit(docs, Dedup.ngramJaccardPairs(docs)).cache()
+    assert(out.count() === docs.count(), "every document gets a split")
+    // one split per cluster — the defining property
+    val perCluster = out.groupBy("cluster")
+      .agg(countDistinct("split").as("n_splits"))
+      .where(col("n_splits") > 1)
+    assert(perCluster.count() === 0, "a cluster crossed a split boundary")
+    // singletons (cluster == own id) match the plain hash split exactly —
+    // leakage awareness refines splitAssign, never re-randomizes it
+    val singles = out.where(col("doc_id") === col("cluster"))
+      .join(graft.operators.TextOps.splitAssign(docs).withColumnRenamed("split", "plain"),
+        "doc_id")
+    assert(singles.where(col("split") =!= col("plain")).count() === 0)
+    out.unpersist()
+  }
 }

@@ -107,4 +107,23 @@ class EventOpsSpec extends SparkSpec {
     assert(got(5L) === 16.6667)
     out.unpersist()
   }
+
+  test("pageTransitions: per-source ppm rows sum to at most one million") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val out = EventOps.pageTransitions(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // truncating division: Σ p_ppm per from_type ∈ (1e6 - #rows, 1e6]
+    val sums = out.groupBy("from_type")
+      .agg(sum("p_ppm").as("s"), count(lit(1)).as("k"), sum("n").as("n_from"))
+      .collect()
+    sums.foreach { r =>
+      val (s, k) = (r.getLong(1), r.getLong(2))
+      assert(s <= 1000000L && s > 1000000L - k, s"ppm sum $s out of range for $k rows")
+    }
+    // total transitions = events - one terminal step per active user
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum("n")).head().getLong(0) === expected)
+    out.unpersist()
+  }
 }

@@ -253,4 +253,31 @@ class RelationalXSpec extends SparkSpec {
     assert(out.count() > 0)
     out.unpersist()
   }
+
+  test("cmsSketch/cmsEstimate: over-estimate bounded by the sketch guarantee") {
+    import spark.implicits._
+    import graft.operators.RelationalX
+    val docs = Tables.documents(spark, sfDir)
+    val exact = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum("cnt")).head().getLong(0)
+    val probes = exact.orderBy(col("cnt").desc).limit(5)
+      .select("w").as[String].collect().toSeq :+ "zz_never_seen"
+    val sketch = RelationalX.cmsSketch(docs, depth = 4, width = 512)
+    // the sketch is a bounded summary whatever the corpus size
+    assert(sketch.count() <= 4L * 512L)
+    val est = RelationalX.cmsEstimate(sketch, probes.toDF("word"))
+      .as[(String, Long)].collect().toMap
+    val truth = exact.as[(String, Long)].collect().toMap
+    probes.foreach { w =>
+      val t = truth.getOrElse(w, 0L)
+      assert(est(w) >= t, s"CMS must never under-estimate: $w est=${est(w)} true=$t")
+      // e·N/width bound holds in expectation; 4 independent rows make the
+      // deterministic fixture comfortably inside 2.72·N/512
+      assert(est(w) - t <= math.ceil(2.72 * n / 512).toLong,
+        s"$w over-estimate ${est(w) - t} above the eps·N bound")
+    }
+  }
 }

@@ -397,7 +397,8 @@ class TextOpsSpec extends SparkSpec {
       "sourceKl" -> TextOps.sourceKl(docs),
       "lmPerplexity" -> TextOps.lmPerplexity(docs),
       "pmiPairs" -> TextOps.pmiPairs(docs),
-      "tfidf" -> TextOps.tfidf(docs)).foreach { case (name, df) =>
+      "tfidf" -> TextOps.tfidf(docs),
+      "dsirWeights" -> TextOps.dsirWeights(docs)).foreach { case (name, df) =>
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
@@ -455,5 +456,26 @@ class TextOpsSpec extends SparkSpec {
     val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
     assert(sampleMean > corpusMean,
       "size-weighted sampling must overrepresent longer docs on average")
+  }
+
+  test("dsirWeights: target-profile docs outscore off-target docs") {
+    import spark.implicits._
+    // target (en) docs share a bigram vocabulary; the off-target (de) doc
+    // repeats it too (scores high); the outlier doc shares nothing
+    val docs = Seq(
+      (1L, "en", "the quick fox jumps high"),
+      (2L, "en", "the quick fox runs far"),
+      (3L, "de", "the quick fox jumps high"),
+      (4L, "de", "völlig anderes vokabular hier drüben")).toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirWeights(docs, targetLang = "en", buckets = 4096)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // per-gram average importance: doc 3 matches the target profile, doc 4
+    // does not — the ratio signal the resampling step keys on
+    assert(out(3L) > out(4L),
+      s"target-profile doc must outscore the outlier: ${out(3L)} vs ${out(4L)}")
+    // determinism: pure function of the data
+    val again = TextOps.dsirWeights(docs, targetLang = "en", buckets = 4096)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out === again)
   }
 }
