@@ -131,6 +131,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("sum_value"), 2).as("sum_value"))),
     // ── LLM-pipeline: similarity search ──
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
+    // ANN quality eval: recall@k of the IVF probe vs the exact baseline —
+    // both sides are individually hash-checked queries, so the oracle
+    // replays the whole comparison
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annRecall(e,
+        e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
+    }),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cos_near_pairs" -> ((s, d) => Similarity.cosNearPairs(Tables.embeddings(s, d))),
     // the scale path for all-pairs similarity: multi-table LSH buckets
@@ -1548,6 +1556,45 @@ object SparkEntry {
     // IVF is deterministic end-to-end (seed partition = vec_id % nList,
     // ascending-fold dot products, explicit tie-breaks), so the oracle
     // replays centroid build + assignment + probing exactly:
+    // ann_recall: replay BOTH retrieval methods (the brute-force chain from
+    // cosine_topk and the IVF chain from ivf_topk) and roll up hits per query
+    "ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |bs AS (SELECT query_id, n.vec_id AS nbr_id,
+        |         round(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
+        |       FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
+        |exact AS (SELECT query_id, nbr_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, nbr_id) AS rnk FROM bs) t WHERE rnk <= 5),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |cm AS (SELECT vec_id % 16 AS cid, i, avg(v[i]) AS m FROM n, dims GROUP BY 1, 2),
+        |cents AS (SELECT cid, list(m ORDER BY i) AS c FROM cm GROUP BY cid),
+        |asg AS (SELECT vec_id, v, nrm, cid, row_number() OVER (
+        |          PARTITION BY vec_id
+        |          ORDER BY list_dot_product(v, c) DESC, cid DESC) AS rn
+        |        FROM n CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+        |pr AS (SELECT query_id, qv, qn, cid, row_number() OVER (
+        |         PARTITION BY query_id
+        |         ORDER BY list_dot_product(qv, c) DESC, cid) AS rn
+        |       FROM q CROSS JOIN cents),
+        |probes AS (SELECT query_id, qv, qn, cid FROM pr WHERE rn <= 4),
+        |sc AS (SELECT query_id, a.vec_id AS nbr_id,
+        |         round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) AS sim
+        |       FROM assigned a JOIN probes p ON a.cid = p.cid
+        |       WHERE a.vec_id <> p.query_id),
+        |approx AS (SELECT query_id, nbr_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, nbr_id) AS rnk FROM sc) t WHERE rnk <= 5)
+        |SELECT x.query_id, count(*) AS n_exact,
+        |       CAST(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       round(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 4) AS recall
+        |FROM exact x LEFT JOIN approx a
+        |  ON x.query_id = a.query_id AND x.nbr_id = a.nbr_id
+        |GROUP BY 1""".stripMargin,
     "ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -193,6 +193,35 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** ANN index quality evaluation: recall@k of [[ivfTopK]] against the
+    * exact [[cosineTopK]] baseline, per query — the measurement an index
+    * tuner sweeps `nList`/`nProbe` against before committing a 100 TB
+    * corpus to an approximate index. `n_exact` is the baseline's result
+    * count (k, or fewer when the corpus is small), `n_hit` how many of
+    * those the IVF probe also returned, `recall` their ratio.
+    *
+    * Scale shape: recall is always evaluated over a SAMPLE of queries
+    * (here: the caller-supplied query set), never the full corpus — both
+    * sides produce ≤ queries×k rows, so the comparison join and the
+    * per-query rollup are driver-trivial no matter the corpus size. The
+    * corpus itself is scanned once per method under comparison, which is
+    * inherent to evaluating one against the other.
+    */
+  def annRecall(embeddings: DataFrame, queries: DataFrame, nList: Int = 16,
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val approx = ivfTopK(embeddings, queries, nList, nProbe, k)
+      .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "nbr_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
   /** Distributed k-means (Lloyd) over the embedding column — the clustering
     * primitive under SemDeDup-style semantic curation, data-selection and
     * IVF-style index builds. Fully deterministic: seed centroid `i` is the
