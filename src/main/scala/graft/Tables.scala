@@ -28,16 +28,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[graft.GraftSession]]); convert nanos → microsecond timestamp here so
-    * downstream ops see a real TimestampType column.
+  /** Normalize `events.ts` to a session-TZ TimestampType column whatever
+    * the fixture generation wrote: TIMESTAMP(NANOS) parquet reads as a raw
+    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.GraftSession]]) and converts nanos → micros here; plain
+    * timezone-less TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ and casts over
+    * (instant-preserving — sessions run UTC, matching the oracle's naive
+    * reading). Downstream ops always see TimestampType, so `unix_micros`
+    * / window arithmetic resolve identically across fixture vintages.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -231,11 +231,17 @@ object Similarity {
     * left-join fallback as [[pqCodebooks]]), so the centroid count is
     * stable and every step replays on any engine.
     *
-    * Scale shape: centroids are a k×dims table — always broadcast; each
-    * iteration is one map-side-combined aggregate over the corpus (the
-    * native [[graft.functions.VectorFunctions.vecSum]] carries one array
-    * per group per partition across the shuffle). Each Lloyd round's
-    * k-row centroid table is persisted behind a count barrier (parent
+    * Scale shape: the k centroids are packed into ONE `array<struct>` row
+    * and broadcast, so ASSIGNMENT IS ROW-LOCAL — a per-row argmin over the
+    * packed array with zero exchanges on the corpus side (the earlier
+    * shape cross-joined the k-row table and ran `groupBy(vec_id)` +
+    * `min(struct)`, a full-corpus shuffle with the vectors aboard, once
+    * per Lloyd round — iters × corpus of avoidable shuffle I/O at 100 TB).
+    * Each iteration therefore costs exactly one map-side-combined
+    * centroid-recompute aggregate over the corpus (the native
+    * [[graft.functions.VectorFunctions.vecSum]] carries one array per
+    * group per partition across the shuffle). Each Lloyd round's k-row
+    * centroid table is persisted behind a count barrier (parent
     * released), so a round aggregates the corpus exactly once and the
     * plan depth stays constant in `iters`.
     */
@@ -260,14 +266,25 @@ object Similarity {
         .agg(graft.functions.VectorFunctions.vecSum(col(vCol)).as("sum"),
           count(lit(1)).as("cn"))
         .select(col("cid"), transform(col("sum"), x => x / col("cn")).as(out))
-    def nearest(cents: DataFrame): DataFrame =
-      p.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
-            + dot(col("c"), col("c")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // row-local nearest-centroid: pack the centroid table into a single
+    // array<struct<cid,c>> row (sorted by cid for a deterministic array),
+    // broadcast it, and take the argmin as array_min over per-element
+    // (dist, cid) structs — the same lexicographic (dist, then smaller
+    // cid) tie-break as the old min(struct) aggregate, with NO exchange
+    // on the corpus side
+    def nearest(cents: DataFrame): DataFrame = {
+      val packed = cents
+        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
+      p.crossJoin(broadcast(packed))
+        .withColumn("m",
+          array_min(transform(col("cl"), e =>
+            struct(
+              (dot(col("v"), col("v"))
+                - lit(2.0) * dot(col("v"), e.getField("c"))
+                + dot(e.getField("c"), e.getField("c"))).as("dist"),
+              e.getField("cid").as("cid")))))
+        .drop("cl")
+    }
     // each fold step reads the previous centroid table twice (assignment
     // cross-join + empty-cluster fallback join) — composed lazily the
     // corpus aggregate under it would replay per use. The centroid frame
@@ -305,20 +322,61 @@ object Similarity {
     * the shuffle partition budget — never the O(n²) corpus cross join.
     * All math is the same rounded-cosine contract as [[cosineTopK]], so
     * an external engine replays the full cluster→pair→drop cascade.
+    *
+    * Mega-cluster guard: with a FIXED k a skewed embedding space (one
+    * dense cluster) makes Σ(cluster²) asymptotically n²/k — so cluster
+    * sizes are probed first (a k-row aggregate) and any cluster whose
+    * exact pair count exceeds its share of `maxClusterPairs` is
+    * sub-split through the banded [[lshNearPairs]] path instead of the
+    * exhaustive self-join (same delegation pattern as [[cosNearPairs]]
+    * and `Dedup.ngramJaccardPairs`): candidates come from LSH buckets,
+    * every emitted pair is still exact-cosine verified at `minSim`, so
+    * guarded drops are always TRUE near-duplicate drops — recall inside
+    * an oversized cluster becomes the standard multi-table LSH any-of
+    * guarantee rather than exhaustive. Default budget is far above any
+    * sane cluster layout; it exists so the worst case is bounded, not to
+    * trigger in normal operation.
+    *
+    * The assignment frame is persisted behind a count barrier (it feeds
+    * the size probe, both self-join sides and the final flag join);
+    * like [[pqTopK]]'s codebook it stays pinned for the life of the
+    * returned plan and is LRU-evictable.
     */
   def semDedup(embeddings: DataFrame, kClusters: Int = 8, iters: Int = 2,
-      minSim: Double = 0.6): DataFrame = {
+      minSim: Double = 0.6, maxClusterPairs: Long = 10000000L): DataFrame = {
     val a = kmeansAssignFull(embeddings, kClusters, iters)
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
-    // one pass builds both sides of the cluster-scoped self-join; persist
-    // would be wasted here — AQE reuses the assignment exchange because
-    // the two branches are identical subtrees (pinned in SimilaritySpec)
-    val dropped = a.as("x")
-      .join(a.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .where(cosSim(dot(col("x.v"), col("y.v")),
-        col("x.nrm"), col("y.nrm")) >= minSim)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+      .persist()
+    // Σcluster² probe: k rows of bounded metadata, read from the cache
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val fairShare = math.max(1L, maxClusterPairs / math.max(1, sizes.length))
+    val oversized = sizes.collect {
+      case (cid, n) if n * (n - 1L) / 2L > fairShare => cid
+    }.sorted
+    def exactPairDrops(df: DataFrame): DataFrame =
+      df.as("x")
+        .join(df.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .where(cosSim(dot(col("x.v"), col("y.v")),
+          col("x.nrm"), col("y.nrm")) >= minSim)
+        .select(col("y.vec_id").as("vec_id"))
+    val dropped = (if (oversized.isEmpty) exactPairDrops(a)
+      else {
+        val dims = embeddings.select(size(col("embedding")))
+          .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+        // LSH drops per oversized cluster: the b side of each verified
+        // (a < b, sim >= minSim) pair is a keep-first casualty exactly as
+        // in the exhaustive path
+        val lshDrops = oversized.map { cid =>
+          lshNearPairs(
+            a.where(col("cid") === cid)
+              .select(col("vec_id"), col("v").as("embedding")), dims, minSim)
+            .select(col("b").as("vec_id"))
+        }.reduce(_ union _)
+        exactPairDrops(a.where(!col("cid").isin(oversized: _*)))
+          .union(lshDrops)
+      }).distinct()
     a.select("vec_id", "cid")
       .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),

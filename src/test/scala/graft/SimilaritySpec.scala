@@ -160,6 +160,36 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("kmeans assignment stage is row-local — no corpus shuffle by vec_id") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.kmeansAssign(e, kClusters = 8, iters = 1)
+    // the only shuffles in a Lloyd round are the k-row centroid
+    // recompute aggregates; the assignment itself is a broadcast of one
+    // packed centroid row + a row-local argmin — never a corpus shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"assignment must not shuffle the corpus by vec_id:\n${plan.take(1500)}")
+  }
+
+  test("semDedup mega-cluster guard: forced single cluster delegates to LSH, drops stay sound") {
+    val e = Tables.embeddings(spark, sfDir)
+    val unguarded = Similarity.semDedup(e, kClusters = 1, iters = 0, minSim = 0.6)
+    val guarded = Similarity.semDedup(e, kClusters = 1, iters = 0, minSim = 0.6,
+      maxClusterPairs = 10L)
+    // every vector still present exactly once
+    assert(guarded.count() === e.count())
+    // the oversized cluster must take the banded path, not the exhaustive
+    // within-cluster self-join (bounded Σbucket² candidates, not n²/2)
+    val plan = guarded.queryExecution.sparkPlan.toString
+    assert(plan.contains("graft_lsh_buckets"),
+      s"guarded path must delegate to LSH banding:\n${plan.take(1500)}")
+    // soundness: LSH candidates are exact-cosine verified, so guarded
+    // drops are a subset of the exhaustive path's drops
+    val gd = guarded.where($"dropped").select("vec_id").as[Long].collect().toSet
+    val ud = unguarded.where($"dropped").select("vec_id").as[Long].collect().toSet
+    assert(gd.subsetOf(ud), s"unsound drops: ${gd -- ud}")
+  }
+
   test("semDedup drops near-duplicates cluster-locally, keeps the lowest id") {
     // two exact-duplicate groups plus two isolated vectors; with k=2 the
     // duplicates land in the same cluster by construction (identical
