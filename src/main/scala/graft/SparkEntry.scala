@@ -683,9 +683,11 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT query_id, e.vec_id AS nbr_id,
-        |        round(list_dot_product(qv, v)
-        |              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
-        |              4) AS sim
+        |        CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) = 0
+        |             THEN -1.0
+        |             ELSE round(list_dot_product(qv, v)
+        |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |               4) END AS sim
         |      FROM q CROSS JOIN e WHERE e.vec_id <> query_id)
         |SELECT query_id, nbr_id, sim, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -752,9 +754,11 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a, b, sim FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |    round(list_dot_product(x.v, y.v)
-        |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
-        |          4) AS sim
+        |    CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) = 0
+        |         THEN -1.0
+        |         ELSE round(list_dot_product(x.v, y.v)
+        |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+        |           4) END AS sim
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id) p
         |WHERE sim >= 0.5""".stripMargin,
     // LSH plane weights replayed from the portable md5 scheme: plane i,
@@ -775,7 +779,8 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         |         FROM bkt x JOIN bkt y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
         |SELECT a, b, sim FROM (
-        |  SELECT a, b, round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) AS sim
+        |  SELECT a, b, CASE WHEN xa.nrm * xb.nrm = 0 THEN -1.0
+        |    ELSE round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) END AS sim
         |  FROM cand JOIN n xa ON a = xa.vec_id JOIN n xb ON b = xb.vec_id) s
         |WHERE sim >= 0.5""".stripMargin,
     "emb_dedup_resolve" ->
@@ -796,7 +801,8 @@ object SparkEntry {
         |         FROM bkt x JOIN bkt y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
         |pairs AS (
         |  SELECT a, b FROM (
-        |    SELECT a, b, round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) AS sim
+        |    SELECT a, b, CASE WHEN xa.nrm * xb.nrm = 0 THEN -1.0
+        |      ELSE round(list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm), 4) END AS sim
         |    FROM cand JOIN n xa ON a = xa.vec_id JOIN n xb ON b = xb.vec_id) s
         |  WHERE sim >= 0.5),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
@@ -1563,7 +1569,8 @@ object SparkEntry {
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
         |bs AS (SELECT query_id, n.vec_id AS nbr_id,
-        |         round(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
+        |         CASE WHEN qn * nrm = 0 THEN -1.0
+        |              ELSE round(list_dot_product(qv, v) / (qn * nrm), 4) END AS sim
         |       FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
         |exact AS (SELECT query_id, nbr_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1582,7 +1589,8 @@ object SparkEntry {
         |       FROM q CROSS JOIN cents),
         |probes AS (SELECT query_id, qv, qn, cid FROM pr WHERE rn <= 4),
         |sc AS (SELECT query_id, a.vec_id AS nbr_id,
-        |         round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) AS sim
+        |         CASE WHEN qn * a.nrm = 0 THEN -1.0
+        |              ELSE round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) END AS sim
         |       FROM assigned a JOIN probes p ON a.cid = p.cid
         |       WHERE a.vec_id <> p.query_id),
         |approx AS (SELECT query_id, nbr_id FROM (
@@ -1613,7 +1621,8 @@ object SparkEntry {
         |       FROM q CROSS JOIN cents),
         |probes AS (SELECT query_id, qv, qn, cid FROM pr WHERE rn <= 4),
         |scored AS (SELECT query_id, a.vec_id AS nbr_id,
-        |             round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) AS sim
+        |             CASE WHEN qn * a.nrm = 0 THEN -1.0
+        |                  ELSE round(list_dot_product(qv, a.v) / (qn * a.nrm), 4) END AS sim
         |           FROM assigned a JOIN probes p ON a.cid = p.cid
         |           WHERE a.vec_id <> p.query_id)
         |SELECT query_id, nbr_id, sim, rnk FROM (
@@ -1904,9 +1913,11 @@ object SparkEntry {
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
         |se AS (SELECT query_id, e.vec_id AS doc_id,
-        |        round(list_dot_product(qv, v)
-        |              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
-        |              4) AS sim
+        |        CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) = 0
+        |             THEN -1.0
+        |             ELSE round(list_dot_product(qv, v)
+        |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |               4) END AS sim
         |      FROM qe CROSS JOIN e WHERE e.vec_id <> query_id),
         |sem AS (SELECT query_id, doc_id, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -30,15 +30,62 @@ object Graph {
   /** One PageRank unit in micro-units. */
   val Unit_ : Long = 1000000L
 
+  /** A rank computation's result: the rank frame, how many iterations
+    * actually ran (== the requested count for [[pageRank]]; possibly fewer
+    * for [[pageRankUntil]]), and a release hook for the state the returned
+    * plan pins (edge layout, node set, final rank cache). Call `release()`
+    * AFTER materializing the ranks: plain persisted frames unpersist (their
+    * lineage stays intact, so a later recompute is slow but correct);
+    * a live localCheckpoint backing the final frame stays pinned, because
+    * its blocks ARE the data (same contract as
+    * `Dedup.resolveClustersReleasable`).
+    */
+  final case class RankResult(ranks: DataFrame, itersRun: Int,
+      release: () => Unit)
+
   /** PageRank over a directed edge list `(src, dst)` (strings; duplicate
     * edges are collapsed). Damping 0.85 as `dampNum/dampDen` integers.
     * Returns every node with its rank in micro-units (`rank_micro`) —
     * initial rank is 1.0 per node, so ranks sum to ~n·10⁶ (minus
     * truncation dust).
+    *
+    * The returned plan reads pinned frames (edge layout + final ranks)
+    * with no release point here — long-lived sessions should use
+    * [[pageRankReleasable]] and call the hook once the result is
+    * materialized.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val spark = edges.sparkSession
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    pageRankReleasable(edges, iters, dampNum, dampDen).ranks
+
+  /** [[pageRank]] plus the release hook (see [[RankResult]]). */
+  def pageRankReleasable(edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): RankResult =
+    iterate(edges, iters, dampNum, dampDen, stopDeltaMicro = -1L)
+
+  /** Convergence-stopped PageRank: iterate until the total absolute rank
+    * movement (Σ|r_i − r_{i-1}| in micro-units, an integer aggregate over
+    * the already-materialized step frame — no extra join, the step carries
+    * its parent rank) drops to `epsMicro` or below, capped at `maxIters`.
+    * Same bit-exact integer arithmetic as [[pageRank]]: a run that stops
+    * at iteration k returns exactly `pageRank(edges, k)`.
+    */
+  def pageRankUntil(edges: DataFrame, epsMicro: Long = 1000L,
+      maxIters: Int = 20, dampNum: Long = 85L, dampDen: Long = 100L): RankResult =
+    iterate(edges, maxIters, dampNum, dampDen, stopDeltaMicro = epsMicro)
+
+  /** The shared per-step persist loop. Each iteration reads the previous
+    * rank table THREE times (edge join, dangling scan, node-preserving
+    * left join) — composed lazily that triples the lineage per step (27x
+    * the base subtree at 3 iterations). Persist each rank frame behind a
+    * count barrier and release the parent: the plan stays one-iteration
+    * deep and the rank table (|nodes| rows) is the only moving state.
+    * `stopDeltaMicro < 0` disables the convergence check (fixed-iteration
+    * mode pays no delta aggregate).
+    */
+  private def iterate(edges: DataFrame, iters: Int, dampNum: Long,
+      dampDen: Long, stopDeltaMicro: Long): RankResult = {
+    import org.apache.spark.sql.graft.CheckpointHandle
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")) // iteration joins reuse this layout
       .persist()
@@ -47,14 +94,16 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val nTotal = nodes.agg(count(lit(1)).as("n"))
-    // each iteration reads the previous rank table THREE times (edge
-    // join, dangling scan, node-preserving left join) — composed lazily
-    // that triples the lineage per step (27x the base subtree at 3
-    // iterations). Persist each rank frame behind a count barrier and
-    // release the parent: the plan stays one-iteration deep and the rank
-    // table (|nodes| rows, two columns) is the only pinned state.
-    val init = nodes.withColumn("r", lit(Unit_)).persist()
-    val ranks = (1 to iters).foldLeft(init) { case (r, i) =>
+    var current: DataFrame = nodes.withColumn("r", lit(Unit_)).persist()
+    // the live checkpoint (if any) backs every later plain-persisted
+    // frame's lineage; it is only released when superseded by a NEWER
+    // checkpoint (Dedup.resolveClustersReleasable's discipline)
+    var liveCheckpoint: Option[DataFrame] = None
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val r = current
       val contrib = e.join(r, e("src") === r("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div od").as("c"))
@@ -63,29 +112,49 @@ object Graph {
       // outdeg); a single scalar, broadcast back into the update
       val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val next = r.select(col("node"))
+      var next = r.select(col("node"), col("r").as("r_old"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
-        .select(col("node"),
+        .select(col("node"), col("r_old"),
           (lit(Unit_ * (dampDen - dampNum) / dampDen) +
             expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
             .as("r"))
         .persist()
-      next.count() // materialize before releasing the parent
-      r.unpersist()
+      if (stopDeltaMicro >= 0L) {
+        // convergence probe doubles as the materialization barrier: one
+        // integer aggregate over the cached frame, no extra join (the
+        // step carried its parent rank in r_old)
+        val delta = next.agg(coalesce(sum(abs(col("r") - col("r_old"))),
+          lit(0L))).head().getLong(0)
+        converged = delta <= stopDeltaMicro
+      } else next.count() // materialize before releasing the parent
+      if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
       // persisted frames keep full lineage — every 4 rounds truncate it
       // with a localCheckpoint so the logical tree stays bounded on long
-      // runs (Dedup.resolveClusters' pattern; the checkpoint's
-      // non-adaptive materialization cost lands on a cached shallow plan.
-      // Use reliable checkpointing on a real cluster.)
+      // runs (the checkpoint's non-adaptive materialization cost lands on
+      // a cached shallow plan. Use reliable checkpointing on a real
+      // cluster.)
       if (i % 4 == 0) {
         val t = next.localCheckpoint(true)
         next.unpersist()
-        t
-      } else next
+        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+        liveCheckpoint = Some(t)
+        next = t
+      }
+      current = next
     }
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    val finalFrame = current
+    val ranks = finalFrame.select(col("node"), col("r").as("rank_micro"))
+    val release: () => Unit = () => {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      // the final frame unpersists only when plain-persisted — if it IS
+      // the live checkpoint its blocks are the data and must stay
+      if (!liveCheckpoint.exists(_ eq finalFrame))
+        finalFrame.unpersist(blocking = false)
+    }
+    RankResult(ranks, i, release)
   }
 
   /** The supplier→customer trade graph: one directed edge per (supplier,

@@ -230,6 +230,54 @@ object Multimodal {
       out
     }
 
+    /** Magic-byte sniff-and-classify over the formats a corpus actually
+      * contains — including compressed audio/video this environment has NO
+      * codec for. The decode path lumps those with garbage payloads (both
+      * take the deterministic stub), which is correct for features but
+      * loses ROUTING information: a pipeline wants to quarantine real mp3/
+      * mp4 payloads for a codec-equipped cluster, not discard them with
+      * the noise. Returns (format, kind, decodable-here):
+      *  - JDK-decodable images (png/jpeg/gif/bmp/tiff) and audio
+      *    (wav/aiff/au) → decodable = true;
+      *  - recognized-but-undecodable media (mp3 via ID3v2 tag or MPEG
+      *    frame sync, ogg capture pattern, mp4/mov ftyp box, Matroska/
+      *    webm EBML header, avi RIFF) → real format, decodable = false;
+      *  - anything else → (null, "unknown", false).
+      */
+    def sniff(p: Array[Byte]): (String, String, Boolean) = {
+      def at(i: Int, c: Char): Boolean = p(i) == c.toByte
+      if (p == null || p.length < 12) (null, "unknown", false)
+      else if (looksLikeImage(p)) {
+        val fmt =
+          if (p(0) == 0x89.toByte) "png"
+          else if (p(0) == 0xff.toByte) "jpeg"
+          else if (p(0) == 'G') "gif"
+          else if (p(0) == 'B') "bmp"
+          else "tiff"
+        (fmt, "image", true)
+      } else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) {
+        // RIFF container: the form type at offset 8 splits WAV from AVI
+        if (at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E'))
+          ("wav", "audio", true)
+        else if (at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' '))
+          ("avi", "video", false)
+        else (null, "unknown", false)
+      } else if (looksLikeAudio(p)) // FORM (aiff) / .snd (au)
+        (if (at(0, 'F')) "aiff" else "au", "audio", true)
+      else if (at(0, 'I') && at(1, 'D') && at(2, '3'))
+        ("mp3", "audio", false) // ID3v2 tag prefix
+      else if (p(0) == 0xff.toByte && (p(1) & 0xe0.toByte) == 0xe0.toByte)
+        ("mp3", "audio", false) // bare MPEG audio frame sync (11 set bits)
+      else if (at(0, 'O') && at(1, 'g') && at(2, 'g') && at(3, 'S'))
+        ("ogg", "audio", false)
+      else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p'))
+        ("mp4", "video", false) // ISO BMFF: size then 'ftyp' box
+      else if (p(0) == 0x1a.toByte && p(1) == 0x45.toByte &&
+        p(2) == 0xdf.toByte && p(3) == 0xa3.toByte)
+        ("webm", "video", false) // EBML header (Matroska/WebM)
+      else (null, "unknown", false)
+    }
+
     /** Re-encode at new dimensions. Decodable images resample for real
       * (Graphics2D bilinear draw, re-encoded as PNG); anything else keeps
       * the deterministic stub truncation so the plan shape stays testable
@@ -267,6 +315,30 @@ object Multimodal {
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"),
       col(payloadCol).cast("binary").as("payload"))
+
+  /** Sniff-and-classify stage: adds `format_detected` (magic-byte format,
+    * null when unrecognized), `kind_detected` (image/audio/video/unknown —
+    * from the BYTES, independent of the declared `kind` column) and
+    * `decodable` (whether [[MediaCodec.decode]] can decode it HERE, i.e.
+    * with the JDK-only codecs). Row-local, payload retained — this is the
+    * routing stage a pipeline runs before [[extractFeatures]] to split
+    * decode-now rows from quarantine-for-codec-cluster rows
+    * (`kind_detected != 'unknown' AND NOT decodable`) and plain garbage.
+    */
+  def classifyMedia(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("format_detected", StringType, nullable = true),
+      StructField("kind_detected", StringType, nullable = false),
+      StructField("decodable", BooleanType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, kind, dec) = MediaCodec.sniff(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq :+ fmt :+ kind :+ dec)
+      }
+    }
+  }
 
   /** Decode + feature-extract stage: mapPartitions over the payloads so
     * codec init amortizes per partition; output keeps metadata and adds

@@ -208,10 +208,14 @@ object Similarity {
     * inherent to evaluating one against the other.
     */
   def annRecall(embeddings: DataFrame, queries: DataFrame, nList: Int = 16,
-      nProbe: Int = 4, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(embeddings, queries, k)
+      nProbe: Int = 4, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf threads into BOTH sub-operators: an external query set
+    // whose ids collide with corpus vec_ids would otherwise silently drop
+    // one unrelated corpus neighbor per colliding id on each side,
+    // skewing the recall measurement with no way to opt out
+    val exact = cosineTopK(embeddings, queries, k, excludeSelf)
       .select(col("query_id"), col("nbr_id"))
-    val approx = ivfTopK(embeddings, queries, nList, nProbe, k)
+    val approx = ivfTopK(embeddings, queries, nList, nProbe, k, excludeSelf)
       .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
     exact
       .join(approx, Seq("query_id", "nbr_id"), "left")

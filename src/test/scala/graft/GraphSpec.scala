@@ -32,6 +32,38 @@ class GraphSpec extends SparkSpec {
     assert(dup.values.forall(_ > 0))
   }
 
+  test("pageRankReleasable: release hook drops every pinned RDD; ranks unchanged") {
+    val edges = Seq(("S1", "C1"), ("S1", "C2"), ("S2", "C1")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Graph.pageRankReleasable(edges, iters = 3)
+    val got = res.ranks.as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "S1" -> 678858L, "S2" -> 678858L, "C1" -> 1642280L, "C2" -> 999999L))
+    assert(res.itersRun === 3)
+    res.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() left RDDs pinned: $leaked")
+  }
+
+  test("pageRankUntil stops early on a converged graph and matches pageRank") {
+    // directed 3-cycle, out-degree 1 everywhere: uniform rank is the exact
+    // integer fixpoint, so iteration 1 moves nothing and the loop stops
+    val ring = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val res = Graph.pageRankUntil(ring, epsMicro = 0L, maxIters = 10)
+    assert(res.itersRun === 1, s"expected early stop, ran ${res.itersRun}")
+    val got = res.ranks.as[(String, Long)].collect().toMap
+    assert(got === Map("A" -> 1000000L, "B" -> 1000000L, "C" -> 1000000L))
+    res.release()
+    // on a non-trivial graph a run stopped at iteration k is bit-exact
+    // pageRank(k) — same integer recurrence, same truncation dust
+    val edges = Seq(("S1", "C1"), ("S1", "C2"), ("S2", "C1")).toDF("src", "dst")
+    val conv = Graph.pageRankUntil(edges, epsMicro = 0L, maxIters = 6)
+    val fixed = Graph.pageRank(edges, iters = conv.itersRun)
+      .as[(String, Long)].collect().toMap
+    assert(conv.ranks.as[(String, Long)].collect().toMap === fixed)
+    conv.release()
+  }
+
   test("triangleCounts: K4 has four triangles, three per node") {
     // complete graph on 4 nodes: C(4,3) = 4 triangles, each node in 3
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

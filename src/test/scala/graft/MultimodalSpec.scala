@@ -152,6 +152,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L) === Multimodal.MediaCodec.stubFeatures("not an image".getBytes("UTF-8")).toSeq)
   }
 
+  test("classifyMedia sniffs compressed audio/video the decoder cannot handle") {
+    def pad(prefix: Array[Byte]): Array[Byte] = prefix ++ Array.fill[Byte](16)(0)
+    val mp3Id3 = pad("ID3".getBytes("ASCII") :+ 4.toByte)
+    val mp3Sync = pad(Array(0xff.toByte, 0xfb.toByte, 0x90.toByte))
+    val ogg = pad("OggS".getBytes("ASCII"))
+    val mp4 = pad(Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("ASCII"))
+    val webm = pad(Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte))
+    val avi = pad("RIFF0000AVI ".getBytes("ASCII"))
+    val garbage = pad("not-a-media-file".getBytes("ASCII"))
+    val png = pngBytes(4, 4)((_, _) => 0x808080)
+    val raw = Seq(1L -> mp3Id3, 2L -> mp3Sync, 3L -> ogg, 4L -> mp4,
+      5L -> webm, 6L -> avi, 7L -> garbage, 8L -> png).toDF("id", "bytes")
+    val got = Multimodal.classifyMedia(
+      Multimodal.fromBinary(raw, "id", "bytes", "audio"))
+      .select("media_id", "format_detected", "kind_detected", "decodable")
+      .as[(Long, Option[String], String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((Some("mp3"), "audio", false)))
+    assert(got(2L) === ((Some("mp3"), "audio", false)))
+    assert(got(3L) === ((Some("ogg"), "audio", false)))
+    assert(got(4L) === ((Some("mp4"), "video", false)))
+    assert(got(5L) === ((Some("webm"), "video", false)))
+    assert(got(6L) === ((Some("avi"), "video", false)))
+    assert(got(7L) === ((None, "unknown", false)))
+    // kind_detected comes from the bytes, not the declared kind column —
+    // a PNG declared "audio" still classifies image + decodable
+    assert(got(8L) === ((Some("png"), "image", true)))
+    // recognized-but-undecodable media still takes the stub feature path
+    // (routing info is EXTRA columns; decode behavior is unchanged)
+    val mp3Feats = Multimodal.extractFeatures(
+      Multimodal.fromBinary(Seq(1L -> mp3Id3).toDF("id", "bytes"),
+        "id", "bytes", "audio"))
+      .select("features").as[Seq[Float]].head()
+    assert(mp3Feats === Multimodal.MediaCodec.stubFeatures(mp3Id3).toSeq)
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
