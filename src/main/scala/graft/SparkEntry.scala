@@ -279,6 +279,9 @@ object SparkEntry {
     // rows/schema-only check — sketch interpolation differs from
     // quantile_cont by design, the exact `quantiles` entry stays the oracle
     "quantiles_approx" -> ((s, d) => Relational.quantilesApprox(s, d)),
+    // the portable bottom-k-sample sketch: hash-checked, unlike the
+    // Spark-private approx_percentile sibling above
+    "quantiles_sketch" -> ((s, d) => Relational.quantilesSketch(s, d)),
     "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
     "having_agg" -> ((s, d) => Relational.havingAgg(s, d)),
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
@@ -825,6 +828,26 @@ object SparkEntry {
         |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |round(quantile_cont(l_extendedprice, 0.75), 2) AS p75, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // quantiles_sketch: full replay of the bottom-k-by-hash sample — same
+    // portable 60-bit md5 row hash, same k smallest per group, same
+    // equi-spaced rank pick on the value-sorted sample
+    "quantiles_sketch" ->
+      """WITH r AS (SELECT l_returnflag,
+        |  ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT AS h,
+        |  CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+        |rk AS (SELECT l_returnflag, cents,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h, cents) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |       FROM r),
+        |s AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |        list_sort(list(cents)) AS sv
+        |      FROM rk WHERE rn <= 1024 GROUP BY l_returnflag, n)
+        |SELECT l_returnflag,
+        |  round(sv[CAST(floor(0.25 * (len(sv) - 1)) AS INT) + 1] / 100.0, 2) AS p25,
+        |  round(sv[CAST(floor(0.5 * (len(sv) - 1)) AS INT) + 1] / 100.0, 2) AS p50,
+        |  round(sv[CAST(floor(0.75 * (len(sv) - 1)) AS INT) + 1] / 100.0, 2) AS p75,
+        |  len(sv) AS n_sample, n
+        |FROM s""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |round(sum(l_extendedprice), 2) AS sum_price

@@ -331,6 +331,62 @@ object Relational {
           round(element_at(col("ps"), i + 1), 2).as(name)
         } :+ col("n"): _*)
 
+  /** Portable quantile sketch, hash-checkable on any engine (the
+    * [[graft.operators.RelationalX.hllDistinct]] treatment applied to
+    * quantiles): a deterministic bottom-k-by-hash sample per group — the
+    * [[graft.functions.BottomK]] aggregate keeps the k rows whose
+    * portable 60-bit md5 row-key hash is smallest, a consistent uniform
+    * sample that MERGES (bottom-k of a union = bottom-k of the shards'
+    * bottom-k's) and is a pure function of row identity, so re-runs,
+    * engine ports and differently-sharded corpora pick the identical
+    * sample — then the equi-spaced rank estimate `sample[floor(q·(k−1))]`
+    * per requested quantile. Rank error is the sampling error, O(1/√k).
+    * Unlike `approx_percentile` (Spark-private KLL internals, rows-only
+    * checkable) every stage — hash, bottom-k selection, rank pick —
+    * replays in DuckDB SQL, so the output hash-checks.
+    *
+    * Values ride as exact integer cents (TPC-H prices are 2-decimal), so
+    * selection and ordering involve no FP at all; the only double math is
+    * the final cents/100 division both engines perform on the same
+    * integers.
+    *
+    * Scale shape: one map-side-combined aggregate — every partition trims
+    * to k (key, cents) pairs before the shuffle, so shuffle width is
+    * O(groups × partitions × k) regardless of corpus size, and no driver
+    * coordination (the [[quantiles]] exact path's two collects) at all.
+    */
+  def quantilesSketch(spark: SparkSession, dir: String, k: Int = 1024,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      : DataFrame = quantilesSketchOf(Tables.lineitem(spark, dir), k, probs)
+
+  /** [[quantilesSketch]] over a caller-supplied lineitem frame (any
+    * sharding — the sample is a pure function of row identity).
+    */
+  def quantilesSketchOf(lineitem: DataFrame, k: Int = 1024,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      : DataFrame = {
+    val rows = lineitem.select(
+      col("l_returnflag"),
+      Dedup.portableHash64(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"),
+      (col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val sk = rows.groupBy("l_returnflag")
+      .agg(graft.functions.BottomK.bottomK(col("h"), col("cents"), k).as("smp"),
+        count(lit(1)).as("n"))
+      // the sample arrives sorted by (hash, cents); re-sort by value for
+      // rank selection. ns = min(k, n) handles groups smaller than k.
+      .select(col("l_returnflag"),
+        array_sort(transform(col("smp"), s => s.getField("id"))).as("sv"),
+        col("n"))
+    sk.select(
+      col("l_returnflag") +:
+        probs.map { case (name, q) =>
+          round(element_at(col("sv"),
+            floor(lit(q) * (size(col("sv")) - 1)).cast("int") + 1)
+            .cast("double") / 100.0, 2).as(name)
+        } :+ size(col("sv")).as("n_sample") :+ col("n"): _*)
+  }
+
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

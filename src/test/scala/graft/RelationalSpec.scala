@@ -121,6 +121,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("quantilesSketch: within sampling tolerance of exact, invariant to sharding") {
+    val exact = Relational.quantiles(spark, sfDir)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val sk = Relational.quantilesSketch(spark, sfDir)
+      .as[(String, Double, Double, Double, Int, Long)].collect()
+    assert(sk.map(_._1).toSet === exact.keySet)
+    sk.foreach { case (g, p25, p50, p75, nSample, n) =>
+      val (_, e25, e50, e75, en) = exact(g)
+      assert(n === en)
+      assert(nSample === math.min(1024L, en).toInt)
+      // bottom-k-by-hash sample of k=1024 → rank error O(1/√k) ≈ 3%;
+      // translate to value space generously (price dist is near-uniform)
+      Seq((p25, e25), (p50, e50), (p75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.15, s"group $g: sketch $a vs exact $e")
+      }
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    // the sample is a pure function of row identity: re-sharding the
+    // input must not move a single estimate (the merge property)
+    val a = Relational.quantilesSketchOf(Tables.lineitem(spark, sfDir))
+    val b = Relational.quantilesSketchOf(
+      Tables.lineitem(spark, sfDir).repartition(7))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("cubeAgg contains all four grouping-set shapes") {
     val c = Relational.cubeAgg(spark, sfDir)
     assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)
