@@ -175,6 +175,20 @@ object SparkEntry {
     // per-part triangle counts over the co-purchase graph — degree-ordered
     // orientation (integer-keyed), so the oracle replays the exact joins
     "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
+    // 3 rounds of min-label propagation over the co-purchase graph —
+    // fixed iteration count so the oracle replays each round verbatim
+    "label_prop" -> ((s, d) =>
+      Graph.labelPropagate(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // pairwise two-sample KS statistic over per-doc lengths (n_chars):
+    // exact integer CDFs on a shared support grid, one FP division at the end
+    "ks_source" -> ((s, d) => TextOps.ksSourceLens(Tables.documents(s, d))),
+    // stratified k-fold CV assignment: salted-hash rank within source % k
+    "kfold_assign" -> ((s, d) => TextOps.kFoldAssign(Tables.documents(s, d))),
+    // robust dispersion: median / MAD / 3σ-equivalent outlier counts
+    "mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
+    // time-weighted mean over irregular per-user event streams — exact
+    // decimal products (value micro-units × gap ms), one final division
+    "time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
     // engine-portable HLL: registers from the md5-derived 60-bit hash,
     // integer-scaled weight sum — the sketch itself hash-matches, unlike
     // approx_count_distinct whose HLL++ bytes are Spark-private
@@ -1785,6 +1799,83 @@ object SparkEntry {
         |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
         |      UNION ALL SELECT k3 FROM t)
         |SELECT k % 4294967296 AS node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin,
+    // label_prop: three verbatim min-label rounds over the doubled
+    // co-purchase edge list (labelᵢ₊₁ = min(self, min neighbor))
+    "label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |l1 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l0 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l0 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l2 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l1 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l1 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l3 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l2 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l2 q ON q.node = e.b
+        |       GROUP BY p.node, p.label)
+        |SELECT node, label FROM l3""".stripMargin,
+    // ks_source: exact-integer CDFs on the shared n_chars support grid;
+    // the only FP is the final cum/n division both engines perform on
+    // identical integers
+    "ks_source" ->
+      """WITH lens AS (SELECT source, n_chars AS x FROM documents),
+        |counts AS (SELECT source, x, count(*) AS c FROM lens GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+        |support AS (SELECT DISTINCT x FROM counts),
+        |grid AS (SELECT t.source, s.x, t.n, coalesce(c.c, 0) AS c
+        |         FROM totals t CROSS JOIN support s
+        |         LEFT JOIN counts c ON c.source = t.source AND c.x = s.x),
+        |cdf AS (SELECT source, x, n,
+        |          CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM grid)
+        |SELECT p.source AS a, q.source AS b,
+        |  round(max(abs(p.cum::DOUBLE / p.n - q.cum::DOUBLE / q.n)), 6) AS ks_d,
+        |  any_value(p.n) AS n_a, any_value(q.n) AS n_b
+        |FROM cdf p JOIN cdf q ON p.x = q.x AND p.source < q.source
+        |GROUP BY 1, 2""".stripMargin,
+    // kfold_assign: salted portable hash, within-stratum rank % k
+    "kfold_assign" ->
+      """SELECT doc_id, source,
+        |  (row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1) % 5 AS fold
+        |FROM (SELECT doc_id, source,
+        |        ('0x'||substr(md5('fold:'||doc_id),1,15))::BIGINT AS h
+        |      FROM documents) t""".stripMargin,
+    // mad_outliers: medians round to 2 decimals BEFORE thresholding so
+    // both engines compare identical values
+    "mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |med AS (SELECT l_returnflag, round(quantile_cont(v, 0.5), 2) AS med
+        |        FROM li GROUP BY 1),
+        |dev AS (SELECT li.l_returnflag, v, med FROM li JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, round(quantile_cont(abs(v - med), 0.5), 2) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, any_value(d.med) AS med, any_value(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(d.v - d.med) > 3.0 * 1.4826 * m.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n
+        |FROM dev d JOIN mad m USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+    // time_weighted_avg: exact HUGEINT products (value micro-units × gap
+    // ms) mirror Spark's decimal(38,0) sums; one final double division
+    "time_weighted_avg" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vi,
+        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts)) // 1000 AS dt_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  round(CAST(sum(vi::HUGEINT * dt_ms) AS DOUBLE)
+        |        / (CAST(sum(dt_ms) AS DOUBLE) * 1e6), 4) AS twa,
+        |  CAST(sum(dt_ms) AS BIGINT) AS total_ms,
+        |  count(*) AS n_intervals
+        |FROM t WHERE dt_ms IS NOT NULL GROUP BY user_id""".stripMargin,
     // hll_distinct: the whole sketch replays — portable md5 hash, bin()
     // bit length (minimal digits in both engines), integer-scaled register
     // weights; estimator constants are the same compound literals Spark

@@ -294,6 +294,49 @@ object EventOps {
     * aggregate map-side; per-source totals re-aggregate those partials
     * (≤ types² rows) and broadcast back.
     */
+  /** Time-weighted average value per user over an irregular event stream:
+    * each reading holds until the next one, so its weight is the gap to
+    * the successor (`lead` over the per-user timeline; the last reading
+    * has no holding interval and drops out) — the correct mean for
+    * unevenly sampled gauges, where the arithmetic mean over-weights
+    * bursts.
+    *
+    * Determinism: the weighted sum runs in EXACT integer space — values
+    * scale to micro-units, gaps to milliseconds, and each product is cast
+    * to decimal(38,0) BEFORE multiplying (a bigint product would overflow
+    * at ~year-long gaps) — so per-user sums are order-independent and the
+    * only FP is the single final division both engines perform on the
+    * same exact integers.
+    *
+    * Scale shape: one shuffle on user_id shared by the window and the
+    * aggregate; map-side combine on the sum pass.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOf(Tables.events(spark, dir))
+
+  /** [[timeWeightedAvg]] over a caller-supplied event frame
+    * (user_id, ts, event_id, value).
+    */
+  def timeWeightedAvgOf(events: DataFrame): DataFrame = {
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("vi"))
+      .withColumn("dt_ms",
+        expr("(unix_micros(lead(ts) over (partition by user_id " +
+          "order by ts, event_id)) - unix_micros(ts)) div 1000"))
+      .where(col("dt_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(col("vi").cast("decimal(20,0)") * col("dt_ms").cast("decimal(18,0)"))
+          .as("num"),
+        sum("dt_ms").as("den"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"),
+        round(col("num").cast("double") / (col("den").cast("double") * 1e6), 4)
+          .as("twa"),
+        col("den").as("total_ms"), col("n_intervals"))
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

@@ -184,6 +184,51 @@ object Graph {
       .select(col("x.pk").as("src"), col("y.pk").as("dst")).distinct()
   }
 
+  /** Community labels by `iters` rounds of min-label propagation over the
+    * UNDIRECTED graph: label₀(v) = v, labelᵢ₊₁(v) = min(labelᵢ(v),
+    * min over neighbors labelᵢ(u)). After k rounds every node carries the
+    * smallest node id within k hops — connected components once k reaches
+    * the component diameter, coarse community seeds before that. A FIXED
+    * iteration count (unlike `Dedup.resolveClusters`' fixpoint loop) so
+    * any engine replays the rounds exactly; pair with
+    * [[graft.operators.Dedup.resolveClusters]] when full components are
+    * wanted.
+    *
+    * Scale shape: the doubled edge list is partitioned once on the probe
+    * side and persisted; each round is one equi-join (labels move, edges
+    * don't) plus one map-side-combined min aggregate, with the per-step
+    * persist + parent-release discipline of [[pageRank]]. Label table is
+    * |nodes| rows × 2 ints — the only moving state.
+    */
+  def labelPropagate(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")) // the label join probes on b each round
+      .persist()
+    e.count()
+    var labels = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).persist()
+    labels.count()
+    var i = 0
+    while (i < iters) {
+      val nbrMin = e.join(labels, e("b") === labels("node"))
+        .groupBy(e("a").as("node")).agg(min("label").as("nl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation (the
     * standard compact-forward / Schank-Wagner scheme): orient every edge
     * from its lower-(degree, id) endpoint to the higher, enumerate wedges

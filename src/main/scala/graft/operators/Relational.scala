@@ -387,6 +387,43 @@ object Relational {
         } :+ size(col("sv")).as("n_sample") :+ col("n"): _*)
   }
 
+  /** Robust per-group dispersion stats: median, MAD (median absolute
+    * deviation) and the count of 3σ-equivalent outliers under the
+    * normal-consistency scaling MAD·1.4826 — the outlier screen that,
+    * unlike mean/stddev, a handful of extreme values cannot drag (each
+    * median has 50% breakdown; z-scores have 0%).
+    *
+    * Medians and MAD round to 2 decimals BEFORE the outlier comparison so
+    * both engines threshold on identical values. Exact `percentile`
+    * buffers each group's values — the bounded-group contract (groups =
+    * returnflag, 3 values); an unbounded-group caller takes the
+    * [[quantilesSketch]] sample first and runs this over the sample.
+    *
+    * Scale shape: two aggregate passes (median, then MAD over deviations)
+    * + one counting pass, the 3-row stat table broadcast back each time —
+    * no corpus-sized shuffle beyond the three map-side-combined
+    * aggregates.
+    */
+  def madOutliers(spark: SparkSession, dir: String,
+      sigmas: Double = 3.0): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val med = li.groupBy("l_returnflag")
+      .agg(round(percentile(col("v"), lit(0.5)), 2).as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+    val mad = dev.groupBy("l_returnflag")
+      .agg(round(percentile(abs(col("v") - col("med")), lit(0.5)), 2).as("mad"),
+        first("med").as("med"), count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select("l_returnflag", "mad")), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        first("med").as("med"),
+        first("mad").as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(sigmas * 1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

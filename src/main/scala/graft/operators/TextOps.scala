@@ -561,6 +561,73 @@ object TextOps {
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 4).as("jaccard"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov statistic over document
+    * lengths: D = max over the length support of |F_a(x) − F_b(x)|, the
+    * standard distribution-shift test between corpus slices (KL compares
+    * token mass, KS compares a numeric per-doc property's whole CDF —
+    * shape drift a mean/variance check misses). Output one row per
+    * unordered source pair with the sample sizes.
+    *
+    * Every count is exact-integer until the final F division, and both
+    * CDFs are evaluated on the SHARED global support grid — the grid join
+    * is what makes D exact (evaluating each CDF only at its own sample
+    * points would miss the sup between steps of the other).
+    *
+    * Scale shape: doc lengths collapse to (source, length) counts first —
+    * the grid is sources × distinct-lengths rows, bounded by the length
+    * domain (not the corpus); the cumulative step is a per-source window
+    * over that bounded grid, and the pair join fans each grid row to at
+    * most sources² pairs. No corpus-sized shuffle after the first
+    * aggregate.
+    */
+  def ksSourceLens(docs: DataFrame): DataFrame = {
+    // the materialized n_chars column, not length(text): engines disagree
+    // on character counting for exotic unicode, a stored integer doesn't
+    val lens = docs.select(col("source"), col("n_chars").as("x"))
+    val counts = lens.groupBy("source", "x").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val support = counts.select("x").distinct()
+    // grid = every (source, support x); missing lengths contribute 0
+    val grid = totals.crossJoin(support)
+      .join(counts, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("source").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid.select(col("source"), col("x"), col("n"),
+      sum("c").over(w).as("cum"))
+    cdf.as("p")
+      .join(cdf.as("q"),
+        col("p.x") === col("q.x") && col("p.source") < col("q.source"))
+      .groupBy(col("p.source").as("a"), col("q.source").as("b"))
+      .agg(
+        round(max(abs(col("p.cum").cast("double") / col("p.n")
+          - col("q.cum").cast("double") / col("q.n"))), 6).as("ks_d"),
+        first(col("p.n")).as("n_a"), first(col("q.n")).as("n_b"))
+  }
+
+  /** Stratified k-fold assignment for cross-validation: within each
+    * source stratum, docs rank by the salted content-independent
+    * `md5("fold:" + doc_id)` hash and take `rank % k` — fold sizes within
+    * a stratum differ by at most one (exactly balanced, unlike a plain
+    * `hash % k` whose fold sizes are only balanced in expectation), and
+    * every fold inherits the corpus's source mix. The salt decorrelates
+    * fold assignment from [[mixSources]]/`splitAssign` decisions.
+    *
+    * Scale shape: one shuffle on the stratum key for the within-stratum
+    * rank. A skewed stratum serializes its rank into one task — at
+    * corpus scale swap the window for the two-pass per-partition-offset
+    * prefix-sum rank ([[curriculumBins]]' scheme); the fixture-scale
+    * window keeps the op one exchange.
+    */
+  def kFoldAssign(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), col("source"),
+      Dedup.portableHash64(concat(lit("fold:"), col("doc_id"))).as("h"))
+      .withColumn("fold", (row_number().over(w) - 1) % k)
+      .select(col("doc_id"), col("source"), col("fold"))
+  }
+
   /** Deterministic source mixing: sample each source at its target rate by
     * thresholding the content-independent md5(doc_id) hash — the
     * data-mixing primitive that turns per-domain weights into a concrete

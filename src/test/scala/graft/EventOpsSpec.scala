@@ -108,6 +108,28 @@ class EventOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("timeWeightedAvg: interval-weighted mean; last reading carries no weight") {
+    import org.apache.spark.sql.functions.sum
+    val out = EventOps.timeWeightedAvg(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    // one interval per event except each user's last
+    assert(out.agg(sum("n_intervals")).head().getLong(0) ===
+      ev.count() - ev.select("user_id").distinct().count())
+    // hand-check one user: value 10 held 1s, then 30 held 3s → twa = 25
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 30.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 99.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(7L))
+    val got = EventOps.timeWeightedAvgOf(tiny)
+      .select("user_id", "twa", "total_ms", "n_intervals")
+      .as[(Long, Double, Long, Long)].head()
+    assert(got === ((7L, 25.0, 4000L, 2L)))
+    out.unpersist()
+  }
+
   test("pageTransitions: per-source ppm rows sum to at most one million") {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val out = EventOps.pageTransitions(spark, sfDir).cache()

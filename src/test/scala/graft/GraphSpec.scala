@@ -64,6 +64,22 @@ class GraphSpec extends SparkSpec {
     conv.release()
   }
 
+  test("labelPropagate: k rounds reach min-within-k-hops; enough rounds = components") {
+    // path 1-2-3-4 plus isolated pair 10-11; labels are hop-bounded minima
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val one = Graph.labelPropagate(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+    val full = Graph.labelPropagate(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // direction/duplication of the input edges is irrelevant (undirected)
+    val messy = Seq((2L, 1L), (2L, 3L), (3L, 2L), (4L, 3L), (11L, 10L), (10L, 11L))
+      .toDF("src", "dst")
+    assert(Graph.labelPropagate(messy, iters = 3)
+      .as[(Long, Long)].collect().toMap === full)
+  }
+
   test("triangleCounts: K4 has four triangles, three per node") {
     // complete graph on 4 nodes: C(4,3) = 4 triangles, each node in 3
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -147,6 +147,19 @@ class RelationalSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("madOutliers: robust stats bound the outlier count, groups cover table") {
+    val m = Relational.madOutliers(spark, sfDir)
+      .as[(String, Double, Double, Long, Long)].collect()
+    assert(m.map(_._1).toSet === Set("A", "N", "R"))
+    m.foreach { case (g, med, mad, nOut, n) =>
+      assert(med > 0 && mad >= 0, s"group $g")
+      // by Chebyshev-like robustness, a 3σ-equivalent screen can never
+      // flag a majority; and the count is within [0, n]
+      assert(nOut >= 0 && nOut < n / 2, s"group $g flagged $nOut of $n")
+    }
+    assert(m.map(_._5).sum === Tables.lineitem(spark, sfDir).count())
+  }
+
   test("cubeAgg contains all four grouping-set shapes") {
     val c = Relational.cubeAgg(spark, sfDir)
     assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)

@@ -458,6 +458,42 @@ class TextOpsSpec extends SparkSpec {
       "size-weighted sampling must overrepresent longer docs on average")
   }
 
+  test("ksSourceLens: D=0 for identical distributions, 1 for disjoint, sup in between") {
+    import spark.implicits._
+    // a and b have identical length multisets; c sits entirely above both
+    val docs = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (4L, "b", 10), (5L, "b", 20), (6L, "b", 30),
+      (7L, "c", 100), (8L, "c", 200)).toDF("doc_id", "source", "n_chars")
+    val d = TextOps.ksSourceLens(docs)
+      .select("a", "b", "ks_d").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(d(("a", "b")) === 0.0)
+    assert(d(("a", "c")) === 1.0 && d(("b", "c")) === 1.0)
+    // shifted overlap: x={10,20}, y={20,30} → sup gap = 1/2 at x=10
+    val shifted = Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 20), (4L, "y", 30))
+      .toDF("doc_id", "source", "n_chars")
+    val ds = TextOps.ksSourceLens(shifted)
+      .select("ks_d").as[Double].head()
+    assert(ds === 0.5)
+  }
+
+  test("kFoldAssign: folds balanced within each stratum, pure function of ids") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val folds = TextOps.kFoldAssign(docs, k = 5)
+    assert(folds.count() === docs.count())
+    // within every stratum fold sizes differ by at most one
+    val spread = folds.groupBy("source", "fold").count()
+      .groupBy("source")
+      .agg((max("count") - min("count")).as("spread"), countDistinct("fold").as("nf"))
+      .as[(String, Long, Long)].collect()
+    assert(spread.forall(_._2 <= 1L), s"unbalanced folds: ${spread.mkString(",")}")
+    // re-sharding moves nothing (salted-hash rank is content-independent)
+    val again = TextOps.kFoldAssign(docs.repartition(7), k = 5)
+    assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
+  }
+
   test("dsirWeights: target-profile docs outscore off-target docs") {
     import spark.implicits._
     // target (en) docs share a bigram vocabulary; the off-target (de) doc
