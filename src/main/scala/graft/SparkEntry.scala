@@ -186,6 +186,13 @@ object SparkEntry {
     "kfold_assign" -> ((s, d) => TextOps.kFoldAssign(Tables.documents(s, d))),
     // robust dispersion: median / MAD / 3σ-equivalent outlier counts
     "mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
+    // sketch-algebra vocabulary overlap: per-pair |A|, |B|, |A∪B| and the
+    // inclusion-exclusion intersection, all from one pass of per-source
+    // HLL registers max-merged at pair level
+    "hll_overlap" -> ((s, d) => RelationalX.hllOverlap(Tables.documents(s, d))),
+    // last-touch attribution: purchases credit the most recent earlier
+    // click/view via an ignoreNulls carry window; exact integer value sums
+    "attribution" -> ((s, d) => EventOps.attribution(s, d)),
     // time-weighted mean over irregular per-user event streams — exact
     // decimal products (value micro-units × gap ms), one final division
     "time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
@@ -1847,6 +1854,63 @@ object SparkEntry {
         |FROM (SELECT doc_id, source,
         |        ('0x'||substr(md5('fold:'||doc_id),1,15))::BIGINT AS h
         |      FROM documents) t""".stripMargin,
+    // hll_overlap: the full register algebra replays — per-source
+    // registers, bucket-wise max merge per pair, the same integer-scaled
+    // estimator as hll_distinct evaluated at single and union level
+    "hll_overlap" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word
+        |             FROM documents),
+        |h AS (SELECT source, ('0x'||substr(md5(word),1,15))::BIGINT AS h
+        |      FROM tok WHERE word <> ''),
+        |b AS (SELECT source, h % 512 AS bucket,
+        |        CASE WHEN h // 512 = 0 THEN 52
+        |             ELSE 52 - length(bin(h // 512)) END AS rho FROM h),
+        |reg AS (SELECT source, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+        |e1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+        |         CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS sum_used
+        |       FROM reg GROUP BY 1),
+        |x1 AS (SELECT source, n_used,
+        |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0
+        |           / CAST(sum_used + (512 - n_used) * (1::BIGINT << 52) AS DOUBLE) AS est_raw
+        |       FROM e1),
+        |f1 AS (SELECT source, round(CASE WHEN n_used < 512 AND est_raw <= 1280.0
+        |         THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est
+        |       FROM x1),
+        |srcs AS (SELECT DISTINCT source FROM reg),
+        |pairs AS (SELECT x.source AS a, y.source AS b
+        |          FROM srcs x JOIN srcs y ON x.source < y.source),
+        |pr AS (SELECT a, b, bucket, max(r) AS r FROM (
+        |         SELECT p.a, p.b, r.bucket, r.r FROM pairs p JOIN reg r ON r.source = p.a
+        |         UNION ALL
+        |         SELECT p.a, p.b, r.bucket, r.r FROM pairs p JOIN reg r ON r.source = p.b) u
+        |       GROUP BY 1, 2, 3),
+        |eu AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_used,
+        |         CAST(sum(1::BIGINT << (52 - r)) AS BIGINT) AS sum_used
+        |       FROM pr GROUP BY 1, 2),
+        |xu AS (SELECT a, b, n_used,
+        |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0
+        |           / CAST(sum_used + (512 - n_used) * (1::BIGINT << 52) AS DOUBLE) AS est_raw
+        |       FROM eu),
+        |fu AS (SELECT a, b, round(CASE WHEN n_used < 512 AND est_raw <= 1280.0
+        |         THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est_union
+        |       FROM xu)
+        |SELECT fu.a, fu.b, fa.est AS est_a, fb.est AS est_b, fu.est_union,
+        |  round(fa.est + fb.est - fu.est_union, 2) AS est_shared
+        |FROM fu JOIN f1 fa ON fu.a = fa.source JOIN f1 fb ON fu.b = fb.source""".stripMargin,
+    // attribution: the ignoreNulls carry window replays verbatim; value
+    // sums are exact micro-unit integers until one final division
+    "attribution" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |              CAST(round(value * 1000000) AS BIGINT) AS vi
+        |            FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |m AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+        |                                THEN event_type END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM ev)
+        |SELECT coalesce(touch, 'direct') AS touch_type, count(*) AS n_purchases,
+        |  round(CAST(sum(vi) AS DOUBLE) / 1e6, 4) AS attributed_value
+        |FROM m WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     // mad_outliers: medians round to 2 decimals BEFORE thresholding so
     // both engines compare identical values
     "mad_outliers" ->

@@ -337,6 +337,42 @@ object EventOps {
         col("den").as("total_ms"), col("n_intervals"))
   }
 
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * STRICTLY-earlier touch event (click or view); purchases with no
+    * preceding touch fall to the `direct` bucket. The `last(..,
+    * ignoreNulls) OVER (rows unbounded preceding → 1 preceding)` carry
+    * is the standard marketing-attribution shape; swapping `last` for
+    * `first` gives first-touch with the identical plan.
+    *
+    * Determinism: purchase values sum as exact micro-unit integers (one
+    * final division), and the carry window orders by (ts, event_id) — a
+    * total order, so same-timestamp events resolve identically on every
+    * engine.
+    *
+    * Scale shape: one shuffle on user_id shared by the window and the
+    * tiny touch-type rollup; the event_type filter prunes before the
+    * exchange.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(spark, dir))
+
+  /** [[attribution]] over a caller-supplied event frame. */
+  def attributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("vi"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("vi").cast("double") / 1e6, 4).as("attributed_value"))
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

@@ -609,21 +609,40 @@ object RelationalX {
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
       p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"hllDistinct: p=$p outside [4, 16]")
+    hllEstimate(hllRegisters(df, Seq(groupCol), valueCol, p), Seq(groupCol), p)
+      .select(col(groupCol), col("n_used"), col("sum_scaled"), col("est_distinct"))
+  }
+
+  /** The register table of the portable HLL sketch: per key, max-rho per
+    * md5-derived bucket. This IS the mergeable sketch state — registers
+    * of a union are the per-bucket max of the parts' registers (exploited
+    * by [[hllOverlap]]).
+    */
+  private def hllRegisters(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, p: Int): DataFrame = {
     val m = 1 << p            // register count
     val maxRho = 60 - p + 1   // rho of an all-zero remainder
-    val pow2MaxRho = 1L << maxRho
-    val hashed = df
-      .select(col(groupCol), Dedup.portableHash64(col(valueCol).cast("string")).as("h"))
-      .select(col(groupCol), (col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+    val keys = keyCols.map(col)
+    df
+      .select(keys :+ Dedup.portableHash64(col(valueCol).cast("string")).as("h"): _*)
+      .select(keys :+ (col("h") % m).as("bucket") :+ expr(s"h div $m").as("w"): _*)
       // bit length via bin(): minimal binary digits in Spark AND DuckDB,
       // so rho = maxRho − bitlen(w) needs no log2 (whose libm rounding
       // differs between engines at power-of-two boundaries)
-      .select(col(groupCol), col("bucket"),
+      .select(keys :+ col("bucket") :+
         when(col("w") === 0, lit(maxRho))
-          .otherwise(lit(maxRho) - length(bin(col("w")))).as("rho"))
-    val registers = hashed.groupBy(col(groupCol), col("bucket"))
+          .otherwise(lit(maxRho) - length(bin(col("w")))).as("rho"): _*)
+      .groupBy(keys :+ col("bucket"): _*)
       .agg(max("rho").as("r"))
-    registers.groupBy(col(groupCol))
+  }
+
+  /** The HLL estimator over a register table, keyed by `keyCols`. */
+  private def hllEstimate(registers: DataFrame, keyCols: Seq[String],
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val pow2MaxRho = 1L << maxRho
+    registers.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_used"),
         sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("sum_used"))
       .withColumn("sum_scaled",
@@ -639,7 +658,47 @@ object RelationalX {
         when(col("n_used") < m && col("est_raw") <= lit(2.5 * m),
           expr(s"$m.0 * ln($m.0 / ($m - n_used))"))
           .otherwise(col("est_raw")), 2))
-      .select(col(groupCol), col("n_used"), col("sum_scaled"), col("est_distinct"))
+  }
+
+  /** Sketch-algebra vocabulary overlap: per source pair, the estimated
+    * distinct-token cardinalities |A|, |B|, |A∪B| and the
+    * inclusion-exclusion intersection |A|+|B|−|A∪B| — all from ONE pass
+    * of per-source HLL registers. The union sketch is the per-bucket MAX
+    * of the two sources' registers (the HLL merge), so the pair stage
+    * touches only sources × m register rows — the corpus is scanned
+    * exactly once, and adding a source to the comparison set costs one
+    * register table, not a rescan. The exact companion is
+    * [[graft.operators.TextOps.sourceOverlap]] (precise but joins the
+    * full (source, word) vocabulary); this is the 100 TB screening pass
+    * that decides WHICH pairs are worth the exact join.
+    *
+    * Every stage (hash, registers, max-merge, integer-scaled estimator)
+    * replays in external SQL — the same portability contract as
+    * [[hllDistinct]].
+    */
+  def hllOverlap(docs: DataFrame, p: Int = 9): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val regs = hllRegisters(tok, Seq("source"), "word", p)
+    val single = hllEstimate(regs, Seq("source"), p)
+      .select(col("source"), col("est_distinct"))
+    val srcs = regs.select("source").distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("a"), col("y.source").as("b"))
+    // union registers = bucket-wise max over the two sources' registers
+    val pairRegs = pairs
+      .join(regs.withColumnRenamed("source", "a"), Seq("a"))
+      .select(col("a"), col("b"), col("bucket"), col("r"))
+      .unionAll(pairs.join(regs.withColumnRenamed("source", "b"), Seq("b"))
+        .select(col("a"), col("b"), col("bucket"), col("r")))
+      .groupBy("a", "b", "bucket").agg(max("r").as("r"))
+    hllEstimate(pairRegs, Seq("a", "b"), p)
+      .select(col("a"), col("b"), col("est_distinct").as("est_union"))
+      .join(single.select(col("source").as("a"), col("est_distinct").as("est_a")), Seq("a"))
+      .join(single.select(col("source").as("b"), col("est_distinct").as("est_b")), Seq("b"))
+      .select(col("a"), col("b"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 2).as("est_shared"))
   }
 
   /** Merge overlapping-or-touching `[start, end]` intervals per key — the

@@ -130,6 +130,27 @@ class EventOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("attribution: purchases credit the latest earlier touch; orphans go direct") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: click → purchase(10), view → purchase(20); user 2: bare purchase(5)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (2L, t("2024-01-01 00:00:10"), 1L, "purchase", 10.0),
+      (3L, t("2024-01-01 00:00:20"), 1L, "view", 0.0),
+      (4L, t("2024-01-01 00:00:30"), 1L, "purchase", 20.0),
+      (5L, t("2024-01-01 00:00:05"), 2L, "purchase", 5.0),
+      (6L, t("2024-01-01 00:00:06"), 2L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.attributionOf(ev)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 10.0)),
+      "view" -> ((1L, 20.0)),
+      "direct" -> ((1L, 5.0))))
+  }
+
   test("pageTransitions: per-source ppm rows sum to at most one million") {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val out = EventOps.pageTransitions(spark, sfDir).cache()

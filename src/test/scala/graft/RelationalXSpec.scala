@@ -203,6 +203,35 @@ class RelationalXSpec extends SparkSpec {
     assert(math.abs(est - 40.0) < 4.0, s"est=$est")
   }
 
+  test("hllOverlap: sketch set algebra tracks exact vocabulary overlap") {
+    val docs = Tables.documents(spark, sfDir)
+    val sk = RelationalX.hllOverlap(docs)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    val vocabSizes = docs
+      .select($"source", explode(split($"text", "\\s+")).as("word"))
+      .where($"word" =!= "").distinct()
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val exact = graft.operators.TextOps.sourceOverlap(docs)
+      .select($"a", $"b", $"shared")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, sh) =>
+        (a, b) -> ((sh, vocabSizes(a) + vocabSizes(b) - sh))
+      }.toMap
+    assert(sk.map(r => (r._1, r._2)).toSet === exact.keySet)
+    sk.foreach { case (a, b, estA, estB, estU, estS) =>
+      val (exShared, exUnion) = exact((a, b))
+      // union inherits the single-sketch error (~4.6% at m=512, 3σ band);
+      // the intersection difference compounds three estimates, so its
+      // absolute error is bounded relative to the UNION size, not the
+      // (possibly tiny) intersection
+      assert(math.abs(estU - exUnion) / exUnion < 0.14,
+        s"($a,$b): est_union=$estU exact=$exUnion")
+      assert(math.abs(estS - exShared) / exUnion < 0.25,
+        s"($a,$b): est_shared=$estS exact=$exShared union=$exUnion")
+      assert(estU <= estA + estB + 0.01) // merge can never exceed the sum
+    }
+  }
+
   test("mergeIntervals: islands split only on true gaps; early long interval spans") {
     val iv = Seq(
       // key 1: [0,10],[5,12],[12,20] merge (overlap + touch); [25,30] apart
