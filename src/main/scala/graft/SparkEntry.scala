@@ -193,6 +193,14 @@ object SparkEntry {
     // last-touch attribution: purchases credit the most recent earlier
     // click/view via an ignoreNulls carry window; exact integer value sums
     "attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    // asymmetric n-gram containment |A∩B|/min(|A|,|B|) — the engulfment
+    // signal Jaccard cannot see; exact within the source block
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))),
+    // rolling 7-day distinct users from windowed HLL register merges —
+    // the sliding COUNT DISTINCT exact aggregation cannot do incrementally
+    "rolling_distinct" -> ((s, d) =>
+      RelationalX.rollingDistinct(Tables.events(s, d))),
     // time-weighted mean over irregular per-user event streams — exact
     // decimal products (value micro-units × gap ms), one final division
     "time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
@@ -1911,6 +1919,50 @@ object SparkEntry {
         |SELECT coalesce(touch, 'direct') AS touch_type, count(*) AS n_purchases,
         |  round(CAST(sum(vi) AS DOUBLE) / 1e6, 4) AS attributed_value
         |FROM m WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // containment_pairs: same shingle construct as ngram_jaccard, ratio
+    // over min set size, unrounded threshold / rounded report
+    "containment_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s)
+        |SELECT a, b, na, nb, round(c, 4) AS containment FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE / least(x.n, y.n) AS c
+        |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |WHERE c >= 0.1""".stripMargin,
+    // rolling_distinct: per-day registers, dense grid, range-window max
+    // merge over the trailing 7 days, shared estimator
+    "rolling_distinct" ->
+      """WITH ev AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |              user_id FROM events),
+        |h AS (SELECT day, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+        |      FROM ev),
+        |b AS (SELECT day, h % 512 AS bucket,
+        |        CASE WHEN h // 512 = 0 THEN 52
+        |             ELSE 52 - length(bin(h // 512)) END AS rho FROM h),
+        |reg AS (SELECT day, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+        |grid AS (SELECT d.day, bk.bucket
+        |         FROM (SELECT DISTINCT day FROM reg) d
+        |         CROSS JOIN (SELECT DISTINCT bucket FROM reg) bk),
+        |g2 AS (SELECT g.day, g.bucket, reg.r
+        |       FROM grid g LEFT JOIN reg ON reg.day = g.day AND reg.bucket = g.bucket),
+        |m AS (SELECT day, bucket, max(r) OVER (PARTITION BY bucket ORDER BY day
+        |        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm FROM g2),
+        |agg AS (SELECT day, CAST(count(rm) AS BIGINT) AS n_used,
+        |          CAST(sum(CASE WHEN rm IS NOT NULL
+        |                        THEN 1::BIGINT << (52 - rm) END) AS BIGINT) AS sum_used
+        |        FROM m GROUP BY 1),
+        |x AS (SELECT day, n_used,
+        |        (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0
+        |          / CAST(sum_used + (512 - n_used) * (1::BIGINT << 52) AS DOUBLE) AS est_raw
+        |      FROM agg)
+        |SELECT day, n_used, round(CASE WHEN n_used < 512 AND est_raw <= 1280.0
+        |  THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est_users
+        |FROM x""".stripMargin,
     // mad_outliers: medians round to 2 decimals BEFORE thresholding so
     // both engines compare identical values
     "mad_outliers" ->

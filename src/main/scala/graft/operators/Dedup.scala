@@ -236,6 +236,63 @@ object Dedup {
       .select(col("a"), col("b"), round(col("_j"), 4).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs within the `source` block: containment
+    * = |A∩B| / min(|A|, |B|) — the asymmetric near-dup signal
+    * [[ngramJaccardPairs]] cannot see. A short document fully embedded in
+    * a long one (quote farms, boilerplate wrappers, partial scrapes) has
+    * near-1 containment but Jaccard ≈ |A|/|B| — arbitrarily low — so a
+    * Jaccard-only dedup pass keeps both copies. Reports every pair at or
+    * above `threshold` with both set sizes, so the caller can
+    * distinguish mutual near-dups (sizes close) from engulfment.
+    *
+    * No size-ratio prefilter exists for containment (ANY size ratio can
+    * reach containment 1), so the quadratic block is guarded by the same
+    * Σblock² probe as [[ngramJaccardPairs]]: above `maxBlockPairs`,
+    * candidates come from shared winnowing fingerprints instead (a
+    * contained span shares its winnow fingerprints with the container —
+    * [[winnowFingerprints]]' guarantee), restricted back to same-source
+    * pairs and exact-verified, trading exhaustive recall for
+    * fingerprint-bucket recall at scale.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.1, k: Int = 3,
+      maxBlockPairs: Long = 25000000L): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val s = docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(par)
+      .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+          .as("sh"))
+      .withColumn("n", size(col("sh")))
+    val load = Option(docs.groupBy("source").count()
+      .agg(sum(col("count") * col("count"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val cand =
+      if (load <= maxBlockPairs)
+        s.as("x").join(s.as("y"),
+            col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      else {
+        val src = docs.select(col("doc_id"), col("source"))
+        val wp = winnowPairs(docs, minShared = 1).select(col("a"), col("b"))
+          .join(src.select(col("doc_id").as("a"), col("source").as("_sa")), Seq("a"))
+          .join(src.select(col("doc_id").as("b"), col("source").as("_sb")), Seq("b"))
+          .where(col("_sa") === col("_sb"))
+          .select("a", "b")
+        wp.join(s.as("x"), col("a") === col("x.doc_id"))
+          .join(s.as("y"), col("b") === col("y.doc_id"))
+      }
+    cand
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      // unrounded threshold, rounded report (ngramJaccardPairs' contract)
+      .withColumn("_c", col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("_c") >= threshold)
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        round(col("_c"), 4).as("containment"))
+  }
+
   /** SimHash per document over the portable 60-bit token hash: each bit of
     * each token's hash contributes +1/-1 to its lane; the sign vector packs
     * back into one long. Computed as 60 codegen'd conditional sums in a

@@ -701,6 +701,38 @@ object RelationalX {
         round(col("est_a") + col("est_b") - col("est_union"), 2).as("est_shared"))
   }
 
+  /** Rolling N-day distinct users per day — the sliding-window COUNT
+    * DISTINCT that exact aggregation cannot do incrementally (distinct
+    * doesn't subtract), solved with sketch algebra: per-day HLL registers
+    * build once from one corpus pass, and each day's trailing window is
+    * the bucket-wise MAX of its last `days` register tables (a range
+    * window over the dense day×bucket grid — days × m tiny rows), then
+    * the shared estimator. Adding a day costs one register table, never
+    * a re-scan of the window — the streaming-friendly shape.
+    *
+    * Day rides as an epoch-day integer so both engines bucket and order
+    * identically (the time-bucket contract of `events_hourly`).
+    */
+  def rollingDistinct(events: DataFrame, days: Int = 7, p: Int = 9): DataFrame = {
+    val keyed = events.select(
+      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
+      col("user_id"))
+    val regs = hllRegisters(keyed, Seq("day"), "user_id", p)
+    // dense (day, bucket) grid: a bucket absent on some day must still
+    // surface earlier days' registers through the window
+    val grid = regs.select("day").distinct()
+      .crossJoin(regs.select("bucket").distinct())
+      .join(regs, Seq("day", "bucket"), "left")
+    val w = Window.partitionBy("bucket").orderBy("day")
+      .rangeBetween(-(days - 1), Window.currentRow)
+    val merged = grid
+      .withColumn("rm", max("r").over(w))
+      .where(col("rm").isNotNull)
+      .select(col("day"), col("bucket"), col("rm").as("r"))
+    hllEstimate(merged, Seq("day"), p)
+      .select(col("day"), col("n_used"), col("est_distinct").as("est_users"))
+  }
+
   /** Merge overlapping-or-touching `[start, end]` intervals per key — the
     * classic gaps-and-islands rewrite: an interval starts a new island iff
     * its start exceeds the running max of every earlier interval's end

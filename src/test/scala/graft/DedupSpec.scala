@@ -97,6 +97,28 @@ class DedupSpec extends SparkSpec {
     assert(exact === guarded)
   }
 
+  test("containmentPairs sees engulfment that Jaccard misses; guard path agrees") {
+    // doc 2 is the first 12 tokens of doc 1 → containment 1.0 but
+    // jaccard ≈ 10/38 ≈ 0.26; doc 3 unrelated
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "s1"), (2L, short, "s1"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._5 === 1.0)
+    // jaccard at the same bar finds nothing — the asymmetric signal
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.9).count() === 0)
+    // Σblock² guard → winnow-candidate path; a fully-contained span
+    // shares fingerprints with its container, so the pair survives
+    val guarded = Dedup.containmentPairs(docs, threshold = 0.9, maxBlockPairs = 1L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(guarded === Set((1L, 2L)))
+  }
+
   test("resolveClusters: concurrent resolves don't unpersist each other's state") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

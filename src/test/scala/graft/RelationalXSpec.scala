@@ -232,6 +232,26 @@ class RelationalXSpec extends SparkSpec {
     }
   }
 
+  test("rollingDistinct tracks the exact trailing-window distinct count") {
+    import org.apache.spark.sql.functions.{col => c, countDistinct, datediff, lit, to_date}
+    val ev = Tables.events(spark, sfDir)
+      .select(datediff(to_date(c("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).as("day"), c("user_id"))
+    val days = ev.select("day").distinct().as[Int].collect().sorted
+    // exact trailing-7-day distinct per day (small fixture: direct join)
+    val exact = days.map { d =>
+      d -> ev.where(c("day").between(d - 6, d))
+        .agg(countDistinct("user_id")).head().getLong(0)
+    }.toMap
+    val est = RelationalX.rollingDistinct(Tables.events(spark, sfDir))
+      .select("day", "est_users").as[(Int, Double)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(est(d) - n) / n.toDouble < 0.14,
+        s"day $d: est=${est(d)} exact=$n")
+    }
+  }
+
   test("mergeIntervals: islands split only on true gaps; early long interval spans") {
     val iv = Seq(
       // key 1: [0,10],[5,12],[12,20] merge (overlap + touch); [25,30] apart
