@@ -680,7 +680,12 @@ object RelationalX {
     val tok = docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
       .where(col("word") =!= "")
-    val regs = hllRegisters(tok, Seq("source"), "word", p)
+    // four downstream reads (single estimates, source list, both pair
+    // sides); the table is sources × m rows — persist behind a count
+    // barrier so the token explode + register aggregate runs once
+    // (pqTopK's pinned-tiny contract, LRU-evictable)
+    val regs = hllRegisters(tok, Seq("source"), "word", p).persist()
+    regs.count()
     val single = hllEstimate(regs, Seq("source"), p)
       .select(col("source"), col("est_distinct"))
     val srcs = regs.select("source").distinct()
@@ -717,7 +722,12 @@ object RelationalX {
     val keyed = events.select(
       datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
       col("user_id"))
-    val regs = hllRegisters(keyed, Seq("day"), "user_id", p)
+    // the register table is read three times (day list, bucket list, the
+    // grid join) — composed lazily each branch replays the corpus scan +
+    // register aggregate. It is days × m tiny rows: persist behind a
+    // count barrier (pqTopK's pinned-tiny contract, LRU-evictable)
+    val regs = hllRegisters(keyed, Seq("day"), "user_id", p).persist()
+    regs.count()
     // dense (day, bucket) grid: a bucket absent on some day must still
     // surface earlier days' registers through the window
     val grid = regs.select("day").distinct()
