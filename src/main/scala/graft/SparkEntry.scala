@@ -201,6 +201,13 @@ object SparkEntry {
     // the sliding COUNT DISTINCT exact aggregation cannot do incrementally
     "rolling_distinct" -> ((s, d) =>
       RelationalX.rollingDistinct(Tables.events(s, d))),
+    // top behavior trigrams over per-user timelines (funnel discovery)
+    "event_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
+    // tokenizer-fertility profile per language (chars/token, tokens/doc)
+    "lang_fertility" -> ((s, d) => TextOps.langFertility(Tables.documents(s, d))),
+    // symmetric bounded source divergence (JSD vs the corpus midpoint) —
+    // sourceKl's finite sibling, integer nano-bit term sums
+    "jsd_sources" -> ((s, d) => TextOps.jsdSources(Tables.documents(s, d))),
     // time-weighted mean over irregular per-user event streams — exact
     // decimal products (value micro-units × gap ms), one final division
     "time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
@@ -1919,6 +1926,49 @@ object SparkEntry {
         |SELECT coalesce(touch, 'direct') AS touch_type, count(*) AS n_purchases,
         |  round(CAST(sum(vi) AS DOUBLE) / 1e6, 4) AS attributed_value
         |FROM m WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // event_trigrams: two leads over the (ts, event_id) total order, one
+    // count aggregate, deterministic (n desc, trigram) cut at 20
+    "event_trigrams" ->
+      """WITH seq AS (SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS trigram, count(*) AS n
+        |FROM seq WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+    // lang_fertility: exact integer sums, two rounded ratios
+    "lang_fertility" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / sum(toks), 4) AS chars_per_token,
+        |  round(CAST(sum(toks) AS DOUBLE) / count(*), 4) AS tokens_per_doc
+        |FROM d GROUP BY lang""".stripMargin,
+    // jsd_sources: in-support terms integer-scaled to nano-bits; the
+    // out-of-support corpus tail is 1 − Σ q (no cross product needed)
+    "jsd_sources" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word
+        |             FROM documents),
+        |bysrc AS (SELECT source, word, count(*) AS cs FROM tok GROUP BY source, word),
+        |ns AS (SELECT source, word, cs, sum(cs) OVER (PARTITION BY source) AS ns
+        |       FROM bysrc),
+        |corpus AS (SELECT word, count(*) AS cc FROM tok GROUP BY word),
+        |t AS (SELECT count(*) AS nc FROM tok),
+        |terms AS (SELECT source,
+        |    CAST(round((
+        |      (cs / ns::DOUBLE)
+        |        * log2(2.0 * (cs / ns::DOUBLE)
+        |               / ((cs / ns::DOUBLE) + (cc / nc::DOUBLE)))
+        |      + (cc / nc::DOUBLE)
+        |        * log2(2.0 * (cc / nc::DOUBLE)
+        |               / ((cs / ns::DOUBLE) + (cc / nc::DOUBLE)))
+        |    ) * 1e9, 0) AS BIGINT) AS it,
+        |    CAST(round((cc / nc::DOUBLE) * 1e9, 0) AS BIGINT) AS qm
+        |  FROM ns JOIN corpus USING (word) CROSS JOIN t)
+        |SELECT source,
+        |  round((sum(it) + 1000000000 - sum(qm)) / 2.0 / 1e9, 6) AS jsd_bits
+        |FROM terms GROUP BY source""".stripMargin,
     // containment_pairs: same shingle construct as ngram_jaccard, ratio
     // over min set size, unrounded threshold / rounded report
     "containment_pairs" ->

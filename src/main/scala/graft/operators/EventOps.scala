@@ -373,6 +373,28 @@ object EventOps {
         round(sum("vi").cast("double") / 1e6, 4).as("attributed_value"))
   }
 
+  /** Top event-type trigrams across per-user timelines — the path-mining
+    * rollup behind funnel discovery (which 3-step behavior sequences
+    * actually occur, before committing to a [[funnel]] definition).
+    * Trigrams form per user with two `lead`s over the (ts, event_id)
+    * total order; the global count is one map-side-combined aggregate and
+    * the top-k is a sort-limit (TakeOrderedAndProject — never a global
+    * window). Ties break on the trigram string for a deterministic cut.
+    */
+  def eventTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(concat_ws(">", col("event_type"),
+        lead(col("event_type"), 1).over(w),
+        lead(col("event_type"), 2).over(w)).as("trigram"),
+        lead(col("event_type"), 2).over(w).as("_last"))
+      .where(col("_last").isNotNull)
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(k)
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

@@ -628,6 +628,70 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("fold"))
   }
 
+  /** Tokenizer-fertility profile per language: characters per
+    * whitespace token and tokens per document — the first-order check
+    * before committing a tokenizer budget to a multilingual corpus
+    * (scripts with long words or no spacing blow up per-token byte
+    * budgets). Exact integer sums, two rounded ratios at the end; one
+    * map-side-combined aggregate.
+    */
+  def langFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        round(sum("n_chars").cast("double") / sum("toks"), 4).as("chars_per_token"),
+        round(sum("toks").cast("double") / count(lit(1)), 4).as("tokens_per_doc"))
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * against the corpus distribution — [[sourceKl]]'s symmetric, bounded
+    * ([0, 1] bit) sibling: KL explodes on source-exclusive tokens and is
+    * asymmetric; JSD against the midpoint M = (P+C)/2 is finite always,
+    * which makes cross-source comparisons and mixing-weight math stable.
+    *
+    * Both KL(P‖M) and KL(C‖M) restricted to the source's support come
+    * from the SAME joined (source, word) frame; the corpus-side tail over
+    * words the source lacks needs no cross product — there p = 0, so each
+    * term is q·log₂(2q/q) = q, and the tail sums to 1 − Σ_{w∈S} q_w,
+    * computed from the support sum. Terms are integer-scaled (×10⁹,
+    * rounded) before summing, so per-source totals are order-independent
+    * (the [[sourceKl]] determinism contract).
+    *
+    * Scale shape: identical to [[sourceKl]] — per-(source, word) counts,
+    * tiny totals joined back, one rollup; no new shuffle.
+    */
+  def jsdSources(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), "\\s+")).as("word"))
+    val srcCounts = tok.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+    val srcTotals = srcCounts.groupBy("source").agg(sum("cs").as("ns"))
+    val corpus = srcCounts.groupBy("word").agg(sum("cs").as("cc"))
+    val total = corpus.agg(sum("cc").as("nc"))
+    srcCounts.join(srcTotals, "source")
+      .join(corpus, "word")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        // p·lg(2p/(p+q)) + q·lg(2q/(p+q)) per in-support word, and the
+        // q mass itself (for the out-of-support tail), each scaled to
+        // integer nano-bits
+        expr("""cast(round((
+               |  (cs / cast(ns as double))
+               |    * log2(2.0 * (cs / cast(ns as double))
+               |           / ((cs / cast(ns as double)) + (cc / cast(nc as double))))
+               |  + (cc / cast(nc as double))
+               |    * log2(2.0 * (cc / cast(nc as double))
+               |           / ((cs / cast(ns as double)) + (cc / cast(nc as double))))
+               |) * 1e9, 0) as bigint)""".stripMargin).as("it"),
+        expr("cast(round((cc / cast(nc as double)) * 1e9, 0) as bigint)").as("qm"))
+      .groupBy("source")
+      .agg(((sum(col("it")) + lit(1000000000L) - sum(col("qm"))) / lit(2.0) / 1e9)
+        .as("_jsd_raw"))
+      .select(col("source"), round(col("_jsd_raw"), 6).as("jsd_bits"))
+  }
+
   /** Deterministic source mixing: sample each source at its target rate by
     * thresholding the content-independent md5(doc_id) hash — the
     * data-mixing primitive that turns per-domain weights into a concrete

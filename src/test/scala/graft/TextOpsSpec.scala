@@ -494,6 +494,36 @@ class TextOpsSpec extends SparkSpec {
     assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
   }
 
+  test("jsdSources: zero for a distribution-identical source, bounded by 1 bit") {
+    import spark.implicits._
+    // s1 and s2 share the exact token distribution; s3 is fully disjoint
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),
+      (3L, "x y z w", "s3")).toDF("doc_id", "text", "source")
+    val jsd = TextOps.jsdSources(docs)
+      .as[(String, Double)].collect().toMap
+    // s1's distribution equals neither corpus (corpus is the 2/3-1/3 mix)
+    // but s1 and s2 must score identically; all values in [0, 1]
+    assert(jsd("s1") === jsd("s2"))
+    assert(jsd.values.forall(v => v >= 0.0 && v <= 1.0), jsd.toString)
+    // the disjoint source diverges more than the majority-mix sources
+    assert(jsd("s3") > jsd("s1"))
+    // one-source corpus: P = C exactly → JSD 0
+    val solo = TextOps.jsdSources(docs.where($"source" === "s1"))
+      .as[(String, Double)].collect().toMap
+    assert(solo("s1") === 0.0)
+  }
+
+  test("langFertility: ratios consistent with the integer sums") {
+    val f = TextOps.langFertility(Tables.documents(spark, sfDir))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(f.nonEmpty)
+    f.foreach { case (lang, nDocs, nToks, nChars, cpt, tpd) =>
+      assert(math.abs(cpt - nChars.toDouble / nToks) < 1e-4, lang)
+      assert(math.abs(tpd - nToks.toDouble / nDocs) < 1e-4, lang)
+    }
+  }
+
   test("dsirWeights: target-profile docs outscore off-target docs") {
     import spark.implicits._
     // target (en) docs share a bigram vocabulary; the off-target (de) doc
