@@ -870,7 +870,7 @@ object SparkEntry {
     "quantiles_sketch" ->
       """WITH r AS (SELECT l_returnflag,
         |  ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT AS h,
-        |  CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
         |rk AS (SELECT l_returnflag, cents,
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h, cents) AS rn,
         |         count(*) OVER (PARTITION BY l_returnflag) AS n

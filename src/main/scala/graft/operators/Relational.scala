@@ -369,7 +369,10 @@ object Relational {
       col("l_returnflag"),
       Dedup.portableHash64(
         concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"),
-      (col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      // round BEFORE the cast: price*100 lands epsilon under the exact
+      // cent about half the time, and a bare cast truncates in Spark but
+      // rounds in DuckDB — the explicit round makes both engines agree
+      round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
     val sk = rows.groupBy("l_returnflag")
       .agg(graft.functions.BottomK.bottomK(col("h"), col("cents"), k).as("smp"),
         count(lit(1)).as("n"))
