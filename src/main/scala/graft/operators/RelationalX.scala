@@ -613,6 +613,18 @@ object RelationalX {
       .select(col(groupCol), col("n_used"), col("sum_scaled"), col("est_distinct"))
   }
 
+  /** Per-day HLL registers over the event stream's user ids — the
+    * maintained sketch state under [[rollingDistinct]]. `max` per (day,
+    * bucket) is a monotone streaming-safe aggregate, so the SAME plan
+    * runs on a `readStream` frame (complete mode converges to the batch
+    * registers — pinned by StreamingSpec's parity test via
+    * `graft.streaming.EventStreams.distinctSketchStream`).
+    */
+  private[graft] def dayRegisters(events: DataFrame, p: Int = 9): DataFrame =
+    hllRegisters(events.select(
+      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
+      col("user_id")), Seq("day"), "user_id", p)
+
   /** The register table of the portable HLL sketch: per key, max-rho per
     * md5-derived bucket. This IS the mergeable sketch state — registers
     * of a union are the per-bucket max of the parts' registers (exploited
@@ -719,14 +731,11 @@ object RelationalX {
     * identically (the time-bucket contract of `events_hourly`).
     */
   def rollingDistinct(events: DataFrame, days: Int = 7, p: Int = 9): DataFrame = {
-    val keyed = events.select(
-      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
-      col("user_id"))
     // the register table is read three times (day list, bucket list, the
     // grid join) — composed lazily each branch replays the corpus scan +
     // register aggregate. It is days × m tiny rows: persist behind a
     // count barrier (pqTopK's pinned-tiny contract, LRU-evictable)
-    val regs = hllRegisters(keyed, Seq("day"), "user_id", p).persist()
+    val regs = dayRegisters(events, p).persist()
     regs.count()
     // dense (day, bucket) grid: a bucket absent on some day must still
     // surface earlier days' registers through the window

@@ -26,6 +26,18 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Streaming distinct-user sketch: maintain the per-day HLL registers
+    * of `RelationalX.rollingDistinct` incrementally — `max` per (day,
+    * bucket) is monotone, so complete-mode output converges to exactly
+    * the batch register table (parity-pinned in StreamingSpec), and a
+    * downstream consumer runs the windowed merge + estimator over the
+    * tiny register sink whenever it wants the rolling numbers. This is
+    * the incremental path the batch op's docstring promises: a new day
+    * of events touches only that day's registers, never a window rescan.
+    */
+  def distinctSketchStream(events: DataFrame, p: Int = 9): DataFrame =
+    graft.operators.RelationalX.dayRegisters(events, p)
+
   /** Sliding-window event rate. */
   def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =

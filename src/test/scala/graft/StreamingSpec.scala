@@ -341,6 +341,15 @@ class StreamingSpec extends SparkSpec {
     assert(perUser === want)
   }
 
+  test("batch parity: distinctSketchStream registers equal the batch registers") {
+    val got = streamed(Tables.events(spark, sfDir), "parity_registers", "complete")(
+      EventStreams.distinctSketchStream(_))
+      .as[(Int, Long, Int)].collect().toSet
+    val want = graft.operators.RelationalX.dayRegisters(Tables.events(spark, sfDir))
+      .as[(Int, Long, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("batch parity: dedupStream (AvailableNow) equals batch dropDuplicates") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
