@@ -112,7 +112,7 @@ object Graph {
       // outdeg); a single scalar, broadcast back into the update
       val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      var next = r.select(col("node"), col("r").as("r_old"))
+      val stepped = r.select(col("node"), col("r").as("r_old"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
@@ -120,6 +120,9 @@ object Graph {
           (lit(Unit_ * (dampDen - dampNum) / dampDen) +
             expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
             .as("r"))
+      // fixed-iteration mode never reads r_old — drop it before the
+      // persist so the cached rank table stays two columns
+      var next = (if (stopDeltaMicro >= 0L) stepped else stepped.drop("r_old"))
         .persist()
       if (stopDeltaMicro >= 0L) {
         // convergence probe doubles as the materialization barrier: one
@@ -200,7 +203,16 @@ object Graph {
     * persist + parent-release discipline of [[pageRank]]. Label table is
     * |nodes| rows × 2 ints — the only moving state.
     */
-  def labelPropagate(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagate(edges: DataFrame, iters: Int = 3): DataFrame =
+    labelPropagateReleasable(edges, iters)._1
+
+  /** [[labelPropagate]] plus a release hook for the final label cache the
+    * returned plan pins (the [[pageRankReleasable]] contract: call after
+    * materializing; lineage stays intact, so a later recompute is slow
+    * but correct).
+    */
+  def labelPropagateReleasable(edges: DataFrame,
+      iters: Int = 3): (DataFrame, () => Unit) = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -226,7 +238,8 @@ object Graph {
       i += 1
     }
     e.unpersist(blocking = false)
-    labels
+    val finalLabels = labels
+    (finalLabels, () => finalLabels.unpersist(blocking = false))
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation (the

@@ -344,10 +344,21 @@ object Similarity {
     * The assignment frame is persisted behind a count barrier (it feeds
     * the size probe, both self-join sides and the final flag join);
     * like [[pqTopK]]'s codebook it stays pinned for the life of the
-    * returned plan and is LRU-evictable.
+    * returned plan and is LRU-evictable — long-lived sessions should use
+    * [[semDedupReleasable]] and call the hook once the result is
+    * materialized.
     */
   def semDedup(embeddings: DataFrame, kClusters: Int = 8, iters: Int = 2,
-      minSim: Double = 0.6, maxClusterPairs: Long = 10000000L): DataFrame = {
+      minSim: Double = 0.6, maxClusterPairs: Long = 10000000L): DataFrame =
+    semDedupReleasable(embeddings, kClusters, iters, minSim, maxClusterPairs)._1
+
+  /** [[semDedup]] plus the release hook for the pinned assignment frame
+    * (call AFTER materializing the result; lineage stays intact, so a
+    * later recompute is slow but correct).
+    */
+  def semDedupReleasable(embeddings: DataFrame, kClusters: Int = 8,
+      iters: Int = 2, minSim: Double = 0.6,
+      maxClusterPairs: Long = 10000000L): (DataFrame, () => Unit) = {
     val a = kmeansAssignFull(embeddings, kClusters, iters)
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
       .persist()
@@ -381,10 +392,11 @@ object Similarity {
         exactPairDrops(a.where(!col("cid").isin(oversized: _*)))
           .union(lshDrops)
       }).distinct()
-    a.select("vec_id", "cid")
+    val out = a.select("vec_id", "cid")
       .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("hit"), lit(false)).as("dropped"))
+    (out, () => a.unpersist(blocking = false))
   }
 
   /** Persist an IVF index: the deterministic centroid table plus the

@@ -64,6 +64,16 @@ class GraphSpec extends SparkSpec {
     conv.release()
   }
 
+  test("labelPropagateReleasable: release hook drops every pinned RDD") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (labels, release) = Graph.labelPropagateReleasable(edges, iters = 2)
+    assert(labels.count() === 5)
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() left RDDs pinned: $leaked")
+  }
+
   test("labelPropagate: k rounds reach min-within-k-hops; enough rounds = components") {
     // path 1-2-3-4 plus isolated pair 10-11; labels are hop-bounded minima
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")

@@ -190,6 +190,18 @@ class SimilaritySpec extends SparkSpec {
     assert(gd.subsetOf(ud), s"unsound drops: ${gd -- ud}")
   }
 
+  test("semDedupReleasable: hook unpins the assignment cache, rows unchanged") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plain = Similarity.semDedup(e, minSim = 0.6).collect().toSet
+    val (df, release) = Similarity.semDedupReleasable(e, minSim = 0.6)
+    assert(df.collect().toSet === plain)
+    val during = spark.sparkContext.getPersistentRDDs.size
+    release()
+    // the corpus-scale assignment frame is gone (the k-row centroid
+    // table of the inner Lloyd loop stays, by the pinned-tiny contract)
+    assert(spark.sparkContext.getPersistentRDDs.size < during)
+  }
+
   test("semDedup drops near-duplicates cluster-locally, keeps the lowest id") {
     // two exact-duplicate groups plus two isolated vectors; with k=2 the
     // duplicates land in the same cluster by construction (identical
