@@ -68,4 +68,39 @@ class EdgeCasesSpec extends SparkSpec {
     val build = Seq.empty[(Long, String)].toDF("k", "tag")
     assert(Prune.bloomPrunedJoin(probe, build, "k", "k").count() === 0)
   }
+
+  test("round-7 text/doc ops on empty and degenerate corpora") {
+    // empty corpus: no pairs, no folds, no divergences — and no crashes
+    assert(TextOps.ksSourceLens(emptyDocs).count() === 0)
+    assert(TextOps.kFoldAssign(emptyDocs).count() === 0)
+    assert(TextOps.jsdSources(emptyDocs).count() === 0)
+    assert(TextOps.langFertility(emptyDocs).count() === 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0)
+    assert(graft.operators.RelationalX.hllOverlap(emptyDocs).count() === 0)
+    // one source: every pairwise op is empty, per-source ops still emit
+    val solo = Seq((1L, "a b c", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.ksSourceLens(solo).count() === 0)
+    assert(graft.operators.RelationalX.hllOverlap(solo).count() === 0)
+    assert(TextOps.jsdSources(solo).count() === 1)
+    assert(TextOps.kFoldAssign(solo).count() === 1)
+  }
+
+  test("round-7 graph/event ops on empty and single-row inputs") {
+    val noEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(graft.operators.Graph.labelPropagate(noEdges, iters = 2).count() === 0)
+    val res = graft.operators.Graph.pageRankUntil(noEdges, epsMicro = 0L)
+    assert(res.ranks.count() === 0)
+    res.release()
+    // a lone event has no holding interval and no attributable purchase
+    val oneEvent = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.operators.EventOps.timeWeightedAvgOf(oneEvent).count() === 0)
+    val attr = graft.operators.EventOps.attributionOf(oneEvent)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(attr === Seq(("direct", 1L, 5.0)))
+  }
 }
