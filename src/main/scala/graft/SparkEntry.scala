@@ -179,6 +179,10 @@ object SparkEntry {
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
       Graph.labelPropagate(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // value-weighted PageRank over the trade graph: edge weights
+    // ppm-normalized once, every division truncating integer math
+    "pagerank_weighted" -> ((s, d) =>
+      Graph.pageRankWeighted(Graph.tradeEdgesWeighted(s, d)).ranks),
     // pairwise two-sample KS statistic over per-doc lengths (n_chars):
     // exact integer CDFs on a shared support grid, one FP division at the end
     "ks_source" -> ((s, d) => TextOps.ksSourceLens(Tables.documents(s, d))),
@@ -1821,6 +1825,46 @@ object SparkEntry {
         |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
         |      UNION ALL SELECT k3 FROM t)
         |SELECT k % 4294967296 AS node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin,
+    // pagerank_weighted: ppm-normalized weights once, then three rounds
+    // of (r·wn) div 10⁶ contributions — all truncating integer math
+    "pagerank_weighted" ->
+      """WITH raw AS (SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |               'C' || CAST(o_custkey AS VARCHAR) AS dst,
+        |               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |agg AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM agg GROUP BY 1),
+        |e AS (SELECT agg.src, agg.dst, (agg.w * 1000000) // ow.sw AS wn
+        |      FROM agg JOIN ow ON agg.src = ow.src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ho AS (SELECT DISTINCT src FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r0.r * e.wn) // 1000000) AS BIGINT) AS c
+        |       FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r0 LEFT JOIN ho ON r0.node = ho.src WHERE ho.src IS NULL),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c1.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node
+        |       CROSS JOIN d1 CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r1.r * e.wn) // 1000000) AS BIGINT) AS c
+        |       FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r1 LEFT JOIN ho ON r1.node = ho.src WHERE ho.src IS NULL),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c2.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node
+        |       CROSS JOIN d2 CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, CAST(sum((r2.r * e.wn) // 1000000) AS BIGINT) AS c
+        |       FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r2 LEFT JOIN ho ON r2.node = ho.src WHERE ho.src IS NULL),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c3.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
+        |       CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin,
     // label_prop: three verbatim min-label rounds over the doubled
     // co-purchase edge list (labelᵢ₊₁ = min(self, min neighbor))
     "label_prop" ->

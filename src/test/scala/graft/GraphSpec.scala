@@ -64,6 +64,25 @@ class GraphSpec extends SparkSpec {
     conv.release()
   }
 
+  test("pageRankWeighted: rank flows along weights; hand-checked one iteration") {
+    // S1 sends 75% of its mass to C1, 25% to C2 (w 3:1); customers dangle.
+    // wn: C1=750000, C2=250000. iter1 by hand (dang=2e6, n=3, d//n=666666):
+    //   S1 = 150000 + (85·666666)//100            = 716666
+    //   C1 = 150000 + (85·(750000+666666))//100   = 1354166
+    //   C2 = 150000 + (85·(250000+666666))//100   = 929166
+    val edges = Seq(("S1", "C1", 3L), ("S1", "C2", 1L)).toDF("src", "dst", "w")
+    val res = Graph.pageRankWeighted(edges, iters = 1)
+    val got = res.ranks.as[(String, Long)].collect().toMap
+    assert(got === Map("S1" -> 716666L, "C1" -> 1354166L, "C2" -> 929166L))
+    res.release()
+    // duplicate edges collapse by summing weight before normalizing
+    val dup = Seq(("S1", "C1", 2L), ("S1", "C1", 1L), ("S1", "C2", 1L))
+      .toDF("src", "dst", "w")
+    val res2 = Graph.pageRankWeighted(dup, iters = 1)
+    assert(res2.ranks.as[(String, Long)].collect().toMap === got)
+    res2.release()
+  }
+
   test("labelPropagateReleasable: release hook drops every pinned RDD") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.keySet
