@@ -190,6 +190,10 @@ object SparkEntry {
     "kfold_assign" -> ((s, d) => TextOps.kFoldAssign(Tables.documents(s, d))),
     // robust dispersion: median / MAD / 3σ-equivalent outlier counts
     "mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
+    // tail-robust means: clip into [p05, p95], report raw vs clipped
+    "winsorized" -> ((s, d) => Relational.winsorizedMeans(s, d)),
+    // signup → first-qualifying-purchase latency + conversion rate
+    "time_to_convert" -> ((s, d) => EventOps.timeToConvert(s, d)),
     // sketch-algebra vocabulary overlap: per-pair |A|, |B|, |A∪B| and the
     // inclusion-exclusion intersection, all from one pass of per-source
     // HLL registers max-merged at pair level
@@ -2072,6 +2076,38 @@ object SparkEntry {
         |  count(*) AS n
         |FROM dev d JOIN mad m USING (l_returnflag)
         |GROUP BY 1""".stripMargin,
+    // winsorized: clip bounds round to cents BEFORE use, so both engines
+    // clip identically; means by the q1_pricing avg precedent
+    "winsorized" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |b AS (SELECT l_returnflag, round(quantile_cont(v, 0.05), 2) AS b_lo,
+        |        round(quantile_cont(v, 0.95), 2) AS b_hi FROM li GROUP BY 1)
+        |SELECT li.l_returnflag, any_value(b_lo) AS b_lo, any_value(b_hi) AS b_hi,
+        |  round(avg(v), 2) AS mean_raw,
+        |  round(avg(greatest(least(v, b_hi), b_lo)), 2) AS mean_wins,
+        |  CAST(sum(CASE WHEN v < b_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  count(*) AS n
+        |FROM li JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin,
+    // time_to_convert: integer-second latencies; only the final
+    // interpolated quantiles and the rate are FP
+    "time_to_convert" ->
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |       WHERE event_type = 'purchase'),
+        |fp AS (SELECT su.user_id, min(p_us) AS p_us
+        |       FROM su JOIN pu ON su.user_id = pu.user_id AND p_us >= s_us
+        |       GROUP BY 1),
+        |conv AS (SELECT su.user_id,
+        |           CASE WHEN fp.p_us IS NOT NULL
+        |                THEN (fp.p_us - su.s_us) // 1000000 END AS delta_s
+        |         FROM su LEFT JOIN fp ON su.user_id = fp.user_id)
+        |SELECT count(*) AS n_signups, count(delta_s) AS n_converted,
+        |  round(count(delta_s)::DOUBLE / count(*), 4) AS cvr,
+        |  round(quantile_cont(delta_s, 0.5), 1) AS p50_s,
+        |  round(quantile_cont(delta_s, 0.9), 1) AS p90_s
+        |FROM conv""".stripMargin,
     // time_weighted_avg: exact HUGEINT products (value micro-units × gap
     // ms) mirror Spark's decimal(38,0) sums; one final double division
     "time_weighted_avg" ->

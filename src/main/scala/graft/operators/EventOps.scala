@@ -395,6 +395,40 @@ object EventOps {
       .limit(k)
   }
 
+  /** Time-to-conversion funnel summary: per signed-up user, the latency
+    * from FIRST signup to the first purchase at-or-after it; one output
+    * row with the conversion rate and exact latency quantiles. Quantiles
+    * use exact `percentile` over converted users — the bounded-group
+    * contract (one group; for unbounded use the [[graft.operators
+    * .Relational.quantilesSketch]] sample first).
+    *
+    * Scale shape: two filtered min-aggregates on user_id, one join, one
+    * global rollup; latencies are exact integer seconds so every stage
+    * up to the final interpolation replays portably.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    // first QUALIFYING purchase via inner join, then left-joined back so
+    // users whose only purchases precede signup still count as signups
+    val firstP = signup.join(purchase, Seq("user_id"))
+      .where(col("p_us") >= col("s_us"))
+      .groupBy("user_id").agg(min("p_us").as("p_us"))
+    val conv = signup.join(firstP, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_us").isNotNull,
+          expr("(p_us - s_us) div 1000000")).as("delta_s"))
+    conv.agg(
+      count(lit(1)).as("n_signups"),
+      count(col("delta_s")).as("n_converted"),
+      round(count(col("delta_s")).cast("double") / count(lit(1)), 4).as("cvr"),
+      round(percentile(col("delta_s"), lit(0.5)), 1).as("p50_s"),
+      round(percentile(col("delta_s"), lit(0.9)), 1).as("p90_s"))
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

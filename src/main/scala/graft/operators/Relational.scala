@@ -427,6 +427,33 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Winsorized group means: clip values into [p05, p95] (exact
+    * interpolated percentiles, rounded to cents before use so both
+    * engines clip at identical bounds) and report raw vs clipped means
+    * plus the clip counts — the tail-robust mean that keeps sample size,
+    * where trimming discards and [[madOutliers]] only flags. Same
+    * bounded-group `percentile` contract as [[madOutliers]].
+    */
+  def winsorizedMeans(spark: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(round(percentile(col("v"), lit(lo)), 2).as("b_lo"),
+        round(percentile(col("v"), lit(hi)), 2).as("b_hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        first("b_lo").as("b_lo"),
+        first("b_hi").as("b_hi"),
+        round(avg("v"), 2).as("mean_raw"),
+        round(avg(greatest(least(col("v"), col("b_hi")), col("b_lo"))), 2)
+          .as("mean_wins"),
+        sum(when(col("v") < col("b_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("b_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -151,6 +151,15 @@ class EventOpsSpec extends SparkSpec {
       "direct" -> ((1L, 5.0))))
   }
 
+  test("timeToConvert: rates and quantiles are internally consistent") {
+    val r = EventOps.timeToConvert(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val (nSign, nConv, cvr, p50, p90) = r
+    assert(nSign > 0 && nConv <= nSign)
+    assert(math.abs(cvr - nConv.toDouble / nSign) < 1e-4)
+    assert(p50 >= 0 && p90 >= p50, s"p50=$p50 p90=$p90")
+  }
+
   test("pageTransitions: per-source ppm rows sum to at most one million") {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val out = EventOps.pageTransitions(spark, sfDir).cache()

@@ -160,6 +160,18 @@ class RelationalSpec extends SparkSpec {
     assert(m.map(_._5).sum === Tables.lineitem(spark, sfDir).count())
   }
 
+  test("winsorizedMeans: clipped mean sits inside the clip bounds") {
+    val w = Relational.winsorizedMeans(spark, sfDir)
+      .as[(String, Double, Double, Double, Double, Long, Long, Long)].collect()
+    assert(w.map(_._1).toSet === Set("A", "N", "R"))
+    w.foreach { case (g, bLo, bHi, _, meanW, clipLo, clipHi, n) =>
+      assert(bLo < bHi, g)
+      assert(meanW >= bLo && meanW <= bHi, s"$g: $meanW outside [$bLo, $bHi]")
+      // ~5% clipped each side at these percentiles
+      assert(clipLo + clipHi < n / 5, s"$g clipped ${clipLo + clipHi} of $n")
+    }
+  }
+
   test("cubeAgg contains all four grouping-set shapes") {
     val c = Relational.cubeAgg(spark, sfDir)
     assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)
