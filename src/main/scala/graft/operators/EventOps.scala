@@ -397,16 +397,17 @@ object EventOps {
 
   /** Time-to-conversion funnel summary: per signed-up user, the latency
     * from FIRST signup to the first purchase at-or-after it; one output
-    * row with the conversion rate and exact latency quantiles. Quantiles
-    * use exact `percentile` over converted users — the bounded-group
-    * contract (one group; for unbounded use the [[graft.operators
-    * .Relational.quantilesSketch]] sample first).
+    * row with the conversion rate and latency quantiles. Quantiles are
+    * ADAPTIVE: exact `percentile` while the signup population fits
+    * `maxExactRows` (one group buffers every latency), the mergeable
+    * `approx_percentile` sketch above it.
     *
     * Scale shape: two filtered min-aggregates on user_id, one join, one
     * global rollup; latencies are exact integer seconds so every stage
     * up to the final interpolation replays portably.
     */
-  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+  def timeToConvert(spark: SparkSession, dir: String,
+      maxExactRows: Long = 50000000L): DataFrame = {
     val ev = Tables.events(spark, dir)
     val signup = ev.where(col("event_type") === "signup")
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
@@ -421,12 +422,19 @@ object EventOps {
       .select(col("user_id"),
         when(col("p_us").isNotNull,
           expr("(p_us - s_us) div 1000000")).as("delta_s"))
+    // exact percentile buffers every latency in one task (single group):
+    // size-probe and fall to the mergeable approx_percentile sketch past
+    // the cap — the madOutliers adaptive guard
+    val exact = signup.limit(
+      math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt).count() <= maxExactRows
+    def q(c: org.apache.spark.sql.Column, p: Double) =
+      if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
     conv.agg(
       count(lit(1)).as("n_signups"),
       count(col("delta_s")).as("n_converted"),
       round(count(col("delta_s")).cast("double") / count(lit(1)), 4).as("cvr"),
-      round(percentile(col("delta_s"), lit(0.5)), 1).as("p50_s"),
-      round(percentile(col("delta_s"), lit(0.9)), 1).as("p90_s"))
+      round(q(col("delta_s"), 0.5), 1).as("p50_s"),
+      round(q(col("delta_s"), 0.9), 1).as("p90_s"))
   }
 
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -398,24 +398,27 @@ object Relational {
     *
     * Medians and MAD round to 2 decimals BEFORE the outlier comparison so
     * both engines threshold on identical values. Exact `percentile`
-    * buffers each group's values — the bounded-group contract (groups =
-    * returnflag, 3 values); an unbounded-group caller takes the
-    * [[quantilesSketch]] sample first and runs this over the sample.
+    * buffers each group's values, so the op is ADAPTIVE (the
+    * [[quantiles]] pattern): a 3-row size probe picks exact `percentile`
+    * under `maxExactGroupRows` per group and the mergeable
+    * `approx_percentile` sketch (fixed-size partials, no buffering)
+    * above it — approximate medians, but a plan that cannot OOM a task.
     *
     * Scale shape: two aggregate passes (median, then MAD over deviations)
     * + one counting pass, the 3-row stat table broadcast back each time —
     * no corpus-sized shuffle beyond the three map-side-combined
     * aggregates.
     */
-  def madOutliers(spark: SparkSession, dir: String,
-      sigmas: Double = 3.0): DataFrame = {
+  def madOutliers(spark: SparkSession, dir: String, sigmas: Double = 3.0,
+      maxExactGroupRows: Long = 50000000L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val p50 = adaptiveMedian(li, "l_returnflag", maxExactGroupRows)
     val med = li.groupBy("l_returnflag")
-      .agg(round(percentile(col("v"), lit(0.5)), 2).as("med"))
+      .agg(round(p50(col("v")), 2).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")
     val mad = dev.groupBy("l_returnflag")
-      .agg(round(percentile(abs(col("v") - col("med")), lit(0.5)), 2).as("mad"),
+      .agg(round(p50(abs(col("v") - col("med"))), 2).as("mad"),
         first("med").as("med"), count(lit(1)).as("n"))
     dev.join(broadcast(mad.select("l_returnflag", "mad")), "l_returnflag")
       .groupBy("l_returnflag")
@@ -427,20 +430,42 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
-  /** Winsorized group means: clip values into [p05, p95] (exact
-    * interpolated percentiles, rounded to cents before use so both
-    * engines clip at identical bounds) and report raw vs clipped means
-    * plus the clip counts — the tail-robust mean that keeps sample size,
-    * where trimming discards and [[madOutliers]] only flags. Same
-    * bounded-group `percentile` contract as [[madOutliers]].
+  /** The quantile column expression [[madOutliers]]/[[winsorizedMeans]]
+    * use: exact `percentile` while the largest group fits
+    * `maxExactGroupRows`, the mergeable `approx_percentile` sketch above
+    * it (the probe is one tiny count aggregate).
+    */
+  private def adaptiveMedian(df: DataFrame, groupCol: String,
+      maxExactGroupRows: Long): (Column => Column) = {
+    val q = adaptiveQuantile(df, groupCol, maxExactGroupRows)
+    c => q(c, 0.5)
+  }
+
+  /** Same adaptive choice for an arbitrary probability. */
+  private def adaptiveQuantile(df: DataFrame, groupCol: String,
+      maxExactGroupRows: Long): ((Column, Double) => Column) = {
+    val maxGroup = df.groupBy(groupCol).count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    if (maxGroup <= maxExactGroupRows) (c, p) => percentile(c, lit(p))
+    else (c, p) => percentile_approx(c, lit(p), lit(10000))
+  }
+
+  /** Winsorized group means: clip values into [p05, p95] (interpolated
+    * percentiles, rounded to cents before use so both engines clip at
+    * identical bounds) and report raw vs clipped means plus the clip
+    * counts — the tail-robust mean that keeps sample size, where
+    * trimming discards and [[madOutliers]] only flags. Same adaptive
+    * exact-vs-sketch percentile guard as [[madOutliers]].
     */
   def winsorizedMeans(spark: SparkSession, dir: String,
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95,
+      maxExactGroupRows: Long = 50000000L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val q = adaptiveQuantile(li, "l_returnflag", maxExactGroupRows)
     val bounds = li.groupBy("l_returnflag")
-      .agg(round(percentile(col("v"), lit(lo)), 2).as("b_lo"),
-        round(percentile(col("v"), lit(hi)), 2).as("b_hi"))
+      .agg(round(q(col("v"), lo), 2).as("b_lo"),
+        round(q(col("v"), hi), 2).as("b_hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(

@@ -172,6 +172,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers/winsorizedMeans past the group cap fall to the sketch percentile") {
+    // cap of 1 always trips → approx_percentile path; same schema, sane
+    // values (sketch accuracy 10000 ⇒ near-exact at this SF)
+    val exactM = Relational.madOutliers(spark, sfDir)
+      .as[(String, Double, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    Relational.madOutliers(spark, sfDir, maxExactGroupRows = 1L)
+      .as[(String, Double, Double, Long, Long)].collect().foreach {
+        case (g, med, mad, _, n) =>
+          val (_, eMed, eMad, _, eN) = exactM(g)
+          assert(n === eN)
+          assert(math.abs(med - eMed) / eMed < 0.02, s"$g med $med vs $eMed")
+          assert(math.abs(mad - eMad) / eMad < 0.05, s"$g mad $mad vs $eMad")
+      }
+    val exactW = Relational.winsorizedMeans(spark, sfDir)
+      .as[(String, Double, Double, Double, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Relational.winsorizedMeans(spark, sfDir, maxExactGroupRows = 1L)
+      .as[(String, Double, Double, Double, Double, Long, Long, Long)].collect()
+      .foreach { case (g, bLo, bHi, _, meanW, _, _, n) =>
+        val e = exactW(g)
+        assert(n === e._8)
+        assert(bLo < bHi && meanW >= bLo && meanW <= bHi, g)
+        assert(math.abs(meanW - e._5) / e._5 < 0.02, s"$g meanW $meanW vs ${e._5}")
+      }
+  }
+
   test("cubeAgg contains all four grouping-set shapes") {
     val c = Relational.cubeAgg(spark, sfDir)
     assert(c.where($"l_returnflag".isNull && $"l_linestatus".isNull).count() === 1)
