@@ -205,6 +205,9 @@ object SparkEntry {
     // signal Jaccard cannot see; exact within the source block
     "containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d))),
+    // per-source exact-duplicate rates (keep-first against the corpus)
+    "dup_rate_by_source" -> ((s, d) =>
+      Dedup.dupRateBySource(Tables.documents(s, d))),
     // rolling 7-day distinct users from windowed HLL register merges —
     // the sliding COUNT DISTINCT exact aggregation cannot do incrementally
     "rolling_distinct" -> ((s, d) =>
@@ -2032,6 +2035,17 @@ object SparkEntry {
         |    len(list_intersect(x.sh, y.sh))::DOUBLE / least(x.n, y.n) AS c
         |  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
         |WHERE c >= 0.1""".stripMargin,
+    // dup_rate_by_source: keep-first over the corpus-wide md5 groups,
+    // rolled up per source
+    "dup_rate_by_source" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  round(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 4) AS dup_rate
+        |FROM k GROUP BY source""".stripMargin,
     // rolling_distinct: per-day registers, dense grid, range-window max
     // merge over the trailing 7 days, shared estimator
     "rolling_distinct" ->

@@ -44,6 +44,26 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Per-source exact-duplicate rates — the corpus-health dashboard
+    * number: for each source, how many of its documents lose the
+    * [[exact]] keep-first rule to ANY doc in the corpus (cross-source
+    * duplication counts against the source holding the copy, not the
+    * original). One narrow shuffle on the 32-byte content hash for the
+    * keeper table, joined back on the hash — never on the text.
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"))
+    val keep = hashed.groupBy("h").agg(min("doc_id").as("keep_id"))
+    hashed.join(keep, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dups"),
+        round(sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("dup_rate"))
+  }
+
   /** Token k-shingles (k consecutive tokens joined by a space), distinct
     * per document. The raw docs are repartitioned BEFORE the shingle
     * expression: higher-order functions (`transform`/`slice`) are

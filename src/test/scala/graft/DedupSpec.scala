@@ -97,6 +97,17 @@ class DedupSpec extends SparkSpec {
     assert(exact === guarded)
   }
 
+  test("dupRateBySource: cross-source copies count against the copying source") {
+    val docs = Seq(
+      (1L, "alpha", "s1"), (2L, "alpha", "s1"),  // within-source dup
+      (3L, "alpha", "s2"),                        // cross-source copy of 1
+      (4L, "beta", "s2")).toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateBySource(docs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("s1") === (("s1", 2L, 1L, 0.5)))
+    assert(got("s2") === (("s2", 2L, 1L, 0.5)))
+  }
+
   test("containmentPairs sees engulfment that Jaccard misses; guard path agrees") {
     // doc 2 is the first 12 tokens of doc 1 → containment 1.0 but
     // jaccard ≈ 10/38 ≈ 0.26; doc 3 unrelated
