@@ -29,7 +29,16 @@ object Bench {
 
     def materialize(name: String): Long = {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      try df.write.format("noop").mode("overwrite").save()
+      finally
+        // drain operator-pinned state (persisted frames, checkpoint blocks)
+        // now that the result is materialized — each query runs 5x in this
+        // one JVM (warmup + 3 timed + row count), and accumulation across
+        // invocations was measured to triple dedup_resolve's run time in
+        // r7 (12.5 → 31 → 48 s monotone). The full drain (checkpoint tier
+        // included) is safe here: the frame is never re-read — every
+        // subsequent run re-invokes the builder.
+        graft.plans.ReleaseRegistry.drain()
       0L
     }
 
@@ -41,10 +50,15 @@ object Bench {
     names.foreach(n => try materialize(n) catch { case _: Throwable => })
 
     val timed = names.map { name =>
-      // settle the JVM between queries: accumulated shuffle/cache debris
-      // from the previous query otherwise bleeds GC pauses into this one's
-      // median (observed 4-7x inflation on allocation-heavy queries in
-      // full-suite runs vs isolated runs)
+      // isolation between queries: a query's median must measure ITS plan,
+      // not its suite position. Drop any cached plans the previous query
+      // left outside the release registry (named CacheRegistry entries,
+      // stragglers), then settle the JVM — accumulated shuffle/cache debris
+      // otherwise bleeds GC pauses into this one's median (observed 4-7x
+      // inflation on allocation-heavy queries in full-suite runs vs
+      // isolated runs)
+      plans.CacheRegistry.clear()
+      spark.catalog.clearCache()
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -61,7 +75,9 @@ object Bench {
       name -> (if (times.exists(_.isNaN)) Double.NaN else times.sorted.apply(1))
     }
     val rows = names.map { name =>
-      name -> (try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L })
+      name -> (try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        finally graft.plans.ReleaseRegistry.drain())
     }.toMap
 
     val failed = results.collect { case (k, v) if v.isNaN => k }

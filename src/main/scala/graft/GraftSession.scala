@@ -53,4 +53,18 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Drain the session's queued operator release hooks — the first-class
+    * materialize-then-release point for long-lived sessions. Call at
+    * request/batch boundaries AFTER the batch's results are materialized
+    * (written to a sink, collected, or persisted by the caller): iterative
+    * operators (PageRank, cluster resolution, k-means, sketch builders)
+    * pin state behind the plans they return and queue its release here.
+    * `full = true` (default) also frees checkpoint blocks — afterwards,
+    * previously returned frames must not be re-read (re-invoke the
+    * builder); `full = false` trims only safely-recomputable caches.
+    * Returns the number of hooks run.
+    */
+  def release(full: Boolean = true): Int =
+    graft.plans.ReleaseRegistry.drain(full)
 }

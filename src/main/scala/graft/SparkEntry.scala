@@ -180,9 +180,11 @@ object SparkEntry {
     "label_prop" -> ((s, d) =>
       Graph.labelPropagate(Graph.coOccurrenceEdges(s, d), iters = 3)),
     // value-weighted PageRank over the trade graph: edge weights
-    // ppm-normalized once, every division truncating integer math
+    // ppm-normalized once, every division truncating integer math; the
+    // Ranks convenience queues the release hook with the ReleaseRegistry
+    // instead of discarding it
     "pagerank_weighted" -> ((s, d) =>
-      Graph.pageRankWeighted(Graph.tradeEdgesWeighted(s, d)).ranks),
+      Graph.pageRankWeightedRanks(Graph.tradeEdgesWeighted(s, d))),
     // pairwise two-sample KS statistic over per-doc lengths (n_chars):
     // exact integer CDFs on a shared support grid, one FP division at the end
     "ks_source" -> ((s, d) => TextOps.ksSourceLens(Tables.documents(s, d))),

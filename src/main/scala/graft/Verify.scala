@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // result is on disk — release whatever the builder pinned (158
+      // queries in one JVM would otherwise accumulate every pinned frame)
+      finally graft.plans.ReleaseRegistry.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -107,9 +107,14 @@ object CorpusPipeline {
       val survivors = exactKeep.join(
         resolved.where(!col("keep")).select(col("doc_id").as("rd")),
         col("doc_id") === col("rd"), "left_anti")
-      // 6. deterministic split assignment
+      // 6. deterministic split assignment. The persisted result is the
+      // ONE frame this pipeline leaves pinned — queue its release so
+      // repeated invocations in a long-lived session don't strand one
+      // result cache each (the caller may still unpersist sooner)
       val out = withSplit(survivors).persist()
       out.count()
+      graft.plans.ReleaseRegistry.register("corpus.curate_result")(
+        () => out.unpersist(blocking = false))
       out
     } finally {
       // result (when reached) is materialized — dropping the intermediate

@@ -387,12 +387,16 @@ object Dedup {
     * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
     *
     * The returned plan reads a pinned label frame (sized to the edge-
-    * endpoint set, not the corpus). Long-lived sessions that invoke this
-    * repeatedly should use [[resolveClustersReleasable]] and call the
-    * release hook once the result is materialized.
+    * endpoint set, not the corpus); its release hook is queued with
+    * [[graft.plans.ReleaseRegistry]] so the session host drains it after
+    * materializing. Callers wanting manual control use
+    * [[resolveClustersReleasable]].
     */
-  def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame =
-    resolveClustersReleasable(docs, pairs, maxIter)._1
+  def resolveClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val (out, release) = resolveClustersReleasable(docs, pairs, maxIter)
+    graft.plans.ReleaseRegistry.register("dedup.resolve_clusters")(release)
+    out
+  }
 
   /** [[resolveClusters]] plus a release hook for the label cache it pins.
     * Call the hook AFTER materializing (or persisting) the result: plain
@@ -551,6 +555,15 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster"))
     val release: () => Unit = () => prevIter.foreach { f =>
       if (CheckpointHandle.rddOf(f).isEmpty) f.unpersist(blocking = false)
+    }
+    // the live checkpoint (when the fixpoint crossed a truncation round)
+    // is unreachable from any caller's release() — its blocks ARE the
+    // final labels, so freeing it invalidates the returned plan. Queue it
+    // on the registry's invalidating tier: the session host drains it
+    // only after materializing every outstanding result.
+    liveCheckpoint.foreach { c =>
+      graft.plans.ReleaseRegistry.registerInvalidating(
+        "dedup.resolve_checkpoint")(() => CheckpointHandle.release(c))
     }
     (out, release)
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.ReleaseRegistry
+
 /** Graph analytics over relational edge lists — PageRank as the flagship
   * iterative-propagation primitive (the same shape serves label
   * propagation, HITS, Katz centrality). North-star scope: the reference
@@ -11,7 +13,8 @@ import org.apache.spark.sql.functions._
   * standard corpus-quality prior).
   *
   * All rank arithmetic is INTEGER (micro-units): per-edge contribution is
-  * `rank div out_degree`, damping is `(85 · mass) div 100`, dangling mass
+  * `rank div out_degree` (or `(rank · wn) div 10⁶` in the weighted
+  * variant), damping is `(85 · mass) div 100`, dangling mass
   * redistributes as `dang div n` — truncating integer division at every
   * step, so per-group sums are order-independent and any engine replays
   * the iteration bit-exactly (no FP accumulation-order hazard).
@@ -21,9 +24,15 @@ import org.apache.spark.sql.functions._
   * iteration's join reuses that layout while only the (much smaller) rank
   * table moves — and (2) one map-side-combined integer-sum shuffle on
   * `dst`. Dangling mass is a single scalar aggregate broadcast back.
-  * Iterations compose the plan a fixed small number of times (production
-  * loops persist the rank frame per step; convergence looping belongs to
-  * the caller).
+  * Uniform and weighted PageRank share ONE per-step persist loop
+  * ([[iterate]]) differing only in the contribution expression, so both
+  * inherit the same lineage-truncation and convergence discipline.
+  *
+  * Lifecycle: every public entry either returns a [[RankResult]] with
+  * explicit release hooks or (the plain-`DataFrame` conveniences)
+  * registers those hooks with [[graft.plans.ReleaseRegistry]], so a
+  * long-lived session's host can drain pinned state after materializing
+  * results instead of stranding one edge layout + rank cache per call.
   */
 object Graph {
 
@@ -32,16 +41,26 @@ object Graph {
 
   /** A rank computation's result: the rank frame, how many iterations
     * actually ran (== the requested count for [[pageRank]]; possibly fewer
-    * for [[pageRankUntil]]), and a release hook for the state the returned
-    * plan pins (edge layout, node set, final rank cache). Call `release()`
-    * AFTER materializing the ranks: plain persisted frames unpersist (their
-    * lineage stays intact, so a later recompute is slow but correct);
-    * a live localCheckpoint backing the final frame stays pinned, because
-    * its blocks ARE the data (same contract as
+    * for [[pageRankUntil]]), and release hooks for the state the returned
+    * plan pins (edge layout, node set, final rank cache).
+    *
+    * `release()` — call AFTER materializing the ranks: plain persisted
+    * frames unpersist (their lineage stays intact, so a later recompute is
+    * slow but correct); a live localCheckpoint backing the final frame
+    * stays pinned, because its blocks ARE the data (same contract as
     * `Dedup.resolveClustersReleasable`).
+    *
+    * `releaseAll()` — `release()` PLUS freeing any live checkpoint. After
+    * it, `ranks` is permanently invalid (checkpoint lineage is truncated;
+    * re-invoke the builder instead of re-reading the frame). Use when the
+    * result is already materialized elsewhere and the session must not
+    * carry the checkpoint blocks. The builder also queues the checkpoint
+    * release with [[graft.plans.ReleaseRegistry]] (invalidating tier), so
+    * hosts that drain at materialization boundaries never leak it even if
+    * they only ever call `release()`.
     */
   final case class RankResult(ranks: DataFrame, itersRun: Int,
-      release: () => Unit)
+      release: () => Unit, releaseAll: () => Unit = () => ())
 
   /** PageRank over a directed edge list `(src, dst)` (strings; duplicate
     * edges are collapsed). Damping 0.85 as `dampNum/dampDen` integers.
@@ -49,19 +68,28 @@ object Graph {
     * initial rank is 1.0 per node, so ranks sum to ~n·10⁶ (minus
     * truncation dust).
     *
-    * The returned plan reads pinned frames (edge layout + final ranks)
-    * with no release point here — long-lived sessions should use
-    * [[pageRankReleasable]] and call the hook once the result is
-    * materialized.
+    * The returned plan reads pinned frames (edge layout + final ranks);
+    * their release hook is queued with [[graft.plans.ReleaseRegistry]] —
+    * the session host drains it after materializing. Callers wanting
+    * manual control use [[pageRankReleasable]].
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
-    pageRankReleasable(edges, iters, dampNum, dampDen).ranks
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val res = pageRankReleasable(edges, iters, dampNum, dampDen)
+    ReleaseRegistry.register("graph.pagerank")(res.release)
+    res.ranks
+  }
 
-  /** [[pageRank]] plus the release hook (see [[RankResult]]). */
+  /** [[pageRank]] plus the release hooks (see [[RankResult]]); nothing is
+    * queued with the registry except the checkpoint tier the shared loop
+    * always queues.
+    */
   def pageRankReleasable(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): RankResult =
-    iterate(edges, iters, dampNum, dampDen, stopDeltaMicro = -1L)
+      dampNum: Long = 85L, dampDen: Long = 100L): RankResult = {
+    val e = prepareUniform(edges)
+    iterate(e, uniformContrib(e), iters, dampNum, dampDen,
+      stopDeltaMicro = -1L)
+  }
 
   /** Convergence-stopped PageRank: iterate until the total absolute rank
     * movement (Σ|r_i − r_{i-1}| in micro-units, an integer aggregate over
@@ -71,26 +99,101 @@ object Graph {
     * at iteration k returns exactly `pageRank(edges, k)`.
     */
   def pageRankUntil(edges: DataFrame, epsMicro: Long = 1000L,
-      maxIters: Int = 20, dampNum: Long = 85L, dampDen: Long = 100L): RankResult =
-    iterate(edges, maxIters, dampNum, dampDen, stopDeltaMicro = epsMicro)
+      maxIters: Int = 20, dampNum: Long = 85L, dampDen: Long = 100L): RankResult = {
+    val e = prepareUniform(edges)
+    iterate(e, uniformContrib(e), maxIters, dampNum, dampDen,
+      stopDeltaMicro = epsMicro)
+  }
 
-  /** The shared per-step persist loop. Each iteration reads the previous
-    * rank table THREE times (edge join, dangling scan, node-preserving
-    * left join) — composed lazily that triples the lineage per step (27x
-    * the base subtree at 3 iterations). Persist each rank frame behind a
-    * count barrier and release the parent: the plan stays one-iteration
-    * deep and the rank table (|nodes| rows) is the only moving state.
-    * `stopDeltaMicro < 0` disables the convergence check (fixed-iteration
-    * mode pays no delta aggregate).
+  /** Weighted PageRank: edge weights steer the rank flow — node `v`
+    * passes `r(v) · w(v→u) / Σw(v→·)` to each out-neighbor, the model for
+    * value-weighted influence graphs (trade volume, click counts) where
+    * uniform splitting misrepresents hub importance.
+    *
+    * Integer discipline: per-edge weights normalize ONCE, outside the
+    * loop, to parts-per-million of their source's out-weight
+    * (`wn = (w·10⁶) div Σw`, truncating), and each iteration's
+    * contribution is `(r · wn) div 10⁶` — so products stay below
+    * `max(r)·10⁶` (no overflow for graphs up to ~10⁹ nodes of unit seed
+    * mass), every division truncates, and per-node sums are
+    * order-independent: any engine replays the cascade bit-exactly.
+    * Dangling mass (no out-edges) redistributes exactly as [[pageRank]].
+    *
+    * Runs through the SAME [[iterate]] loop as uniform PageRank (only the
+    * contribution expression differs), so it inherits the per-step
+    * persist + parent release, the every-4-rounds lineage truncation, and
+    * convergence support. Returns a [[RankResult]] with release hooks.
     */
-  private def iterate(edges: DataFrame, iters: Int, dampNum: Long,
-      dampDen: Long, stopDeltaMicro: Long): RankResult = {
-    import org.apache.spark.sql.graft.CheckpointHandle
+  def pageRankWeighted(edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): RankResult = {
+    val agg = edges.select(col("src"), col("dst"), col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val outW = agg.groupBy("src").agg(sum("w").as("sw"))
+    val e = agg.join(outW, "src")
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000L) div sw").as("wn"))
+      .repartition(col("src"))
+      .persist()
+    e.count()
+    iterate(e,
+      r => e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"), expr("(r * wn) div 1000000L").as("c"))
+        .groupBy("node").agg(sum("c").as("c")),
+      iters, dampNum, dampDen, stopDeltaMicro = -1L)
+  }
+
+  /** [[pageRankWeighted]] as a plain frame, release hook queued with the
+    * registry (the convenience [[graft.SparkEntry]] routes through so the
+    * hook is never discarded at the call site).
+    */
+  def pageRankWeightedRanks(edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val res = pageRankWeighted(edges, iters, dampNum, dampDen)
+    ReleaseRegistry.register("graph.pagerank_weighted")(res.release)
+    res.ranks
+  }
+
+  /** Uniform-split edge prep: dedup, lay out on `src` once, persist. */
+  private def prepareUniform(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")) // iteration joins reuse this layout
       .persist()
     e.count() // barrier: materialize before the iteration chain re-reads
+    e
+  }
+
+  /** Uniform contribution: each node splits its rank equally over its
+    * out-edges — `r div od`, truncating (the replayable integer form).
+    */
+  private def uniformContrib(e: DataFrame): DataFrame => DataFrame = {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    r => e.join(r, e("src") === r("node"))
+      .join(outdeg, "src")
+      .select(col("dst").as("node"), expr("r div od").as("c"))
+      .groupBy("node").agg(sum("c").as("c"))
+  }
+
+  /** The shared per-step persist loop for every rank variant. Each
+    * iteration reads the previous rank table up to three times (edge
+    * join, dangling scan, node-preserving left join) — composed lazily
+    * that triples the lineage per step (27x the base subtree at 3
+    * iterations). Persist each rank frame behind a count barrier and
+    * release the parent: the plan stays one-iteration deep and the rank
+    * table (|nodes| rows) is the only moving state.
+    *
+    * `e` arrives already persisted + counted; `contrib(r)` must return
+    * the aggregated `(node, c)` contribution table for rank table `r` —
+    * the ONLY piece that differs between uniform and weighted PageRank.
+    * `stopDeltaMicro < 0` disables the convergence check (fixed-iteration
+    * mode pays no delta aggregate).
+    */
+  private def iterate(e: DataFrame, contrib: DataFrame => DataFrame,
+      iters: Int, dampNum: Long, dampDen: Long,
+      stopDeltaMicro: Long): RankResult = {
+    import org.apache.spark.sql.graft.CheckpointHandle
+    // dangling = rank mass on nodes with no out-edges (left anti against
+    // the distinct source set); a single scalar, broadcast back
+    val srcs = e.select(col("src")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val nTotal = nodes.agg(count(lit(1)).as("n"))
@@ -104,16 +207,11 @@ object Graph {
     while (i < iters && !converged) {
       i += 1
       val r = current
-      val contrib = e.join(r, e("src") === r("node"))
-        .join(outdeg, "src")
-        .select(col("dst").as("node"), expr("r div od").as("c"))
-        .groupBy("node").agg(sum("c").as("c"))
-      // dangling = rank mass on nodes with no out-edges (left anti on
-      // outdeg); a single scalar, broadcast back into the update
-      val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
+      val ct = contrib(r)
+      val dang = r.join(srcs, r("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       val stepped = r.select(col("node"), col("r").as("r_old"))
-        .join(contrib, Seq("node"), "left")
+        .join(ct, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
         .select(col("node"), col("r_old"),
@@ -148,16 +246,28 @@ object Graph {
       current = next
     }
     val finalFrame = current
+    val finalCheckpoint = liveCheckpoint
     val ranks = finalFrame.select(col("node"), col("r").as("rank_micro"))
     val release: () => Unit = () => {
       e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       // the final frame unpersists only when plain-persisted — if it IS
       // the live checkpoint its blocks are the data and must stay
-      if (!liveCheckpoint.exists(_ eq finalFrame))
+      if (!finalCheckpoint.exists(_ eq finalFrame))
         finalFrame.unpersist(blocking = false)
     }
-    RankResult(ranks, i, release)
+    val releaseAll: () => Unit = () => {
+      release()
+      finalCheckpoint.foreach(c => CheckpointHandle.release(c))
+    }
+    // the live checkpoint is unreachable from ANY caller's release() —
+    // queue its (invalidating) release so a session that drains at
+    // materialization boundaries never carries it forever
+    finalCheckpoint.foreach { c =>
+      ReleaseRegistry.registerInvalidating("graph.rank_checkpoint")(
+        () => CheckpointHandle.release(c))
+    }
+    RankResult(ranks, i, release, releaseAll)
   }
 
   /** The supplier→customer trade graph: one directed edge per (supplier,
@@ -187,72 +297,6 @@ object Graph {
       .select(col("x.pk").as("src"), col("y.pk").as("dst")).distinct()
   }
 
-  /** Weighted PageRank: edge weights steer the rank flow — node `v`
-    * passes `r(v) · w(v→u) / Σw(v→·)` to each out-neighbor, the model for
-    * value-weighted influence graphs (trade volume, click counts) where
-    * uniform splitting misrepresents hub importance.
-    *
-    * Integer discipline: per-edge weights normalize ONCE, outside the
-    * loop, to parts-per-million of their source's out-weight
-    * (`wn = (w·10⁶) div Σw`, truncating), and each iteration's
-    * contribution is `(r · wn) div 10⁶` — so products stay below
-    * `max(r)·10⁶` (no overflow for graphs up to ~10⁹ nodes of unit seed
-    * mass), every division truncates, and per-node sums are
-    * order-independent: any engine replays the cascade bit-exactly.
-    * Dangling mass (no out-edges) redistributes exactly as [[pageRank]].
-    *
-    * Scale shape identical to [[pageRank]]: normalized edges partition
-    * once and persist; the rank table is the only moving state; per-step
-    * persist + parent release. Returns a [[RankResult]] with the release
-    * hook.
-    */
-  def pageRankWeighted(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): RankResult = {
-    val agg = edges.select(col("src"), col("dst"), col("w"))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-    val outW = agg.groupBy("src").agg(sum("w").as("sw"))
-    val e = agg.join(outW, "src")
-      .select(col("src"), col("dst"),
-        expr("(w * 1000000L) div sw").as("wn"))
-      .repartition(col("src"))
-      .persist()
-    e.count()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val nTotal = nodes.agg(count(lit(1)).as("n"))
-    val hasOut = e.select(col("src")).distinct()
-    var current = nodes.withColumn("r", lit(Unit_)).persist()
-    var i = 0
-    while (i < iters) {
-      i += 1
-      val r = current
-      val contrib = e.join(r, e("src") === r("node"))
-        .select(col("dst").as("node"), expr("(r * wn) div 1000000L").as("c"))
-        .groupBy("node").agg(sum("c").as("c"))
-      val dang = r.join(hasOut, r("node") === hasOut("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val next = r.select(col("node"))
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .crossJoin(broadcast(nTotal))
-        .select(col("node"),
-          (lit(Unit_ * (dampDen - dampNum) / dampDen) +
-            expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
-            .as("r"))
-        .persist()
-      next.count()
-      r.unpersist()
-      current = next
-    }
-    val finalFrame = current
-    val ranks = finalFrame.select(col("node"), col("r").as("rank_micro"))
-    RankResult(ranks, i, () => {
-      e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      finalFrame.unpersist(blocking = false)
-    })
-  }
-
   /** The supplier→customer trade graph with transacted value as the edge
     * weight (cents, summed per pair) — the input [[pageRankWeighted]]
     * wants: a supplier's rank flows toward the customers that actually
@@ -280,10 +324,14 @@ object Graph {
     * side and persisted; each round is one equi-join (labels move, edges
     * don't) plus one map-side-combined min aggregate, with the per-step
     * persist + parent-release discipline of [[pageRank]]. Label table is
-    * |nodes| rows × 2 ints — the only moving state.
+    * |nodes| rows × 2 ints — the only moving state. The final label
+    * cache's release hook is queued with the registry.
     */
-  def labelPropagate(edges: DataFrame, iters: Int = 3): DataFrame =
-    labelPropagateReleasable(edges, iters)._1
+  def labelPropagate(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val (labels, release) = labelPropagateReleasable(edges, iters)
+    ReleaseRegistry.register("graph.label_prop")(release)
+    labels
+  }
 
   /** [[labelPropagate]] plus a release hook for the final label cache the
     * returned plan pins (the [[pageRankReleasable]] contract: call after
@@ -319,6 +367,29 @@ object Graph {
     e.unpersist(blocking = false)
     val finalLabels = labels
     (finalLabels, () => finalLabels.unpersist(blocking = false))
+  }
+
+  /** Community rollup — the materialize-then-release composition pattern
+    * for operator authors, end to end: run [[labelPropagateReleasable]],
+    * aggregate the label table down to one row per community (label,
+    * member count), persist + count THAT small result, then immediately
+    * release the corpus-scale label cache the propagation pinned. The
+    * session carries only the community-sized result (its own release is
+    * queued with the registry), never the intermediate state — repeated
+    * invocations cannot accumulate label caches no matter how the caller
+    * uses the returned frame.
+    */
+  def communities(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val (labels, releaseLabels) = labelPropagateReleasable(edges, iters)
+    val rollup = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min("node").as("min_node"),
+        max("node").as("max_node"))
+      .persist()
+    try rollup.count() // materialize BEFORE dropping the label cache
+    finally releaseLabels()
+    ReleaseRegistry.register("graph.communities")(
+      () => rollup.unpersist(blocking = false))
+    rollup
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation (the

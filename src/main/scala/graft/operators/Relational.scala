@@ -565,9 +565,9 @@ object Relational {
     * staying enabled. The barrier makes boundary agreement structural
     * (and the second pass a cache read instead of a rescan). The pinned
     * frame is internal — the returned plan reads it, so there is no safe
-    * unpersist point inside this function; blocks stay subject to LRU
-    * eviction. Long-lived sessions invoking this repeatedly should wrap
-    * it in the release-hook pattern of `Dedup.resolveClustersReleasable`.
+    * unpersist point inside this function; its release hook is queued
+    * with [[graft.plans.ReleaseRegistry]] for the session host to drain
+    * after materializing (until then, blocks stay LRU-evictable).
     */
   def globalIndex(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
@@ -578,6 +578,8 @@ object Relational {
       .withColumn("pid", spark_partition_id())
       .persist()
     ranged.count()
+    graft.plans.ReleaseRegistry.register("relational.global_index_ranged")(
+      () => ranged.unpersist(blocking = false))
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
         sum("cnt").over(

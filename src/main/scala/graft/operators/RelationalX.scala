@@ -553,6 +553,8 @@ object RelationalX {
       .withColumn("pid", spark_partition_id())
       .persist()
     ranged.count() // barrier: both passes must see the same range bounds
+    graft.plans.ReleaseRegistry.register("relationalx.eqdepth_ranged")(
+      () => ranged.unpersist(blocking = false))
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
         sum("cnt").over(
@@ -698,6 +700,8 @@ object RelationalX {
     // (pqTopK's pinned-tiny contract, LRU-evictable)
     val regs = hllRegisters(tok, Seq("source"), "word", p).persist()
     regs.count()
+    graft.plans.ReleaseRegistry.register("relationalx.hll_overlap_regs")(
+      () => regs.unpersist(blocking = false))
     val single = hllEstimate(regs, Seq("source"), p)
       .select(col("source"), col("est_distinct"))
     val srcs = regs.select("source").distinct()
@@ -737,6 +741,8 @@ object RelationalX {
     // count barrier (pqTopK's pinned-tiny contract, LRU-evictable)
     val regs = dayRegisters(events, p).persist()
     regs.count()
+    graft.plans.ReleaseRegistry.register("relationalx.rolling_regs")(
+      () => regs.unpersist(blocking = false))
     // dense (day, bucket) grid: a bucket absent on some day must still
     // surface earlier days' registers through the window
     val grid = regs.select("day").distinct()
@@ -794,6 +800,8 @@ object RelationalX {
       .withColumn("pid", spark_partition_id())
       .persist()
     perPrice.count() // barrier: both passes must agree on range bounds
+    graft.plans.ReleaseRegistry.register("relationalx.skyline_ranged")(
+      () => perPrice.unpersist(blocking = false))
     // running max of size over partitions strictly before pid (tiny frame)
     val carry = perPrice.groupBy("pid").agg(max("size").as("pmax"))
       .withColumn("prev", max("pmax").over(

@@ -307,6 +307,11 @@ object Similarity {
       cb.unpersist()
       next
     }
+    // the final k-row centroid table stays pinned for the life of the
+    // returned plan (no safe unpersist point here) — queue its release so
+    // repeated invocations don't strand one copy each
+    graft.plans.ReleaseRegistry.register("similarity.kmeans_centroids")(
+      () => cents.unpersist(blocking = false))
     nearest(cents)
       .select(col("vec_id"), col("m").getField("cid").as("cid"),
         round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
@@ -349,8 +354,12 @@ object Similarity {
     * materialized.
     */
   def semDedup(embeddings: DataFrame, kClusters: Int = 8, iters: Int = 2,
-      minSim: Double = 0.6, maxClusterPairs: Long = 10000000L): DataFrame =
-    semDedupReleasable(embeddings, kClusters, iters, minSim, maxClusterPairs)._1
+      minSim: Double = 0.6, maxClusterPairs: Long = 10000000L): DataFrame = {
+    val (out, release) =
+      semDedupReleasable(embeddings, kClusters, iters, minSim, maxClusterPairs)
+    graft.plans.ReleaseRegistry.register("similarity.semdedup")(release)
+    out
+  }
 
   /** [[semDedup]] plus the release hook for the pinned assignment frame
     * (call AFTER materializing the result; lineage stays intact, so a
@@ -650,11 +659,13 @@ object Similarity {
     // query LUT; persist+count the (m x codes)-row table so the seed +
     // Lloyd aggregation runs a single time per query. The pinned frame is
     // tiny (m x codes rows) and read by the returned plan, so there is no
-    // safe unpersist point here; blocks stay subject to LRU eviction —
-    // long-lived sessions can train once via pqCodebooks and use the
-    // prebuilt-codebook path instead
+    // safe unpersist point here — its release is queued with the session
+    // ReleaseRegistry; long-lived sessions can also train once via
+    // pqCodebooks and use the prebuilt-codebook path instead
     val cb = pqCodebooks(embeddings, dims, m, codes).persist()
     cb.count()
+    graft.plans.ReleaseRegistry.register("similarity.pq_codebook")(
+      () => cb.unpersist(blocking = false))
     val enc = pqEncodeWith(embeddings, cb, dims, m)
     val qsubs = prepared(queries).select(col("vec_id").as("query_id"),
       posexplode(array((0 until m).map(s =>
@@ -697,6 +708,8 @@ object Similarity {
     // LRU-evictable; prebuilt-codebook path for long-lived sessions)
     val cb = pqCodebooks(embeddings, dims, m, codes).persist()
     cb.count()
+    graft.plans.ReleaseRegistry.register("similarity.pq_codebook")(
+      () => cb.unpersist(blocking = false))
     val enc = pqEncodeWith(embeddings, cb, dims, m).join(assignedCell, "vec_id")
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -475,6 +475,8 @@ object TextOps {
       .withColumn("pid", spark_partition_id())
       .persist()
     ranged.count()
+    graft.plans.ReleaseRegistry.register("textops.curriculum_ranged")(
+      () => ranged.unpersist(blocking = false))
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
         sum("cnt").over(
@@ -846,6 +848,8 @@ object TextOps {
       .withColumn("pid", spark_partition_id())
       .persist()
     ranged.count()
+    graft.plans.ReleaseRegistry.register("textops.pack_ranged")(
+      () => ranged.unpersist(blocking = false))
     val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("cnt"))
       .withColumn("off", coalesce(
         sum("cnt").over(
