@@ -185,6 +185,19 @@ object SparkEntry {
     // instead of discarding it
     "pagerank_weighted" -> ((s, d) =>
       Graph.pageRankWeightedRanks(Graph.tradeEdgesWeighted(s, d))),
+    // convergence-stopped PageRank: eps=0 never fires on the still-moving
+    // trade graph, so the loop runs to the maxIters=4 cap and the result
+    // is bit-exact pageRank(4) — which the oracle replays as a fourth
+    // unrolled integer round. Exercises the convergence machinery (r_old
+    // carry + delta aggregate) AND the every-4-rounds localCheckpoint
+    // lineage truncation (iteration 4 is a checkpoint round), whose
+    // release rides the registry's invalidating tier.
+    "pagerank_until" -> ((s, d) => {
+      val res = Graph.pageRankUntil(Graph.tradeEdges(s, d),
+        epsMicro = 0L, maxIters = 4)
+      graft.plans.ReleaseRegistry.register("graph.pagerank_until")(res.release)
+      res.ranks
+    }),
     // pairwise two-sample KS statistic over per-doc lengths (n_chars):
     // exact integer CDFs on a shared support grid, one FP division at the end
     "ks_source" -> ((s, d) => TextOps.ksSourceLens(Tables.documents(s, d))),
@@ -310,6 +323,27 @@ object SparkEntry {
           expr("aggregate(features, 0L, (acc, x) -> " +
             "acc + cast(round(cast(x as double) * 1000003) as bigint))")
             .as("f_digest"))
+    }),
+    // sniff-classify routing on synthetic payloads: each doc's text gets
+    // a deterministic magic-byte prefix by doc_id % 8 (mp3 ID3 tag, ogg
+    // capture, RIFF/WAVE, RIFF/AVI, aiff FORM, au .snd, mp4 ftyp box,
+    // and a no-magic control) — ASCII-safe magics only, so the oracle
+    // rebuilds the identical payload string and replays the prefix
+    // predicates byte for byte. rpad(16) bounds payload size and
+    // guarantees the >= 12-byte sniff minimum on every row.
+    "classify_media" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pre = expr("element_at(array('ID3', 'OggS', 'RIFF0000WAVE', " +
+        "'RIFF0000AVI ', 'FORM', '.snd', '0000ftyp', 'zzzzzzzz'), " +
+        "cast(doc_id % 8 as int) + 1)")
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(pre, rpad(col("text"), 16, " ")).as("p")),
+        "doc_id", "p", "video")
+      Multimodal.classifyMedia(media)
+        .select(col("media_id"), col("format_detected"),
+          col("kind_detected"), col("decodable"))
     }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
@@ -1874,6 +1908,54 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
         |       CROSS JOIN d3 CROSS JOIN nn)
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+    // pagerank_until(eps=0, maxIters=4): the trade graph never reaches an
+    // exact integer fixpoint in 4 rounds, so the run caps out and equals
+    // pageRank(4) — the pagerank oracle with one more unrolled round
+    "pagerank_until" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r0 LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c1.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node
+        |       CROSS JOIN d1 CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r1 LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c2.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node
+        |       CROSS JOIN d2 CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r2 LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c3.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
+        |       CROSS JOIN d3 CROSS JOIN nn),
+        |c4 AS (SELECT e.dst AS node, CAST(sum(r3.r // od.od) AS BIGINT) AS c
+        |       FROM e JOIN r3 ON e.src = r3.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |d4 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+        |       FROM r3 LEFT JOIN od ON r3.node = od.src WHERE od.src IS NULL),
+        |r4 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * (coalesce(c4.c, 0) + (dang // n))) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN c4 ON nodes.node = c4.node
+        |       CROSS JOIN d4 CROSS JOIN nn)
+        |SELECT node, r AS rank_micro FROM r4""".stripMargin,
     // label_prop: three verbatim min-label rounds over the doubled
     // co-purchase edge list (labelᵢ₊₁ = min(self, min neighbor))
     "label_prop" ->
@@ -1963,7 +2045,7 @@ object SparkEntry {
         |         THEN 512.0 * ln(512.0 / (512 - n_used)) ELSE est_raw END, 2) AS est_union
         |       FROM xu)
         |SELECT fu.a, fu.b, fa.est AS est_a, fb.est AS est_b, fu.est_union,
-        |  round(fa.est + fb.est - fu.est_union, 2) AS est_shared
+        |  round(greatest(0.0, fa.est + fb.est - fu.est_union), 2) AS est_shared
         |FROM fu JOIN f1 fa ON fu.a = fa.source JOIN f1 fb ON fu.b = fb.source""".stripMargin,
     // attribution: the ignoreNulls carry window replays verbatim; value
     // sums are exact micro-unit integers until one final division
@@ -2383,6 +2465,33 @@ object SparkEntry {
         |  CAST(sum(('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003) AS BIGINT) AS f_digest
         |FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
         |GROUP BY 1""".stripMargin,
+    // classify_media: rebuild the identical prefixed payload string, then
+    // replay the magic-byte predicates (substr positions mirror the
+    // sniff's byte offsets; image magics can't occur — every prefix is
+    // ASCII and none starts 'BM'/'GIF8'/'II*'/'MM'; length >= 12 is
+    // structural via the prefix + rpad(16))
+    "classify_media" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN 'ID3' WHEN 1 THEN 'OggS' WHEN 2 THEN 'RIFF0000WAVE'
+        |      WHEN 3 THEN 'RIFF0000AVI ' WHEN 4 THEN 'FORM' WHEN 5 THEN '.snd'
+        |      WHEN 6 THEN '0000ftyp' ELSE 'zzzzzzzz' END || rpad(text, 16, ' ') AS p
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN substr(p, 1, 3) = 'ID3' THEN 'mp3'
+        |       WHEN substr(p, 1, 4) = 'OggS' THEN 'ogg'
+        |       WHEN substr(p, 1, 4) = 'RIFF' AND substr(p, 9, 4) = 'WAVE' THEN 'wav'
+        |       WHEN substr(p, 1, 4) = 'RIFF' AND substr(p, 9, 4) = 'AVI ' THEN 'avi'
+        |       WHEN substr(p, 1, 4) = 'FORM' THEN 'aiff'
+        |       WHEN substr(p, 1, 4) = '.snd' THEN 'au'
+        |       WHEN substr(p, 5, 4) = 'ftyp' THEN 'mp4'
+        |       ELSE NULL END AS format_detected FROM m)
+        |SELECT doc_id AS media_id, format_detected,
+        |  CASE WHEN format_detected IN ('mp3', 'ogg', 'wav', 'aiff', 'au') THEN 'audio'
+        |       WHEN format_detected IN ('avi', 'mp4') THEN 'video'
+        |       ELSE 'unknown' END AS kind_detected,
+        |  coalesce(format_detected IN ('wav', 'aiff', 'au'), FALSE) AS decodable
+        |FROM c""".stripMargin,
     // approx_distinct: HLL sketch internals have no DuckDB equivalent —
     // intentionally no SQL oracle (rows-only check).
   )

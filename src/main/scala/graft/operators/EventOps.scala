@@ -302,11 +302,15 @@ object EventOps {
     * bursts.
     *
     * Determinism: the weighted sum runs in EXACT integer space — values
-    * scale to micro-units, gaps to milliseconds, and each product is cast
-    * to decimal(38,0) BEFORE multiplying (a bigint product would overflow
-    * at ~year-long gaps) — so per-user sums are order-independent and the
-    * only FP is the single final division both engines perform on the
-    * same exact integers.
+    * scale to micro-units (bigint, so |value| ≤ ~9.2·10¹²), gaps to
+    * milliseconds, and each product is decimal(19,0) × decimal(18,0),
+    * whose result type is EXACTLY decimal(38,0) (19+18+1 = 38 — no
+    * precision cap, so no silent null/overflow under non-ANSI mode; a
+    * bigint product would overflow at ~year-long gaps). Per-user sums
+    * are therefore order-independent and the only FP is the single final
+    * division both engines perform on the same exact integers. Gaps
+    * beyond 10¹⁸ ms (~3·10⁷ years) would overflow the operand cast —
+    * unreachable for any epoch timestamp.
     *
     * Scale shape: one shuffle on user_id shared by the window and the
     * aggregate; map-side combine on the sum pass.
@@ -327,7 +331,7 @@ object EventOps {
       .where(col("dt_ms").isNotNull)
       .groupBy("user_id")
       .agg(
-        sum(col("vi").cast("decimal(20,0)") * col("dt_ms").cast("decimal(18,0)"))
+        sum(col("vi").cast("decimal(19,0)") * col("dt_ms").cast("decimal(18,0)"))
           .as("num"),
         sum("dt_ms").as("den"),
         count(lit(1)).as("n_intervals"))

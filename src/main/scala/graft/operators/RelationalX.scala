@@ -719,7 +719,12 @@ object RelationalX {
       .join(single.select(col("source").as("a"), col("est_distinct").as("est_a")), Seq("a"))
       .join(single.select(col("source").as("b"), col("est_distinct").as("est_b")), Seq("b"))
       .select(col("a"), col("b"), col("est_a"), col("est_b"), col("est_union"),
-        round(col("est_a") + col("est_b") - col("est_union"), 2).as("est_shared"))
+        // inclusion-exclusion can go slightly negative for near-disjoint
+        // sources (the three estimates carry independent sketch error); a
+        // negative "shared vocabulary" is nonsense for the screening
+        // decision this drives, so clamp at 0 — mirrored in the oracle SQL
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 2)
+          .as("est_shared"))
   }
 
   /** Rolling N-day distinct users per day — the sliding-window COUNT

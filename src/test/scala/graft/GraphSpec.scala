@@ -144,4 +144,21 @@ class GraphSpec extends SparkSpec {
     val again = Graph.pageRank(Graph.tradeEdges(spark, sfDir).repartition(5), iters = 3)
     assert(pr.except(again).count() === 0 && again.except(pr).count() === 0)
   }
+
+  test("communities: rollup matches label components; label cache released eagerly") {
+    graft.plans.ReleaseRegistry.drain()
+    // path 1-2-3-4 (community 1, 4 members) + pair 10-11 (community 10)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Graph.communities(edges, iters = 3)
+      .select("community", "n_members", "min_node", "max_node")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L, 1L, 4L), (10L, 2L, 10L, 11L)))
+    // the corpus-scale label cache was released INSIDE communities(); only
+    // the community-sized rollup (one pinned frame) remains until drain
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+      "communities should pin exactly its own rollup")
+    graft.plans.ReleaseRegistry.drain()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
 }
