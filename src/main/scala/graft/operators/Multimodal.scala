@@ -278,6 +278,106 @@ object Multimodal {
       else (null, "unknown", false)
     }
 
+    /** Header-level duration probe for COMPRESSED formats this environment
+      * cannot decode — routing metadata without a codec: an mp3/mp4
+      * payload headed for a codec-equipped cluster can still be
+      * cost-estimated (seconds of audio/video) from pure byte parsing.
+      * Returns None when headers are absent/garbage; never throws.
+      *
+      * mp3: skip a leading ID3v2 tag (syncsafe 28-bit size at bytes 6-9),
+      * find the first MPEG audio frame sync within the next 2 KB, read
+      * version + layer-III bitrate/samplerate indexes from the frame
+      * header, and estimate duration as audio_bytes · 8 / bitrate — exact
+      * for CBR (the common case), an approximation for VBR (a full VBR
+      * scan would read every frame header; header-only is the right
+      * screening trade).
+      */
+    def mp3DurationMs(p: Array[Byte]): Option[Long] = {
+      if (p == null || p.length < 4) return None
+      var off = 0
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        // syncsafe: 4 bytes, 7 bits each, high bit must be clear
+        if (((p(6) | p(7) | p(8) | p(9)) & 0x80) != 0) return None
+        off = 10 + ((p(6) & 0x7f) << 21 | (p(7) & 0x7f) << 14 |
+          (p(8) & 0x7f) << 7 | (p(9) & 0x7f))
+        if (off < 0 || off >= p.length - 4) return None
+      }
+      // bounded scan for the frame sync (11 set bits): tags are sometimes
+      // padded; 2 KB covers any sane padding without scanning a whole
+      // garbage payload
+      val limit = math.min(p.length - 4, off + 2048)
+      var s = off
+      while (s < limit &&
+        !((p(s) & 0xff) == 0xff && (p(s + 1) & 0xe0) == 0xe0)) s += 1
+      if (s >= limit) return None
+      val b1 = p(s + 1) & 0xff
+      val b2 = p(s + 2) & 0xff
+      val versionBits = (b1 >> 3) & 0x3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (b1 >> 1) & 0x3   // 1=Layer III
+      if (versionBits == 1 || layerBits != 1) return None // reserved / not L3
+      val bitrateIdx = (b2 >> 4) & 0xf
+      val srIdx = (b2 >> 2) & 0x3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+      val kbps =
+        if (versionBits == 3)
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)(bitrateIdx)
+        else // MPEG2 / 2.5 Layer III share one table
+          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+            96, 112, 128, 144, 160)(bitrateIdx)
+      val audioBytes = (p.length - s).toLong
+      Some(audioBytes * 8L / kbps) // bytes·8 / (kbps·1000) · 1000 ms
+    }
+
+    /** mp4/mov duration from the `moov`→`mvhd` box — a flat walk of the
+      * ISO BMFF box structure (32-bit big-endian size + fourcc, 64-bit
+      * largesize when size == 1): duration/timescale out of the movie
+      * header, version 0 (32-bit fields) and version 1 (64-bit) both
+      * handled. No sample tables are touched — this is header metadata,
+      * not decoding.
+      */
+    def mp4DurationMs(p: Array[Byte]): Option[Long] = {
+      if (p == null || p.length < 16) return None
+      def be32(o: Int): Long =
+        ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+      def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+      def fourcc(o: Int, s: String): Boolean =
+        p(o) == s(0).toByte && p(o + 1) == s(1).toByte &&
+          p(o + 2) == s(2).toByte && p(o + 3) == s(3).toByte
+      // walk boxes in [from, until) looking for `name`; returns the box's
+      // (payloadStart, payloadEnd)
+      def findBox(name: String, from: Long, until: Long): Option[(Long, Long)] = {
+        var o = from
+        while (o + 8 <= until) {
+          val size0 = be32(o.toInt)
+          val (size, hdr) =
+            if (size0 == 1L && o + 16 <= until) (be64(o.toInt + 8), 16L)
+            else (size0, 8L)
+          if (size < hdr || o + size > until) return None // corrupt size
+          if (fourcc(o.toInt + 4, name)) return Some((o + hdr, o + size))
+          o += size
+        }
+        None
+      }
+      try {
+        val end = p.length.toLong
+        findBox("moov", 0L, end).flatMap { case (ms, me) =>
+          findBox("mvhd", ms, me).flatMap { case (hs, he) =>
+            val v = p(hs.toInt) & 0xff
+            val (timescale, duration) =
+              if (v == 1 && he - hs >= 28)
+                (be32(hs.toInt + 20), be64(hs.toInt + 24))
+              else if (v == 0 && he - hs >= 20)
+                (be32(hs.toInt + 12), be32(hs.toInt + 16))
+              else (0L, 0L)
+            if (timescale <= 0L) None
+            else Some(duration * 1000L / timescale)
+          }
+        }
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
     /** Re-encode at new dimensions. Decodable images resample for real
       * (Graphics2D bilinear draw, re-encoded as PNG); anything else keeps
       * the deterministic stub truncation so the plan shape stays testable
@@ -318,24 +418,34 @@ object Multimodal {
 
   /** Sniff-and-classify stage: adds `format_detected` (magic-byte format,
     * null when unrecognized), `kind_detected` (image/audio/video/unknown —
-    * from the BYTES, independent of the declared `kind` column) and
+    * from the BYTES, independent of the declared `kind` column),
     * `decodable` (whether [[MediaCodec.decode]] can decode it HERE, i.e.
-    * with the JDK-only codecs). Row-local, payload retained — this is the
-    * routing stage a pipeline runs before [[extractFeatures]] to split
-    * decode-now rows from quarantine-for-codec-cluster rows
-    * (`kind_detected != 'unknown' AND NOT decodable`) and plain garbage.
+    * with the JDK-only codecs) and `duration_ms_detected` (header-parsed
+    * playback duration for the compressed formats whose decode is
+    * env-blocked — mp3 frame headers, mp4 `mvhd`; null elsewhere). Row-
+    * local, payload retained — this is the routing stage a pipeline runs
+    * before [[extractFeatures]] to split decode-now rows from
+    * quarantine-for-codec-cluster rows (`kind_detected != 'unknown' AND
+    * NOT decodable`, now with a cost estimate) and plain garbage.
     */
   def classifyMedia(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields ++ Seq(
       StructField("format_detected", StringType, nullable = true),
       StructField("kind_detected", StringType, nullable = false),
-      StructField("decodable", BooleanType, nullable = false)))
+      StructField("decodable", BooleanType, nullable = false),
+      StructField("duration_ms_detected", LongType, nullable = true)))
     val payloadIdx = media.schema.fieldIndex("payload")
     implicit val enc = Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (fmt, kind, dec) = MediaCodec.sniff(r.getAs[Array[Byte]](payloadIdx))
-        Row.fromSeq(r.toSeq :+ fmt :+ kind :+ dec)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (fmt, kind, dec) = MediaCodec.sniff(payload)
+        val dur = (fmt match {
+          case "mp3" => MediaCodec.mp3DurationMs(payload)
+          case "mp4" => MediaCodec.mp4DurationMs(payload)
+          case _ => None
+        }).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ fmt :+ kind :+ dec :+ dur)
       }
     }
   }

@@ -188,6 +188,61 @@ class MultimodalSpec extends SparkSpec {
     assert(mp3Feats === Multimodal.MediaCodec.stubFeatures(mp3Id3).toSeq)
   }
 
+  test("duration probes: mp3 frame headers and mp4 mvhd, no codec involved") {
+    import Multimodal.MediaCodec
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // CBR MPEG1 Layer III @128 kbps (0xFF 0xFB 0x90): 4000 bytes of audio
+    // → 4000·8/128 = 250 ms
+    val frame1 = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte)
+    val mp3Bare = frame1 ++ Array.fill[Byte](3996)(0x55)
+    assert(MediaCodec.mp3DurationMs(mp3Bare) === Some(250L))
+    // ID3v2 tag (syncsafe size 10) skipped; audio = total − 20 = 1600
+    // bytes → 100 ms
+    val id3 = "ID3".getBytes("ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x20)
+    val mp3Tagged = id3 ++ frame1 ++ Array.fill[Byte](1596)(0x55)
+    assert(MediaCodec.mp3DurationMs(mp3Tagged) === Some(100L))
+    // MPEG2 Layer III uses the low bitrate table (idx 9 → 80 kbps):
+    // 1000 bytes → 100 ms
+    val mp3V2 = Array(0xff.toByte, 0xf3.toByte, 0x90.toByte, 0x00.toByte) ++
+      Array.fill[Byte](996)(0x55)
+    assert(MediaCodec.mp3DurationMs(mp3V2) === Some(100L))
+    // garbage after an ID3 prefix (no frame sync) → no duration
+    assert(MediaCodec.mp3DurationMs(
+      "ID3 plain text that is not audio at all".getBytes("ASCII")) === None)
+    // mp4: ftyp + moov{mvhd v0 timescale=1000 duration=5000} → 5000 ms
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes("ASCII") ++ payload
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill[Byte](80)(0))
+    val ftyp = be32(16) ++ "ftypisom".getBytes("ASCII") ++ be32(0)
+    val mp4v0 = ftyp ++ box("moov", mvhd0)
+    assert(MediaCodec.mp4DurationMs(mp4v0) === Some(5000L))
+    // mvhd version 1 (64-bit times): timescale=600, duration=1200 → 2000 ms
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ // 64-bit ctime + mtime
+      be32(600) ++ be32(0) ++ be32(1200) ++ Array.fill[Byte](80)(0))
+    val mp4v1 = ftyp ++ box("moov", mvhd1)
+    assert(MediaCodec.mp4DurationMs(mp4v1) === Some(2000L))
+    // corrupt box size must bail, not loop or throw
+    assert(MediaCodec.mp4DurationMs(ftyp ++ be32(3L) ++
+      "moov".getBytes("ASCII")) === None)
+    // end-to-end: classifyMedia surfaces the probe in duration_ms_detected
+    // for quarantined formats, null for everything else
+    val raw = Seq(1L -> mp3Tagged, 2L -> mp4v0, 3L -> ("OggS".getBytes("ASCII") ++
+      Array.fill[Byte](16)(0))).toDF("id", "bytes")
+    val got = Multimodal.classifyMedia(
+      Multimodal.fromBinary(raw, "id", "bytes", "audio"))
+      .select("media_id", "format_detected", "duration_ms_detected")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some("mp3"), Some(100L))))
+    assert(got(2L) === ((Some("mp4"), Some(5000L))))
+    assert(got(3L) === ((Some("ogg"), None)))
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val vids = media
       .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
