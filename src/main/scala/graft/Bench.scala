@@ -23,6 +23,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 158 queries x ~10 codegen units blows straight through the
+      // default 100-entry codegen cache; every eviction is a Janino
+      // recompile and a JIT-cold class — the measured source of the
+      // 10-50x mid-suite inflation on codegen-hot queries
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +65,13 @@ object Bench {
       plans.CacheRegistry.clear()
       spark.catalog.clearCache()
       System.gc()
+      // per-query warmup IMMEDIATELY before timing: the suite-level
+      // warmup pass ran ~2x#queries materializations ago, and if this
+      // query's generated classes were meanwhile evicted from the codegen
+      // cache, the first timed run would pay Janino + JIT re-warm
+      // (measured 10-50x on codegen-hot stages). This absorbs that cost
+      // untimed; with maxEntries raised it is usually a no-op pass.
+      try materialize(name) catch { case _: Throwable => }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { materialize(name); true } catch { case _: Throwable => false }

@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EqCount(a.head, a(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        val a = Arity.check("graft_sorted_intersect_count",
+          "graft_sorted_intersect_count(sorted_array, sorted_array)", 2)(exprs)
+        graft.functions.SortedIntersectCount(a.head, a(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[Md5Hash64].getName, "graft_hash64"),
       (exprs: Seq[Expression]) => {

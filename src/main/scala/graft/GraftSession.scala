@@ -33,6 +33,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // default 100 entries evicts constantly on a many-query session;
+      // every eviction is a Janino recompile AND a fresh class the JIT
+      // must re-warm — measured 10-50x CPU inflation on the quadratic
+      // dedup-verify stage whenever its generated class came back cold
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // runtime bloom-filter pushdown: joins inject a key filter into the
       // probe-side scan, cutting shuffled bytes on selective joins — the
       // kind of win that only shows at 100 TB fact-table scale

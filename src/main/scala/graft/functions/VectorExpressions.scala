@@ -330,6 +330,12 @@ object VectorFunctions {
           "graft_lsh_buckets(array, planes, nBits)", a(2)))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count", exprs => {
+        val a = Arity.check("graft_sorted_intersect_count",
+          "graft_sorted_intersect_count(sorted_array, sorted_array)", 2)(exprs)
+        SortedIntersectCount(a.head, a(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash64", exprs => {
         val a = Arity.check("graft_hash64", "graft_hash64(string)", 1)(exprs)
         Md5Hash64(a.head)
