@@ -91,6 +91,32 @@ object Dedup {
       .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
       .where(col("sh").isNotNull)
 
+  /** Row-local per-doc MinHash signatures + hashed-shingle set: the
+    * shuffle-FREE twin of the explode+groupBy signature aggregation in
+    * [[minhashPairs]] — identical values bit for bit (`hb = md5-60bit mod
+    * P`, `sig_i = min((2i+1)·hb + 40503·i mod P)`, min over a set equals
+    * min over the exploded multiset), but computed inside one projection.
+    * Zero exchanges: at 100 TB the signature pass is embarrassingly
+    * parallel, and — having no shuffle or stateful aggregation — it is
+    * also STREAMING-safe, which is what
+    * [[graft.streaming.DedupStreams.incrementalMinhashPairs]] builds on.
+    * `hset` comes back sorted ascending (one sort per doc) so downstream
+    * verify steps can merge-count instead of hashing per pair.
+    */
+  def rowLocalSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+          .as("sh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(col("sh"), s => portableHash64(s) % MinhashP))).as("hset"))
+      .select(col("doc_id"), col("hset"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("hset"),
+            h => (h * (2 * i + 1) + lit(40503L * i)) % MinhashP))): _*).as("sig"))
+
   /** Modulus for the minhash family: 2^31 - 1 (prime). Small enough that
     * `(2i+1) * h` never overflows a 64-bit long (so Spark's wrapping and
     * DuckDB's checked arithmetic agree exactly), large enough that
@@ -186,12 +212,16 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val sets = sigs
-      .select(col("doc_id"), col("hset"), size(col("hset")).as("n"))
+      // collect_set order is arbitrary; one sort per doc buys the
+      // allocation-free sorted-merge verify over every candidate pair
+      .select(col("doc_id"), array_sort(col("hset")).as("hset"),
+        size(col("hset")).as("n"))
     cand
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("sa.hset"), col("sb.hset"))).as("inter"),
+        graft.functions.SetFunctions
+          .sortedIntersectCount(col("sa.hset"), col("sb.hset")).as("inter"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
       // threshold on the UNROUNDED ratio (a ratio of exact ints —
       // bit-identical in any engine): rounding first would admit pairs up
@@ -234,7 +264,7 @@ object Dedup {
       .repartition(par)
       .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), col("source"),
-        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+        expr(s"array_sort(array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k)))))")
           .as("sh"))
       .withColumn("n", size(col("sh")))
     // size-ratio prefilter: jaccard ≥ t forces |A∩B| ≥ t/(1+t)·(|A|+|B|)
@@ -247,7 +277,11 @@ object Dedup {
         least(col("x.n"), col("y.n")).cast("double")
           >= lit(threshold) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        // sorted-merge count, not array_intersect: the shingle arrays are
+        // sorted once per doc above, so each pair's verify is an
+        // allocation-free scan (graft.functions.SortedIntersectCount)
+        graft.functions.SetFunctions
+          .sortedIntersectCount(col("x.sh"), col("y.sh")).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
       // unrounded threshold, rounded report — see the same note in
       // [[minhashPairs]]
@@ -282,7 +316,7 @@ object Dedup {
       .repartition(par)
       .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), col("source"),
-        expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")
+        expr(s"array_sort(array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k)))))")
           .as("sh"))
       .withColumn("n", size(col("sh")))
     val load = Option(docs.groupBy("source").count()
@@ -304,7 +338,8 @@ object Dedup {
       }
     cand
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+        graft.functions.SetFunctions
+          .sortedIntersectCount(col("x.sh"), col("y.sh")).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
       // unrounded threshold, rounded report (ngramJaccardPairs' contract)
       .withColumn("_c", col("inter").cast("double") / least(col("na"), col("nb")))
@@ -622,4 +657,92 @@ object Dedup {
     resolveClusters(docs, pairs)
       .select(col("doc_id"), col("cluster"),
         TextOps.splitExpr(col("cluster")).as("split"))
+
+  /** Per-cluster curation report over the resolved near-dup components:
+    * how big each duplicate family is, how many sources it spans, and how
+    * much text the dedup decision is about to drop. This is the rollup a
+    * curation run reads BEFORE committing deletions — a family spanning
+    * many sources is usually boilerplate (safe to collapse), while a
+    * large single-source family can signal a scraper fault worth
+    * auditing upstream instead of silently deduping.
+    *
+    * Scale shape: inherits [[resolveClusters]]' adaptive component
+    * resolution, then ONE narrow shuffle — the per-cluster aggregation
+    * keyed on the cluster label. Only multi-doc families survive the
+    * HAVING, so the output is bounded by the duplicate count, not the
+    * corpus.
+    */
+  def clusterFamilies(docs: DataFrame, pairs: DataFrame): DataFrame =
+    resolveClusters(docs, pairs)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        // chars the dedup pass deletes: everything but the survivor's
+        sum(when(col("keep"), lit(0L)).otherwise(col("n_chars"))).as("chars_dropped"))
+      .where(col("n_docs") >= 2)
+
+  /** Quality-policy survivor selection over the resolved near-dup
+    * components: instead of [[resolveClusters]]' min-id representative
+    * (an arbitrary but deterministic choice), each multi-doc family keeps
+    * its LONGEST member (`n_chars` max; ties break to the smallest
+    * doc_id). Near-dup families are usually a full document plus
+    * truncated/paywalled/boilerplate-wrapped copies — keeping the longest
+    * retains the most content, the standard policy in corpus curation.
+    * The policy column is `n_chars` here; any scalar quality score (a
+    * classifier logit, [[TextOps]] quality signals) slots into the same
+    * argmax shape.
+    *
+    * Scale shape: inherits [[resolveClusters]]' adaptive resolution, then
+    * one aggregation keyed on the cluster label whose state is a single
+    * `(n_chars, -doc_id)` struct max — map-side combined, no window, no
+    * sort. Output is restricted to multi-doc families (singleton docs
+    * trivially survive), so it is bounded by the duplicate count.
+    */
+  def survivorsByQuality(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labeled = resolveClusters(docs, pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val surv = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        // lexicographic struct max = argmax(n_chars, then smallest id)
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+      .where(col("n_docs") >= 2)
+      .select(col("cluster"), (-col("m.nid")).as("survivor_id"))
+    labeled.join(surv, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep"))
+  }
+
+  /** Source×source near-duplicate overlap matrix: roll the (not
+    * source-blocked) MinHash near-dup pairs up to ordered source pairs —
+    * how many near-dup pairs cross each source boundary, and how strong
+    * they are. The off-diagonal cells are the cross-source contamination
+    * signal (two crawls of the same sites, a dataset repackaged under a
+    * new name) that decides whether sources can be mixed as independent
+    * or must share one dedup pass; the diagonal is each source's internal
+    * redundancy.
+    *
+    * Scale shape: pair generation is [[minhashPairs]]' banded LSH
+    * (Σbucket², never n²); the rollup is two broadcast-friendly joins to
+    * the (doc_id, source) projection and ONE aggregation on the ordered
+    * source pair — output bounded by #sources², not pairs. `max_jaccard`
+    * is order-independent (exact under any engine); `avg_jaccard` rounds
+    * to 4dp to absorb summation-order drift.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), col("a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
 }

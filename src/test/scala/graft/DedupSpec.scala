@@ -218,4 +218,34 @@ class DedupSpec extends SparkSpec {
     assert(singles.where(col("split") =!= col("plain")).count() === 0)
     out.unpersist()
   }
+
+  test("survivorsByQuality: longest member survives, ties break to min id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // family {1,2,3}: 2 and 3 tie on length
+      (4L, "b", 99L), // singleton — must not appear
+      (5L, "c", 7L), (6L, "c", 50L)) // family {5,6}: 6 longest
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.survivorsByQuality(docs, pairs)
+      .select("doc_id", "cluster", "survivor_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 6L, false), (6L, 5L, 6L, true)))
+  }
+
+  test("crossSourceDupMatrix: pairs roll up to ordered source cells") {
+    val docs = Seq(
+      (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s1"))
+      .toDF("doc_id", "source")
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.7), // two cross s1↔s2 pairs
+      (3L, 4L, 0.6)) // one intra-s1 pair
+      .toDF("a", "b", "jaccard")
+    val got = Dedup.crossSourceDupMatrix(docs, pairs)
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("s1", "s2", 2L, 0.9, 0.8),
+      ("s1", "s1", 1L, 0.6, 0.6)))
+  }
 }
