@@ -189,9 +189,9 @@ object SparkEntry {
     // trade graph, so the loop runs to the maxIters=4 cap and the result
     // is bit-exact pageRank(4) — which the oracle replays as a fourth
     // unrolled integer round. Exercises the convergence machinery (r_old
-    // carry + delta aggregate) AND the every-4-rounds localCheckpoint
-    // lineage truncation (iteration 4 is a checkpoint round), whose
-    // release rides the registry's invalidating tier.
+    // carry + delta aggregate); the every-4-rounds lineage truncation
+    // skips round 4 here (final round — nothing stacks on it), so the
+    // deeper checkpoint path is covered by GraphSpec's 5+-iteration runs.
     "pagerank_until" -> ((s, d) => {
       val res = Graph.pageRankUntil(Graph.tradeEdges(s, d),
         epsMicro = 0L, maxIters = 4)
@@ -216,6 +216,36 @@ object SparkEntry {
     // last-touch attribution: purchases credit the most recent earlier
     // click/view via an ignoreNulls carry window; exact integer value sums
     "attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    // per-cluster dedup rollup: family size, source span, chars about to
+    // be dropped — the audit report a curation run reads before deleting
+    "dedup_families" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterFamilies(docs, Dedup.ngramJaccardPairs(docs))
+    }),
+    // quality-policy survivor: each near-dup family keeps its LONGEST
+    // member (ties → smallest id), not the arbitrary min-id label
+    "dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.survivorsByQuality(docs, Dedup.ngramJaccardPairs(docs))
+    }),
+    // source×source near-dup overlap matrix over the unblocked MinHash
+    // pairs — the cross-source contamination signal
+    "cross_dup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossSourceDupMatrix(docs, Dedup.minhashPairs(docs))
+    }),
+    // temperature-scaled source weights (p ∝ n^0.7): derives the rates
+    // mix_sources executes
+    "temperature_mix" -> ((s, d) => TextOps.temperatureMix(Tables.documents(s, d))),
+    // embedding-space drift per source: per-doc cosine spread vs the
+    // global centroid + source-centroid shift (one corpus aggregate,
+    // broadcast centroid, codegen'd dot products)
+    "source_drift" -> ((s, d) =>
+      Similarity.sourceDrift(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // cross-group quantile normalization of scores onto the pooled
+    // distribution — two prefix-sum ranking passes, no whole-table window
+    "quantile_norm" -> ((s, d) =>
+      EventOps.quantileNormalize(Tables.events(s, d))),
     // asymmetric n-gram containment |A∩B|/min(|A|,|B|) — the engulfment
     // signal Jaccard cannot see; exact within the source block
     "containment_pairs" -> ((s, d) =>
@@ -822,6 +852,164 @@ object SparkEntry {
         |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
         |SELECT doc_id, cluster, doc_id = cluster AS keep
         |FROM labels WHERE doc_id <> cluster""".stripMargin,
+    // dedup_resolve's component recursion + longest-member survivor
+    // (max n_chars, ties to the smallest doc_id) over multi-doc families
+    "dedup_survivors" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE
+        |        / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
+        |    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node),
+        |fam AS (SELECT cluster FROM labels GROUP BY cluster HAVING count(*) >= 2),
+        |j AS (SELECT l.doc_id, l.cluster, d.n_chars
+        |      FROM labels l JOIN fam USING (cluster)
+        |      JOIN documents d ON d.doc_id = l.doc_id),
+        |mx AS (SELECT cluster, max(n_chars) AS mc FROM j GROUP BY cluster),
+        |surv AS (SELECT j.cluster, min(j.doc_id) AS survivor_id
+        |         FROM j JOIN mx ON j.cluster = mx.cluster AND j.n_chars = mx.mc
+        |         GROUP BY j.cluster)
+        |SELECT j.doc_id, j.cluster, sv.survivor_id,
+        |       j.doc_id = sv.survivor_id AS keep
+        |FROM j JOIN surv sv USING (cluster)""".stripMargin,
+    // minhash_pairs' banded-LSH chain rolled up to ordered source pairs
+    "cross_dup_matrix" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |shs AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(tk)-2,1)+1),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM toks),
+        |hbs AS (SELECT doc_id,
+        |  list_distinct(list_transform(sh,
+        |    s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)) AS hb
+        |  FROM shs),
+        |sigs AS (SELECT doc_id, hb, len(hb) AS n,
+        |  list_transform(range(0,32), i -> list_min(list_transform(hb,
+        |    h -> ((2*i+1)*h + 40503*i) % 2147483647))) AS sig
+        |  FROM hbs),
+        |banded AS (
+        |  SELECT doc_id, sig, b.band AS band,
+        |         array_to_string(sig[b.band*4+1:b.band*4+4], ',') AS bh
+        |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  WHERE len(list_filter(range(1,33), i -> x.sig[i] = y.sig[i])) >= 9),
+        |v AS (
+        |  SELECT c.a, c.b, len(list_intersect(sa.hb, sb.hb)) AS inter,
+        |         sa.n AS na, sb.n AS nb
+        |  FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id),
+        |m AS (
+        |  SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+        |  FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       count(*)::BIGINT AS n_pairs,
+        |       max(jaccard) AS max_jaccard,
+        |       round(avg(jaccard), 4) AS avg_jaccard
+        |FROM m JOIN documents da ON m.a = da.doc_id
+        |       JOIN documents db ON m.b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    // p ∝ n^0.7 temperature rebalancing; 6dp rounding absorbs libm pow
+    // and summation-order ulps
+    "temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_docs) AS n_total, sum(pow(n_docs, 0.7)) AS z FROM c)
+        |SELECT source, n_docs,
+        |  round(n_docs::DOUBLE / n_total, 6) AS p_raw,
+        |  round(pow(n_docs, 0.7) / z, 6) AS p_temp,
+        |  round((pow(n_docs, 0.7) / z) / (n_docs::DOUBLE / n_total), 6) AS boost
+        |FROM c CROSS JOIN t""".stripMargin,
+    // dedup_resolve's component recursion + a per-family rollup
+    "dedup_families" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, sh, len(sh) AS n FROM s),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE
+        |        / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
+        |    FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |SELECT cluster, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT d.source)::BIGINT AS n_sources,
+        |  sum(d.n_chars)::BIGINT AS total_chars,
+        |  sum(CASE WHEN l.doc_id = l.cluster THEN 0 ELSE d.n_chars END)::BIGINT
+        |    AS chars_dropped
+        |FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        |GROUP BY cluster HAVING count(*) >= 2""".stripMargin,
+    // per-dim centroids via zip-unnest (value + its ordinal), cosines via
+    // list_dot_product; 4dp rounding absorbs summation-order drift
+    "source_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |j AS (SELECT d.source, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |dims AS (SELECT source, unnest(v) AS x,
+        |                unnest(range(1, len(v) + 1)) AS i FROM j),
+        |g AS (SELECT list(m ORDER BY i) AS gv FROM
+        |       (SELECT i, avg(x) AS m FROM dims GROUP BY i)),
+        |per AS (SELECT source, count(*)::BIGINT AS n_vecs,
+        |          avg(nrm) AS avg_norm_raw,
+        |          avg(CASE WHEN nrm * sqrt(list_dot_product(gv, gv)) = 0 THEN -1.0
+        |              ELSE list_dot_product(v, gv)
+        |                / (nrm * sqrt(list_dot_product(gv, gv))) END) AS cos_raw
+        |        FROM j CROSS JOIN g GROUP BY source),
+        |sc AS (SELECT source, list(m ORDER BY i) AS sv FROM
+        |        (SELECT source, i, avg(x) AS m FROM dims GROUP BY source, i)
+        |       GROUP BY source)
+        |SELECT source, n_vecs, round(avg_norm_raw, 4) AS avg_norm,
+        |  round(cos_raw, 4) AS avg_cos_global,
+        |  CASE WHEN sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(gv, gv)) = 0
+        |       THEN 2.0
+        |       ELSE round(1.0 - list_dot_product(sv, gv)
+        |         / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(gv, gv))), 4)
+        |  END AS centroid_drift
+        |FROM per JOIN sc USING (source) CROSS JOIN g""".stripMargin,
+    // within-group min-rank percentile mapped onto the pooled sorted
+    // values at position floor(pr*(N-1))+1 — integer indexing, IEEE-exact
+    "quantile_norm" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |stats AS (SELECT event_type, count(*) AS n_type FROM ev GROUP BY 1),
+        |r AS (SELECT event_id, event_type, value,
+        |        rank() OVER (PARTITION BY event_type ORDER BY value) AS rk FROM ev),
+        |p AS (SELECT event_id, event_type, value,
+        |        CASE WHEN n_type = 1 THEN 0.0
+        |             ELSE (rk - 1)::DOUBLE / (n_type - 1) END AS pr_raw
+        |      FROM r JOIN stats USING (event_type)),
+        |pooled AS (SELECT value AS value_norm,
+        |                  row_number() OVER (ORDER BY value) AS rn FROM ev),
+        |n AS (SELECT count(*) AS n_all FROM ev)
+        |SELECT event_id, event_type, value, round(pr_raw, 6) AS pr, value_norm
+        |FROM p CROSS JOIN n
+        |JOIN pooled ON CAST(floor(pr_raw * (n_all - 1)) AS BIGINT) + 1 = pooled.rn""".stripMargin,
     "ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id, source,

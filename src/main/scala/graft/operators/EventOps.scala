@@ -441,6 +441,85 @@ object EventOps {
       round(q(col("delta_s"), 0.9), 1).as("p90_s"))
   }
 
+  /** Cross-group quantile normalization: map each event's `value` to the
+    * POOLED distribution's value at the same within-group percentile.
+    * This is the calibration step a curation pipeline runs when scores
+    * from heterogeneous scorers (one per event_type here; per quality
+    * classifier / per source in a corpus) must be comparable before a
+    * single global threshold or mixing policy is applied: after the
+    * transform, every group's scores share the pooled marginal
+    * distribution, so "top 10% by value" means the same thing in every
+    * group.
+    *
+    * pr = (min-rank − 1)/(n_group − 1) within the event's group (ties
+    * share the min rank — deterministic and engine-portable); the
+    * normalized value is the pooled sorted value at position
+    * ⌊pr·(N−1)⌋+1 (integer-indexed, no interpolation — every output
+    * value is a value that actually occurs, and the position arithmetic
+    * replays bit-identically in any IEEE engine).
+    *
+    * Scale shape — NO whole-table window anywhere:
+    *  - within-group rank: range-partition on (group, value) (equal keys
+    *    land in one partition, so min-rank ties are partition-local),
+    *    per-partition-per-group counts → exclusive prefix-sum over the
+    *    (#partitions × #groups)-row side table, broadcast back, local
+    *    rank + offset — [[Relational.globalIndex]]'s two-pass scheme
+    *    generalized to grouped ranking;
+    *  - pooled positions: the same scheme on value alone;
+    *  - the final lookup is a uniform equi-join on the target position.
+    * Both range-partitioned frames persist behind a count barrier (the
+    * offset pass must see the SAME sampled range boundaries) and queue
+    * release hooks with [[graft.plans.ReleaseRegistry]].
+    */
+  def quantileNormalize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+
+    val ranged = ev.repartitionByRange(par, col("event_type"), col("value"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    graft.plans.ReleaseRegistry.register("eventops.quantile_norm_grouped")(
+      () => ranged.unpersist(blocking = false))
+    val offs = ranged.groupBy("pid", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.partitionBy("event_type").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "event_type", "off")
+    val nPerType = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    val localRank = Window.partitionBy("pid", "event_type").orderBy("value")
+    val ranked = ranged.join(broadcast(offs), Seq("pid", "event_type"))
+      .withColumn("rk", rank().over(localRank).cast("long") + col("off"))
+      .join(nPerType, Seq("event_type"))
+      .withColumn("pr", when(col("n_type") === 1, lit(0.0))
+        .otherwise((col("rk") - 1).cast("double") / (col("n_type") - 1).cast("double")))
+
+    val pooledRanged = ev.select(col("value"))
+      .repartitionByRange(par, col("value"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    pooledRanged.count()
+    graft.plans.ReleaseRegistry.register("eventops.quantile_norm_pooled")(
+      () => pooledRanged.unpersist(blocking = false))
+    val poffs = pooledRanged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val pooled = pooledRanged.join(broadcast(poffs), Seq("pid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy("value")).cast("long") + col("off"))
+      .select(col("value").as("value_norm"), col("rn"))
+    val nAll = ev.agg(count(lit(1)).as("n_all"))
+
+    ranked.crossJoin(broadcast(nAll))
+      .withColumn("target", floor(col("pr") * (col("n_all") - 1).cast("double")) + 1)
+      .join(pooled, col("target") === col("rn"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("pr"), 6).as("pr"), col("value_norm"))
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

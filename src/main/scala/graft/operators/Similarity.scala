@@ -121,6 +121,52 @@ object Similarity {
       array_max(col("q")).cast("int").as("q_max"))
 
   /** Per-label embedding statistics (count, norm distribution). */
+  /** Embedding-space drift profile per document source: how far each
+    * source's vectors sit from the corpus as a whole. `avg_cos_global` is
+    * the mean per-document cosine to the global centroid (spread:
+    * low = the source's docs scatter away from the corpus center);
+    * `centroid_drift` is 1 − cos(source centroid, global centroid)
+    * (systematic shift: high = the whole source points somewhere else —
+    * a new crawl snapshot whose distribution moved, a mislabeled
+    * ingest, a source that needs its own mixing weight).
+    *
+    * Scale shape: one equi-join docs↔embeddings (AQE broadcasts the doc
+    * side if it fits), ONE corpus aggregate for the global centroid
+    * (all-reduce to a single 1-row frame, broadcast back), one per-source
+    * aggregate with map-side partials. The per-doc cosine is the
+    * codegen'd [[dot]] against the broadcast centroid — no corpus-side
+    * second shuffle. Averages are rounded to 4dp, making the result
+    * stable under summation-order differences across engines/runs.
+    */
+  def sourceDrift(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val j = docs.select(col("doc_id"), col("source"))
+      .join(prepared(embeddings), col("doc_id") === col("vec_id"))
+      .select(col("source"), col("v"), col("nrm"))
+    val g = j
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("gs"),
+        count(lit(1)).as("gn"))
+      .select(transform(col("gs"), x => x / col("gn")).as("gv"))
+    val perSrc = j.crossJoin(broadcast(g))
+      .withColumn("gnrm", norm(col("gv")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        avg(col("nrm")).as("_avg_norm"),
+        avg(when(col("nrm") * col("gnrm") === 0d, lit(-1.0))
+          .otherwise(dot(col("v"), col("gv")) / (col("nrm") * col("gnrm"))))
+          .as("_avg_cos"),
+        graft.functions.VectorFunctions.vecSum(col("v")).as("ss"))
+    perSrc.crossJoin(broadcast(g))
+      .withColumn("sv", transform(col("ss"), x => x / col("n_vecs")))
+      .select(col("source"), col("n_vecs"),
+        round(col("_avg_norm"), 4).as("avg_norm"),
+        round(col("_avg_cos"), 4).as("avg_cos_global"),
+        when(norm(col("sv")) * norm(col("gv")) === 0d, lit(2.0))
+          .otherwise(round(lit(1.0)
+            - dot(col("sv"), col("gv")) / (norm(col("sv")) * norm(col("gv"))), 4))
+          .as("centroid_drift"))
+  }
+
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"),

@@ -719,6 +719,36 @@ object TextOps {
     docs.where(bucket < rateCol)
   }
 
+  /** Temperature-scaled source mixing weights: sampling probability
+    * p_temp(s) ∝ n_s^α with α ∈ (0,1] — the standard multilingual /
+    * multi-source rebalancing rule (α=1 is proportional sampling, α→0 is
+    * uniform; 0.7 is the common default). `boost` = p_temp/p_raw is the
+    * per-source oversampling factor a weighted sampler (e.g.
+    * [[mixSources]] with rate = min(1, boost·target_rate)) applies so
+    * small sources are not drowned by the head. This is the COMPANION
+    * operator to [[mixSources]]: mixSources executes fixed per-source
+    * rates; temperatureMix derives the rates from the corpus itself.
+    *
+    * Scale shape: one map-side-combined count aggregate (|sources| rows),
+    * one 1-row total broadcast back over it — no corpus-sized shuffle,
+    * no window. The weight table is broadcastable at any corpus size
+    * because its cardinality is the source count. Outputs round to 6dp so
+    * the libm `pow` and the summation order (both within 1 ulp across
+    * engines) cannot surface in the reported weights.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs"), lit(alpha))).as("z"))
+    val pRaw = col("n_docs").cast("double") / col("n_total").cast("double")
+    val pTemp = pow(col("n_docs"), lit(alpha)) / col("z")
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(pRaw, 6).as("p_raw"),
+        round(pTemp, 6).as("p_temp"),
+        round(pTemp / pRaw, 6).as("boost"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * adapted to engine-portable integer arithmetic): featurize every

@@ -19,7 +19,8 @@ class QueriesSpec extends SparkSpec {
     * (e.g. no customer without orders at sf0.001) — still must run.
     */
   private val mayBeEmpty =
-    Set("join_anti", "minhash_pairs", "ngram_jaccard", "dedup_resolve", "cos_near_pairs",
+    Set("join_anti", "minhash_pairs", "ngram_jaccard", "dedup_resolve", "dedup_families",
+      "dedup_survivors", "cross_dup_matrix", "cos_near_pairs",
       "q7_volume", "q18_big_orders", "q21_waiting", "q22_idle_rich", "lev_pairs",
       "winnow_pairs", "lsh_near_pairs", "simhash_pairs", "emb_dedup_resolve")
 

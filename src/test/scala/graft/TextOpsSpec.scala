@@ -544,4 +544,25 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(out === again)
   }
+
+  test("temperatureMix: small sources boost above 1, head sources below") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val w = TextOps.temperatureMix(docs, alpha = 0.7)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (nBig, pRawBig, pTempBig, boostBig) = w("big")
+    val (nSmall, _, pTempSmall, boostSmall) = w("small")
+    assert(nBig === 90L && nSmall === 10L)
+    assert(math.abs(pRawBig - 0.9) < 1e-9)
+    // temperature flattens: the head is downweighted, the tail boosted
+    assert(pTempBig < 0.9 && pTempSmall > 0.1)
+    assert(boostBig < 1.0 && boostSmall > 1.0)
+    // still a distribution
+    assert(math.abs(pTempBig + pTempSmall - 1.0) < 1e-5)
+    // alpha=1 is proportional sampling: boost == 1 everywhere
+    val prop = TextOps.temperatureMix(docs, alpha = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(prop.forall(r => math.abs(r._5 - 1.0) < 1e-9))
+  }
 }
