@@ -235,8 +235,11 @@ object Graph {
       // with a localCheckpoint so the logical tree stays bounded on long
       // runs (the checkpoint's non-adaptive materialization cost lands on
       // a cached shallow plan. Use reliable checkpointing on a real
-      // cluster.)
-      if (i % 4 == 0) {
+      // cluster.) Skipped when the loop is about to exit: truncation only
+      // pays off if MORE iterations stack lineage on top, and the final
+      // frame is already persisted — checkpointing it would re-copy every
+      // block for a plan nobody extends.
+      if (i % 4 == 0 && i < iters && !converged) {
         val t = next.localCheckpoint(true)
         next.unpersist()
         liveCheckpoint.foreach(c => CheckpointHandle.release(c))
