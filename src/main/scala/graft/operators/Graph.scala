@@ -153,9 +153,15 @@ object Graph {
     res.ranks
   }
 
-  /** Uniform-split edge prep: dedup, lay out on `src` once, persist. */
+  /** Uniform-split edge prep: dedup, pre-join each edge's out-degree
+    * (loop-invariant — joining it INSIDE the loop would re-pay an
+    * aggregate + join every iteration), lay out on `src` once, persist.
+    */
   private def prepareUniform(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val dedup = edges.select(col("src"), col("dst")).distinct()
+    val e = dedup
+      .join(dedup.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .select(col("src"), col("dst"), col("od"))
       .repartition(col("src")) // iteration joins reuse this layout
       .persist()
     e.count() // barrier: materialize before the iteration chain re-reads
@@ -164,14 +170,13 @@ object Graph {
 
   /** Uniform contribution: each node splits its rank equally over its
     * out-edges — `r div od`, truncating (the replayable integer form).
+    * One join + one map-side-combined sum per iteration; `od` rides on
+    * the cached edge layout.
     */
-  private def uniformContrib(e: DataFrame): DataFrame => DataFrame = {
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+  private def uniformContrib(e: DataFrame): DataFrame => DataFrame =
     r => e.join(r, e("src") === r("node"))
-      .join(outdeg, "src")
       .select(col("dst").as("node"), expr("r div od").as("c"))
       .groupBy("node").agg(sum("c").as("c"))
-  }
 
   /** The shared per-step persist loop for every rank variant. Each
     * iteration reads the previous rank table up to three times (edge
@@ -191,13 +196,21 @@ object Graph {
       iters: Int, dampNum: Long, dampDen: Long,
       stopDeltaMicro: Long): RankResult = {
     import org.apache.spark.sql.graft.CheckpointHandle
-    // dangling = rank mass on nodes with no out-edges (left anti against
-    // the distinct source set); a single scalar, broadcast back
+    // whether a node dangles (no out-edges) never changes — resolve it
+    // ONCE as a flag carried on the rank table, so each iteration's
+    // dangling mass is a scan of the cached ranks instead of a per-round
+    // anti-join. The node count is likewise loop-invariant: take both as
+    // driver scalars and inline them as literals — two fewer broadcast
+    // exchanges in every iteration's plan.
     val srcs = e.select(col("src")).distinct()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val nTotal = nodes.agg(count(lit(1)).as("n"))
-    var current: DataFrame = nodes.withColumn("r", lit(Unit_)).persist()
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodesF = nodes.as("n")
+      .join(srcs.as("s"), col("n.node") === col("s.src"), "left")
+      .select(col("n.node").as("node"), col("s.src").isNull.as("dng"))
+      .persist()
+    val nNodes = nodesF.count() // barrier + the loop-invariant scalar
+    var current: DataFrame = nodesF.withColumn("r", lit(Unit_)).persist()
     // the live checkpoint (if any) backs every later plain-persisted
     // frame's lineage; it is only released when superseded by a NEWER
     // checkpoint (Dedup.resolveClustersReleasable's discipline)
@@ -208,18 +221,20 @@ object Graph {
       i += 1
       val r = current
       val ct = contrib(r)
-      val dang = r.join(srcs, r("node") === srcs("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val stepped = r.select(col("node"), col("r").as("r_old"))
+      // one tiny job over the cached rank table; both operands of the
+      // share are non-negative, so Scala's / == SQL's truncating div and
+      // the integer replay contract is untouched
+      val dangMass = r.where(col("dng"))
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val share = dangMass / nNodes
+      val stepped = r.select(col("node"), col("dng"), col("r").as("r_old"))
         .join(ct, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .crossJoin(broadcast(nTotal))
-        .select(col("node"), col("r_old"),
+        .select(col("node"), col("dng"), col("r_old"),
           (lit(Unit_ * (dampDen - dampNum) / dampDen) +
-            expr(s"($dampNum * (coalesce(c, 0L) + (dang div n))) div $dampDen"))
+            expr(s"($dampNum * (coalesce(c, 0L) + $share)) div $dampDen"))
             .as("r"))
       // fixed-iteration mode never reads r_old — drop it before the
-      // persist so the cached rank table stays two columns
+      // persist so the cached rank table stays lean
       var next = (if (stopDeltaMicro >= 0L) stepped else stepped.drop("r_old"))
         .persist()
       if (stopDeltaMicro >= 0L) {
@@ -253,7 +268,7 @@ object Graph {
     val ranks = finalFrame.select(col("node"), col("r").as("rank_micro"))
     val release: () => Unit = () => {
       e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
+      nodesF.unpersist(blocking = false)
       // the final frame unpersists only when plain-persisted — if it IS
       // the live checkpoint its blocks are the data and must stay
       if (!finalCheckpoint.exists(_ eq finalFrame))
@@ -274,17 +289,21 @@ object Graph {
   }
 
   /** The supplier→customer trade graph: one directed edge per (supplier,
-    * customer) pair that ever transacted (lineitem ⨝ orders). Node ids are
-    * prefixed (`S…`/`C…`) so the two key spaces cannot collide. Customers
-    * have no out-edges — the graph is all-dangling on one side, which
-    * exercises the dangling-mass redistribution for real.
+    * customer) pair that ever transacted (lineitem ⨝ orders). Node ids
+    * are BIGINT with disjoint parity — `2·suppkey` (even) vs
+    * `2·custkey+1` (odd) — so the two key spaces cannot collide while
+    * every iteration's join/shuffle keys stay fixed-width integers
+    * (string-prefixed ids measurably tax the per-iteration shuffles:
+    * hash + compare on varlen UTF8 in the hottest loop of the engine).
+    * Customers have no out-edges — the graph is all-dangling on one
+    * side, which exercises the dangling-mass redistribution for real.
     */
   def tradeEdges(s: SparkSession, dir: String): DataFrame =
     graft.Tables.lineitem(s, dir)
       .join(graft.Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
 
   /** Part co-occurrence edges: an undirected edge between every pair of
     * parts appearing in the same order (the "bought together" graph — the
@@ -303,14 +322,15 @@ object Graph {
   /** The supplier→customer trade graph with transacted value as the edge
     * weight (cents, summed per pair) — the input [[pageRankWeighted]]
     * wants: a supplier's rank flows toward the customers that actually
-    * carry its volume.
+    * carry its volume. Same even/odd BIGINT node encoding as
+    * [[tradeEdges]].
     */
   def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame =
     graft.Tables.lineitem(s, dir)
       .join(graft.Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"),
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("w"))
 
   /** Community labels by `iters` rounds of min-label propagation over the

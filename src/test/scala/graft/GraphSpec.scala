@@ -136,10 +136,10 @@ class GraphSpec extends SparkSpec {
 
   test("pageRank on the trade graph: suppliers share one rank tier, heavy customers rise") {
     val pr = Graph.pageRank(Graph.tradeEdges(spark, sfDir), iters = 3)
-    val byKind = pr
-      .withColumn("kind", org.apache.spark.sql.functions.substring($"node", 1, 1))
-    val kinds = byKind.groupBy("kind").count().as[(String, Long)].collect().toMap
-    assert(kinds.keySet === Set("S", "C"))
+    // even = supplier, odd = customer (the parity encoding)
+    val byKind = pr.withColumn("kind", $"node" % 2)
+    val kinds = byKind.groupBy("kind").count().as[(Long, Long)].collect().toMap
+    assert(kinds.keySet === Set(0L, 1L))
     // deterministic under input repartitioning
     val again = Graph.pageRank(Graph.tradeEdges(spark, sfDir).repartition(5), iters = 3)
     assert(pr.except(again).count() === 0 && again.except(pr).count() === 0)
