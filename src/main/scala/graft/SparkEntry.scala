@@ -164,6 +164,12 @@ object SparkEntry {
     // reassign+refine rounds, empty clusters keep their previous centroid
     // — every step exact, so the oracle replays the full iteration
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d))),
+    // clustering sanity metric: per-cluster majority-label share over the
+    // kmeans assignment — one (cid,label) aggregate on top of it
+    "cluster_purity" -> ((s, d) => Similarity.clusterPurity(Tables.embeddings(s, d))),
+    // per-dim z-scores: one 64-row moment aggregate broadcast back, then
+    // a row-local projection
+    "emb_standardize" -> ((s, d) => Similarity.standardizeEmbeddings(Tables.embeddings(s, d))),
     // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
     // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
     // never corpus²); every stage deterministic, oracle replays it all
@@ -1926,6 +1932,59 @@ object SparkEntry {
     // kmeans_assign: the full deterministic Lloyd replay — seed means,
     // two reassignment rounds (L2 expansion, ties to smaller cid), empty
     // clusters inherit the previous centroid via the left-join coalesce
+    // kmeans_assign's CTE chain, final assignment rolled to per-cluster
+    // majority-label purity (ties break to the smallest label)
+    "cluster_purity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |sm AS (SELECT vec_id % 8 AS cid, i, avg(v[i]) AS m FROM e, dims GROUP BY 1, 2),
+        |c0 AS (SELECT cid, list(m ORDER BY i) AS c FROM sm GROUP BY cid),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) t WHERE rn = 1),
+        |r1m AS (SELECT cid, i, avg(v[i]) AS m FROM a1, dims GROUP BY 1, 2),
+        |r1 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r1m GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(r1.c2, c0.c) AS c
+        |       FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) t WHERE rn = 1),
+        |r2m AS (SELECT cid, i, avg(v[i]) AS m FROM a2, dims GROUP BY 1, 2),
+        |r2 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r2m GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(r2.c2, c1.c) AS c
+        |       FROM c1 LEFT JOIN r2 ON c1.cid = r2.cid),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c2.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c2.cid) AS rn
+        |  FROM e CROSS JOIN c2) t WHERE rn = 1),
+        |cont AS (SELECT a.cid, em.label, count(*)::BIGINT AS n
+        |         FROM asg a JOIN embeddings em ON em.vec_id = a.vec_id
+        |         GROUP BY 1, 2),
+        |mx AS (SELECT cid, sum(n)::BIGINT AS n_vecs, max(n) AS top_n
+        |       FROM cont GROUP BY cid),
+        |top AS (SELECT c.cid, min(c.label) AS top_label
+        |        FROM cont c JOIN mx ON c.cid = mx.cid AND c.n = mx.top_n
+        |        GROUP BY c.cid)
+        |SELECT m.cid, m.n_vecs, t.top_label, m.top_n,
+        |       round(m.top_n::DOUBLE / m.n_vecs, 4) AS purity
+        |FROM mx m JOIN top t USING (cid)""".stripMargin,
+    // per-dim population z-scores; moments round to 6dp first so the
+    // transform runs on bit-identical inputs in every engine
+    "emb_standardize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) AS x,
+        |             unnest(range(1, len(v) + 1)) AS i FROM e),
+        |st AS (SELECT i, round(avg(x), 6) AS mu,
+        |              round(stddev_pop(x), 6) AS sg FROM d GROUP BY i)
+        |SELECT vec_id,
+        |  list(round(CASE WHEN sg = 0 THEN 0.0 ELSE (x - mu) / sg END, 4) + 0.0
+        |       ORDER BY i) AS z
+        |FROM d JOIN st USING (i) GROUP BY vec_id""".stripMargin,
     "kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -2000,8 +2059,8 @@ object SparkEntry {
     // Spark's `div` truncation on the all-positive rank mass, and every
     // BIGINT sum is cast back from DuckDB's HUGEINT
     "pagerank" ->
-      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-        |                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+      """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
+        |                  o_custkey * 2 + 1 AS dst
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
@@ -2059,8 +2118,8 @@ object SparkEntry {
     // pagerank_weighted: ppm-normalized weights once, then three rounds
     // of (r·wn) div 10⁶ contributions — all truncating integer math
     "pagerank_weighted" ->
-      """WITH raw AS (SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-        |               'C' || CAST(o_custkey AS VARCHAR) AS dst,
+      """WITH raw AS (SELECT l_suppkey * 2 AS src,
+        |               o_custkey * 2 + 1 AS dst,
         |               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |agg AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
@@ -2100,8 +2159,8 @@ object SparkEntry {
     // exact integer fixpoint in 4 rounds, so the run caps out and equals
     // pageRank(4) — the pagerank oracle with one more unrolled round
     "pagerank_until" ->
-      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-        |                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+      """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
+        |                  o_custkey * 2 + 1 AS dst
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),

@@ -178,6 +178,79 @@ object Similarity {
         round(min("nrm"), 4).as("min_norm"),
         round(max("nrm"), 4).as("max_norm"))
 
+  /** Clustering quality against reference labels: the (cluster, label)
+    * contingency rolled to per-cluster purity — share of the cluster's
+    * vectors carrying its majority label (ties break to the smallest
+    * label id, deterministic). The standard sanity metric run after
+    * [[kmeansAssign]] before the clusters drive anything downstream
+    * (SemDeDup budgets, curriculum strata): low-purity clusters mean k
+    * is wrong or the embedding space does not separate the taxonomy.
+    *
+    * Scale shape: the assignment is [[kmeansAssign]]'s broadcast-argmin
+    * (no corpus exchange per round); on top of it ONE (cid, label)
+    * count aggregate — map-side combined, k·|labels| rows — and a k-row
+    * struct-max rollup. Nothing beyond the assignment ever shuffles the
+    * corpus.
+    */
+  def clusterPurity(embeddings: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val asg = kmeansAssign(embeddings, kClusters, iters)
+      .select(col("vec_id"), col("cid"))
+    val cont = asg
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    cont.groupBy("cid")
+      .agg(sum(col("n")).as("n_vecs"),
+        // lexicographic struct max = argmax(count, then smallest label)
+        max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+      .select(col("cid"), col("n_vecs"),
+        (-col("m.nl")).as("top_label"), col("m.n").as("top_n"),
+        round(col("m.n").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("purity"))
+  }
+
+  /** Per-dimension z-score standardization of the embedding corpus:
+    * `z_i = (x_i − μ_i)/σ_i` with population σ (zero-variance dims map
+    * to 0). The preprocessing step before distance-based work when
+    * dimensions carry heterogeneous scales — unstandardized, a single
+    * wide dimension dominates every L2 distance [[kmeansAssign]] or IVF
+    * probes compute.
+    *
+    * Scale shape: ONE corpus pass builds the per-dim moment table
+    * (posexplode → 64-row aggregate — map-side combined, rows bounded by
+    * dim count), packed into single mean/std arrays and broadcast back;
+    * the transform itself is a row-local projection. Output rounds to
+    * 4dp so the moment summation order (engine-dependent at 1 ulp)
+    * cannot surface.
+    */
+  def standardizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val p = prepared(embeddings).select(col("vec_id"), col("v"))
+    // the moments round to 6dp BEFORE the transform: μ/σ carry ~1-ulp
+    // summation-order drift across engines, and an unrounded moment can
+    // push (x−μ)/σ onto the opposite side of an output rounding boundary.
+    // Rounded moments are bit-identical everywhere, and from identical
+    // inputs the IEEE subtract/divide — and hence the 4dp output — agree
+    // exactly.
+    val moments = p
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(round(avg(col("x")), 6).as("mu"),
+        round(stddev_pop(col("x")), 6).as("sg"))
+    val packed = moments.agg(
+      array_sort(collect_list(struct(col("i"), col("mu"), col("sg")))).as("ms"))
+      .select(transform(col("ms"), e => e("mu")).as("mu"),
+        transform(col("ms"), e => e("sg")).as("sg"))
+    p.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, i) => {
+          val mu = element_at(col("mu"), i.cast("int") + 1)
+          val sg = element_at(col("sg"), i.cast("int") + 1)
+          // + 0.0 canonicalizes IEEE −0.0 (a tiny negative rounds to it)
+          // to +0.0 — engines disagree on the sign bit's formatting
+          round(when(sg === 0d, lit(0.0)).otherwise((x - mu) / sg), 4) + lit(0.0)
+        }).as("z"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the scale path for
     * large corpora: vectors are bucketed by nearest centroid; a query
     * probes only its `nProbe` closest buckets, so scored candidates shrink

@@ -326,4 +326,37 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.groupBy("query_id").count()
       .where($"count" =!= 5).count() === 0)
   }
+
+  test("clusterPurity: counts partition the corpus, purity = top_n/n_vecs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.clusterPurity(e)
+      .as[(Long, Long, Int, Long, Double)].collect()
+    assert(out.map(_._2).sum === e.count(), "clusters partition the corpus")
+    out.foreach { case (cid, n, _, topN, purity) =>
+      assert(topN <= n, s"cid=$cid top_n exceeds cluster size")
+      assert(math.abs(purity - math.round(topN.toDouble / n * 10000) / 10000.0) < 1e-9,
+        s"cid=$cid purity mismatch")
+      assert(purity > 0.0 && purity <= 1.0)
+    }
+  }
+
+  test("standardizeEmbeddings: per-dim moments ~ (0, 1) after the transform") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val z = Similarity.standardizeEmbeddings(e)
+    assert(z.count() === e.count())
+    // re-derive moments of the standardized corpus: mean ≈ 0, std ≈ 1
+    // (up to the 4dp output rounding)
+    val moments = z.select(posexplode($"z").as(Seq("i", "x")))
+      .groupBy("i").agg(avg($"x").as("mu"), stddev_pop($"x").as("sg"))
+      .as[(Int, Double, Double)].collect()
+    assert(moments.length === 64)
+    moments.foreach { case (i, mu, sg) =>
+      assert(math.abs(mu) < 1e-3, s"dim $i mean $mu not ~0")
+      assert(math.abs(sg - 1.0) < 1e-3, s"dim $i std $sg not ~1")
+    }
+    // deterministic: pure function of the data
+    val again = Similarity.standardizeEmbeddings(e)
+    assert(z.exceptAll(again).isEmpty && again.exceptAll(z).isEmpty)
+  }
 }
