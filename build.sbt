@@ -27,6 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with 70+ array-heavy queries needs headroom; GC thrash at 8g
-  // inflated bench medians ~2x (machine has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // inflated bench medians ~2x, and 28g still showed 15s G1 storms on the
+  // iterative graph queries (machine has 128 GiB — use it)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
