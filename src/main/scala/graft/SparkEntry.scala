@@ -185,6 +185,10 @@ object SparkEntry {
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
       Graph.labelPropagate(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // communities = label_prop + rollup; the convenience that resolves,
+    // rolls up, and releases its own label cache in one call
+    "trade_communities" -> ((s, d) =>
+      Graph.communities(Graph.coOccurrenceEdges(s, d), iters = 3)),
     // value-weighted PageRank over the trade graph: edge weights
     // ppm-normalized once, every division truncating integer math; the
     // Ranks convenience queues the release hook with the ReleaseRegistry
@@ -252,6 +256,9 @@ object SparkEntry {
     // distribution — two prefix-sum ranking passes, no whole-table window
     "quantile_norm" -> ((s, d) =>
       EventOps.quantileNormalize(Tables.events(s, d))),
+    // RFM quintile segmentation: three prefix-sum global rankings over
+    // the per-user aggregate, integer quintile arithmetic
+    "user_rfm" -> ((s, d) => EventOps.userRfm(s, d)),
     // asymmetric n-gram containment |A∩B|/min(|A|,|B|) — the engulfment
     // signal Jaccard cannot see; exact within the source block
     "containment_pairs" -> ((s, d) =>
@@ -999,6 +1006,24 @@ object SparkEntry {
         |         / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(gv, gv))), 4)
         |  END AS centroid_drift
         |FROM per JOIN sc USING (source) CROSS JOIN g""".stripMargin,
+    // quintile = (5·(row_number−1)) div N + 1 on the (metric, user_id)
+    // total order — integer arithmetic, engine-exact
+    "user_rfm" ->
+      """WITH pu AS (SELECT user_id, max(ts) AS last_ts,
+        |                   count(*)::BIGINT AS n_events,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |                     AS value_cents
+        |            FROM events GROUP BY user_id),
+        |n AS (SELECT count(*) AS n_u FROM pu),
+        |r AS (SELECT user_id, row_number() OVER (ORDER BY last_ts, user_id) AS rn FROM pu),
+        |f AS (SELECT user_id, row_number() OVER (ORDER BY n_events, user_id) AS rn FROM pu),
+        |m AS (SELECT user_id, row_number() OVER (ORDER BY value_cents, user_id) AS rn FROM pu)
+        |SELECT pu.user_id, pu.n_events, pu.value_cents,
+        |  CAST((5 * (r.rn - 1)) // n_u + 1 AS INTEGER) AS r_score,
+        |  CAST((5 * (f.rn - 1)) // n_u + 1 AS INTEGER) AS f_score,
+        |  CAST((5 * (m.rn - 1)) // n_u + 1 AS INTEGER) AS m_score
+        |FROM pu JOIN r USING (user_id) JOIN f USING (user_id)
+        |JOIN m USING (user_id) CROSS JOIN n""".stripMargin,
     // within-group min-rank percentile mapped onto the pooled sorted
     // values at position floor(pr*(N-1))+1 — integer indexing, IEEE-exact
     "quantile_norm" ->
@@ -2205,6 +2230,28 @@ object SparkEntry {
         |SELECT node, r AS rank_micro FROM r4""".stripMargin,
     // label_prop: three verbatim min-label rounds over the doubled
     // co-purchase edge list (labelᵢ₊₁ = min(self, min neighbor))
+    // label_prop's unrolled min-label rounds + the per-community rollup
+    "trade_communities" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |l1 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l0 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l0 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l2 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l1 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l1 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l3 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l2 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l2 q ON q.node = e.b
+        |       GROUP BY p.node, p.label)
+        |SELECT label AS community, count(*)::BIGINT AS n_members,
+        |       min(node) AS min_node, max(node) AS max_node
+        |FROM l3 GROUP BY label""".stripMargin,
     "label_prop" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b

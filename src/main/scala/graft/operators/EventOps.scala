@@ -520,6 +520,63 @@ object EventOps {
         round(col("pr"), 6).as("pr"), col("value_norm"))
   }
 
+  /** RFM segmentation: every user scored 1-5 on Recency (last activity),
+    * Frequency (event count) and Monetary (exact cent-summed value) by
+    * global quintile — the standard behavioral-segmentation table a
+    * growth/curation pipeline joins everything else against. Quintile =
+    * `(5·(rank−1)) div N + 1` over the (metric, user_id)-ordered global
+    * row number: pure integer arithmetic on a deterministic total order,
+    * so any engine replays the exact scores.
+    *
+    * Scale shape: one corpus aggregate to the per-user table, then three
+    * global rankings via the range-partition + per-partition-prefix-sum
+    * scheme ([[Relational.globalIndex]]'s) — the only windows run over
+    * partition-local rows and the #partitions-row offset table; nothing
+    * ever moves to one partition. Each ranking is one range shuffle of
+    * the (user, metric) projection; the final assembly is three
+    * equi-joins on user_id that AQE resolves to broadcasts when the
+    * user table fits. Persisted frames register release hooks.
+    */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
+      .persist()
+    val nUsers = perUser.count() // barrier + the quintile divisor
+    graft.plans.ReleaseRegistry.register("eventops.user_rfm")(
+      () => perUser.unpersist(blocking = false))
+
+    def quintile(metric: org.apache.spark.sql.Column, name: String): DataFrame = {
+      val ranged = perUser.select(col("user_id"), metric.as("m"))
+        .repartitionByRange(par, col("m"), col("user_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      ranged.count()
+      graft.plans.ReleaseRegistry.register(s"eventops.user_rfm_$name")(
+        () => ranged.unpersist(blocking = false))
+      val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      ranged.join(broadcast(offs), Seq("pid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("m"), col("user_id")))
+          .cast("long") + col("off"))
+        .select(col("user_id"),
+          expr(s"cast((5 * (rn - 1)) div $nUsers + 1 as int)").as(name))
+    }
+    perUser
+      .join(quintile(col("last_ts"), "r_score"), Seq("user_id"))
+      .join(quintile(col("n_events"), "f_score"), Seq("user_id"))
+      .join(quintile(col("value_cents"), "m_score"), Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("value_cents"),
+        col("r_score"), col("f_score"), col("m_score"))
+  }
+
   def pageTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val steps = Tables.events(spark, dir)

@@ -178,4 +178,29 @@ class EventOpsSpec extends SparkSpec {
     assert(out.agg(sum("n")).head().getLong(0) === expected)
     out.unpersist()
   }
+
+  test("userRfm: every user scored, quintiles balanced, monetary agrees with a window replay") {
+    import org.apache.spark.sql.functions.{col, expr, row_number}
+    val out = EventOps.userRfm(spark, sfDir).cache()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.count() === nUsers)
+    // each score in 1..5 and each quintile holds n/5 +- 1 users
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = out.groupBy(c).count().as[(Int, Long)].collect().toMap
+      assert(sizes.keySet.subsetOf((1 to 5).toSet), s"$c out of range: ${sizes.keySet}")
+      sizes.values.foreach(v =>
+        assert(math.abs(v - nUsers / 5.0) <= 1.0, s"$c skewed: $sizes"))
+    }
+    // m_score matches a plain whole-table window replay (the scalable
+    // prefix-sum ranks must equal the naive formulation exactly)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value_cents"), col("user_id"))
+    val naive = out.select(col("user_id"), col("value_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m2", expr(s"cast((5 * (rn - 1)) div $nUsers + 1 as int)"))
+      .select("user_id", "m2")
+    val mism = out.join(naive, "user_id").where(col("m_score") =!= col("m2")).count()
+    assert(mism === 0)
+    out.unpersist()
+  }
 }
