@@ -189,6 +189,13 @@ object SparkEntry {
     // rolls up, and releases its own label cache in one call
     "trade_communities" -> ((s, d) =>
       Graph.communities(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // Newman modularity per community: are the propagated labels real
+    // structure? All FP inputs exact integers, one rounded report
+    "modularity" -> ((s, d) =>
+      Graph.modularity(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // top-5 characteristic terms per doc, ranked on the ROUNDED tfidf
+    // so the selected set replays across engines
+    "doc_keywords" -> ((s, d) => TextOps.docKeywords(Tables.documents(s, d))),
     // value-weighted PageRank over the trade graph: edge weights
     // ppm-normalized once, every division truncating integer math; the
     // Ranks convenience queues the release hook with the ReleaseRegistry
@@ -2230,6 +2237,58 @@ object SparkEntry {
         |SELECT node, r AS rank_micro FROM r4""".stripMargin,
     // label_prop: three verbatim min-label rounds over the doubled
     // co-purchase edge list (labelᵢ₊₁ = min(self, min neighbor))
+    // tfidf's CTE + per-doc row_number on (rounded tfidf DESC, word)
+    "doc_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t WHERE word <> ''
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.word,
+        |         round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf
+        |       FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+        |SELECT doc_id, word, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, word) AS rnk FROM sc) r
+        |WHERE rnk <= 5""".stripMargin,
+    // label_prop's rounds + per-community modularity decomposition —
+    // every FP input an exact integer, one rounded report
+    "modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |l1 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l0 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l0 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l2 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l1 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l1 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |l3 AS (SELECT p.node, least(p.label, coalesce(min(q.label), p.label)) AS label
+        |       FROM l2 p LEFT JOIN und e ON e.a = p.node
+        |       LEFT JOIN l2 q ON q.node = e.b
+        |       GROUP BY p.node, p.label),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM pe),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |          (SELECT a AS node FROM pe UNION ALL SELECT b FROM pe)
+        |        GROUP BY node),
+        |inn AS (SELECT la.label AS community, count(*)::BIGINT AS in_edges
+        |        FROM pe JOIN l3 la ON pe.a = la.node
+        |        JOIN l3 lb ON pe.b = lb.node
+        |        WHERE la.label = lb.label GROUP BY 1),
+        |dc AS (SELECT l3.label AS community, count(*)::BIGINT AS n_members,
+        |         CAST(sum(d.dg) AS BIGINT) AS deg_sum
+        |       FROM l3 JOIN deg d ON l3.node = d.node GROUP BY 1)
+        |SELECT dc.community, dc.n_members,
+        |  coalesce(inn.in_edges, 0)::BIGINT AS in_edges, dc.deg_sum,
+        |  round(coalesce(inn.in_edges, 0)::DOUBLE / mm.m
+        |    - (dc.deg_sum::DOUBLE / (2.0 * mm.m))
+        |      * (dc.deg_sum::DOUBLE / (2.0 * mm.m)), 6) AS q_contrib
+        |FROM dc LEFT JOIN inn USING (community) CROSS JOIN mm""".stripMargin,
     // label_prop's unrolled min-label rounds + the per-community rollup
     "trade_communities" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

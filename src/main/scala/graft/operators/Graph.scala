@@ -226,7 +226,9 @@ object Graph {
       // the integer replay contract is untouched
       val dangMass = r.where(col("dng"))
         .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      val share = dangMass / nNodes
+      // empty graph: no rows exist for the expression to touch, but the
+      // scalar division must still not throw
+      val share = if (nNodes == 0) 0L else dangMass / nNodes
       val stepped = r.select(col("node"), col("dng"), col("r").as("r_old"))
         .join(ct, Seq("node"), "left")
         .select(col("node"), col("dng"), col("r_old"),
@@ -413,6 +415,57 @@ object Graph {
     ReleaseRegistry.register("graph.communities")(
       () => rollup.unpersist(blocking = false))
     rollup
+  }
+
+  /** Newman modularity decomposition of a community assignment: per
+    * community, `q_contrib = m_c/m − (d_c/2m)²` (within-community edge
+    * fraction minus the random-graph expectation); Σ q_contrib is the
+    * modularity Q ∈ [−0.5, 1] that says whether the label-propagation
+    * communities are real structure (Q ≫ 0) or noise (Q ≈ 0) — the
+    * accept/reject gate before community labels drive anything
+    * downstream (sampling strata, per-community dedup budgets).
+    *
+    * Every input to the FP expression is an exact integer (`in_edges`,
+    * `deg_sum`, `m`), so `e/m − d·d` with one rounded report is
+    * engine-identical — no summation-order hazard.
+    *
+    * Scale shape: the propagation's per-round cost dominates; on top of
+    * it one edge-scale join pair against the (broadcastable) label
+    * table for within-community edges, one degree aggregate, and a
+    * per-community rollup bounded by community count.
+    */
+  def modularity(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val (labels, releaseLabels) = labelPropagateReleasable(edges, iters)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist()
+    val m = und.count()
+    val inEdges = und
+      .join(labels.as("la"), col("a") === col("la.node"))
+      .join(labels.as("lb"), col("b") === col("lb.node"))
+      .where(col("la.label") === col("lb.label"))
+      .groupBy(col("la.label").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    val deg = und.select(col("a").as("dnode"))
+      .unionAll(und.select(col("b").as("dnode")))
+      .groupBy("dnode").agg(count(lit(1)).as("dg"))
+    val perC = labels.join(deg, labels("node") === deg("dnode"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("dg").as("deg_sum"))
+    val ds = col("deg_sum").cast("double") / lit(2.0 * m)
+    val out = perC.join(inEdges, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("deg_sum"),
+        round(coalesce(col("in_edges"), lit(0L)).cast("double") / lit(m.toDouble)
+          - ds * ds, 6).as("q_contrib"))
+      .persist()
+    try out.count() // materialize BEFORE dropping the label/edge caches
+    finally { releaseLabels(); und.unpersist(blocking = false) }
+    ReleaseRegistry.register("graph.modularity")(
+      () => out.unpersist(blocking = false))
+    out
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation (the

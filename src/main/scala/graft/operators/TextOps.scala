@@ -250,6 +250,26 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** Top-`k` characteristic terms per document by tf-idf — the keyword
+    * extraction a corpus index/summary layer materializes next to every
+    * doc. Ranking runs on the ROUNDED tf-idf (4dp) with the term string
+    * as tie-break: the rounded score is the engine-parity contract
+    * [[tfidf]] already honors, so the selected set — not just the scores
+    * — replays identically anywhere; ranking on the raw double would let
+    * a 1-ulp `ln` difference reorder near-ties across engines.
+    *
+    * Scale shape: [[tfidf]]'s single shared token aggregate, then a
+    * window partitioned BY DOCUMENT — per-partition state is one doc's
+    * vocabulary (bounded by doc length), never a global sort.
+    */
+  def docKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tfidf(docs)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
   /** BM25 retrieval scoring — the query-side complement of [[tfidf]]:
     * score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 −
     * b + b·|d|/avgdl)), idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the

@@ -161,4 +161,26 @@ class GraphSpec extends SparkSpec {
     graft.plans.ReleaseRegistry.drain()
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
+
+  test("modularity: clean cliques score Q=0.5; a merged blob scores ~0") {
+    graft.plans.ReleaseRegistry.drain()
+    // two DISCONNECTED triangles: label prop finds {1,2,3} and {4,5,6}
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val got = Graph.modularity(clean, iters = 3)
+      .select("community", "n_members", "in_edges", "deg_sum", "q_contrib")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (c, n, e, d, q) => c -> ((n, e, d, q)) }.toMap
+    // m=6; each triangle: in=3, deg_sum=6 -> 3/6 - (6/12)^2 = 0.25
+    assert(got(1L) === ((3L, 3L, 6L, 0.25)))
+    assert(got(4L) === ((3L, 3L, 6L, 0.25)))
+    assert(math.abs(got.values.map(_._4).sum - 0.5) < 1e-9)
+    // bridge the triangles: min-label floods one community and the metric
+    // correctly reports no structure (all edges in, q = 1 - 1 = 0)
+    val bridged = clean.union(Seq((3L, 4L)).toDF("src", "dst"))
+    val blob = Graph.modularity(bridged, iters = 3)
+      .select("community", "q_contrib").as[(Long, Double)].collect()
+    assert(blob.length === 1 && math.abs(blob.head._2) < 1e-9)
+    graft.plans.ReleaseRegistry.drain()
+  }
 }

@@ -545,6 +545,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("docKeywords: distinctive terms outrank ubiquitous ones, k bounds per doc") {
+    val docs = Seq(
+      (1L, "shared shared zebra zebra zebra unique1"),
+      (2L, "shared shared other other unique2"),
+      (3L, "shared filler filler filler unique3"))
+      .toDF("doc_id", "text")
+    val kw = TextOps.docKeywords(docs, k = 2)
+    val byDoc = kw.select("doc_id", "word", "rnk").as[(Long, String, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    // 'shared' appears in every doc -> idf ln(4/4)=0 -> never a keyword
+    byDoc.values.foreach(ws => assert(!ws.contains("shared"), s"ubiquitous term kept: $byDoc"))
+    // doc 1's top keyword is its repeated distinctive term
+    assert(byDoc(1L).head === "zebra")
+    assert(byDoc.values.forall(_.size <= 2))
+  }
+
   test("temperatureMix: small sources boost above 1, head sources below") {
     val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
       (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
