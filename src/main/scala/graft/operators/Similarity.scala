@@ -194,10 +194,8 @@ object Similarity {
     */
   def clusterPurity(embeddings: DataFrame, kClusters: Int = 8,
       iters: Int = 2): DataFrame = {
-    val asg = kmeansAssign(embeddings, kClusters, iters)
-      .select(col("vec_id"), col("cid"))
-    val cont = asg
-      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cont = kmeansAssignFull(embeddings, kClusters, iters,
+        carry = Seq("label"))
       .groupBy("cid", "label").agg(count(lit(1)).as("n"))
     cont.groupBy("cid")
       .agg(sum(col("n")).as("n_vecs"),
@@ -381,8 +379,15 @@ object Similarity {
     * carried).
     */
   private[graft] def kmeansAssignFull(embeddings: DataFrame, kClusters: Int,
-      iters: Int): DataFrame = {
-    val p = prepared(embeddings)
+      iters: Int, carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns ride the row-local assignment pipeline untouched —
+    // consumers that need corpus attributes next to the cluster id
+    // (clusterPurity's label) get them for free instead of re-scanning
+    // the source and shuffling a corpus-scale join on vec_id
+    val p = embeddings
+      .select(Seq(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")) ++ carry.map(col): _*)
+      .withColumn("nrm", norm(col("v")))
     def toCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
         vCol: String, out: String): DataFrame =
       grouped
@@ -432,8 +437,9 @@ object Similarity {
     graft.plans.ReleaseRegistry.register("similarity.kmeans_centroids")(
       () => cents.unpersist(blocking = false))
     nearest(cents)
-      .select(col("vec_id"), col("m").getField("cid").as("cid"),
+      .select(Seq(col("vec_id"), col("m").getField("cid").as("cid"),
         round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
+        ++ carry.map(col): _*)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with
