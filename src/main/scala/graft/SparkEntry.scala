@@ -941,7 +941,8 @@ object SparkEntry {
         |       greatest(da.source, db.source) AS source_b,
         |       count(*)::BIGINT AS n_pairs,
         |       max(jaccard) AS max_jaccard,
-        |       round(avg(jaccard), 4) AS avg_jaccard
+        |       round((sum(CAST(round(jaccard * 10000) AS BIGINT))::DOUBLE
+        |         / count(*)) / 10000, 4) AS avg_jaccard
         |FROM m JOIN documents da ON m.a = da.doc_id
         |       JOIN documents db ON m.b = db.doc_id
         |GROUP BY 1, 2""".stripMargin,

@@ -743,6 +743,13 @@ object Dedup {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"),
         max(col("jaccard")).as("max_jaccard"),
-        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+        // the mean runs over exact basis points (jaccard is 4dp by
+        // contract, so ×10⁴ is integral): the sum is order-independent
+        // and the one FP division is identical from identical integers
+        // in any engine — a plain avg() drifted a ulp across the 4dp
+        // boundary on big cells at sf0.1
+        round((sum(expr("cast(round(jaccard * 10000) as bigint)"))
+          .cast("double") / count(lit(1)).cast("double")) / lit(10000.0), 4)
+          .as("avg_jaccard"))
   }
 }
