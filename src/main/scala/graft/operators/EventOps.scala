@@ -361,7 +361,20 @@ object EventOps {
     attributionOf(Tables.events(spark, dir))
 
   /** [[attribution]] over a caller-supplied event frame. */
-  def attributionOf(events: DataFrame): DataFrame = {
+  def attributionOf(events: DataFrame): DataFrame =
+    attributionCredits(events)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("vi").cast("double") / 1e6, 4).as("attributed_value"))
+
+  /** The per-purchase credit rows under [[attributionOf]]'s rollup: each
+    * purchase with the touch type it credits and its exact micro-unit
+    * value. Shared with the streaming twin
+    * ([[graft.streaming.EventStreams.attributionStream]]) whose per-user
+    * carry state must replay this window's ignoreNulls-last semantics
+    * row for row (parity pinned in StreamingSpec).
+    */
+  private[graft] def attributionCredits(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     events
@@ -372,9 +385,8 @@ object EventOps {
         last(when(col("event_type") =!= "purchase", col("event_type")),
           ignoreNulls = true).over(w))
       .where(col("event_type") === "purchase")
-      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
-      .agg(count(lit(1)).as("n_purchases"),
-        round(sum("vi").cast("double") / 1e6, 4).as("attributed_value"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("touch"), lit("direct")).as("touch_type"), col("vi"))
   }
 
   /** Top event-type trigrams across per-user timelines — the path-mining

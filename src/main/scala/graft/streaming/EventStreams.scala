@@ -281,4 +281,78 @@ object EventStreams {
           }
       }
   }
+
+  /** One attribution-relevant event for [[attributionStream]]: timestamps
+    * as epoch micros, value pre-converted to exact micro units.
+    */
+  final case class AttrEvent(userId: Long, tsUs: Long, eventId: Long,
+      eventType: String, vi: Long)
+
+  /** A credited purchase emitted by [[attributionStream]]. */
+  final case class CreditedPurchase(userId: Long, eventId: Long,
+      touchType: String, vi: Long)
+
+  /** Per-user last-touch carry: the streaming twin of
+    * [[graft.operators.EventOps.attributionCredits]]'s ignoreNulls-last
+    * window. State per user is ONE string (the most recent non-purchase
+    * touch) — constant per key, no growth, no TTL needed; a batch's rows
+    * sort by (tsUs, eventId) before the carry so within-batch order
+    * replays the batch window's total order exactly.
+    */
+  final class LastTouchProcessor
+      extends StatefulProcessor[Long, AttrEvent, CreditedPurchase] {
+    @transient private var touch: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[String](
+        "touch", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[AttrEvent],
+        timerValues: TimerValues): Iterator[CreditedPurchase] = {
+      val sorted = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
+      val out = Vector.newBuilder[CreditedPurchase]
+      sorted.foreach { e =>
+        if (e.eventType == "purchase")
+          out += CreditedPurchase(userId, e.eventId,
+            Option(touch.get()).getOrElse("direct"), e.vi)
+        else touch.update(e.eventType)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming last-touch attribution: each arriving purchase credits the
+    * user's most recent earlier click/view, carried as per-user
+    * `transformWithState` state across micro-batches — the credited
+    * purchases stream out as they happen instead of waiting for a batch
+    * window over the full history. Downstream, the touch-type rollup is
+    * a plain streaming aggregate over this output.
+    *
+    * Equals the batch operator row for row when arrival respects
+    * per-user event-time order across batches (the log-ingestion norm;
+    * within a batch any order is fine — rows sort before the carry).
+    * Cross-batch OUT-OF-ORDER arrivals credit against state as of
+    * arrival — the streaming-native semantics; re-run the batch operator
+    * for the retrospective answer. Parity under in-order arrival is
+    * pinned in StreamingSpec.
+    *
+    * Scale shape: one shuffle on user_id per micro-batch; state is one
+    * string per user in the state store.
+    */
+  def attributionStream(events: DataFrame): Dataset[CreditedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id").cast("long").as("userId"),
+        // full microsecond precision: the batch window orders by the raw
+        // timestamp, so truncating to seconds here would break tie order
+        expr("unix_micros(cast(ts as timestamp))").as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("eventType"),
+        expr("cast(round(value * 1000000) as bigint)").as("vi"))
+      .as[AttrEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new LastTouchProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -350,6 +350,63 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("batch parity: attributionStream credits equal the batch window's credits") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.events(spark, sfDir)
+      val got = streamed(events, "parity_attr", "append")(
+        df => EventStreams.attributionStream(df).toDF())
+        .as[(Long, Long, String, Long)].collect().toSet
+      val want = graft.operators.EventOps.attributionCredits(events)
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got === want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("attributionStream carries the last touch across micro-batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreams.attributionStream(events)
+        .writeStream.format("memory").queryName("attr_stream_test")
+        .outputMode("append").start()
+      try {
+        // batch 1: the touch only — no purchase, nothing emitted
+        mem.addData((1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0))
+        q.processAllAvailable()
+        assert(spark.table("attr_stream_test").count() === 0)
+        // batch 2: the purchase must credit batch 1's click via state
+        mem.addData((2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 1.25))
+        q.processAllAvailable()
+        val rows = spark.table("attr_stream_test")
+          .as[(Long, Long, String, Long)].collect().toSet
+        assert(rows === Set((7L, 2L, "click", 1250000L)))
+        // a different user's purchase with no prior touch is "direct"
+        mem.addData((3L, ts("2024-01-01 10:40:00"), 8L, "purchase", 2.0))
+        q.processAllAvailable()
+        val all = spark.table("attr_stream_test")
+          .as[(Long, Long, String, Long)].collect().toSet
+        assert(all.contains((8L, 3L, "direct", 2000000L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch parity: dedupStream (AvailableNow) equals batch dropDuplicates") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
