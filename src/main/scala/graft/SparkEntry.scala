@@ -233,6 +233,9 @@ object SparkEntry {
     // last-touch attribution: purchases credit the most recent earlier
     // click/view via an ignoreNulls carry window; exact integer value sums
     "attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    // linear multi-touch: vi div n per preceding touch, remainder to the
+    // most recent — credits sum to exactly vi per purchase
+    "linear_attribution" -> ((s, d) => EventOps.linearAttribution(s, d)),
     // per-cluster dedup rollup: family size, source span, chars about to
     // be dropped — the audit report a curation run reads before deleting
     "dedup_families" -> ((s, d) => {
@@ -2401,6 +2404,41 @@ object SparkEntry {
         |SELECT fu.a, fu.b, fa.est AS est_a, fb.est AS est_b, fu.est_union,
         |  round(greatest(0.0, fa.est + fb.est - fu.est_union), 2) AS est_shared
         |FROM fu JOIN f1 fa ON fu.a = fa.source JOIN f1 fb ON fu.b = fb.source""".stripMargin,
+    // linear_attribution: running per-type touch counts + the carry
+    // window; vi div n truncating micro-units, remainder to the last
+    // touch, one final division after exact integer sums
+    "linear_attribution" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |              CAST(round(value * 1000000) AS BIGINT) AS vi
+        |            FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |m AS (SELECT *,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |    OVER wp, 0) AS BIGINT) AS n_click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+        |    OVER wp, 0) AS BIGINT) AS n_view,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER wp AS last_touch
+        |  FROM ev
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT vi, n_click, n_view, last_touch,
+        |        n_click + n_view AS n,
+        |        CASE WHEN n_click + n_view > 0
+        |             THEN vi // (n_click + n_view) ELSE 0 END AS share
+        |      FROM m WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT 'click' AS touch_type,
+        |    n_click * share + CASE WHEN last_touch = 'click'
+        |      THEN vi - n * share ELSE 0 END AS credit FROM p
+        |  UNION ALL
+        |  SELECT 'view',
+        |    n_view * share + CASE WHEN last_touch = 'view'
+        |      THEN vi - n * share ELSE 0 END FROM p
+        |  UNION ALL
+        |  SELECT 'direct', CASE WHEN n = 0 THEN vi ELSE 0 END FROM p)
+        |SELECT touch_type, count(*)::BIGINT AS n_purchases,
+        |  round(CAST(sum(credit) AS DOUBLE) / 1e6, 4) AS attributed_value
+        |FROM c WHERE credit > 0 GROUP BY 1""".stripMargin,
     // attribution: the ignoreNulls carry window replays verbatim; value
     // sums are exact micro-unit integers until one final division
     "attribution" ->

@@ -367,6 +367,62 @@ object EventOps {
       .agg(count(lit(1)).as("n_purchases"),
         round(sum("vi").cast("double") / 1e6, 4).as("attributed_value"))
 
+  /** Linear (multi-touch) attribution — the even-split complement of the
+    * last-touch model: each purchase's value divides equally over EVERY
+    * preceding click/view in the user's history; a purchase with no prior
+    * touch credits `direct`. Comparing this rollup against
+    * [[attribution]]'s answers the budget question last-touch cannot:
+    * which channel participates in journeys vs which merely closes them.
+    *
+    * Integer discipline: the per-touch share is `vi div n` (truncating
+    * micro-units) and the division remainder credits the MOST RECENT
+    * touch (recency tie-break), so every purchase's credits sum to
+    * exactly `vi` and any engine replays the split bit for bit —
+    * values are non-negative, so truncating and flooring division
+    * agree across engines.
+    *
+    * Scale shape: the same single user_id shuffle as [[attributionOf]]
+    * (three windows over one ordered pass), a 3-way credit explode on
+    * purchase rows only, and a touch-type-bounded rollup.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame =
+    linearAttributionOf(Tables.events(spark, dir))
+
+  /** [[linearAttribution]] over a caller-supplied event frame. */
+  def linearAttributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = events
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("vi"))
+      .withColumn("n_click", coalesce(
+        sum(when(col("event_type") === "click", 1L)).over(w), lit(0L)))
+      .withColumn("n_view", coalesce(
+        sum(when(col("event_type") === "view", 1L)).over(w), lit(0L)))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("n", col("n_click") + col("n_view"))
+      .withColumn("share", when(col("n") > 0, expr("vi div n")).otherwise(lit(0L)))
+      .withColumn("rem", col("vi") - col("n") * col("share"))
+    p.select(explode(array(
+        struct(lit("click").as("t"),
+          (col("n_click") * col("share")
+            + when(col("last_touch") === "click", col("rem")).otherwise(lit(0L))).as("c")),
+        struct(lit("view").as("t"),
+          (col("n_view") * col("share")
+            + when(col("last_touch") === "view", col("rem")).otherwise(lit(0L))).as("c")),
+        struct(lit("direct").as("t"),
+          when(col("n") === 0, col("vi")).otherwise(lit(0L)).as("c")))).as("e"))
+      .select(col("e.t").as("touch_type"), col("e.c").as("credit"))
+      .where(col("credit") > 0)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("credit").cast("double") / 1e6, 4).as("attributed_value"))
+  }
+
   /** The per-purchase credit rows under [[attributionOf]]'s rollup: each
     * purchase with the touch type it credits and its exact micro-unit
     * value. Shared with the streaming twin

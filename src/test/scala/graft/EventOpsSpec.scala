@@ -179,6 +179,38 @@ class EventOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("linearAttribution: even split with recency remainder, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: click, view, purchase(10.0) -> 5 micros-split each, exact
+    // user 2: view, view, click, purchase(1.0) -> share=333333, rem 1 to click (last)
+    // user 3: purchase(2.0) with no touches -> direct
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, t("2024-01-01 10:01:00"), 1L, "view", 0.0),
+      (3L, t("2024-01-01 10:02:00"), 1L, "purchase", 10.0),
+      (4L, t("2024-01-01 09:00:00"), 2L, "view", 0.0),
+      (5L, t("2024-01-01 09:01:00"), 2L, "view", 0.0),
+      (6L, t("2024-01-01 09:02:00"), 2L, "click", 0.0),
+      (7L, t("2024-01-01 09:03:00"), 2L, "purchase", 1.0),
+      (8L, t("2024-01-01 08:00:00"), 3L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.linearAttributionOf(events)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // click: 5.0 (u1) + 0.333333 + rem 0.000001 (u2) = 5.333334 -> 4dp
+    assert(got("click") === ((2L, 5.3333)))
+    // view: 5.0 (u1) + 2*0.333333 (u2) = 5.666666 -> 4dp
+    assert(got("view") === ((2L, 5.6667)))
+    assert(got("direct") === ((1L, 2.0)))
+    // conservation up to the 4dp report: total credited == total value
+    assert(math.abs(got.values.map(_._2).sum - 13.0) < 1e-3)
+    // vs last-touch on the same data: linear spreads what last-touch
+    // concentrates (u1's purchase goes wholly to view there)
+    val lastTouch = EventOps.attributionOf(events)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(lastTouch("view") === 10.0 && lastTouch("click") === 1.0)
+  }
+
   test("userRfm: every user scored, quintiles balanced, monetary agrees with a window replay") {
     import org.apache.spark.sql.functions.{col, expr, row_number}
     val out = EventOps.userRfm(spark, sfDir).cache()
