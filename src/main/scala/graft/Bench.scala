@@ -89,7 +89,13 @@ object Bench {
       while (!samples.exists(_.isNaN) && samples.size < 6 &&
         { val b = samples.sorted.take(3); b.last / b.head > 1.5 })
         samples = timeOne() :: samples
-      name -> (samples.sorted.take(3), samples.size)
+      // ANY failed run — extra samples included — marks the query failed.
+      // Without this, a NaN from run 4-6 sorts last under TotalOrdering
+      // and take(3) silently drops it, folding an intermittent failure
+      // into a reported success.
+      val best = if (samples.exists(_.isNaN)) List.fill(3)(Double.NaN)
+        else samples.sorted.take(3)
+      name -> (best, samples.size)
     }
     // per-query MEDIAN of the 3 fastest runs — the stable round-over-round
     // signal (full-suite totals at sf0.1 swing ±50% run to run; medians
@@ -103,6 +109,45 @@ object Bench {
         catch { case _: Throwable => -1L }
         finally graft.plans.ReleaseRegistry.drain())
     }.toMap
+
+    // Suite-scale regression guard: compare each median against the
+    // committed artifact from the previous round (read BEFORE this run
+    // overwrites it). A query whose median exceeds its committed value by
+    // >2x — on queries that were ≥1 s, where ambient host noise cannot
+    // explain the delta — is flagged in the artifact and on stderr, so a
+    // round-over-round regression (r8: triangles) is a machine check, not
+    // an archaeology project.
+    val prevMedians: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("tools/bench_full.json")), "UTF-8")
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        .map(_.split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) if v != "null" =>
+              Some(k.replace("\"", "") -> v.toDouble)
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val regressions = results.collect {
+      case (k, v) if !v.isNaN && prevMedians.get(k).exists(p =>
+        p >= 1.0 && v > 2.0 * p) => k -> (v, prevMedians(k))
+    }
+    regressions.foreach { case (k, (now, prev)) =>
+      System.err.println(f"BENCH REGRESSION: $k $prev%.2f -> $now%.2f s (>2x)")
+    }
+
+    // Fixture-scale probes: the co-occurrence graph's edge count and the
+    // base fact-table row count ride in the artifact so fixture vintage
+    // drift (the driver regenerates /root/testdata) stops masquerading as
+    // plan drift when rounds are compared.
+    val probeJson = try {
+      val coocEdges = operators.Graph.coOccurrenceEdges(spark, sfDir).count()
+      val liRows = Tables.lineitem(spark, sfDir).count()
+      val docRows = Tables.documents(spark, sfDir).count()
+      s"""{"cooc_edges":$coocEdges,"lineitem_rows":$liRows,"document_rows":$docRows}"""
+    } catch { case _: Throwable => "{}" }
+    finally graft.plans.ReleaseRegistry.drain()
 
     val failed = results.collect { case (k, v) if v.isNaN => k }
     val qs = results.map { case (k, v) =>
@@ -118,7 +163,10 @@ object Bench {
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$qs,"runs":$runsJson,"sampled":$sampledJson,"rows":$rs,"failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}"""
+    val regJson = regressions.map { case (k, (now, prev)) =>
+      "\"" + k + "\":{\"now\":" + now + ",\"prev\":" + prev + "}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$qs,"runs":$runsJson,"sampled":$sampledJson,"rows":$rs,"failed":$fs,"regressions_vs_committed":$regJson,"fixture_probe":$probeJson,"sf":"$sfDir","shuffle_partitions":$cpus}"""
     // full-detail line first (log readers), and persisted as an artifact —
     // the full line is ~4 KB and harness tail-captures truncate it.
     // BENCH_ONLY runs skip the artifact write: a filtered iteration run

@@ -23,7 +23,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // building a query can register release hooks (persisted frames,
+      // checkpoints); drain per query like Verify does, or a long explain
+      // session accumulates pinned state across hundreds of plans
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      finally plans.ReleaseRegistry.drain()
     }
     spark.stop()
   }

@@ -15,7 +15,10 @@ object ScanAudit {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        df.collect()
+        try df.collect()
+        // drain operator-pinned state per query (same contract as
+        // Verify/Bench) — the audit collects every query in one JVM
+        finally plans.ReleaseRegistry.drain()
         val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
         val paths = "InMemoryFileIndex\\(\\d+ paths\\)\\[([^\\]]+)\\]".r
           .findAllMatchIn(plan).map(_.group(1)).toSeq

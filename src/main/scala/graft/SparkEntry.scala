@@ -168,8 +168,9 @@ object SparkEntry {
     // kmeans assignment — one (cid,label) aggregate on top of it
     "cluster_purity" -> ((s, d) => Similarity.clusterPurity(Tables.embeddings(s, d))),
     // per-dim z-scores: one 64-row moment aggregate broadcast back, then
-    // a row-local projection
-    "emb_standardize" -> ((s, d) => Similarity.standardizeEmbeddings(Tables.embeddings(s, d))),
+    // a row-local projection; checked via the integer basis-point digest
+    // (array columns don't sort portably in the oracle harness)
+    "emb_standardize" -> ((s, d) => Similarity.standardizeDigest(Tables.embeddings(s, d))),
     // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
     // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
     // never corpus²); every stage deterministic, oracle replays it all
@@ -2010,17 +2011,23 @@ object SparkEntry {
         |       round(m.top_n::DOUBLE / m.n_vecs, 4) AS purity
         |FROM mx m JOIN top t USING (cid)""".stripMargin,
     // per-dim population z-scores; moments round to 6dp first so the
-    // transform runs on bit-identical inputs in every engine
+    // transform runs on bit-identical inputs in every engine. Checked via
+    // the integer basis-point digest (sum/min/max of round(z·10⁴) as
+    // BIGINT) — exact integer arithmetic, array-free, oracle-sortable.
     "emb_standardize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT vec_id, unnest(v) AS x,
         |             unnest(range(1, len(v) + 1)) AS i FROM e),
         |st AS (SELECT i, round(avg(x), 6) AS mu,
-        |              round(stddev_pop(x), 6) AS sg FROM d GROUP BY i)
-        |SELECT vec_id,
-        |  list(round(CASE WHEN sg = 0 THEN 0.0 ELSE (x - mu) / sg END, 4) + 0.0
-        |       ORDER BY i) AS z
-        |FROM d JOIN st USING (i) GROUP BY vec_id""".stripMargin,
+        |              round(stddev_pop(x), 6) AS sg FROM d GROUP BY i),
+        |z AS (SELECT vec_id,
+        |        CAST(round((round(CASE WHEN sg = 0 THEN 0.0
+        |                          ELSE (x - mu) / sg END, 4) + 0.0) * 10000)
+        |             AS BIGINT) AS bp
+        |      FROM d JOIN st USING (i))
+        |SELECT vec_id, count(*)::INT AS n_dims, sum(bp)::BIGINT AS z_sum_bp,
+        |       min(bp) AS z_min_bp, max(bp) AS z_max_bp
+        |FROM z GROUP BY vec_id""".stripMargin,
     "kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS i),

@@ -105,6 +105,10 @@ object Dedup {
     */
   def rowLocalSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame =
     docs
+      // match the batch operator's drop semantics: minhashPairs silently
+      // drops null-text docs (explode_outer + isNotNull); emitting a null
+      // hset/sig row here would NPE the streaming twin's deserializer
+      .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"),
         expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0)), i -> concat_ws(' ', slice(toks, i + 1, $k))))")

@@ -384,6 +384,13 @@ object EventOps {
     * Scale shape: the same single user_id shuffle as [[attributionOf]]
     * (three windows over one ordered pass), a 3-way credit explode on
     * purchase rows only, and a touch-type-bounded rollup.
+    *
+    * Known asymmetry vs [[attribution]]: the `credit > 0` filter drops
+    * zero-value purchases entirely, so a `vi = 0, n = 0` purchase counts
+    * under `direct` in last-touch but not here — `n_purchases` between
+    * the two rollups differs by exactly those rows. Intentional: a
+    * zero-credit row carries no attributable value, and the DuckDB oracle
+    * applies the same filter.
     */
   def linearAttribution(spark: SparkSession, dir: String): DataFrame =
     linearAttributionOf(Tables.events(spark, dir))

@@ -308,8 +308,11 @@ object Graph {
     graft.Tables.lineitem(s, dir)
       .join(graft.Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("src"),
-        (col("o_custkey") * 2 + 1).as("dst"))
+      // cast BEFORE the multiply: if the parquet keys are int32, the
+      // doubling would wrap at custkey > 2^30 instead of widening — the
+      // BIGINT encoding must hold at any scale factor
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("o_custkey").cast("long") * 2 + 1).as("dst"))
 
   /** Part co-occurrence edges: an undirected edge between every pair of
     * parts appearing in the same order (the "bought together" graph — the
@@ -335,8 +338,8 @@ object Graph {
     graft.Tables.lineitem(s, dir)
       .join(graft.Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("src"),
-        (col("o_custkey") * 2 + 1).as("dst"),
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("o_custkey").cast("long") * 2 + 1).as("dst"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("w"))
 
   /** Community labels by `iters` rounds of min-label propagation over the
@@ -522,8 +525,19 @@ object Graph {
     val keyed = und
       .join(deg.select(col("node").as("a"), (col("dg") * SHIFT + col("a")).as("ka")), "a")
       .join(deg.select(col("node").as("b"), (col("dg") * SHIFT + col("b")).as("kb")), "b")
+    // The oriented edge frame feeds THREE join legs (e1/e2/e3). Without a
+    // materialization barrier the distinct → degree-agg → double-join
+    // subtree recomputes per leg (exchange reuse only fires when the
+    // exchanges end up identical, which the three different join keys do
+    // not guarantee) — measured 3× plan-time on a 1.2M-edge fixture.
+    // Persist behind a count barrier; release queued with the registry so
+    // hosts drain it at the materialization boundary.
     val o = keyed.select(least(col("ka"), col("kb")).as("kx"),
       greatest(col("ka"), col("kb")).as("ky"))
+      .persist()
+    o.count()
+    ReleaseRegistry.register("graph.triangles")(
+      () => o.unpersist(blocking = false))
     val tri = o.as("e1")
       .join(o.as("e2"), col("e1.kx") === col("e2.kx") && col("e1.ky") < col("e2.ky"))
       .select(col("e1.kx").as("k1"), col("e1.ky").as("k2"), col("e2.ky").as("k3"))

@@ -249,6 +249,24 @@ object Similarity {
         }).as("z"))
   }
 
+  /** Scalar digest of [[standardizeEmbeddings]] for engine-portable checks
+    * (same rationale as [[quantizeDigest]]: array columns don't sort
+    * portably across oracle engines, so the verification view is scalar).
+    * The z values are already rounded to 4dp, so `round(z·10⁴)` recovers
+    * the exact basis-point integer; all digest arithmetic is then integer
+    * (sum/min/max of longs) — no summation-order or formatting drift is
+    * possible. Row-local on top of the standardize projection.
+    */
+  def standardizeDigest(embeddings: DataFrame): DataFrame = {
+    val bp = transform(col("z"), x => round(x * 10000d).cast("long"))
+    standardizeEmbeddings(embeddings).select(
+      col("vec_id"),
+      size(col("z")).as("n_dims"),
+      aggregate(bp, lit(0L), (acc, x) => acc + x).as("z_sum_bp"),
+      array_min(bp).as("z_min_bp"),
+      array_max(bp).as("z_max_bp"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the scale path for
     * large corpora: vectors are bucketed by nearest centroid; a query
     * probes only its `nProbe` closest buckets, so scored candidates shrink
