@@ -32,8 +32,19 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * stream so a bucket emission never waits on a global exchange.
   *
   * State per bucket is the bucket's full signature history; buckets are
-  * bounded by LSH dispersion the same way the batch Σbucket² is. TTL can
-  * bound history windows where dedup-against-recent suffices.
+  * bounded by LSH dispersion the same way the batch Σbucket² is. For a
+  * never-ending archive that is the one unbounded growth vector in the
+  * engine, so [[incrementalMinhashPairs]] takes an optional `ttl`: with
+  * it the processor runs in processing-time mode and each bucket holds
+  * only the trailing window's signatures — dedup-against-recent, the
+  * standard posture when the archive's old segments are already frozen
+  * and deduped. Expired entries are invisible to verification the moment
+  * they age out (TTL filtering on read) and are physically removed by
+  * the per-batch TTL cleanup, so state size tracks arrival rate x
+  * window, not corpus size (asserted via the query's `numRowsTotal`
+  * state metric in DedupStreamsSpec). Parity with the batch operator
+  * holds within the window; cross-window pairs are intentionally
+  * forgone.
   */
 object DedupStreams {
 
@@ -52,13 +63,15 @@ object DedupStreams {
     * (min id, max id, exact jaccard) is a pure function of the two
     * documents.
     */
-  final class BandBucketDedup(threshold: Double, numHashes: Int)
+  final class BandBucketDedup(threshold: Double, numHashes: Int,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[String, SigRow, NearPair] {
     @transient private var seen: ListState[SigRow] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getListState[SigRow](
-        "seen", Encoders.product[SigRow], TTLConfig.NONE)
+        "seen", Encoders.product[SigRow],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
     // merge-count over sorted distinct arrays — the processor-side twin
     // of graft.functions.SortedIntersectCount
@@ -112,7 +125,8 @@ object DedupStreams {
     * .Dedup.minhashPairs]] modulo cross-band duplicates.
     */
   def incrementalMinhashPairs(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8, k: Int = 3): Dataset[NearPair] = {
+      numHashes: Int = 32, bands: Int = 8, k: Int = 3,
+      ttl: Option[java.time.Duration] = None): Dataset[NearPair] = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     import docs.sparkSession.implicits._
     val r = numHashes / bands
@@ -132,7 +146,8 @@ object DedupStreams {
       .as[(String, Long, Array[Long], Array[Long])]
       .groupByKey(_._1)
       .mapValues(t => SigRow(t._2, t._3, t._4))
-      .transformWithState(new BandBucketDedup(threshold, numHashes),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new BandBucketDedup(threshold, numHashes, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

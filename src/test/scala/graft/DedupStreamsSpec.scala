@@ -59,6 +59,82 @@ class DedupStreamsSpec extends SparkSpec {
     }
   }
 
+  test("TTL bounds the LSH state: expired history neither pairs nor stays stored") {
+    // TTL requires TimeMode.ProcessingTime, in which the operator keeps
+    // reporting "another batch due" for TTL maintenance — so
+    // processAllAvailable/AvailableNow never quiesce. The harness instead
+    // keeps one paced query running (the maintenance batches ARE the
+    // cleanup mechanism) and polls for sentinel emissions / the state-size
+    // drop, with deadlines.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val fixture = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq.take(8)
+      val ttl = java.time.Duration.ofMillis(500)
+      val mem = MemoryStream[(Long, String)]
+      val q = DedupStreams
+        .incrementalMinhashPairs(mem.toDF().toDF("doc_id", "text"),
+          threshold = 0.5, ttl = Some(ttl))
+        .writeStream.format("memory").queryName("inc_minhash_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .outputMode("append").start()
+      try {
+        def pairs(): Set[(Long, Long)] = spark.table("inc_minhash_ttl")
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        def awaitPair(p: (Long, Long), what: String): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (!pairs().contains(p)) {
+            assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+            Thread.sleep(100)
+          }
+        }
+        def stateRows(): Long = Option(q.lastProgress)
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+
+        // window 1: the base docs PLUS an exact in-batch copy — parity
+        // must hold INSIDE the ttl window, so this pair has to surface
+        mem.addData(fixture :+ (200001L, fixture.head._2): _*)
+        awaitPair((fixture.head._1, 200001L), "same-window exact copy")
+        val w1Rows = stateRows()
+
+        // let every window-1 entry age out, then re-ingest the same texts
+        // under fresh ids plus a sentinel in-batch copy: the sentinel
+        // proves the batch processed; the expired history must contribute
+        // no partner
+        Thread.sleep(ttl.toMillis * 4)
+        val reingest = fixture.map { case (id, t) => (id + 300000L, t) }
+        mem.addData(reingest :+ (400001L, fixture.head._2): _*)
+        awaitPair((fixture.head._1 + 300000L, 400001L), "window-2 sentinel copy")
+        val crossWindow = pairs().filter { case (a, b) =>
+          a <= 200001L && b >= 300000L }
+        assert(crossWindow.isEmpty,
+          s"expired state must not produce pairs, got $crossWindow")
+
+        // physical bound: window 2 re-ingested the SAME texts (plus one
+        // sentinel), so an unbounded store would now hold both
+        // generations (~2x window 1's rows). TTL cleanup runs on the
+        // paced maintenance batches — poll until the store is back at
+        // (at most) one window's footprint.
+        assert(w1Rows > 0, s"state metrics must be reported, got $w1Rows")
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateRows() > w1Rows) {
+          assert(System.nanoTime() < deadline,
+            s"state did not shrink back under TTL: ${stateRows()} > $w1Rows")
+          Thread.sleep(200)
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch-mode run equals batch minhashPairs modulo cross-band duplicates") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val got = DedupStreams.incrementalMinhashPairs(docs, threshold = 0.5)
