@@ -171,6 +171,15 @@ object SparkEntry {
     // a row-local projection; checked via the integer basis-point digest
     // (array columns don't sort portably in the oracle harness)
     "emb_standardize" -> ((s, d) => Similarity.standardizeDigest(Tables.embeddings(s, d))),
+    // median/MAD robust scaling — outlier-resistant twin of
+    // emb_standardize; same digest discipline
+    "emb_robust_scale" -> ((s, d) => Similarity.robustScaleDigest(Tables.embeddings(s, d))),
+    // first-iteration BPE merge statistics: corpus word count, then
+    // char-pair weights over the unique-word table only
+    "bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d))),
+    // doc-granularity mixture realization: greedy fill of per-source
+    // token budgets, exact integer replay
+    "token_budget_fill" -> ((s, d) => TextOps.tokenBudgetFill(Tables.documents(s, d))),
     // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
     // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
     // never corpus²); every stage deterministic, oracle replays it all
@@ -2028,6 +2037,54 @@ object SparkEntry {
         |SELECT vec_id, count(*)::INT AS n_dims, sum(bp)::BIGINT AS z_sum_bp,
         |       min(bp) AS z_min_bp, max(bp) AS z_max_bp
         |FROM z GROUP BY vec_id""".stripMargin,
+    // robust median/MAD scaling; both engines interpolate the even-count
+    // median identically, moments round to 6dp before the transform
+    "emb_robust_scale" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) AS x,
+        |             unnest(range(1, len(v) + 1)) AS i FROM e),
+        |m AS (SELECT i, round(median(x), 6) AS med FROM d GROUP BY i),
+        |md AS (SELECT d.i, round(median(abs(x - med)), 6) AS mad
+        |       FROM d JOIN m USING (i) GROUP BY d.i),
+        |st AS (SELECT m.i, m.med, md.mad FROM m JOIN md ON m.i = md.i),
+        |z AS (SELECT vec_id,
+        |        CAST(round((round(CASE WHEN mad = 0 THEN 0.0
+        |                          ELSE (x - med) / mad END, 4) + 0.0) * 10000)
+        |             AS BIGINT) AS bp
+        |      FROM d JOIN st USING (i))
+        |SELECT vec_id, count(*)::INT AS n_dims, sum(bp)::BIGINT AS z_sum_bp,
+        |       min(bp) AS z_min_bp, max(bp) AS z_max_bp
+        |FROM z GROUP BY vec_id""".stripMargin,
+    // BPE first-merge pair weights: unique-word counts, then adjacent
+    // char pairs weighted by word frequency; ties at the cut break on
+    // the pair's binary order in both engines
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |           FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w
+        |       WHERE word <> '' GROUP BY word),
+        |d AS (SELECT word, cnt, unnest(range(1, len(word))) AS i
+        |      FROM wc WHERE len(word) >= 2),
+        |p AS (SELECT substr(word, i::INT, 2) AS pair, cnt FROM d)
+        |SELECT pair, sum(cnt)::BIGINT AS n_occ FROM p GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+    // greedy per-source token-budget fill; all-integer keep decision
+    "token_budget_fill" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |             len(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> ''))::BIGINT AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT source, ((sum(tok) * 30) // 100)::BIGINT AS budget_tokens
+        |      FROM d GROUP BY source),
+        |r AS (SELECT d.source, d.tok, b.budget_tokens,
+        |        coalesce(sum(d.tok) OVER (PARTITION BY d.source
+        |          ORDER BY d.n_chars DESC, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS cum_before
+        |      FROM d JOIN b USING (source))
+        |SELECT source, min(budget_tokens) AS budget_tokens,
+        |       count(*)::BIGINT AS n_docs_kept, sum(tok)::BIGINT AS tokens_kept
+        |FROM r WHERE cum_before < budget_tokens GROUP BY source""".stripMargin,
     "kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS i),

@@ -249,6 +249,64 @@ object Similarity {
         }).as("z"))
   }
 
+  /** Robust per-dimension scaling — the outlier-resistant complement to
+    * [[standardizeEmbeddings]]: `z_i = (x_i − med_i)/mad_i` with
+    * `med` = the per-dim median and `mad` = median absolute deviation
+    * (zero-MAD dims map to 0). Where a single corrupt vector can drag a
+    * mean/σ arbitrarily, the median/MAD breakdown point is 50% — the
+    * right normalization when embedding batches may contain garbage rows
+    * (failed decodes, zero vectors) that shouldn't poison the scale.
+    *
+    * Determinism: both engines compute the even-count median as the
+    * midpoint interpolation of the two central order statistics — the
+    * same IEEE add/halve on the same multiset — and the moments round to
+    * 6dp before the transform (the [[standardizeEmbeddings]] discipline),
+    * so the 4dp output replays exactly.
+    *
+    * Scale shape: two posexplode → dim-bounded aggregates (median, then
+    * MAD with the 64-row med table broadcast back into the second pass),
+    * each map-side reducible only in its sort — exact percentiles DO sort
+    * per dim, but each dim's group is corpus-rows long, not corpus-wide,
+    * and 64 groups spread across the cluster. For sketch-precision at
+    * extreme scale, swap `percentile` for `percentile_approx` the way
+    * [[quantilesApprox]] shadows exact quantiles. The transform itself is
+    * a row-local projection against the broadcast moment arrays.
+    */
+  def robustScaleEmbeddings(embeddings: DataFrame): DataFrame = {
+    val p = prepared(embeddings).select(col("vec_id"), col("v"))
+    val d = p.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val med = d.groupBy("i")
+      .agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val mad = d.join(broadcast(med), "i")
+      .groupBy("i")
+      .agg(round(expr("percentile(abs(x - med), 0.5)"), 6).as("mad"))
+      .join(broadcast(med), "i")
+    val packed = mad.agg(
+      array_sort(collect_list(struct(col("i"), col("med"), col("mad")))).as("ms"))
+      .select(transform(col("ms"), e => e("med")).as("med"),
+        transform(col("ms"), e => e("mad")).as("mad"))
+    p.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, i) => {
+          val m = element_at(col("med"), i.cast("int") + 1)
+          val s = element_at(col("mad"), i.cast("int") + 1)
+          round(when(s === 0d, lit(0.0)).otherwise((x - m) / s), 4) + lit(0.0)
+        }).as("z"))
+  }
+
+  /** Scalar digest of [[robustScaleEmbeddings]] — same integer
+    * basis-point shape as [[standardizeDigest]], same rationale.
+    */
+  def robustScaleDigest(embeddings: DataFrame): DataFrame = {
+    val bp = transform(col("z"), x => round(x * 10000d).cast("long"))
+    robustScaleEmbeddings(embeddings).select(
+      col("vec_id"),
+      size(col("z")).as("n_dims"),
+      aggregate(bp, lit(0L), (acc, x) => acc + x).as("z_sum_bp"),
+      array_min(bp).as("z_min_bp"),
+      array_max(bp).as("z_max_bp"))
+  }
+
   /** Scalar digest of [[standardizeEmbeddings]] for engine-portable checks
     * (same rationale as [[quantizeDigest]]: array columns don't sort
     * portably across oracle engines, so the verification view is scalar).

@@ -1136,4 +1136,65 @@ object TextOps {
       round(sum("l_discount"), 4).as("sum_disc"),
       round(sum("l_tax"), 4).as("sum_tax"),
       count(lit(1)).as("n"))
+
+  /** First-iteration BPE merge statistics — the tokenizer-training
+    * primitive: whitespace pre-tokenize, count unique words, then weight
+    * every adjacent CHARACTER pair by its word's corpus frequency and
+    * keep the heaviest pairs (the first merge a BPE trainer would pick,
+    * and the next `topN-1` candidates behind it).
+    *
+    * Scale shape: the corpus-scale stage is exactly [[wordCount]]'s one
+    * map-side-combined shuffle; the character-pair explode then runs on
+    * the UNIQUE-WORD table (vocabulary-bounded — millions of rows at
+    * 100 TB, not trillions), so the second aggregate is negligible next
+    * to the first. Ties at the cut rank break on the pair's binary
+    * order — deterministic and engine-portable (both Spark UTF8 and the
+    * oracle compare bytewise).
+    */
+  def bpePairStats(docs: DataFrame, topN: Int = 20): DataFrame =
+    wordCount(docs)
+      .where(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topN)
+
+  /** Token-budget mixture realization at DOCUMENT granularity: each
+    * source gets a token budget (`budgetPct`% of its own token mass),
+    * and docs fill it greedily in (n_chars desc, doc_id) order — longest
+    * first, the deterministic stand-in for a quality ranking — keeping
+    * every doc that STARTS under budget. Where [[mixSources]] /
+    * [[temperatureMix]] decide per-source RATES, this op materializes the
+    * actual keep set those rates imply, the step right before writing a
+    * training shard.
+    *
+    * All integer arithmetic (token counts, truncating percent), so the
+    * keep decision replays exactly in any engine. Scale shape: one
+    * row-local token count and ONE source-partitioned shuffle serving
+    * both windows — the per-source total (whole-partition frame, so no
+    * separate budget aggregate or re-scan of the corpus) and the running
+    * prefix sum over the same sort; a skewed mega-source splits under
+    * AQE. Output is the |sources|-bounded rollup.
+    */
+  def tokenBudgetFill(docs: DataFrame, budgetPct: Int = 30): DataFrame = {
+    val d = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("tok"))
+    val bySrc = Window.partitionBy("source")
+    val w = bySrc.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d
+      .withColumn("total_tok", sum("tok").over(bySrc))
+      // `div`, not `/`: Column./ on longs is DOUBLE division
+      .withColumn("budget_tokens", expr(s"(total_tok * $budgetPct) div 100"))
+      .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+      .where(col("cum_before") < col("budget_tokens"))
+      .groupBy("source")
+      .agg(first("budget_tokens").as("budget_tokens"),
+        count(lit(1)).as("n_docs_kept"),
+        sum("tok").as("tokens_kept"))
+  }
 }

@@ -359,4 +359,28 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.standardizeEmbeddings(e)
     assert(z.exceptAll(again).isEmpty && again.exceptAll(z).isEmpty)
   }
+
+  test("robustScaleEmbeddings: median-centered, outlier-resistant, zero-MAD safe") {
+    import org.apache.spark.sql.functions._
+    // dim 0: {1..5} + one huge outlier; dim 1: constant (MAD 0)
+    val vecs = (Seq(1.0, 2.0, 3.0, 4.0, 5.0) :+ 1e6).zipWithIndex
+      .map { case (x, id) => (id.toLong, Array(x.toFloat, 7.0f)) }
+      .toDF("vec_id", "embedding")
+    val z = Similarity.robustScaleEmbeddings(vecs)
+      .select($"vec_id", element_at($"z", 1).as("z0"), element_at($"z", 2).as("z1"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // med = 3.5, mad = 1.5: the inliers land within ~2 MADs...
+    Seq(0L, 1L, 2L, 3L, 4L).foreach { id =>
+      assert(math.abs(z(id)._1) <= 2.0, s"inlier $id got ${z(id)._1}")
+    }
+    // ...while the outlier is FAR out — the scale did not stretch to it
+    // (mean/sigma scaling would have pulled every inlier to ~-0.4)
+    assert(z(5L)._1 > 1000.0)
+    // zero-MAD dim maps to 0 for every row
+    assert(z.values.forall(_._2 === 0.0))
+    // digest agrees with the raw op (same rows, integer basis points)
+    val dig = Similarity.robustScaleDigest(vecs)
+    assert(dig.count() === 6L)
+    assert(dig.where($"n_dims" =!= 2).isEmpty)
+  }
 }

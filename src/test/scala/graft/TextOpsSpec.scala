@@ -581,4 +581,43 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Double)].collect()
     assert(prop.forall(r => math.abs(r._5 - 1.0) < 1e-9))
   }
+
+  test("bpePairStats: char pairs weighted by word frequency, hand-checked") {
+    val docs = Seq(
+      (1L, "aaa aa"),   // 'aaa' -> aa,aa ; 'aa' -> aa
+      (2L, "ab ab"),    // 'ab' x2 collapses to one word with cnt 2
+      (3L, "ab x")      // single-char word contributes no pair
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpePairStats(docs, topN = 10)
+      .as[(String, Long)].collect().toList
+    // aa: 2 (inside 'aaa') + 1 (inside 'aa') = 3; ab: cnt(ab)=3
+    assert(got.take(2).toSet === Set(("aa", 3L), ("ab", 3L)))
+    assert(got.forall(_._1.length == 2))
+    // tie at the top breaks on binary pair order
+    assert(got.head === ("aa", 3L) && got(1) === ("ab", 3L))
+  }
+
+  test("tokenBudgetFill: greedy keep under an exact integer budget") {
+    // source s1: tokens 5,3,2 by length order -> total 10, 30% budget = 3
+    //   doc 11 (5 tok) starts at cum 0 < 3 -> kept; doc 12 starts at 5 -> out
+    // source s2: tokens 4,4 -> total 8, budget 2 -> only first kept
+    val docs = Seq(
+      (11L, "s1", "a b c d e"),
+      (12L, "s1", "a b c"),
+      (13L, "s1", "a b"),
+      (21L, "s2", "w x y z"),
+      (22L, "s2", "w x y z")
+    ).map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = TextOps.tokenBudgetFill(docs, budgetPct = 30)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") === ((3L, 1L, 5L)))
+    assert(got("s2") === ((2L, 1L, 4L)))
+    // every source's kept token mass exceeds its budget by at most the
+    // last doc (greedy keeps the doc that STARTS under budget)
+    val full = TextOps.tokenBudgetFill(docs, budgetPct = 100)
+      .as[(String, Long, Long, Long)].collect()
+    full.foreach { case (_, budget, _, kept) => assert(kept <= budget) }
+  }
 }
