@@ -180,6 +180,9 @@ object SparkEntry {
     // doc-granularity mixture realization: greedy fill of per-source
     // token budgets, exact integer replay
     "token_budget_fill" -> ((s, d) => TextOps.tokenBudgetFill(Tables.documents(s, d))),
+    // curation-funnel observability: cumulative doc/token survival
+    // through the five standard filter stages
+    "filter_cascade" -> ((s, d) => TextOps.filterCascade(Tables.documents(s, d))),
     // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
     // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
     // never corpus²); every stage deterministic, oracle replays it all
@@ -2068,6 +2071,37 @@ object SparkEntry {
         |p AS (SELECT substr(word, i::INT, 2) AS pair, cnt FROM d)
         |SELECT pair, sum(cnt)::BIGINT AS n_occ FROM p GROUP BY pair
         |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+    // cumulative curation funnel; FALSE AND NULL = FALSE pins the
+    // three-valued logic identically in both engines
+    "filter_cascade" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, text,
+        |             len(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> ''))::BIGINT AS tok
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id) AS rn
+        |      FROM d),
+        |f AS (SELECT tok,
+        |        (text IS NOT NULL AND text <> '') AS c1,
+        |        (text IS NOT NULL AND text <> '') AND tok >= 5 AS c2,
+        |        ((text IS NOT NULL AND text <> '') AND tok >= 5)
+        |          AND lang = 'en' AS c3,
+        |        (((text IS NOT NULL AND text <> '') AND tok >= 5)
+        |          AND lang = 'en') AND n_chars <= 10000 AS c4,
+        |        ((((text IS NOT NULL AND text <> '') AND tok >= 5)
+        |          AND lang = 'en') AND n_chars <= 10000) AND rn = 1 AS c5
+        |      FROM r),
+        |s AS (SELECT * FROM (VALUES (1, 'nonempty'), (2, 'min_tokens'),
+        |        (3, 'lang_keep'), (4, 'len_cap'),
+        |        (5, 'exact_unique')) AS t(stage, stage_name)),
+        |e AS (SELECT s.stage, s.stage_name,
+        |        CASE s.stage WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+        |                     WHEN 4 THEN c4 ELSE c5 END AS pass, f.tok
+        |      FROM f CROSS JOIN s)
+        |SELECT stage, stage_name,
+        |       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+        |       sum(CASE WHEN pass THEN tok ELSE 0 END)::BIGINT AS n_tokens
+        |FROM e GROUP BY stage, stage_name""".stripMargin,
     // greedy per-source token-budget fill; all-integer keep decision
     "token_budget_fill" ->
       """WITH d AS (SELECT doc_id, source, n_chars,

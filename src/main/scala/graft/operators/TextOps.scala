@@ -1137,6 +1137,51 @@ object TextOps {
       round(sum("l_tax"), 4).as("sum_tax"),
       count(lit(1)).as("n"))
 
+  /** Curation-funnel observability: how many documents (and how much
+    * token mass) survive each stage of the standard filter cascade —
+    * non-empty text → minimum token count → language keep → length cap →
+    * exact-duplicate removal (first occurrence by doc_id wins). The
+    * number every pipeline owner asks before a training run ("where did
+    * my corpus go?"), and the first diagnostic when a mixture shifts.
+    *
+    * Stage predicates compose cumulatively (stage i = stages 1..i all
+    * pass), so the rows read as a monotone funnel. Three-valued logic is
+    * pinned: a null text fails stage 1 outright, and `FALSE AND NULL =
+    * FALSE` evaluates identically in every engine, so the counts replay
+    * exactly.
+    *
+    * Scale shape: one corpus pass; the only shuffle is the md5-keyed
+    * window for first-occurrence ranking (same key the exact-dedup op
+    * shuffles on), then a 5-row conditional rollup — the stage explode
+    * multiplies rows by the constant stage count, not by data size.
+    */
+  def filterCascade(docs: DataFrame, minTokens: Int = 5,
+      keepLang: String = "en", maxChars: Long = 10000L): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+        .cast("long").as("tok"))
+    val w = Window.partitionBy(md5(coalesce(col("text"), lit(""))))
+      .orderBy("doc_id")
+    val f = d.withColumn("rn", row_number().over(w))
+      .withColumn("c1", col("text").isNotNull && col("text") =!= "")
+      .withColumn("c2", col("c1") && col("tok") >= minTokens)
+      .withColumn("c3", col("c2") && col("lang") === keepLang)
+      .withColumn("c4", col("c3") && col("n_chars") <= maxChars)
+      .withColumn("c5", col("c4") && col("rn") === 1)
+    val stages = Seq(1 -> ("nonempty", "c1"), 2 -> ("min_tokens", "c2"),
+      3 -> ("lang_keep", "c3"), 4 -> ("len_cap", "c4"),
+      5 -> ("exact_unique", "c5"))
+    f.select(col("tok"), explode(array(stages.map { case (i, (name, c)) =>
+        struct(lit(i).as("stage"), lit(name).as("stage_name"),
+          col(c).as("pass"))
+      }: _*)).as("e"))
+      .select(col("e.stage").as("stage"), col("e.stage_name").as("stage_name"),
+        col("e.pass").as("pass"), col("tok"))
+      .groupBy("stage", "stage_name")
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("pass"), col("tok")).otherwise(0L)).as("n_tokens"))
+  }
+
   /** First-iteration BPE merge statistics — the tokenizer-training
     * primitive: whitespace pre-tokenize, count unique words, then weight
     * every adjacent CHARACTER pair by its word's corpus frequency and

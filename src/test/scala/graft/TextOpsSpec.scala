@@ -582,6 +582,28 @@ class TextOpsSpec extends SparkSpec {
     assert(prop.forall(r => math.abs(r._5 - 1.0) < 1e-9))
   }
 
+  test("filterCascade: monotone funnel with hand-checked stage counts") {
+    val docs = Seq(
+      (1L, "a b c d e f", "en", 11L),   // passes everything
+      (2L, "a b", "en", 3L),            // fails min_tokens (2 < 5)
+      (3L, "x y z w v u", "fr", 11L),   // fails lang_keep
+      (4L, "a b c d e f", "en", 11L),   // exact dup of doc 1 -> fails unique
+      (5L, null.asInstanceOf[String], "en", 0L), // fails nonempty
+      (6L, "long doc here okay fine yes", "en", 20000L) // fails len_cap
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextOps.filterCascade(docs)
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) === (("nonempty", 5L, 26L)))      // docs 1,2,3,4,6
+    assert(got(2) === (("min_tokens", 4L, 24L)))    // drop doc 2 (2 tok)
+    assert(got(3) === (("lang_keep", 3L, 18L)))     // drop doc 3 (fr)
+    assert(got(4) === (("len_cap", 2L, 12L)))       // drop doc 6
+    assert(got(5) === (("exact_unique", 1L, 6L)))   // doc 4 dups doc 1
+    // funnel is monotone by construction
+    val counts = (1 to 5).map(got(_)._2)
+    assert(counts === counts.sorted.reverse)
+  }
+
   test("bpePairStats: char pairs weighted by word frequency, hand-checked") {
     val docs = Seq(
       (1L, "aaa aa"),   // 'aaa' -> aa,aa ; 'aa' -> aa
