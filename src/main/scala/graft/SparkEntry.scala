@@ -174,6 +174,8 @@ object SparkEntry {
     // median/MAD robust scaling — outlier-resistant twin of
     // emb_standardize; same digest discipline
     "emb_robust_scale" -> ((s, d) => Similarity.robustScaleDigest(Tables.embeddings(s, d))),
+    // power-iteration top principal component, exact integer replay
+    "emb_top_pc" -> ((s, d) => Similarity.topPrincipalComponent(Tables.embeddings(s, d))),
     // first-iteration BPE merge statistics: corpus word count, then
     // char-pair weights over the unique-word table only
     "bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d))),
@@ -2040,6 +2042,36 @@ object SparkEntry {
         |SELECT vec_id, count(*)::INT AS n_dims, sum(bp)::BIGINT AS z_sum_bp,
         |       min(bp) AS z_min_bp, max(bp) AS z_max_bp
         |FROM z GROUP BY vec_id""".stripMargin,
+    // power-iteration top PC: integer micro-unit corpus sums (order-free),
+    // doubles only in the pinned-order 64-dim normalization fold
+    "emb_top_pc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d0 AS (SELECT vec_id, unnest(v) AS x,
+        |              unnest(range(0, len(v))) AS i FROM e),
+        |m AS (SELECT i, round(avg(x), 6) AS mu FROM d0 GROUP BY i),
+        |x AS (SELECT vec_id, d0.i,
+        |             CAST(round((x - mu) * 1e6) AS BIGINT) AS xi
+        |      FROM d0 JOIN m USING (i)),
+        |v0 AS (SELECT unnest(range(0, 64)) AS i, 125000::BIGINT AS vi),
+        |p1 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+        |       FROM x JOIN v0 USING (i) GROUP BY vec_id),
+        |w1 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
+        |       FROM x JOIN p1 USING (vec_id) GROUP BY i),
+        |n1 AS (SELECT sqrt(list_reduce(
+        |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
+        |         (a, b) -> a + b)) AS nrm FROM w1),
+        |v1 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
+        |       FROM w1, n1),
+        |p2 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+        |       FROM x JOIN v1 USING (i) GROUP BY vec_id),
+        |w2 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
+        |       FROM x JOIN p2 USING (vec_id) GROUP BY i),
+        |n2 AS (SELECT sqrt(list_reduce(
+        |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
+        |         (a, b) -> a + b)) AS nrm FROM w2),
+        |v2 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
+        |       FROM w2, n2)
+        |SELECT i::INT AS i, vi AS pc_micro FROM v2""".stripMargin,
     // robust median/MAD scaling; both engines interpolate the even-count
     // median identically, moments round to 6dp before the transform
     "emb_robust_scale" ->

@@ -307,6 +307,84 @@ object Similarity {
       array_max(bp).as("z_max_bp"))
   }
 
+  /** Top principal component of the (centered) embedding corpus by
+    * fixed-round power iteration — the measurement behind embedding
+    * whitening / "all-but-the-top" postprocessing: a corpus whose top PC
+    * carries most of the variance has a dominant common direction
+    * (frequency artifacts, a template header) that distance-based dedup
+    * and ANN should remove first.
+    *
+    * Exact cross-engine replay is the design constraint, solved the same
+    * way the engine's other iterative ops do it — integers wherever an
+    * aggregation's order is uncontrolled, IEEE doubles only in
+    * fixed-order row-local folds:
+    *   - centered values quantize to micro-units (`xi = round((x−μ)·10⁶)`,
+    *     μ rounded to 6dp) — all corpus-scale sums are then integer and
+    *     order-independent;
+    *   - the per-vector projection `p = Σ xi·vi` is a row-local long fold
+    *     (no overflow: |xi|·|vi| ≤ 10¹³, 64 terms);
+    *   - the per-dim reduction `w_i = Σ xi·p` runs in decimal(38,0) —
+    *     exact at any corpus size up to ~10³⁰ row-terms;
+    *   - the normalization alone uses doubles, but over the SORTED 64-dim
+    *     vector with an explicit left fold, so the summation order is
+    *     pinned; both engines then divide/round identical IEEE values.
+    * Result: 64 rows `(i, pc_micro)` — the unit PC in integer
+    * micro-units, hash-identical in any engine.
+    *
+    * Scale shape per iteration: one row-local projection against the
+    * broadcast direction + one dim-bounded decimal aggregate (map-side
+    * combined); the quantized matrix is computed once and persisted
+    * (released via [[graft.plans.ReleaseRegistry]]). Iterations are a
+    * fixed small count (power iteration converges geometrically in the
+    * spectral-gap ratio; 2 rounds match the kmeans oracle-replay
+    * precedent).
+    */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val p = prepared(embeddings).select(col("vec_id"), col("v"))
+    val mu = p.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(round(avg("x"), 6).as("mu"))
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), e => e("mu")).as("mu"))
+    val xi = p.crossJoin(broadcast(muArr))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mu"),
+          (x, m) => round((x - m) * 1e6).cast("long")).as("xi"))
+      .persist()
+    xi.count()
+    graft.plans.ReleaseRegistry.register("similarity.top_pc")(
+      () => xi.unpersist(blocking = false))
+
+    val dims = p.select(size(col("v"))).head.getInt(0)
+    // v0 = uniform unit direction; 1/8 = 0.125 is exactly representable,
+    // so for 64 dims the seed is bit-exact in micro-units
+    val v0 = (0 until dims).map(_ => lit(math.round(1e6 / math.sqrt(dims))))
+    var vcur = xi.sparkSession.range(1)
+      .select(array(v0: _*).cast("array<long>").as("varr"))
+    for (_ <- 1 to iters) {
+      val proj = xi.crossJoin(broadcast(vcur))
+        .select(col("vec_id"), col("xi"),
+          aggregate(zip_with(col("xi"), col("varr"), (a, b) => a * b),
+            lit(0L), (acc, y) => acc + y).as("p"))
+      val w = proj
+        .select(col("p"), posexplode(col("xi")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(sum(col("x").cast("decimal(19,0)") * col("p").cast("decimal(19,0)"))
+          .as("w"))
+      vcur = w
+        .agg(array_sort(collect_list(
+          struct(col("i"), col("w").cast("double").as("wd")))).as("ms"))
+        .select(transform(col("ms"), e => e("wd")).as("wds"))
+        .select(col("wds"),
+          sqrt(aggregate(col("wds"), lit(0.0), (acc, y) => acc + y * y))
+            .as("nrm"))
+        .select(transform(col("wds"),
+          y => round(y / col("nrm") * 1e6).cast("long")).as("varr"))
+    }
+    vcur.select(posexplode(col("varr")).as(Seq("i0", "pc_micro")))
+      .select(col("i0").cast("int").as("i"), col("pc_micro"))
+  }
+
   /** Scalar digest of [[standardizeEmbeddings]] for engine-portable checks
     * (same rationale as [[quantizeDigest]]: array columns don't sort
     * portably across oracle engines, so the verification view is scalar).

@@ -383,4 +383,26 @@ class SimilaritySpec extends SparkSpec {
     assert(dig.count() === 6L)
     assert(dig.where($"n_dims" =!= 2).isEmpty)
   }
+
+  test("topPrincipalComponent: finds the dominant variance direction, unit norm") {
+    import org.apache.spark.sql.functions._
+    // 64-dim corpus whose variance lives overwhelmingly on dim 3
+    val vecs = (0 until 40).map { id =>
+      val arr = Array.fill(64)(0.01f * (id % 3))
+      arr(3) = if (id % 2 == 0) 5.0f else -5.0f
+      (id.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(vecs)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(pc.length === 64)
+    // dominant direction: dim 3 carries (almost) the whole unit vector
+    assert(math.abs(pc(3)) > 990000L, s"pc(3) = ${pc(3)}")
+    // unit norm in micro-units (within rounding of 64 components)
+    val norm2 = pc.map(x => x.toDouble * x).sum
+    assert(math.abs(math.sqrt(norm2) - 1e6) < 100.0, s"norm = ${math.sqrt(norm2)}")
+    // deterministic: pure function of the data
+    val again = Similarity.topPrincipalComponent(vecs)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(pc.toSeq === again.toSeq)
+  }
 }
