@@ -176,6 +176,11 @@ object SparkEntry {
     "emb_robust_scale" -> ((s, d) => Similarity.robustScaleDigest(Tables.embeddings(s, d))),
     // power-iteration top principal component, exact integer replay
     "emb_top_pc" -> ((s, d) => Similarity.topPrincipalComponent(Tables.embeddings(s, d))),
+    // all-but-the-top residuals (centered minus top-PC projection),
+    // integer digest
+    "emb_abtt" -> ((s, d) => Similarity.abttDigest(Tables.embeddings(s, d))),
+    // top-PC variance share — is the corpus dominated by one direction?
+    "pc_var_share" -> ((s, d) => Similarity.pcVarianceShare(Tables.embeddings(s, d))),
     // first-iteration BPE merge statistics: corpus word count, then
     // char-pair weights over the unique-word table only
     "bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d))),
@@ -525,6 +530,38 @@ object SparkEntry {
         .select(col("e.item").as("item"), col("e.est").as("est"))
     }),
   )
+
+  /** Shared CTE chain for the power-iteration family: micro-unit
+    * quantized centered matrix `x(vec_id, i, xi)` and the 2-round unit
+    * PC `v2(i, vi)` — the DuckDB replay of
+    * `Similarity.powerIteration`. */
+  private val pcPrefixSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |d0 AS (SELECT vec_id, unnest(v) AS x,
+      |              unnest(range(0, len(v))) AS i FROM e),
+      |m AS (SELECT i, round(avg(x), 6) AS mu FROM d0 GROUP BY i),
+      |x AS (SELECT vec_id, d0.i,
+      |             CAST(round((x - mu) * 1e6) AS BIGINT) AS xi
+      |      FROM d0 JOIN m USING (i)),
+      |v0 AS (SELECT unnest(range(0, 64)) AS i, 125000::BIGINT AS vi),
+      |p1 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+      |       FROM x JOIN v0 USING (i) GROUP BY vec_id),
+      |w1 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
+      |       FROM x JOIN p1 USING (vec_id) GROUP BY i),
+      |n1 AS (SELECT sqrt(list_reduce(
+      |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
+      |         (a, b) -> a + b)) AS nrm FROM w1),
+      |v1 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
+      |       FROM w1, n1),
+      |p2 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+      |       FROM x JOIN v1 USING (i) GROUP BY vec_id),
+      |w2 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
+      |       FROM x JOIN p2 USING (vec_id) GROUP BY i),
+      |n2 AS (SELECT sqrt(list_reduce(
+      |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
+      |         (a, b) -> a + b)) AS nrm FROM w2),
+      |v2 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
+      |       FROM w2, n2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
@@ -2045,33 +2082,31 @@ object SparkEntry {
     // power-iteration top PC: integer micro-unit corpus sums (order-free),
     // doubles only in the pinned-order 64-dim normalization fold
     "emb_top_pc" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |d0 AS (SELECT vec_id, unnest(v) AS x,
-        |              unnest(range(0, len(v))) AS i FROM e),
-        |m AS (SELECT i, round(avg(x), 6) AS mu FROM d0 GROUP BY i),
-        |x AS (SELECT vec_id, d0.i,
-        |             CAST(round((x - mu) * 1e6) AS BIGINT) AS xi
-        |      FROM d0 JOIN m USING (i)),
-        |v0 AS (SELECT unnest(range(0, 64)) AS i, 125000::BIGINT AS vi),
-        |p1 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
-        |       FROM x JOIN v0 USING (i) GROUP BY vec_id),
-        |w1 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
-        |       FROM x JOIN p1 USING (vec_id) GROUP BY i),
-        |n1 AS (SELECT sqrt(list_reduce(
-        |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
-        |         (a, b) -> a + b)) AS nrm FROM w1),
-        |v1 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
-        |       FROM w1, n1),
-        |p2 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
-        |       FROM x JOIN v1 USING (i) GROUP BY vec_id),
-        |w2 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
-        |       FROM x JOIN p2 USING (vec_id) GROUP BY i),
-        |n2 AS (SELECT sqrt(list_reduce(
-        |         [y * y FOR y IN list(w::DOUBLE ORDER BY i)],
-        |         (a, b) -> a + b)) AS nrm FROM w2),
-        |v2 AS (SELECT i, CAST(round(w::DOUBLE / nrm * 1e6) AS BIGINT) AS vi
-        |       FROM w2, n2)
-        |SELECT i::INT AS i, vi AS pc_micro FROM v2""".stripMargin,
+      (pcPrefixSql + "\nSELECT i::INT AS i, vi AS pc_micro FROM v2"),
+    // all-but-the-top residual digest: exact integer projection, then a
+    // per-element scalar double expression with pinned operation order
+    "emb_abtt" -> (pcPrefixSql +
+      """,
+        |p3 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+        |       FROM x JOIN v2 USING (i) GROUP BY vec_id),
+        |b AS (SELECT x.vec_id,
+        |        CAST(round((xi / 1e6 - p / 1e12 * (vi / 1e6)) * 1e4)
+        |             AS BIGINT) AS bp
+        |      FROM x JOIN v2 USING (i) JOIN p3 USING (vec_id))
+        |SELECT vec_id, count(*)::INT AS n_dims, sum(bp)::BIGINT AS r_sum_bp,
+        |       min(bp) AS r_min_bp, max(bp) AS r_max_bp
+        |FROM b GROUP BY vec_id""".stripMargin),
+    // top-PC variance share: both sums exact integers, one double ratio
+    "pc_var_share" -> (pcPrefixSql +
+      """,
+        |p3 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
+        |       FROM x JOIN v2 USING (i) GROUP BY vec_id),
+        |x2 AS (SELECT vec_id, sum(xi * xi) AS x2h FROM x GROUP BY vec_id),
+        |j AS (SELECT p3.vec_id, p, x2h FROM p3 JOIN x2 USING (vec_id))
+        |SELECT count(*)::BIGINT AS n_vecs,
+        |       round(sum(p::HUGEINT * p::HUGEINT)::DOUBLE
+        |             / (sum(x2h)::DOUBLE * 1e12), 6) AS var_share
+        |FROM j""".stripMargin),
     // robust median/MAD scaling; both engines interpolate the even-count
     // median identically, moments round to 6dp before the transform
     "emb_robust_scale" ->

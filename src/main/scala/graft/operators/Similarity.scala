@@ -340,6 +340,19 @@ object Similarity {
     * precedent).
     */
   def topPrincipalComponent(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val (_, vcur) = powerIteration(embeddings, iters)
+    vcur.select(posexplode(col("varr")).as(Seq("i0", "pc_micro")))
+      .select(col("i0").cast("int").as("i"), col("pc_micro"))
+  }
+
+  /** Shared power-iteration core: returns the persisted micro-unit
+    * centered matrix `(vec_id, xi: array<long>)` (release queued with the
+    * registry) and the 1-row unit-PC frame `(varr: array<long>)` in
+    * micro-units after `iters` rounds. Arithmetic contract documented on
+    * [[topPrincipalComponent]].
+    */
+  private def powerIteration(embeddings: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
     val p = prepared(embeddings).select(col("vec_id"), col("v"))
     val mu = p.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(round(avg("x"), 6).as("mu"))
@@ -381,8 +394,64 @@ object Similarity {
         .select(transform(col("wds"),
           y => round(y / col("nrm") * 1e6).cast("long")).as("varr"))
     }
-    vcur.select(posexplode(col("varr")).as(Seq("i0", "pc_micro")))
-      .select(col("i0").cast("int").as("i"), col("pc_micro"))
+    (xi, vcur)
+  }
+
+  /** "All-but-the-top" postprocessing (Mu & Viswanath 2018): subtract
+    * each centered vector's projection onto the corpus top PC —
+    * `x' = x̄ − (x̄·u)u` — removing the dominant common direction that
+    * inflates every cosine similarity. Emitted as the engine-portable
+    * integer digest (per-vector sum/min/max of `round(x'_i·10⁴)`), the
+    * same verification shape as [[standardizeDigest]].
+    *
+    * Exactness: the projection `p = Σ xi·ui` is integer; the residual is
+    * then a per-element scalar double expression (`xi/10⁶ −
+    * (p/10¹²)·(ui/10⁶)`) evaluated with the identical operation order in
+    * both engines. Scale shape: the [[powerIteration]] passes plus ONE
+    * row-local projection — nothing new shuffles.
+    */
+  def abttDigest(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val (xi, vcur) = powerIteration(embeddings, iters)
+    val bp = xi.crossJoin(broadcast(vcur))
+      .select(col("vec_id"), col("xi"), col("varr"),
+        aggregate(zip_with(col("xi"), col("varr"), (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y).as("p"))
+      .select(col("vec_id"),
+        zip_with(col("xi"), col("varr"), (x, u) =>
+          round((x.cast("double") / 1e6
+            - col("p").cast("double") / 1e12 * (u.cast("double") / 1e6)) * 1e4)
+            .cast("long")).as("bp"))
+    bp.select(
+      col("vec_id"),
+      size(col("bp")).as("n_dims"),
+      aggregate(col("bp"), lit(0L), (acc, x) => acc + x).as("r_sum_bp"),
+      array_min(col("bp")).as("r_min_bp"),
+      array_max(col("bp")).as("r_max_bp"))
+  }
+
+  /** Variance share of the top principal component — the scalar that
+    * decides whether [[abttDigest]] is worth applying: `Σp²/(Σ‖x̄‖²·10¹²)`
+    * over the micro-unit quantized corpus, both sums exact decimal
+    * integers (order-free), the final ratio a single double division
+    * rounded to 6dp. One extra corpus aggregate over the persisted
+    * quantized matrix; at ≳10⁹ vectors the p² sum approaches decimal(38)
+    * capacity — downscale `p` first if that regime is real.
+    */
+  def pcVarianceShare(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val (xi, vcur) = powerIteration(embeddings, iters)
+    xi.crossJoin(broadcast(vcur))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("xi"), col("varr"), (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y).as("p"),
+        aggregate(col("xi"), lit(0L), (acc, x) => acc + x * x).as("x2"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("p").cast("decimal(19,0)") * col("p").cast("decimal(19,0)"))
+          .as("p2"),
+        sum(col("x2").cast("decimal(38,0)")).as("xx"))
+      .select(col("n_vecs"),
+        round(col("p2").cast("double")
+          / (col("xx").cast("double") * 1e12), 6).as("var_share"))
   }
 
   /** Scalar digest of [[standardizeEmbeddings]] for engine-portable checks

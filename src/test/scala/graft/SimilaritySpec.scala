@@ -404,5 +404,23 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.topPrincipalComponent(vecs)
       .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
     assert(pc.toSeq === again.toSeq)
+
+    // ABTT residuals: removing the top PC kills the dominant dimension —
+    // every vector's residual range collapses to the small off-dims
+    val res = Similarity.abttDigest(vecs)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(res.length === 40)
+    res.foreach { case (id, nd, _, mn, mx) =>
+      assert(nd === 64)
+      // pre-ABTT the centered dim-3 value is ±5 (±50000 bp); post-ABTT
+      // everything is within the 0.02-scale noise of the other dims
+      assert(mx < 1000L && mn > -1000L, s"vec $id residual [$mn,$mx]")
+    }
+
+    // and the top PC explains (essentially) all the variance here
+    val share = Similarity.pcVarianceShare(vecs)
+      .as[(Long, Double)].collect().head
+    assert(share._1 === 40L)
+    assert(share._2 > 0.99, s"var_share = ${share._2}")
   }
 }
