@@ -201,6 +201,9 @@ object SparkEntry {
     // per-part triangle counts over the co-purchase graph — degree-ordered
     // orientation (integer-keyed), so the oracle replays the exact joins
     "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
+    // degree assortativity over the co-purchase graph: integer moments,
+    // one double Pearson ratio
+    "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
     // 3 rounds of min-label propagation over the co-purchase graph —
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
@@ -2316,6 +2319,32 @@ object SparkEntry {
         |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
         |      UNION ALL SELECT k3 FROM t)
         |SELECT k % 4294967296 AS node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin,
+    // degree assortativity: integer moments over both edge orientations,
+    // one double Pearson ratio (moments convert to double before the
+    // products so nothing overflows)
+    "assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT a AS node FROM pe UNION ALL SELECT b FROM pe) u
+        |        GROUP BY node),
+        |bo AS (SELECT a AS x, b AS y FROM pe
+        |       UNION ALL SELECT b AS x, a AS y FROM pe),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(dx.dg) AS BIGINT) AS sx,
+        |         CAST(sum(dy.dg) AS BIGINT) AS sy,
+        |         CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+        |         CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx,
+        |         CAST(sum(dy.dg * dy.dg) AS BIGINT) AS syy
+        |       FROM bo JOIN deg dx ON bo.x = dx.node
+        |       JOIN deg dy ON bo.y = dy.node)
+        |SELECT m AS n_edge_ends,
+        |       round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / nullif(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |           * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 0),
+        |         6) AS r
+        |FROM mm""".stripMargin,
     // pagerank_weighted: ppm-normalized weights once, then three rounds
     // of (r·wn) div 10⁶ contributions — all truncating integer math
     "pagerank_weighted" ->

@@ -547,4 +547,55 @@ object Graph {
       .select((col("k") % SHIFT).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge list (each edge counted in
+    * both orientations, the standard convention). Positive = hubs attach
+    * to hubs (social-like); negative = hubs attach to leaves
+    * (infrastructure-like) — one scalar that says which regime a graph's
+    * mixing is in, next to [[triangleCounts]]' local clustering.
+    *
+    * Exactness: every correlation moment (`Σdx, Σdy, Σdx·dy, Σdx², Σdy²,
+    * n`) is an INTEGER sum over edges — order-free in any engine — and
+    * only the final Pearson ratio runs in doubles (same scalar expression
+    * both sides, rounded to 6dp). Degrees are ≤ 2³¹ and edge counts
+    * bounded by the fixture, so the long sums cannot overflow before
+    * ~10¹² edge-endpoints; the oracle replays every moment exactly.
+    *
+    * Scale shape: one distinct + degree aggregate, two node-keyed joins
+    * decorating each endpoint (the same shape [[triangleCounts]] pays),
+    * and a single 1-row global aggregate with map-side partials.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // both orientations: (a,b) and (b,a) — Pearson over ordered pairs
+    val both = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val moments = both
+      .join(deg.select(col("node").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("dg").as("dy")), "y")
+      .agg(count(lit(1)).as("m"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    // each integer moment converts to double FIRST (m·sxx overflows a
+    // long on big graphs); identical long→double conversions and the
+    // identical scalar expression make the ratio engine-exact. A regular
+    // graph has zero degree variance — r is undefined there, surfaced as
+    // null rather than a 0/0 NaN.
+    def d(c: String) = col(c).cast("double")
+    val den = sqrt(d("m") * d("sxx") - d("sx") * d("sx")) *
+      sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+    moments.select(col("m").as("n_edge_ends"),
+      when(den === 0d, lit(null))
+        .otherwise(round((d("m") * d("sxy") - d("sx") * d("sy")) / den, 6))
+        .as("r"))
+  }
 }

@@ -198,4 +198,29 @@ class GraphSpec extends SparkSpec {
     assert(blob.length === 1 && math.abs(blob.head._2) < 1e-9)
     graft.plans.ReleaseRegistry.drain()
   }
+
+  test("assortativity: star is perfectly disassortative, regular graph undefined") {
+    // hub 0 to 5 leaves: every edge pairs deg 5 with deg 1 -> r = -1
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val s = Graph.assortativity(star)
+      .as[(Long, Option[Double])].collect().head
+    assert(s._1 === 10L) // 5 edges x both orientations
+    assert(s._2.exists(r => math.abs(r - (-1.0)) < 1e-9), s"star r = ${s._2}")
+
+    // a triangle is 2-regular: zero degree variance -> r undefined (null)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.assortativity(tri)
+      .as[(Long, Option[Double])].collect().head
+    assert(t._1 === 6L && t._2.isEmpty)
+
+    // assortative pairing: two cliques of different sizes joined nowhere —
+    // same-degree endpoints everywhere -> every edge pairs equal degrees,
+    // but ACROSS the graph degrees vary, so r = +1
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), // K3 (deg 2)
+      (4L, 5L)) // K2 (deg 1)
+      .toDF("src", "dst")
+    val c = Graph.assortativity(cliques)
+      .as[(Long, Option[Double])].collect().head
+    assert(c._2.exists(r => math.abs(r - 1.0) < 1e-9), s"cliques r = ${c._2}")
+  }
 }
