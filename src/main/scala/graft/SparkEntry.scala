@@ -204,6 +204,8 @@ object SparkEntry {
     // degree assortativity over the co-purchase graph: integer moments,
     // one double Pearson ratio
     "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
+    // dense backbone: 4 bounded peeling rounds toward the 80-core
+    "kcore" -> ((s, d) => Graph.kCore(Graph.coOccurrenceEdges(s, d))),
     // 3 rounds of min-label propagation over the co-purchase graph —
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
@@ -2345,6 +2347,30 @@ object SparkEntry {
         |           * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 0),
         |         6) AS r
         |FROM mm""".stripMargin,
+    // bounded k-core peel: 4 unrolled integer rounds, exact replay
+    "kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |e0 AS (SELECT a AS x, b AS y FROM pe
+        |       UNION ALL SELECT b AS x, a AS y FROM pe),
+        |k1 AS (SELECT x FROM e0 GROUP BY x HAVING count(*) >= 80),
+        |e1 AS (SELECT e0.x, e0.y FROM e0
+        |       JOIN k1 ON e0.x = k1.x
+        |       JOIN k1 k1y ON e0.y = k1y.x),
+        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING count(*) >= 80),
+        |e2 AS (SELECT e1.x, e1.y FROM e1
+        |       JOIN k2 ON e1.x = k2.x
+        |       JOIN k2 k2y ON e1.y = k2y.x),
+        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING count(*) >= 80),
+        |e3 AS (SELECT e2.x, e2.y FROM e2
+        |       JOIN k3 ON e2.x = k3.x
+        |       JOIN k3 k3y ON e2.y = k3y.x),
+        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING count(*) >= 80),
+        |e4 AS (SELECT e3.x, e3.y FROM e3
+        |       JOIN k4 ON e3.x = k4.x
+        |       JOIN k4 k4y ON e3.y = k4y.x)
+        |SELECT x AS node, count(*)::BIGINT AS dg FROM e4 GROUP BY x""".stripMargin,
     // pagerank_weighted: ppm-normalized weights once, then three rounds
     // of (r·wn) div 10⁶ contributions — all truncating integer math
     "pagerank_weighted" ->

@@ -548,6 +548,49 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Bounded-round k-core peeling: repeatedly delete nodes whose degree
+    * in the SURVIVING subgraph is below `k`. After `rounds` passes the
+    * result is the standard k-core upper approximation (a superset of
+    * the true k-core, equal to it once a pass deletes nothing) — the
+    * dense-backbone extraction used to focus expensive graph analytics
+    * (triangles, communities) on the part of the graph where they mean
+    * something. Returns the surviving nodes with their subgraph degrees.
+    *
+    * Round count is FIXED so any engine replays the identical state —
+    * the same bounded-iteration discipline as [[Similarity.kmeansAssign]]
+    * — and every value is an integer count, so the replay is exact.
+    *
+    * Scale shape: per round ONE degree aggregate (map-side combined) and
+    * two semi joins pruning the doubled edge list; each round's edge
+    * frame persists behind a count barrier (the next round reads it
+    * twice — degree pass + prune — and the chain would otherwise nest
+    * re-executions), released via [[graft.plans.ReleaseRegistry]].
+    */
+  def kCore(edges: DataFrame, k: Int = 80, rounds: Int = 4): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var alive = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val keep = alive.groupBy("x").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select("x").persist()
+      val next = alive
+        .join(keep, Seq("x"), "left_semi")
+        .join(keep.select(col("x").as("y")), Seq("y"), "left_semi")
+        .select("x", "y").persist()
+      next.count()
+      pinned += keep += next
+      alive = next
+    }
+    ReleaseRegistry.register("graph.kcore")(
+      () => pinned.foreach(_.unpersist(blocking = false)))
+    alive.groupBy("x").agg(count(lit(1)).as("dg"))
+      .select(col("x").as("node"), col("dg"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the undirected edge list (each edge counted in
     * both orientations, the standard convention). Positive = hubs attach

@@ -199,6 +199,33 @@ class GraphSpec extends SparkSpec {
     graft.plans.ReleaseRegistry.drain()
   }
 
+  test("kCore: peels the tail, keeps the clique, cascades removals") {
+    // K4 clique (deg 3 inside) + a path tail 4-5-6 hanging off node 4:
+    // round 1 removes leaf 6 (deg 1) and 5 (deg 2 < 3)... cascade:
+    // node 5 has deg 2 -> gone round 1; after that nothing else drops —
+    // 4's degree inside the survivors is 3 (the clique)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    graft.plans.ReleaseRegistry.drain()
+
+    // cascade test: a long path peels one layer per round under k=2 —
+    // with bounded rounds the approximation is a documented SUPERSET
+    val path = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    val r1 = Graph.kCore(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // one round: endpoints 1 and 6 drop, 2-3-4-5 remain as a path
+    assert(r1.keySet === Set(2L, 3L, 4L, 5L))
+    val r4 = Graph.kCore(path, k = 2, rounds = 4)
+      .as[(Long, Long)].collect()
+    // enough rounds: the whole path dies (no 2-core in a tree)
+    assert(r4.isEmpty)
+    graft.plans.ReleaseRegistry.drain()
+  }
+
   test("assortativity: star is perfectly disassortative, regular graph undefined") {
     // hub 0 to 5 leaves: every edge pairs deg 5 with deg 1 -> r = -1
     val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
