@@ -167,6 +167,9 @@ object SparkEntry {
     // clustering sanity metric: per-cluster majority-label share over the
     // kmeans assignment — one (cid,label) aggregate on top of it
     "cluster_purity" -> ((s, d) => Similarity.clusterPurity(Tables.embeddings(s, d))),
+    // centroid-based silhouette: O(n·k) separation metric over the same
+    // Lloyd centroids; integer basis-point means
+    "silhouette" -> ((s, d) => Similarity.silhouetteSimplified(Tables.embeddings(s, d))),
     // per-dim z-scores: one 64-row moment aggregate broadcast back, then
     // a row-local projection; checked via the integer basis-point digest
     // (array columns don't sort portably in the oracle harness)
@@ -2222,6 +2225,49 @@ object SparkEntry {
         |           ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
         |                    + list_dot_product(c, c), c2.cid) AS rn
         |  FROM e CROSS JOIN c2) t WHERE rn = 1""".stripMargin,
+    // simplified silhouette: the kmeans chain, then rank-1/rank-2 centroid
+    // distances per vector and an exact integer basis-point mean
+    "silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |sm AS (SELECT vec_id % 8 AS cid, i, avg(v[i]) AS m FROM e, dims GROUP BY 1, 2),
+        |c0 AS (SELECT cid, list(m ORDER BY i) AS c FROM sm GROUP BY cid),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) t WHERE rn = 1),
+        |r1m AS (SELECT cid, i, avg(v[i]) AS m FROM a1, dims GROUP BY 1, 2),
+        |r1 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r1m GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(r1.c2, c0.c) AS c
+        |       FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |             + list_dot_product(c, c), c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) t WHERE rn = 1),
+        |r2m AS (SELECT cid, i, avg(v[i]) AS m FROM a2, dims GROUP BY 1, 2),
+        |r2 AS (SELECT cid, list(m ORDER BY i) AS c2 FROM r2m GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(r2.c2, c1.c) AS c
+        |       FROM c1 LEFT JOIN r2 ON c1.cid = r2.cid),
+        |ds AS (SELECT e.vec_id, c2.cid,
+        |         list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |           + list_dot_product(c, c) AS dist,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |                    + list_dot_product(c, c), c2.cid) AS rn
+        |       FROM e CROSS JOIN c2),
+        |ab AS (SELECT o.vec_id, o.cid, o.dist AS a, s.dist AS b
+        |       FROM ds o JOIN ds s ON o.vec_id = s.vec_id
+        |       WHERE o.rn = 1 AND s.rn = 2),
+        |sb AS (SELECT cid,
+        |         CAST(round((CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |                     ELSE (b - a) / greatest(a, b) END) * 1e4)
+        |              AS BIGINT) AS s_bp
+        |       FROM ab)
+        |SELECT cid, count(*)::BIGINT AS n_vecs,
+        |       round(sum(s_bp)::DOUBLE / count(*) / 1e4, 6) AS mean_silhouette
+        |FROM sb GROUP BY cid""".stripMargin,
     // semdedup: the kmeans_assign replay (same CTE chain) extended with
     // the within-cluster keep-first drop rule — a vector is dropped iff a
     // lower-id cluster-mate reaches rounded-cosine >= 0.6

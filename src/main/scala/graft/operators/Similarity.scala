@@ -636,11 +636,24 @@ object Similarity {
               e.getField("cid").as("cid")))))
         .drop("cl")
     }
-    // each fold step reads the previous centroid table twice (assignment
-    // cross-join + empty-cluster fallback join) — composed lazily the
-    // corpus aggregate under it would replay per use. The centroid frame
-    // is k rows: persist each step behind a count barrier and release
-    // the parent, so every Lloyd round aggregates the corpus exactly once
+    val cents = lloydCentroids(p, kClusters, iters, nearest, toCentroid)
+    nearest(cents)
+      .select(Seq(col("vec_id"), col("m").getField("cid").as("cid"),
+        round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
+        ++ carry.map(col): _*)
+  }
+
+  /** Shared Lloyd-refinement loop: deterministic seed (vec_id % k),
+    * `iters` rounds of assign→mean with empty-cluster fallback. Each
+    * round's k-row centroid frame persists behind a count barrier (read
+    * twice: assignment cross-join + fallback join) and the parent
+    * releases; the FINAL table stays pinned for the life of the returned
+    * plan with its release queued on [[graft.plans.ReleaseRegistry]].
+    */
+  private def lloydCentroids(p: DataFrame, kClusters: Int, iters: Int,
+      nearest: DataFrame => DataFrame,
+      toCentroid: (org.apache.spark.sql.RelationalGroupedDataset, String,
+        String) => DataFrame): DataFrame = {
     val seed = toCentroid(p.groupBy((col("vec_id") % kClusters).as("cid")), "v", "c")
       .persist()
     val cents = (1 to iters).foldLeft(seed) { (cb, _) =>
@@ -654,15 +667,78 @@ object Similarity {
       cb.unpersist()
       next
     }
-    // the final k-row centroid table stays pinned for the life of the
-    // returned plan (no safe unpersist point here) — queue its release so
-    // repeated invocations don't strand one copy each
     graft.plans.ReleaseRegistry.register("similarity.kmeans_centroids")(
       () => cents.unpersist(blocking = false))
-    nearest(cents)
-      .select(Seq(col("vec_id"), col("m").getField("cid").as("cid"),
-        round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
-        ++ carry.map(col): _*)
+    cents
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster: for each vector
+    * `a` = distance² to its own centroid, `b` = distance² to the nearest
+    * OTHER centroid, `s = (b − a)/max(a, b)` — the O(n·k) stand-in for
+    * the O(n²) exact silhouette, the standard separation check next to
+    * [[clusterPurity]]'s label agreement. High mean ⇒ tight, separated
+    * clusters; near 0 ⇒ the clustering is arbitrary (SemDeDup thresholds
+    * deserve scrutiny).
+    *
+    * Determinism: the per-row distance array is the same broadcast
+    * centroid structure [[kmeansAssignFull]] assigns with; a/b come from
+    * its lexicographic sort, `s` rounds to integer basis points
+    * row-locally, and the per-cluster mean divides two exact integers —
+    * so the DuckDB replay (kmeans chain + rank-2 window) hash-matches.
+    * Scale shape: the Lloyd rounds plus ONE extra row-local projection
+    * and a k-row rollup — the corpus never shuffles beyond the shared
+    * centroid aggregates.
+    */
+  def silhouetteSimplified(embeddings: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val assigned = kmeansAllDistances(embeddings, kClusters, iters)
+    assigned
+      .withColumn("s_bp",
+        round(when(greatest(col("a"), col("b")) === 0d, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          * 1e4).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("s_bp").cast("double") / count(lit(1)) / 1e4, 6)
+          .as("mean_silhouette"))
+  }
+
+  /** Per-vector (cid, a, b) over the final Lloyd centroids: assigned
+    * cluster plus the two smallest centroid distances² (a = own, b =
+    * nearest other), via one broadcast row-local projection.
+    */
+  private def kmeansAllDistances(embeddings: DataFrame, kClusters: Int,
+      iters: Int): DataFrame = {
+    val p = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    def toCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        vCol: String, out: String): DataFrame =
+      grouped
+        .agg(graft.functions.VectorFunctions.vecSum(col(vCol)).as("sum"),
+          count(lit(1)).as("cn"))
+        .select(col("cid"), transform(col("sum"), x => x / col("cn")).as(out))
+    def distStructs(cents: DataFrame): DataFrame = {
+      val packed = cents
+        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
+      p.crossJoin(broadcast(packed))
+        .withColumn("ds",
+          array_sort(transform(col("cl"), e =>
+            struct(
+              (dot(col("v"), col("v"))
+                - lit(2.0) * dot(col("v"), e.getField("c"))
+                + dot(e.getField("c"), e.getField("c"))).as("dist"),
+              e.getField("cid").as("cid")))))
+        .drop("cl")
+    }
+    def nearest(cents: DataFrame): DataFrame =
+      distStructs(cents).withColumn("m", element_at(col("ds"), 1)).drop("ds")
+    val cents = lloydCentroids(p, kClusters, iters, nearest, toCentroid)
+    distStructs(cents).select(
+      col("vec_id"),
+      element_at(col("ds"), 1).getField("cid").as("cid"),
+      element_at(col("ds"), 1).getField("dist").as("a"),
+      element_at(col("ds"), 2).getField("dist").as("b"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with

@@ -423,4 +423,31 @@ class SimilaritySpec extends SparkSpec {
     assert(share._1 === 40L)
     assert(share._2 > 0.99, s"var_share = ${share._2}")
   }
+
+  test("silhouetteSimplified: separated blobs score high, one blob scores low") {
+    import org.apache.spark.sql.functions._
+    // two tight, far-apart blobs in 64-dim; EVEN ids = blob A, ODD ids =
+    // blob B so the deterministic vec_id % 2 seed starts one centroid
+    // inside each blob
+    def blob(ids: Seq[Int], dim: Int, base: Float) = ids.map { id =>
+      val a = Array.fill(64)(0.0f)
+      a(dim) = base + 0.001f * (id % 5)
+      (id.toLong, a)
+    }
+    val two = (blob(0 until 40 by 2, 0, 10f) ++ blob(1 until 41 by 2, 7, -10f))
+      .toDF("vec_id", "embedding")
+    val s2 = Similarity.silhouetteSimplified(two, kClusters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(s2.map(_._2).sum === 40L)
+    s2.foreach { case (cid, _, ms) =>
+      assert(ms > 0.9, s"cluster $cid silhouette $ms not tight/separated")
+    }
+    // a single undifferentiated blob split into 2 clusters: separation is
+    // arbitrary, silhouette collapses toward 0
+    val one = blob(0 until 40, 0, 10f).toSeq.toDF("vec_id", "embedding")
+    val s1 = Similarity.silhouetteSimplified(one, kClusters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(s1.map(_._3).max < 0.7,
+      s"arbitrary split scored ${s1.mkString(",")}")
+  }
 }
