@@ -193,6 +193,9 @@ object SparkEntry {
     // curation-funnel observability: cumulative doc/token survival
     // through the five standard filter stages
     "filter_cascade" -> ((s, d) => TextOps.filterCascade(Tables.documents(s, d))),
+    // PSI drift per source vs the corpus length distribution; integer
+    // nano-unit contribution sums
+    "psi_sources" -> ((s, d) => TextOps.psiBySource(Tables.documents(s, d))),
     // SemDeDup: k-means clusters + within-cluster cosine keep-first — the
     // cluster-scoped scale path for embedding dedup (pairs are Σ cluster²,
     // never corpus²); every stage deterministic, oracle replays it all
@@ -2177,6 +2180,32 @@ object SparkEntry {
         |       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_docs,
         |       sum(CASE WHEN pass THEN tok ELSE 0 END)::BIGINT AS n_tokens
         |FROM e GROUP BY stage, stage_name""".stripMargin,
+    // PSI per source: integer bin counts, per-row double contribution
+    // rounded to nano-units before the (order-free) integer sum
+    "psi_sources" ->
+      """WITH d AS (SELECT source,
+        |             least(n_chars // 500, 19) AS bin FROM documents),
+        |cnt AS (SELECT source, bin, count(*)::BIGINT AS c
+        |        FROM d GROUP BY source, bin),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |bins AS (SELECT unnest(range(0, 20)) AS bin),
+        |dense AS (SELECT s.source, b.bin, coalesce(cnt.c, 0) AS cs
+        |          FROM srcs s CROSS JOIN bins b
+        |          LEFT JOIN cnt ON cnt.source = s.source AND cnt.bin = b.bin),
+        |ts AS (SELECT source, sum(cs)::BIGINT AS ts FROM dense GROUP BY source),
+        |gl AS (SELECT bin, sum(cs)::BIGINT AS cg FROM dense GROUP BY bin),
+        |tg AS (SELECT sum(cg)::BIGINT AS tg FROM gl),
+        |k AS (SELECT dense.source, dense.bin,
+        |        (cs::DOUBLE + 1.0) / (ts.ts::DOUBLE + 20.0) AS p,
+        |        (cg::DOUBLE + 1.0) / (tg.tg::DOUBLE + 20.0) AS q,
+        |        ts.ts
+        |      FROM dense JOIN ts USING (source) JOIN gl USING (bin) CROSS JOIN tg),
+        |n AS (SELECT source, ts,
+        |        CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS nano
+        |      FROM k)
+        |SELECT source, min(ts) AS n_docs,
+        |       round(sum(nano)::DOUBLE / 1e9, 6) AS psi
+        |FROM n GROUP BY source""".stripMargin,
     // greedy per-source token-budget fill; all-integer keep decision
     "token_budget_fill" ->
       """WITH d AS (SELECT doc_id, source, n_chars,

@@ -1182,6 +1182,52 @@ object TextOps {
         sum(when(col("pass"), col("tok")).otherwise(0L)).as("n_tokens"))
   }
 
+  /** Population Stability Index per source — the monitoring-industry
+    * drift metric (sibling of [[jsdSources]]/[[ksSourceLens]]):
+    * `PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)` between each source's
+    * document-length distribution (p) and the corpus-wide one (q), over
+    * fixed-width length bins with Laplace smoothing so empty bins stay
+    * finite. Rule-of-thumb thresholds carry over: <0.1 stable, 0.1-0.25
+    * drifting, >0.25 shifted — the cheap tripwire before re-estimating
+    * mixing weights.
+    *
+    * Determinism: bin counts are integers; each bin's contribution is a
+    * per-row scalar double expression, rounded to integer nano-units
+    * before the per-source sum — so the aggregation order cannot move
+    * the result and the DuckDB replay hash-matches. Scale shape: ONE
+    * (source, bin) count aggregate (map-side combined, |sources|·bins
+    * rows), densified against the fixed bin range, then |sources|-bounded
+    * rollups — the corpus is scanned once and never shuffled.
+    */
+  def psiBySource(docs: DataFrame, binWidth: Long = 500L,
+      nBins: Int = 20): DataFrame = {
+    val binned = docs
+      .select(col("source"),
+        // `div`, not `/`: Column./ is double division
+        least(expr(s"n_chars div $binWidth"), lit(nBins - 1L)).as("bin"))
+    val cnt = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val sources = cnt.select("source").distinct()
+    val bins = cnt.sparkSession.range(nBins).select(col("id").as("bin"))
+    val dense = sources.crossJoin(bins)
+      .join(cnt, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("cs"))
+    val totS = dense.groupBy("source").agg(sum("cs").as("ts"))
+    val glob = dense.groupBy("bin").agg(sum("cs").as("cg"))
+    val tgF = glob.agg(sum("cg").as("tg"))
+    val contrib = dense
+      .join(totS, "source").join(glob, "bin").crossJoin(broadcast(tgF))
+      .withColumn("p", (col("cs").cast("double") + 1.0)
+        / (col("ts").cast("double") + nBins.toDouble))
+      .withColumn("q", (col("cg").cast("double") + 1.0)
+        / (col("tg").cast("double") + nBins.toDouble))
+      .withColumn("nano",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+          .cast("long"))
+    contrib.groupBy("source")
+      .agg(first("ts").as("n_docs"),
+        round(sum("nano").cast("double") / 1e9, 6).as("psi"))
+  }
+
   /** First-iteration BPE merge statistics — the tokenizer-training
     * primitive: whitespace pre-tokenize, count unique words, then weight
     * every adjacent CHARACTER pair by its word's corpus frequency and

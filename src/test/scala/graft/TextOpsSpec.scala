@@ -582,6 +582,26 @@ class TextOpsSpec extends SparkSpec {
     assert(prop.forall(r => math.abs(r._5 - 1.0) < 1e-9))
   }
 
+  test("psiBySource: matched distribution ~0, shifted source large, sanity vs thresholds") {
+    // source A and B share the length distribution; C lives in different bins
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "a", 100L + (i % 5) * 600L)) ++
+      (51 to 100).map(i => (i.toLong, "b", 100L + (i % 5) * 600L)) ++
+      (101 to 150).map(i => (i.toLong, "c", 8000L + (i % 3) * 600L))
+    ).toDF("doc_id", "source", "n_chars")
+    val psi = TextOps.psiBySource(docs)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(psi("a")._1 === 50L && psi("c")._1 === 50L)
+    // a and b match each other but differ from the GLOBAL mix (which
+    // includes c) — mild drift, well under c's
+    assert(psi("a")._2 === psi("b")._2)
+    assert(psi("c")._2 > 0.25, s"shifted source psi ${psi("c")._2}")
+    assert(psi("c")._2 > psi("a")._2 * 2)
+    // PSI is non-negative by construction (sum of (p-q)ln(p/q) terms)
+    psi.values.foreach { case (_, v) => assert(v >= 0.0) }
+  }
+
   test("filterCascade: monotone funnel with hand-checked stage counts") {
     val docs = Seq(
       (1L, "a b c d e f", "en", 11L),   // passes everything
