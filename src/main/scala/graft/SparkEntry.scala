@@ -210,7 +210,7 @@ object SparkEntry {
     // degree assortativity over the co-purchase graph: integer moments,
     // one double Pearson ratio
     "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
-    // dense backbone: 4 bounded peeling rounds toward the 80-core
+    // dense backbone: 4 bounded peeling rounds toward the 70-core
     "kcore" -> ((s, d) => Graph.kCore(Graph.coOccurrenceEdges(s, d))),
     // 3 rounds of min-label propagation over the co-purchase graph —
     // fixed iteration count so the oracle replays each round verbatim
@@ -2429,19 +2429,19 @@ object SparkEntry {
         |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
         |e0 AS (SELECT a AS x, b AS y FROM pe
         |       UNION ALL SELECT b AS x, a AS y FROM pe),
-        |k1 AS (SELECT x FROM e0 GROUP BY x HAVING count(*) >= 80),
+        |k1 AS (SELECT x FROM e0 GROUP BY x HAVING count(*) >= 70),
         |e1 AS (SELECT e0.x, e0.y FROM e0
         |       JOIN k1 ON e0.x = k1.x
         |       JOIN k1 k1y ON e0.y = k1y.x),
-        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING count(*) >= 80),
+        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING count(*) >= 70),
         |e2 AS (SELECT e1.x, e1.y FROM e1
         |       JOIN k2 ON e1.x = k2.x
         |       JOIN k2 k2y ON e1.y = k2y.x),
-        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING count(*) >= 80),
+        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING count(*) >= 70),
         |e3 AS (SELECT e2.x, e2.y FROM e2
         |       JOIN k3 ON e2.x = k3.x
         |       JOIN k3 k3y ON e2.y = k3y.x),
-        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING count(*) >= 80),
+        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING count(*) >= 70),
         |e4 AS (SELECT e3.x, e3.y FROM e3
         |       JOIN k4 ON e3.x = k4.x
         |       JOIN k4 k4y ON e3.y = k4y.x)

@@ -566,7 +566,7 @@ object Graph {
     * twice — degree pass + prune — and the chain would otherwise nest
     * re-executions), released via [[graft.plans.ReleaseRegistry]].
     */
-  def kCore(edges: DataFrame, k: Int = 80, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 70, rounds: Int = 4): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
