@@ -117,9 +117,10 @@ object Bench {
     // explain the delta — is flagged in the artifact and on stderr, so a
     // round-over-round regression (r8: triangles) is a machine check, not
     // an archaeology project.
+    val prevArtifact = java.nio.file.Paths.get("tools/bench_full.json")
     val prevMedians: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("tools/bench_full.json")), "UTF-8")
+      val txt = new String(java.nio.file.Files.readAllBytes(prevArtifact),
+        "UTF-8")
       """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .map(_.split(",").flatMap { kv =>
           kv.split(":") match {
@@ -129,6 +130,13 @@ object Bench {
           }
         }.toMap).getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty[String, Double] }
+    // a present-but-unparseable artifact must not silently disable the
+    // regression guard (a format drift would otherwise read as "no
+    // regressions" forever) — make the degradation loud
+    if (prevMedians.isEmpty && java.nio.file.Files.exists(prevArtifact))
+      System.err.println(
+        s"BENCH WARNING: $prevArtifact exists but yielded no per-query " +
+          "medians — regression guard inactive this run (format drift?)")
     val regressions = results.collect {
       case (k, v) if !v.isNaN && prevMedians.get(k).exists(p =>
         p >= 1.0 && v > 2.0 * p) => k -> (v, prevMedians(k))

@@ -28,6 +28,12 @@ object ScanAudit {
         if (dupPaths.nonEmpty && reused == 0)
           println(s"AUDIT|$name|dup=${dupPaths.map { case (p, v) =>
             p.split('/').last + "x" + v.length }.mkString(",")}")
+        // checkpoint-backed queries (iterative loops) execute their source
+        // scans eagerly at plan-BUILD time; the final plan reads only
+        // checkpoint/cached blocks, so the path extraction above
+        // under-reports which tables they touch — flag, don't mislead
+        if (plan.contains("ExistingRDD"))
+          println(s"AUDIT|$name|note=checkpoint-backed, scan paths under-reported")
       } catch { case e: Throwable => println(s"AUDIT|$name|ERR ${e.getClass.getSimpleName}") }
     }
     println("AUDIT|done")

@@ -80,19 +80,38 @@ object SparkEntry {
     // hamming-banded near-dup pairs over the portable simhash — the
     // text-side analog of lsh_near_pairs (exact recall for hamming<bands)
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
-    // throughput variants: engine-native hash / no scalar digest. No SQL
-    // oracle by design (xxhash64 / raw array output aren't replayable);
-    // the portable variants above stay the hash-checked entries.
-    "simhash_fast" -> ((s, d) => Dedup.simhashFast(Tables.documents(s, d))),
-    // the raw array<tinyint> column is projected through xxhash64 so the
-    // rows/schema check can sort the frame (bare numpy arrays aren't
-    // hashable in the checker); the library surface keeps the raw array
-    "quantize_emb_fast" -> ((s, d) =>
-      Similarity.quantizeEmbeddings(Tables.embeddings(s, d))
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          org.apache.spark.sql.functions.col("scale"),
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("q")).as("q_hash"))),
+    // throughput variants: engine-native hash / no scalar digest. The raw
+    // xxhash64-based outputs aren't SQL-replayable, so each CHECKED output
+    // is an invariant the oracle CAN replay (the portable variants above
+    // stay the full hash-checked entries).
+    // simhash_fast's invariant: the fast signature is a pure function of
+    // the text — every group of identical-text docs (keyed by the
+    // replayable md5 of the text) carries exactly ONE distinct fast
+    // signature, over exactly the docs that tokenize non-empty
+    "simhash_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      docs.join(Dedup.simhashFast(docs), "doc_id")
+        .groupBy(md5(col("text").cast("binary")).as("text_key"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_sigs"))
+    }),
+    // quantize_emb_fast's invariant: int8 codes reconstruct the original
+    // vector within half a quantization step (|x − q·scale/127| ≤
+    // scale/254 + rounding slack) — checked per dimension in the same
+    // row-local pass, reported as within_bound = 1 per vector
+    "quantize_emb_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      emb.join(Similarity.quantizeEmbeddings(Tables.embeddings(s, d)), "vec_id")
+        .select(col("vec_id"), col("scale"), size(col("v")).as("n_dims"),
+          (aggregate(
+            zip_with(col("v"), col("q"),
+              (x, b) => abs(x - b.cast("double") * col("scale") / 127d)),
+            lit(0d), (acc, e) => greatest(acc, e)) <=
+            col("scale") / 254d + 1e-6).cast("int").as("within_bound"))
+    }),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // resolution over the EXACT pair set (SQL-reproducible, unlike the
     // LSH-recall-dependent minhash pairs) so the oracle can replay it
@@ -117,11 +136,22 @@ object SparkEntry {
     }),
     "winnow_fp" -> ((s, d) => Dedup.winnowFingerprints(Tables.documents(s, d))),
     "winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
-    "approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        org.apache.spark.sql.functions.approx_count_distinct("l_partkey").as("approx_parts"),
-        org.apache.spark.sql.functions.countDistinct("l_partkey").as("exact_parts"))),
+    // HLL sketch internals aren't DuckDB-replayable, so the CHECKED output
+    // is the sketch's accuracy contract: the estimate must land within 5%
+    // (2.3σ at the default rsd 0.05) of the exact distinct count the same
+    // pass computes — the oracle then asserts within_5pct = 1 everywhere,
+    // turning the former rows-only blind spot into a bound check
+    "approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * 0.05).cast("int").as("within_5pct"))
+    }),
     "salted_agg" -> ((s, d) => Skew.saltedAgg(Tables.lineitem(s, d),
       org.apache.spark.sql.functions.col("l_returnflag"),
       org.apache.spark.sql.functions.col("l_quantity"))
@@ -178,12 +208,21 @@ object SparkEntry {
     // emb_standardize; same digest discipline
     "emb_robust_scale" -> ((s, d) => Similarity.robustScaleDigest(Tables.embeddings(s, d))),
     // power-iteration top principal component, exact integer replay
-    "emb_top_pc" -> ((s, d) => Similarity.topPrincipalComponent(Tables.embeddings(s, d))),
+    "emb_top_pc" -> ((s, d) => {
+      requirePcDims(s, d)
+      Similarity.topPrincipalComponent(Tables.embeddings(s, d))
+    }),
     // all-but-the-top residuals (centered minus top-PC projection),
     // integer digest
-    "emb_abtt" -> ((s, d) => Similarity.abttDigest(Tables.embeddings(s, d))),
+    "emb_abtt" -> ((s, d) => {
+      requirePcDims(s, d)
+      Similarity.abttDigest(Tables.embeddings(s, d))
+    }),
     // top-PC variance share — is the corpus dominated by one direction?
-    "pc_var_share" -> ((s, d) => Similarity.pcVarianceShare(Tables.embeddings(s, d))),
+    "pc_var_share" -> ((s, d) => {
+      requirePcDims(s, d)
+      Similarity.pcVarianceShare(Tables.embeddings(s, d))
+    }),
     // first-iteration BPE merge statistics: corpus word count, then
     // char-pair weights over the unique-word table only
     "bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d))),
@@ -210,8 +249,12 @@ object SparkEntry {
     // degree assortativity over the co-purchase graph: integer moments,
     // one double Pearson ratio
     "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
-    // dense backbone: 4 bounded peeling rounds toward the 70-core
-    "kcore" -> ((s, d) => Graph.kCore(Graph.coOccurrenceEdges(s, d))),
+    // dense backbone: 4 bounded peeling rounds toward the 70-core.
+    // k = 70 is FIXTURE-SCOPED (non-empty core at sf0.001..sf0.1 of the
+    // co-purchase graph), pinned here — not in the operator — so the
+    // oracle's unrolled HAVING >= 70 and this call can never drift;
+    // production callers derive k from Graph.degreeQuantile
+    "kcore" -> ((s, d) => Graph.kCore(Graph.coOccurrenceEdges(s, d), k = 70)),
     // 3 rounds of min-label propagation over the co-purchase graph —
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
@@ -442,10 +485,31 @@ object SparkEntry {
     "union_by_name" -> ((s, d) => Relational.unionByNameDemo(s, d)),
     // ── relational: quantiles / cube / having / scalar / date / pivot ──
     "quantiles" -> ((s, d) => Relational.quantiles(s, d)),
-    // sketch path for 100 TB (mergeable partials, no driver coordination);
-    // rows/schema-only check — sketch interpolation differs from
-    // quantile_cont by design, the exact `quantiles` entry stays the oracle
-    "quantiles_approx" -> ((s, d) => Relational.quantilesApprox(s, d)),
+    // sketch path for 100 TB (mergeable partials, no driver coordination).
+    // approx_percentile's KLL-style internals aren't DuckDB-replayable, so
+    // the CHECKED output is its rank-error contract: each returned value's
+    // exact rank window [count<, count≤] must intersect the target rank
+    // ±n/accuracy (±1 slack for the 2dp report rounding). One extra
+    // broadcast-joined pass computes the ranks; the oracle asserts
+    // rank_ok = 1 for every (group, quantile)
+    "quantiles_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val acc = 10000
+      val q = Relational.quantilesApprox(s, d, accuracy = acc)
+      val melted = q.selectExpr("l_returnflag", "n",
+        "stack(3, 'p25', 0.25d, p25, 'p50', 0.5d, p50, 'p75', 0.75d, p75) AS (qname, p, v)")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .join(broadcast(melted), "l_returnflag")
+        .groupBy("l_returnflag", "qname", "p", "v", "n")
+        .agg(
+          sum(when(col("x") <= col("v") + 0.005, 1L).otherwise(0L)).as("cle"),
+          sum(when(col("x") < col("v") - 0.005, 1L).otherwise(0L)).as("clt"))
+        .select(col("l_returnflag"), col("qname"),
+          (col("cle").cast("double") >= col("p") * col("n") - col("n").cast("double") / acc - 1 &&
+            col("clt").cast("double") <= col("p") * col("n") + col("n").cast("double") / acc + 1)
+            .cast("int").as("rank_ok"))
+    }),
     // the portable bottom-k-sample sketch: hash-checked, unlike the
     // Spark-private approx_percentile sibling above
     "quantiles_sketch" -> ((s, d) => Relational.quantilesSketch(s, d)),
@@ -507,6 +571,14 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d))),
     "sample_strata" -> ((s, d) => TextOps.sampleStrata(Tables.documents(s, d))),
+    // deterministic per-epoch training order: seeded portable-hash sort
+    // realized by the distributed two-pass offset scheme (no global
+    // single-partition window)
+    "epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(Tables.documents(s, d))),
+    // source-interleaved training order: per-source ranks round-robin
+    // into one deterministic global position
+    "interleave_order" -> ((s, d) =>
+      TextOps.interleaveBySource(Tables.documents(s, d))),
     "lev_pairs" -> ((s, d) => TextOps.levenshteinPairs(Tables.part(s, d))),
     // column profiler, minus the HLL distinct estimate (engine-specific
     // sketch) so the remaining metrics are exactly replayable
@@ -542,19 +614,37 @@ object SparkEntry {
     }),
   )
 
+  /** Fixture embedding dimensionality the power-iteration oracle CTE is
+    * unrolled for. The Spark operator derives dims from the data, so a
+    * fixture change would silently diverge from the hardcoded CTE —
+    * [[requirePcDims]] turns that into a loud error at query-build time,
+    * and the seed literal below derives from this one constant.
+    */
+  private val PcDims = 64
+  private val PcSeed = math.round(1e6 / math.sqrt(PcDims)) // 125000 for 64
+
+  private def requirePcDims(s: SparkSession, d: String): Unit = {
+    val dims = Tables.embeddings(s, d)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    require(dims == PcDims,
+      s"power-iteration oracle is unrolled for $PcDims dims; fixture has " +
+        s"$dims — regenerate pcPrefixSql (PcDims) for the new fixture")
+  }
+
   /** Shared CTE chain for the power-iteration family: micro-unit
     * quantized centered matrix `x(vec_id, i, xi)` and the 2-round unit
     * PC `v2(i, vi)` — the DuckDB replay of
     * `Similarity.powerIteration`. */
   private val pcPrefixSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |d0 AS (SELECT vec_id, unnest(v) AS x,
       |              unnest(range(0, len(v))) AS i FROM e),
       |m AS (SELECT i, round(avg(x), 6) AS mu FROM d0 GROUP BY i),
       |x AS (SELECT vec_id, d0.i,
       |             CAST(round((x - mu) * 1e6) AS BIGINT) AS xi
       |      FROM d0 JOIN m USING (i)),
-      |v0 AS (SELECT unnest(range(0, 64)) AS i, 125000::BIGINT AS vi),
+      |v0 AS (SELECT unnest(range(0, $PcDims)) AS i, $PcSeed::BIGINT AS vi),
       |p1 AS (SELECT vec_id, CAST(sum(xi * vi) AS BIGINT) AS p
       |       FROM x JOIN v0 USING (i) GROUP BY vec_id),
       |w1 AS (SELECT i, sum(xi::HUGEINT * p::HUGEINT) AS w
@@ -3179,8 +3269,52 @@ object SparkEntry {
         |       ELSE 'unknown' END AS kind_detected,
         |  coalesce(format_detected IN ('wav', 'aiff', 'au'), FALSE) AS decodable
         |FROM c""".stripMargin,
-    // approx_distinct: HLL sketch internals have no DuckDB equivalent —
-    // intentionally no SQL oracle (rows-only check).
+    // ── sketch-variant bound checks: the sketches themselves (HLL,
+    // approx_percentile KLL, xxhash64 simhash/quantize digests) have no
+    // DuckDB equivalent, so each Spark query reports a replayable
+    // invariant — accuracy/rank/determinism/reconstruction bound — and
+    // the oracle asserts it holds everywhere ──
+    "approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       1 AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "quantiles_approx" ->
+      """SELECT l_returnflag, qname, 1 AS rank_ok
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (SELECT unnest(['p25', 'p50', 'p75']) AS qname)""".stripMargin,
+    "simhash_fast" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(string_split_regex(text, '\s+')) AS word
+        |              FROM documents),
+        |td AS (SELECT DISTINCT doc_id FROM toks WHERE word <> '')
+        |SELECT md5(text) AS text_key, count(*) AS n_docs,
+        |       CAST(1 AS BIGINT) AS n_sigs
+        |FROM documents JOIN td USING (doc_id)
+        |GROUP BY md5(text)""".stripMargin,
+    "quantize_emb_fast" ->
+      """SELECT vec_id,
+        |  round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS scale,
+        |  CAST(len(embedding) AS INT) AS n_dims, 1 AS within_bound
+        |FROM embeddings""".stripMargin,
+    // deterministic training orders: seeded 60-bit portable hash, exact
+    // rank replay (row_number in DuckDB == the distributed offset scheme)
+    "epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  ('0x' || substr(md5('ep3:' || doc_id::VARCHAR), 1, 15))::BIGINT AS shuffle_key
+        |FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+        |FROM k""".stripMargin,
+    "interleave_order" ->
+      """WITH k AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('il3:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |FROM k)
+        |SELECT doc_id, source, rn,
+        |  row_number() OVER (ORDER BY rn, source, doc_id) AS pos
+        |FROM r""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.operators.Dedup.simhash]]: 60 conditional-sum

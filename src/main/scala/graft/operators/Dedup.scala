@@ -422,8 +422,10 @@ object Dedup {
     * components by min-label propagation (cluster id = smallest doc_id in
     * the component; that doc is the survivor). Dedup graphs have tiny
     * dense components, so the fixpoint arrives in a few iterations; each
-    * iteration localCheckpoints to truncate plan lineage (use reliable
-    * checkpointing on a real cluster). Returns (doc_id, cluster, keep).
+    * iteration truncates plan lineage via
+    * [[graft.plans.Checkpoints.truncate]] (executor-local by default;
+    * set `graft.checkpoint.dir` for reliable checkpoints on a real
+    * cluster). Returns (doc_id, cluster, keep).
     *
     * The returned plan reads a pinned label frame (sized to the edge-
     * endpoint set, not the corpus); its release hook is queued with
@@ -559,7 +561,8 @@ object Dedup {
       val changed = updated.where(col("cluster") =!= col("old_cluster")).count()
       if ((i + 1) % truncateEvery == 0) {
         // shallow (cache-fed) plan, so the checkpoint is cheap here
-        val snapshot = updated.localCheckpoint()
+        // (reliable under `graft.checkpoint.dir`, local otherwise)
+        val snapshot = graft.plans.Checkpoints.truncate(updated)
         updated.unpersist(blocking = false)
         // only NOW is the previous checkpoint safe to release: the
         // persist-only frames of the intervening rounds recompute

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.plans.ReleaseRegistry
+import graft.plans.{Checkpoints, ReleaseRegistry}
 
 /** Graph analytics over relational edge lists — PageRank as the flagship
   * iterative-propagation primitive (the same shape serves label
@@ -256,12 +256,14 @@ object Graph {
       // executors idle while Catalyst chews lineage. The rank table is
       // |nodes| rows and already cached, so the eager checkpoint copies a
       // few hundred KB of blocks and every round's plan stays
-      // constant-depth. (Use reliable checkpointing on a real cluster.)
+      // constant-depth. (Set `graft.checkpoint.dir` to trade the local
+      // copy for a RELIABLE checkpoint on a real cluster —
+      // [[graft.plans.Checkpoints]].)
       // Skipped when the loop is about to exit: truncation only pays off
       // if MORE rounds stack plans on top, and the final frame is already
       // persisted — checkpointing it would copy blocks nobody extends.
       if (i < iters && !converged) {
-        val t = next.localCheckpoint(true)
+        val t = Checkpoints.truncate(next)
         next.unpersist()
         liveCheckpoint.foreach(c => CheckpointHandle.release(c))
         liveCheckpoint = Some(t)
@@ -400,7 +402,7 @@ object Graph {
       // the executors, the bottleneck); the final round stays a plain
       // persisted frame so the returned hook's unpersist is always safe
       if (i < iters - 1) {
-        val t = next.localCheckpoint(true)
+        val t = Checkpoints.truncate(next)
         next.unpersist()
         liveCheckpoint.foreach(c => CheckpointHandle.release(c))
         liveCheckpoint = Some(t)
@@ -560,43 +562,91 @@ object Graph {
     * the same bounded-iteration discipline as [[Similarity.kmeansAssign]]
     * — and every value is an integer count, so the replay is exact.
     *
-    * Scale shape: each round is one map-side-combined degree aggregate
-    * over the current edge generation and two BROADCAST semi joins
-    * pruning it — the edge list never shuffles after the initial
-    * distinct (at graphs where survivors outgrow the broadcast
-    * threshold, drop the hint and Catalyst falls back to shuffled semi
-    * joins with the same semantics). Every generation materializes via
-    * an EAGER localCheckpoint — the per-round lineage truncation the
-    * rank loops established: without it the round-r plan nests every
-    * earlier round's tree and driver-side re-analysis dominates wall
-    * time (measured 10× the parallel compute on the 1.2M-edge fixture).
-    * The parent generation's blocks free as soon as the next exists;
-    * the final generation's (invalidating) release is queued with
-    * [[graft.plans.ReleaseRegistry]].
+    * Scale shape: each round is ONE map-side-combined degree aggregate
+    * over the current edge generation (persisted + probed once, then
+    * reused by BOTH pruning semi joins) and two semi joins pruning the
+    * edge list — which never shuffles after the initial distinct. The
+    * survivor probe decides the join strategy: at or under
+    * `broadcastMaxRows` survivors the semi joins carry an explicit
+    * `broadcast` hint (the survivor table is tiny relative to the edge
+    * list — the common late-round case); above it the hint is withheld,
+    * because a forced broadcast bypasses Spark's size checks and an
+    * O(|nodes|) survivor frame would OOM the driver — Catalyst/AQE then
+    * picks a shuffled semi join with identical semantics. Every
+    * generation materializes via an eager lineage truncation
+    * ([[graft.plans.Checkpoints.truncate]] — local by default, reliable
+    * under `graft.checkpoint.dir`): without it the round-r plan nests
+    * every earlier round's tree and driver-side re-analysis dominates
+    * wall time (measured 10× the parallel compute on the 1.2M-edge
+    * fixture). The parent generation's blocks free as soon as the next
+    * exists; the final generation's (invalidating) release is queued
+    * with [[graft.plans.ReleaseRegistry]].
+    *
+    * `k` is deliberately caller-chosen (no default): a useful core order
+    * depends on the graph's degree distribution — derive it from a
+    * degree quantile (e.g. [[degreeQuantile]]) or domain knowledge.
     */
-  def kCore(edges: DataFrame, k: Int = 70, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
+      broadcastMaxRows: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointHandle
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    var alive = und.select(col("a").as("x"), col("b").as("y"))
-      .union(und.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
+    var alive = Checkpoints.truncate(
+      und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y"))))
     for (_ <- 1 to rounds) {
       val keep = alive.groupBy("x").agg(count(lit(1)).as("dg"))
-        .where(col("dg") >= k).select("x")
-      val next = alive
-        .join(broadcast(keep), Seq("x"), "left_semi")
-        .join(broadcast(keep.select(col("x").as("y"))), Seq("y"), "left_semi")
-        .select("x", "y").localCheckpoint(true)
-      alive.unpersist(blocking = false)
+        .where(col("dg") >= k).select("x").persist()
+      // the probe doubles as keep's materialization barrier, so the
+      // degree aggregate runs once per round, not once per semi join
+      val survivors = keep.count()
+      val next = Checkpoints.truncate(
+        peelJoin(alive, keep, survivors <= broadcastMaxRows))
+      keep.unpersist(blocking = false)
+      CheckpointHandle.release(alive)
       alive = next
     }
     val last = alive
     ReleaseRegistry.registerInvalidating("graph.kcore_checkpoint")(
-      () => last.unpersist(blocking = false))
+      () => CheckpointHandle.release(last))
     last.groupBy("x").agg(count(lit(1)).as("dg"))
       .select(col("x").as("node"), col("dg"))
+  }
+
+  /** One [[kCore]] peel round's pruning joins, strategy chosen by the
+    * caller's survivor probe: both endpoint semi joins take a `broadcast`
+    * hint only when `useBroadcast` — otherwise the hint is withheld and
+    * Catalyst picks the join (shuffled semi above the auto-broadcast
+    * threshold). Factored out so the plan shape is testable without
+    * running the materializing loop.
+    */
+  private[graft] def peelJoin(alive: DataFrame, keep: DataFrame,
+      useBroadcast: Boolean): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (useBroadcast) df => broadcast(df) else identity
+    alive.join(hint(keep), Seq("x"), "left_semi")
+      .join(hint(keep.select(col("x").as("y"))), Seq("y"), "left_semi")
+      .select("x", "y")
+  }
+
+  /** The `p`-quantile of the undirected degree distribution — the probe
+    * that turns [[kCore]]'s order parameter from a magic number into a
+    * data-derived one (`k = degreeQuantile(edges, 0.99)` ≈ "the core of
+    * the top percent of connectivity"). One distinct + one map-side
+    * combined degree aggregate + one sketch aggregate; no driver state
+    * beyond the returned scalar.
+    */
+  def degreeQuantile(edges: DataFrame, p: Double): Int = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .agg(percentile_approx(col("dg"), lit(p), lit(10000)).as("q"))
+      .head().getLong(0).toInt
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

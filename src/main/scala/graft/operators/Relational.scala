@@ -569,16 +569,34 @@ object Relational {
     * with [[graft.plans.ReleaseRegistry]] for the session host to drain
     * after materializing (until then, blocks stay LRU-evictable).
     */
-  def globalIndex(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val keys = Seq(col("l_orderkey"), col("l_linenumber"))
-    val ranged = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber")
+  def globalIndex(spark: SparkSession, dir: String): DataFrame =
+    positionByRange(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber"),
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      releaseLabel = "relational.global_index_ranged")
+      .withColumnRenamed("pos", "idx")
+
+  /** [[globalIndex]]'s two-pass offset scheme, generalized: append a
+    * 1-based global position column `pos` to ANY frame in `keys` order —
+    * range-partition on the keys, persist + count (boundary agreement is
+    * structural, not exchange-reuse-dependent), exclusive-prefix-sum the
+    * #partitions-row count table (the only single-partition window runs
+    * over those ~32 rows), broadcast the offsets back and add the
+    * within-partition rank. The pinned ranged frame's release hook is
+    * queued with [[graft.plans.ReleaseRegistry]] under `releaseLabel`.
+    *
+    * `keys` should be a total order (append a unique id as the last key)
+    * or positions among ties are partition-dependent.
+    */
+  def positionByRange(df: DataFrame, keys: Seq[Column],
+      releaseLabel: String = "relational.position_by_range"): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df
       .repartitionByRange(par, keys: _*)
       .withColumn("pid", spark_partition_id())
       .persist()
     ranged.count()
-    graft.plans.ReleaseRegistry.register("relational.global_index_ranged")(
+    graft.plans.ReleaseRegistry.register(releaseLabel)(
       () => ranged.unpersist(blocking = false))
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
@@ -588,8 +606,8 @@ object Relational {
       .select("pid", "off")
     val local = Window.partitionBy("pid").orderBy(keys: _*)
     ranged.join(broadcast(offsets), "pid")
-      .withColumn("idx", row_number().over(local).cast("long") + col("off"))
-      .select("l_orderkey", "l_linenumber", "idx")
+      .withColumn("pos", row_number().over(local).cast("long") + col("off"))
+      .drop("pid", "off")
   }
 
   /** Global top-k via sort+limit: Spark computes per-partition top-k and

@@ -396,6 +396,56 @@ object TextOps {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
 
+  /** Deterministic per-epoch training order: every document gets a
+    * 1-based global position by sorting on a seeded content-independent
+    * hash (`md5("ep<epoch>:" + doc_id)`, the portable 60-bit form) — the
+    * data-shuffling step of a training run, made REPRODUCIBLE: any
+    * engine, any partitioning, any re-run of epoch e yields the
+    * identical order, and different epochs decorrelate (fresh seed, no
+    * epoch-to-epoch order reuse for the optimizer to exploit).
+    *
+    * Scale shape: the order is realized by
+    * [[Relational.positionByRange]]'s two-pass offset scheme — a range
+    * partition on the hash (uniform by construction, so NO skew), a
+    * #partitions-row prefix sum, and a per-partition rank. No
+    * single-partition window, no driver collect; this is exactly the
+    * shape that survives a 100 TB corpus, where `row_number() OVER
+    * (ORDER BY …)` would serialize the world through one task.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int = 3): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      Dedup.portableHash64(
+        concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
+        .as("shuffle_key"))
+    Relational.positionByRange(keyed,
+      Seq(col("shuffle_key"), col("doc_id")), "text.epoch_shuffle")
+  }
+
+  /** Source-interleaved training order: documents are ordered so the
+    * sources round-robin — position is assigned on (per-source rank,
+    * source), where the per-source rank comes from the same seeded
+    * portable hash as [[epochShuffle]]. The result is the maximally
+    * uniform source mixing a curriculum wants (no long single-source
+    * runs that make a training batch's gradient source-biased), still
+    * fully deterministic and engine-replayable.
+    *
+    * Scale shape: one PARTITIONED window (per-source rank — parallel
+    * across sources) feeding [[Relational.positionByRange]]; the
+    * interleave key (rn, source) range-partitions near-uniformly because
+    * per-source ranks are dense integers.
+    */
+  def interleaveBySource(docs: DataFrame, epoch: Int = 3): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      Dedup.portableHash64(
+        concat(lit(s"il$epoch:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+    Relational.positionByRange(keyed,
+      Seq(col("rn"), col("source"), col("doc_id")), "text.interleave")
+      .select("doc_id", "source", "rn", "pos")
+  }
+
   /** Cross-document duplicated-span signal: for each document, how many of
     * its k-token spans (every position, NOT distinct) occur more than once
     * in the whole corpus — the span-level dedup diagnostic (the

@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -16,35 +14,39 @@ import org.apache.spark.storage.StorageLevel
   * adds the reference's by-name lookup surface and bulk invalidation.
   */
 object CacheRegistry {
-  private val registry = TrieMap.empty[String, DataFrame]
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   /** Read-through: persist and register on first use, serve the cached
     * frame afterwards.
+    *
+    * Population is ATOMIC per name (`computeIfAbsent`): under a race the
+    * thunk evaluates in exactly one thread and the others block for its
+    * result. The evaluate-both-discard-loser alternative
+    * (`putIfAbsent`) is subtly wrong here because Spark's `CacheManager`
+    * keys entries by LOGICAL PLAN, not by Dataset identity — racing
+    * read-through callers build the *same* plan, so the loser's rollback
+    * `unpersist` would evict the winner's just-registered cache entry
+    * (correctness survives via lineage, but the cache silently never
+    * takes). The per-name lock costs nothing: `persist` is lazy
+    * registration, no job runs inside the critical section.
     */
   def cache(name: String, df: => DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    registry.get(name) match {
-      case Some(cached) => cached
-      case None =>
-        // no getOrElseUpdate: TrieMap evaluates the thunk in BOTH racing
-        // threads and discards the loser's value — the loser's persist()
-        // would stay registered in Spark's CacheManager with no registry
-        // entry, unreleasable by uncache/clear for the session lifetime
-        val fresh = df.persist(level)
-        registry.putIfAbsent(name, fresh) match {
-          case Some(winner) => fresh.unpersist(blocking = false); winner
-          case None => fresh
-        }
-    }
+    registry.computeIfAbsent(name, _ => df.persist(level))
 
-  def lookup(name: String): Option[DataFrame] = registry.get(name)
+  def lookup(name: String): Option[DataFrame] = Option(registry.get(name))
 
   def uncache(name: String): Unit =
-    registry.remove(name).foreach(_.unpersist())
+    Option(registry.remove(name)).foreach(_.unpersist())
 
   def clear(): Unit = {
-    registry.keys.foreach(uncache)
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.toSeq.foreach(uncache)
   }
 
-  def cachedNames: Seq[String] = registry.keys.toSeq.sorted
+  def cachedNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.toSeq.sorted
+  }
 }

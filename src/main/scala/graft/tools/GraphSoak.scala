@@ -1,0 +1,79 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** 10× graph soak: replicate the sf0.1 co-occurrence graph `copies` times
+  * under disjoint node-id offsets (~12M edges from the 1.2M fixture),
+  * write it to parquet so every run starts from a real scan, and run the
+  * iterative graph family once — the direct evidence for the 100× claim
+  * the per-round lineage-truncation discipline is built on:
+  *
+  *  - per-query wall vs summed executor task-time: a plan-depth blowup
+  *    shows as wall >> task-time/parallelism (executors idle while the
+  *    driver re-analyzes nested round plans — the exact failure
+  *    [[Graph.iterate]]'s per-round truncation removed);
+  *  - pageRank at 5 vs 10 iterations: constant-depth rounds cost the
+  *    same each, so wall must scale ~linearly in rounds, not
+  *    quadratically;
+  *  - kCore runs both join strategies (hinted broadcast semi vs the
+  *    size-guard's shuffled-semi fallback) so the fallback's cost at
+  *    10× fixture scale is a measured number, not a guess.
+  *
+  * Usage: `[SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1]
+  * [SPARK_GRAFT_SOAK_COPIES=10] sbt "runMain graft.tools.GraphSoak"`.
+  * Results belong in tools/PLANS.md.
+  */
+object GraphSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val spark = graft.GraftSession.local("graft-soak")
+
+    val taskMs = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskMs.add(t.taskMetrics.executorRunTime)
+    })
+
+    // disjoint copies: same per-copy degree structure, 10x the rows —
+    // offsets far above any fixture part key keep the id spaces apart
+    val off = 100000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    Graph.coOccurrenceEdges(spark, sfDir)
+      .crossJoin(spark.range(copies).toDF("c"))
+      .select((col("src") + col("c") * off).as("src"),
+        (col("dst") + col("c") * off).as("dst"))
+      .write.mode("overwrite").parquet(s"$tmp/edges")
+    val edges = spark.read.parquet(s"$tmp/edges")
+    println(s"SOAK|edges=${edges.count()}|copies=$copies")
+
+    def timed(name: String)(f: => DataFrame): Double = {
+      taskMs.reset()
+      val t0 = System.nanoTime()
+      val n = f.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.plans.ReleaseRegistry.drain()
+      println(f"SOAK|$name|rows=$n|wall=$wall%.2f s|task=${taskMs.sum() / 1000.0}%.1f s")
+      wall
+    }
+
+    val pr5 = timed("pagerank_iters5")(Graph.pageRank(edges, iters = 5))
+    val pr10 = timed("pagerank_iters10")(Graph.pageRank(edges, iters = 10))
+    println(f"SOAK|round_scaling|pr10/pr5=${pr10 / pr5}%.2f (flat rounds => ~2.0)")
+    timed("pagerank_until")(Graph.pageRankUntil(edges, maxIters = 10).ranks)
+    timed("label_prop3")(Graph.labelPropagate(edges, iters = 3))
+    timed("kcore70_broadcast")(Graph.kCore(edges, k = 70, rounds = 4))
+    timed("kcore70_shuffled")(
+      Graph.kCore(edges, k = 70, rounds = 4, broadcastMaxRows = 0L))
+    timed("assortativity")(Graph.assortativity(edges))
+    if (sys.env.contains("SPARK_GRAFT_SOAK_TRIANGLES"))
+      timed("triangles")(Graph.triangleCounts(edges))
+    spark.stop()
+  }
+}

@@ -74,7 +74,11 @@ class DedupStreamsSpec extends SparkSpec {
       val fixture = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().toSeq.take(8)
-      val ttl = java.time.Duration.ofMillis(500)
+      // generous TTL relative to the 100 ms trigger: window-1 entries must
+      // survive scheduling hiccups on a loaded host until the in-window
+      // pair surfaces and the state size is sampled — a tight TTL makes
+      // the test flaky-fail (entries expiring mid-assert), not wrong
+      val ttl = java.time.Duration.ofSeconds(3)
       val mem = MemoryStream[(Long, String)]
       val q = DedupStreams
         .incrementalMinhashPairs(mem.toDF().toDF("doc_id", "text"),
@@ -96,18 +100,34 @@ class DedupStreamsSpec extends SparkSpec {
         def stateRows(): Long = Option(q.lastProgress)
           .filter(_.stateOperators.nonEmpty)
           .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+        // lastProgress lags the batch that actually processed the data —
+        // poll until the reported state size is positive and stable
+        // across consecutive maintenance-batch progress samples instead
+        // of trusting a single read
+        def stableStateRows(): Long = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var cur = stateRows()
+          var stable = 0
+          while (stable < 3 && System.nanoTime() < deadline) {
+            Thread.sleep(200)
+            val next = stateRows()
+            if (next > 0 && next == cur) stable += 1 else stable = 0
+            cur = next
+          }
+          cur
+        }
 
         // window 1: the base docs PLUS an exact in-batch copy — parity
         // must hold INSIDE the ttl window, so this pair has to surface
         mem.addData(fixture :+ (200001L, fixture.head._2): _*)
         awaitPair((fixture.head._1, 200001L), "same-window exact copy")
-        val w1Rows = stateRows()
+        val w1Rows = stableStateRows()
 
         // let every window-1 entry age out, then re-ingest the same texts
         // under fresh ids plus a sentinel in-batch copy: the sentinel
         // proves the batch processed; the expired history must contribute
         // no partner
-        Thread.sleep(ttl.toMillis * 4)
+        Thread.sleep(ttl.toMillis * 2)
         val reingest = fixture.map { case (id, t) => (id + 300000L, t) }
         mem.addData(reingest :+ (400001L, fixture.head._2): _*)
         awaitPair((fixture.head._1 + 300000L, 400001L), "window-2 sentinel copy")

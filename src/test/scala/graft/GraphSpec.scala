@@ -226,6 +226,47 @@ class GraphSpec extends SparkSpec {
     graft.plans.ReleaseRegistry.drain()
   }
 
+  test("kCore peel join: broadcast hint only under the survivor bound") {
+    // the scale guard: a forced broadcast() hint bypasses Spark's size
+    // checks, so above the survivor bound kCore must withhold it and let
+    // Catalyst plan a shuffled semi join. Pin both shapes on the INITIAL
+    // plan with auto-broadcast off, so the only possible broadcast source
+    // is the hint itself.
+    val alive = (1L to 50L).map(i => (i, i % 7)).toDF("x", "y")
+    val keep = (1L to 20L).toDF("x")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Graph.peelJoin(alive, keep, useBroadcast = true)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"hinted peel round must broadcast:\n$hinted")
+      val fallback = Graph.peelJoin(alive, keep, useBroadcast = false)
+        .queryExecution.executedPlan.toString
+      assert(!fallback.contains("Broadcast"),
+        s"unhinted peel round must not force a broadcast:\n$fallback")
+      assert(fallback.contains("LeftSemi"),
+        s"fallback must stay a semi join:\n$fallback")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("kCore: fallback (unhinted) path returns the same core") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    // broadcastMaxRows = 0 forces every round onto the shuffled-semi path
+    val got = Graph.kCore(edges, k = 3, rounds = 3, broadcastMaxRows = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    graft.plans.ReleaseRegistry.drain()
+  }
+
+  test("degreeQuantile: derives a data-driven core order") {
+    // star: hub degree 5, five leaves degree 1
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.degreeQuantile(star, 0.5) === 1)
+    assert(Graph.degreeQuantile(star, 1.0) === 5)
+  }
+
   test("assortativity: star is perfectly disassortative, regular graph undefined") {
     // hub 0 to 5 leaves: every edge pairs deg 5 with deg 1 -> r = -1
     val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")

@@ -662,4 +662,46 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     full.foreach { case (_, budget, _, kept) => assert(kept <= budget) }
   }
+
+  test("epochShuffle: a deterministic permutation, decorrelated across epochs") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val e3 = TextOps.epochShuffle(docs, epoch = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    graft.plans.ReleaseRegistry.drain()
+    // positions are exactly 1..n, each doc once
+    assert(e3.map(_._2).sorted.toSeq === (1L to n))
+    assert(e3.map(_._1).distinct.length === n.toInt)
+    // identical re-run (determinism across partitionings/runs)
+    val e3b = TextOps.epochShuffle(docs, epoch = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    graft.plans.ReleaseRegistry.drain()
+    assert(e3.toMap === e3b.toMap)
+    // a different epoch is a different permutation (fresh seed)
+    val e4 = TextOps.epochShuffle(docs, epoch = 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    val same = e3.count { case (d, p) => e4(d) == p }
+    assert(same < n / 10, s"epochs 3 and 4 agree on $same/$n positions")
+    // and NOT the identity order
+    assert(e3.count { case (d, p) => d + 1 == p } < n / 10)
+  }
+
+  test("interleaveBySource: sources round-robin while ranks stay dense") {
+    val docs = Seq(
+      (1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
+      (5L, "s2"), (6L, "s2"), (7L, "s2"), (8L, "s2")
+    ).toDF("doc_id", "source")
+    val got = TextOps.interleaveBySource(docs)
+      .orderBy("pos").as[(Long, String, Long, Long)].collect()
+    graft.plans.ReleaseRegistry.drain()
+    assert(got.map(_._4).toSeq === (1L to 8L))
+    // balanced sources: positions alternate s1, s2, s1, s2, ...
+    assert(got.map(_._2).toSeq === Seq("s1", "s2", "s1", "s2", "s1", "s2", "s1", "s2"))
+    // within a source, rank order is the seeded-hash order (a permutation
+    // of 1..4 per source, ascending along positions)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.sortBy(_._4).map(_._3).toSeq === (1L to 4L))
+    }
+  }
 }
