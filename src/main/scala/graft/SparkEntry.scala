@@ -259,6 +259,14 @@ object SparkEntry {
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
       Graph.labelPropagate(Graph.coOccurrenceEdges(s, d), iters = 3)),
+    // multi-source BFS over the undirected trade graph: hop distance
+    // from the 8 smallest node ids within 6 hops — pure integer state,
+    // the oracle replays it as a recursive CTE
+    "bfs_levels" -> ((s, d) => Graph.bfsLevels(Graph.tradeEdges(s, d))),
+    // sampled harmonic centrality from the same BFS kernel: per node,
+    // Σ 1000000 div dist over reaching seeds (truncating integer)
+    "harmonic_centrality" -> ((s, d) =>
+      Graph.harmonicCentrality(Graph.tradeEdges(s, d))),
     // communities = label_prop + rollup; the convenience that resolves,
     // rolls up, and releases its own label cache in one call
     "trade_communities" -> ((s, d) =>
@@ -480,6 +488,10 @@ object SparkEntry {
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TextOps.tfidf(Tables.documents(s, d))),
     "quantize_emb" -> ((s, d) => Similarity.quantizeDigest(Tables.embeddings(s, d))),
+    // JL random projection to 16 dims: deterministic md5-parity ±1 sign
+    // matrix over micro-unit integers — row-local, shuffle-free, and
+    // every output coordinate an exact integer the oracle re-sums
+    "emb_project" -> ((s, d) => Similarity.projectEmbeddings(Tables.embeddings(s, d))),
     "grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "union_by_name" -> ((s, d) => Relational.unionByNameDemo(s, d)),
@@ -1411,6 +1423,25 @@ object SparkEntry {
         |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |       CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max
         |FROM q""".stripMargin,
+    // emb_project: the ±1 sign matrix replays from md5('p:'||j||':'||i)
+    // parity; micro-unit integer sums are order-free, so the projection
+    // is engine-exact. Dims-agnostic: the weight grid derives its i range
+    // from the data, not a constant.
+    "emb_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, CAST(round(xv * 1e6) AS BIGINT) AS xi
+        |      FROM (SELECT vec_id, unnest(v) AS xv,
+        |                   unnest(range(0, len(v))) AS i FROM e) u),
+        |w AS (SELECT j, i,
+        |        CASE WHEN ('0x'||substr(md5('p:'||CAST(j AS VARCHAR)||':'||
+        |                                    CAST(i AS VARCHAR)),1,15))::BIGINT % 2 = 0
+        |             THEN 1 ELSE -1 END AS s
+        |      FROM (SELECT unnest(range(0, 16)) AS j) js,
+        |           (SELECT DISTINCT i FROM x) ds)
+        |SELECT x.vec_id, CAST(w.j AS INT) AS j,
+        |       CAST(sum(x.xi * w.s) AS BIGINT) AS y_micro
+        |FROM x JOIN w ON x.i = w.i
+        |GROUP BY x.vec_id, w.j""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
@@ -2465,6 +2496,44 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node
         |       CROSS JOIN d3 CROSS JOIN nn)
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+    // bfs_levels: recursive-CTE multi-source BFS — UNION-dedup bounds the
+    // working set at |seeds|·|nodes|·(maxDepth+1) rows, min(dist) collapses
+    // the per-path dist copies to the shortest
+    "bfs_levels" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |seeds AS (SELECT DISTINCT x AS node FROM adj ORDER BY node LIMIT 8),
+        |bfs AS (
+        |  SELECT node AS source, node, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT b.source, a.y AS node, b.dist + 1 AS dist
+        |  FROM bfs b JOIN adj a ON b.node = a.x WHERE b.dist < 6)
+        |SELECT source, node, CAST(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY source, node""".stripMargin,
+    // harmonic_centrality: the same BFS, rolled up as Σ 1000000 // dist
+    // per reached node (truncating integer division — Spark's `div`)
+    "harmonic_centrality" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |seeds AS (SELECT DISTINCT x AS node FROM adj ORDER BY node LIMIT 8),
+        |bfs AS (
+        |  SELECT node AS source, node, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT b.source, a.y AS node, b.dist + 1 AS dist
+        |  FROM bfs b JOIN adj a ON b.node = a.x WHERE b.dist < 6),
+        |md AS (SELECT source, node, min(dist) AS dist
+        |       FROM bfs GROUP BY source, node)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+        |       CAST(sum(1000000 // dist) AS BIGINT) AS h_micro
+        |FROM md WHERE dist > 0 GROUP BY node""".stripMargin,
     // triangles: the degree-ordered orientation is pure integer plumbing
     // (packed (deg, id) keys), so DuckDB replays the exact wedge/closure
     // joins; UNION ALL mirrors Spark's union-then-count degree aggregate

@@ -699,4 +699,95 @@ object Graph {
         .otherwise(round((d("m") * d("sxy") - d("sx") * d("sy")) / den, 6))
         .as("r"))
   }
+
+  /** Multi-source BFS levels over the undirected graph: shortest-path
+    * distance from each of the `nSources` seed nodes (the smallest node
+    * ids — deterministic, so any engine replays the same frontier) to
+    * every node within `maxDepth` hops. Output `(source, node, dist)`,
+    * one row per (seed, reached node). This is the distance kernel the
+    * sampled-centrality family builds on (Eppstein–Wang style: estimate
+    * centralities from a fixed sample of exact single-source distances
+    * instead of all-pairs).
+    *
+    * Exactness: distances are hop counts — pure integers — and the seed
+    * choice is an ORDER BY on node id, so the whole output is
+    * engine-exact (a recursive-CTE BFS replays it bit-for-bit).
+    *
+    * Scale shape: the adjacency list symmetrizes + dedupes ONCE, then
+    * repartitions on the join key and persists — every round's frontier
+    * expansion joins against that fixed layout, so only the (per-round,
+    * usually much smaller) frontier moves. State is `nSources · |V|`
+    * rows worst-case — linear in the graph for a constant sample, never
+    * the all-pairs quadratic. Each round is one join + distinct + one
+    * anti-join against the visited set (a union of ≤ `maxDepth`
+    * already-truncated frontier generations, so the plan stays
+    * constant-depth per round); no broadcast hints — frontier and
+    * visited sizes are data-dependent, Catalyst/AQE picks the strategy.
+    * The loop exits early when a frontier comes back empty (the count
+    * doubles as the materialization barrier). Per-round lineage
+    * truncation via [[graft.plans.Checkpoints.truncate]] (local by
+    * default, reliable under `graft.checkpoint.dir`).
+    */
+  def bfsLevels(edges: DataFrame, nSources: Int = 8,
+      maxDepth: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointHandle
+    require(nSources > 0, s"bfsLevels: nSources must be positive, got $nSources")
+    require(maxDepth >= 0, s"bfsLevels: maxDepth must be >= 0, got $maxDepth")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+      .repartition(col("x")).persist()
+    adj.count()
+    val f0 = Checkpoints.truncate(
+      adj.select(col("x").as("node")).distinct()
+        .orderBy(col("node")).limit(nSources)
+        .select(col("node").as("source"), col("node"), lit(0).as("dist")))
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
+    var frontier = f0
+    var d = 0
+    var done = f0.count() == 0L // empty graph: nothing to expand
+    while (d < maxDepth && !done) {
+      d += 1
+      val visited = frontiers.reduce(_ union _)
+      val next = Checkpoints.truncate(
+        frontier.join(adj, frontier("node") === adj("x"))
+          .select(col("source"), col("y").as("node")).distinct()
+          .join(visited, Seq("source", "node"), "left_anti")
+          .withColumn("dist", lit(d)))
+      if (next.count() == 0L) {
+        CheckpointHandle.release(next)
+        done = true
+      } else {
+        frontiers += next
+        frontier = next
+      }
+    }
+    adj.unpersist(blocking = false)
+    frontiers.foreach { f =>
+      ReleaseRegistry.registerInvalidating("graph.bfs_checkpoint")(
+        () => CheckpointHandle.release(f))
+    }
+    frontiers.reduce(_ union _)
+  }
+
+  /** Sampled harmonic centrality (Eppstein–Wang estimator shape): for
+    * each node, `Σ over reaching seeds s≠v of 1/d(s, v)` — in integer
+    * micro-units (`1000000 div dist`, truncating), summed over the
+    * [[bfsLevels]] sample, plus the reach count. Harmonic (not classic
+    * closeness) because it is well-defined on disconnected graphs —
+    * unreachable pairs contribute zero instead of poisoning the mean
+    * with infinities. Inherits [[bfsLevels]]' exact integer replay and
+    * its linear `nSources · |V|` state bound; the rollup on top is one
+    * map-side-combined aggregate.
+    */
+  def harmonicCentrality(edges: DataFrame, nSources: Int = 8,
+      maxDepth: Int = 6): DataFrame =
+    bfsLevels(edges, nSources, maxDepth)
+      .where(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"${Unit_}L div cast(dist as bigint)")).as("h_micro"))
 }

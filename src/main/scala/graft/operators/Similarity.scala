@@ -106,6 +106,57 @@ object Similarity {
       transform(v, x => round(x / scale * 127).cast("byte")).as("q"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions via a
+    * deterministic ±1 sign matrix (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances as well as Gaussian ones, at integer cost). Sign
+    * `s(j, d)` = parity of the portable 60-bit md5 of `"p:j:d"` — the
+    * same hash scheme the LSH planes ride ([[lshPlanes]], distinct key
+    * prefix so the two matrices are independent) — so any engine with
+    * md5 replays the matrix exactly (DuckDB:
+    * `('0x'||substr(md5('p:'||j||':'||d),1,15))::BIGINT % 2`).
+    *
+    * Exactness: inputs quantize to micro-units first
+    * (`round(x·1e6) : BIGINT`), so each output coordinate is an INTEGER
+    * signed sum — order-independent, engine-exact — in micro-units.
+    *
+    * Scale shape: entirely row-local (the sign matrix inlines as k
+    * literal arrays; each output coordinate is one codegen'd
+    * `aggregate(zip_with(...))` fold) — no shuffle, no broadcast, no
+    * driver state beyond the k×dims literal. This is the cheap
+    * dimensionality-reduction front end for clustering at the 100 TB
+    * scale: project once row-locally, run k-means/dedup in k dims.
+    * Output long form `(vec_id, j, y_micro)` for portable comparison;
+    * use [[projectEmbeddingsWide]] for the array form downstream ops
+    * consume.
+    */
+  def projectEmbeddings(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    val wide = projectEmbeddingsWide(embeddings, k)
+    wide.select(col("vec_id"),
+      posexplode(col("y")).as(Seq("j", "y_micro")))
+  }
+
+  /** [[projectEmbeddings]] in array form: `(vec_id, y: array<bigint>)`. */
+  def projectEmbeddingsWide(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    require(k > 0, s"projectEmbeddings: k must be positive, got $k")
+    val dims = embeddings.select(size(col("embedding")))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val xi = expr(
+      "transform(cast(embedding as array<double>), x -> cast(round(x * 1e6) as bigint))")
+    val outCols = (0 until k).map { j =>
+      val signs = array((0 until dims).map(dd =>
+        lit(if (h60(s"p:$j:$dd") % 2 == 0) 1L else -1L)): _*)
+      aggregate(
+        zip_with(col("xi"), signs, (x, sgn) => x * sgn),
+        lit(0L), (acc, e) => acc + e).as(s"y$j")
+    }
+    embeddings.select(col("vec_id"), xi.as("xi"))
+      .select(col("vec_id") +: outCols: _*)
+      .select(col("vec_id"),
+        array((0 until k).map(j => col(s"y$j")): _*).as("y"))
+  }
+
   /** Scalar digest of [[quantizeEmbeddings]] for engine-portable checks:
     * per-vector dimension count and sum/min/max of the int8 codes. (The raw
     * `q` array column stays the library surface; array columns don't sort

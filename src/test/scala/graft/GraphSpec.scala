@@ -291,4 +291,63 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().head
     assert(c._2.exists(r => math.abs(r - 1.0) < 1e-9), s"cliques r = ${c._2}")
   }
+
+  test("bfsLevels: hand-computed distances on a path graph") {
+    // path 1-2-3-4-5, seeds = 2 smallest ids {1, 2}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, nSources = 2, maxDepth = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3), (1L, 5L, 4),
+      (2L, 2L, 0), (2L, 1L, 1), (2L, 3L, 1), (2L, 4L, 2), (2L, 5L, 3)))
+  }
+
+  test("bfsLevels: maxDepth bounds the frontier; direction is ignored") {
+    // all edges point AT node 1 — undirected BFS still reaches everything
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, nSources = 1, maxDepth = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2)))
+  }
+
+  test("bfsLevels: disconnected component stays unreached; early exit on exhaustion") {
+    // {1,2} and {10,11} disconnected; seed = node 1 only. maxDepth 6 >>
+    // eccentricity 1, so the loop must early-exit on the empty frontier
+    val edges = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, nSources = 1, maxDepth = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 1L, 0), (1L, 2L, 1)))
+    // self-loops are dropped before symmetrization
+    val loops = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val g2 = Graph.bfsLevels(loops, nSources = 1, maxDepth = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(g2 === Set((1L, 1L, 0), (1L, 2L, 1)))
+  }
+
+  test("harmonicCentrality: truncating micro-unit sums over the seed sample") {
+    // path 1-2-3-4, seeds {1, 2}:
+    //   node 1: from 2 at d1            -> h = 1000000, reached 1
+    //   node 2: from 1 at d1            -> h = 1000000, reached 1
+    //   node 3: from 1 at d2, 2 at d1   -> h = 500000 + 1000000, reached 2
+    //   node 4: from 1 at d3, 2 at d2   -> h = 333333 + 500000,  reached 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges, nSources = 2, maxDepth = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1000000L)), 2L -> ((1L, 1000000L)),
+      3L -> ((2L, 1500000L)), 4L -> ((2L, 833333L))))
+  }
+
+  test("bfsLevels: releases its loop state (adjacency + checkpoint generations)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = Graph.bfsLevels(edges, nSources = 2, maxDepth = 6)
+    assert(out.count() === 10L)
+    graft.plans.ReleaseRegistry.drain()
+    // unpersists are async (blocking = false) — poll to the baseline
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"bfsLevels left RDDs pinned: $leaked")
+  }
 }

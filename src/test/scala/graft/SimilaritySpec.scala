@@ -450,4 +450,45 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.map(_._3).max < 0.7,
       s"arbitrary split scored ${s1.mkString(",")}")
   }
+
+  test("projectEmbeddings: exact signed micro-unit sums from the md5-parity matrix") {
+    val e = Seq(
+      (0L, Seq(0.5f, -0.25f, 1f)),
+      (1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.projectEmbeddings(e, k = 4)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 8) // 2 vectors x 4 output dims
+    // independent replay of the sign recipe: parity of the first 15 hex
+    // chars of md5("p:j:d") — the exact scheme the DuckDB oracle uses
+    def sign(j: Int, d: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p:$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val xi = Seq(math.round(0.5f.toDouble * 1e6), math.round(-0.25f.toDouble * 1e6),
+      math.round(1f.toDouble * 1e6))
+    for (j <- 0 until 4) {
+      val want = (0 until 3).map(d => xi(d) * sign(j, d)).sum
+      assert(got((0L, j)) === want, s"j=$j")
+      assert(got((1L, j)) === 0L, s"zero vector must project to 0 (j=$j)")
+    }
+  }
+
+  test("projectEmbeddingsWide: array form agrees with the long form; row-local plan") {
+    val e = Seq(
+      (7L, Seq(1f, 2f, 3f, 4f)),
+      (8L, Seq(-1f, 0.5f, 0f, 2f))).toDF("vec_id", "embedding")
+    val wide = Similarity.projectEmbeddingsWide(e, k = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(wide.values.forall(_.length === 3))
+    val long = Similarity.projectEmbeddings(e, k = 3)
+      .as[(Long, Int, Long)].collect()
+    long.foreach { case (id, j, y) => assert(wide(id)(j) === y) }
+    // shuffle-free: no Exchange anywhere in the physical plan
+    val plan = Similarity.projectEmbeddingsWide(e, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be row-local:\n$plan")
+  }
 }
