@@ -130,32 +130,55 @@ object Similarity {
     * consume.
     */
   def projectEmbeddings(embeddings: DataFrame, k: Int = 16): DataFrame = {
-    val wide = projectEmbeddingsWide(embeddings, k)
-    wide.select(col("vec_id"),
-      posexplode(col("y")).as(Seq("j", "y_micro")))
+    require(k > 0, s"projectEmbeddings: k must be positive, got $k")
+    val w = jlSigns(k, embDims(embeddings))
+    // explode the OUTPUT index from a k-element literal (its inferred
+    // not-empty Generate filter constant-folds away) and compute ONE fold
+    // per (row, j) — posexplode over the computed y array instead makes
+    // InferFiltersFromGenerate duplicate every fold into a pre-Filter,
+    // doubling the operator's CPU (seen in the formatted plan)
+    embeddings
+      .select(col("vec_id"), jlMicro.as("xi"),
+        explode(typedlit((0 until k).toList)).as("j"))
+      .select(col("vec_id"), col("j"),
+        aggregate(
+          zip_with(col("xi"), element_at(typedlit(w), col("j") + 1),
+            (x, sgn) => x * sgn),
+          lit(0L), (acc, e) => acc + e).as("y_micro"))
   }
 
   /** [[projectEmbeddings]] in array form: `(vec_id, y: array<bigint>)`. */
   def projectEmbeddingsWide(embeddings: DataFrame, k: Int = 16): DataFrame = {
     require(k > 0, s"projectEmbeddings: k must be positive, got $k")
-    val dims = embeddings.select(size(col("embedding")))
-      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
-    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val xi = expr(
-      "transform(cast(embedding as array<double>), x -> cast(round(x * 1e6) as bigint))")
+    val w = jlSigns(k, embDims(embeddings))
     val outCols = (0 until k).map { j =>
-      val signs = array((0 until dims).map(dd =>
-        lit(if (h60(s"p:$j:$dd") % 2 == 0) 1L else -1L)): _*)
       aggregate(
-        zip_with(col("xi"), signs, (x, sgn) => x * sgn),
+        zip_with(col("xi"), typedlit(w(j)), (x, sgn) => x * sgn),
         lit(0L), (acc, e) => acc + e).as(s"y$j")
     }
-    embeddings.select(col("vec_id"), xi.as("xi"))
+    embeddings.select(col("vec_id"), jlMicro.as("xi"))
       .select(col("vec_id") +: outCols: _*)
       .select(col("vec_id"),
         array((0 until k).map(j => col(s"y$j")): _*).as("y"))
   }
+
+  /** The k×dims ±1 JL sign matrix (md5-parity recipe — see
+    * [[projectEmbeddings]]'s scaladoc for the DuckDB replay).
+    */
+  private def jlSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
+    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq.tabulate(k, dims)((j, d) => if (h60(s"p:$j:$d") % 2 == 0) 1L else -1L)
+  }
+
+  /** Embedding column in micro-unit integers. */
+  private def jlMicro: Column = expr(
+    "transform(cast(embedding as array<double>), x -> cast(round(x * 1e6) as bigint))")
+
+  /** Leading dimension count probe (0 on an empty table). */
+  private def embDims(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding")))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Scalar digest of [[quantizeEmbeddings]] for engine-portable checks:
     * per-vector dimension count and sum/min/max of the int8 codes. (The raw
