@@ -480,6 +480,17 @@ object SparkEntry {
         .select(col("media_id"), col("format_detected"),
           col("kind_detected"), col("decodable"))
     }),
+    // perceptual-hash media dedup: aHash bits from the same replayable
+    // stub residues media_features digests (integer r·16 > Σr compare —
+    // no float-mean rounding), plus per-row duplicate counts via a
+    // hash-partitioned window (one decode pass, one shuffle)
+    "media_phash" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      Multimodal.phashDupCounts(media)
+    }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -3311,6 +3322,21 @@ object SparkEntry {
         |  CAST(sum(('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003) AS BIGINT) AS f_digest
         |FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
         |GROUP BY 1""".stripMargin,
+    // media_phash: replay the stub residues, threshold each against the
+    // row total in integer space (rv·16 > Σrv, strict — mirrors the
+    // engine exactly), pack bits, then window-count duplicates per hash
+    "media_phash" ->
+      """WITH r AS (SELECT d.doc_id AS media_id, g.i AS i,
+        |    ('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g),
+        |t AS (SELECT media_id, CAST(sum(rv) AS BIGINT) AS tot FROM r GROUP BY media_id),
+        |p AS (SELECT r.media_id,
+        |    CAST(sum(CASE WHEN rv * 16 > tot THEN (1::BIGINT << CAST(i AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM r JOIN t USING (media_id) GROUP BY r.media_id)
+        |SELECT media_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) - 1 AS BIGINT) AS n_dups
+        |FROM p""".stripMargin,
     // classify_media: rebuild the identical prefixed payload string, then
     // replay the magic-byte predicates (substr positions mirror the
     // sniff's byte offsets; image magics can't occur — every prefix is

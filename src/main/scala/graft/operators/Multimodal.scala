@@ -473,6 +473,50 @@ object Multimodal {
     }
   }
 
+  /** Perceptual (average) hash per media row: one bit per feature cell,
+    * set when the cell exceeds the row mean — over real image decodes the
+    * features are the 4×4 luminance grid ([[MediaCodec.imageFeatures]]),
+    * making this the standard aHash; over the stub path the bits derive
+    * from the replayable md5 residues, so the whole hash is
+    * engine-portable. The compare runs in INTEGER space (features scale
+    * back to their exact `% 1000003` residues — the modulus is < 2²⁴, so
+    * float32 carries them losslessly; real-decode luminances quantize
+    * through the same map) as `r·dims > Σr`, strict — no float-mean
+    * rounding can flip a borderline bit between engines.
+    *
+    * Scale shape: row-local on top of [[extractFeatures]]' mapPartitions
+    * boundary — no shuffle, no driver state. The hash is the
+    * blocking key for media dedup: equal hashes = perceptually
+    * identical at grid resolution; for near-dup (hamming ≤ t) banding,
+    * reuse the text-simhash machinery
+    * ([[graft.operators.Dedup.simhashPairs]] — same band-join shape).
+    */
+  def perceptualHash(media: DataFrame): DataFrame =
+    extractFeatures(media)
+      .select(col("media_id"), expr(
+        "transform(features, x -> cast(round(cast(x as double) * 1000003) as bigint))")
+        .as("ri"))
+      .select(col("media_id"), expr(
+        """aggregate(
+          |  zip_with(ri, sequence(0, size(ri) - 1),
+          |    (r, d) -> if(r * size(ri) > aggregate(ri, 0L, (a, x) -> a + x),
+          |              shiftleft(1L, cast(d as int)), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin).as("phash"))
+
+  /** [[perceptualHash]] + duplicate accounting: per media row, how many
+    * OTHER rows share its hash (`n_dups = |hash bucket| − 1`), via a
+    * hash-partitioned count window — ONE decode pass and ONE shuffle
+    * (the aggregate-then-join-back alternative runs the decode subtree
+    * twice, and decode is the expensive stage at scale). Partitions are
+    * hash buckets (cardinality ≈ corpus size), never global.
+    */
+  def phashDupCounts(media: DataFrame): DataFrame =
+    perceptualHash(media)
+      .select(col("media_id"), col("phash"),
+        (count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("phash")) - 1L)
+          .as("n_dups"))
+
   /** Resize stage shape for images: rewrites the payload through the
     * batched codec boundary and stamps the new dimensions into the metadata
     * columns. Row-local (no shuffle) and, like [[extractFeatures]], runs

@@ -250,4 +250,49 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(vids, everyMs = 1000L)
     assert(frames.count() === 3 * 4) // 0,1000,2000,3000 per video
   }
+
+  test("perceptualHash: identical images collide, contrasting images differ") {
+    // left-dark/right-light vs its copy vs the mirrored gradient — real
+    // PNG decodes, so the bits come from actual 4x4 luminance cells
+    val grad = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val grad2 = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val mirrored = pngBytes(64, 64)((x, _) => if (x < 32) 0xffffff else 0x000000)
+    val df = Seq((1L, grad), (2L, grad2), (3L, mirrored)).toDF("id", "bytes")
+    val got = Multimodal.perceptualHash(
+      Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === got(2L), "identical pixels must share the hash")
+    assert(got(1L) !== got(3L), "mirrored gradient must differ")
+    // bright-half cells sit above the mean: exactly half the 16 bits set
+    assert(java.lang.Long.bitCount(got(1L)) === 8)
+  }
+
+  test("phashDupCounts: windowed duplicate accounting over the hash") {
+    val a = pngBytes(32, 32)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0 else 0xffffff)
+    val b = pngBytes(32, 32)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0 else 0xffffff)
+    val c = pngBytes(32, 32)((x, _) => if (x < 16) 0 else 0xffffff)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "bytes")
+    val got = Multimodal.phashDupCounts(
+      Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("perceptualHash stub path matches the hand-computed md5 residue bits") {
+    val payload = "definitely not an image".getBytes("UTF-8")
+    val df = Seq((9L, payload)).toDF("id", "bytes")
+    val got = Multimodal.perceptualHash(
+      Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .as[(Long, Long)].collect().head._2
+    // independent replay: rv_d = md5_60bit(payload ++ ":d") % 1000003,
+    // bit d set iff rv_d * 16 > sum(rv)
+    val rv = (0 until 16).map { d =>
+      graft.functions.PortableMd5.hash64(
+        payload ++ s":$d".getBytes("UTF-8")) % 1000003
+    }
+    val tot = rv.sum
+    val want = rv.zipWithIndex
+      .map { case (r, d) => if (r * 16 > tot) 1L << d else 0L }.sum
+    assert(got === want)
+  }
 }
