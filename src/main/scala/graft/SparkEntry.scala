@@ -267,6 +267,11 @@ object SparkEntry {
     // Σ 1000000 div dist over reaching seeds (truncating integer)
     "harmonic_centrality" -> ((s, d) =>
       Graph.harmonicCentrality(Graph.tradeEdges(s, d))),
+    // bounded-round Bellman–Ford over the value-weighted trade graph
+    // (integer cents, per-pair sums): 6 synchronous min-plus relaxations
+    // from the 4 smallest nodes — the oracle unrolls the same rounds
+    "sssp_weighted" -> ((s, d) =>
+      Graph.shortestPathsWeighted(Graph.tradeEdgesWeighted(s, d))),
     // communities = label_prop + rollup; the convenience that resolves,
     // rolls up, and releases its own label cache in one call
     "trade_communities" -> ((s, d) =>
@@ -2545,6 +2550,30 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
         |       CAST(sum(1000000 // dist) AS BIGINT) AS h_micro
         |FROM md WHERE dist > 0 GROUP BY node""".stripMargin,
+    // sssp_weighted: 6 unrolled min-plus relaxation rounds — integer
+    // cents make every min/+ exact; a converged earlier round is a
+    // fixpoint, so extra unrolled rounds replay the same rows the
+    // engine's early exit returns
+    "sssp_weighted" -> {
+      val relax = (k: Int) =>
+        s"""r$k AS (SELECT source, node, CAST(min(d) AS BIGINT) AS d FROM (
+           |  SELECT source, node, d FROM r${k - 1} UNION ALL
+           |  SELECT p.source, a.y AS node, p.d + a.w AS d
+           |  FROM r${k - 1} p JOIN adj a ON p.node = a.x) u
+           |GROUP BY source, node)""".stripMargin
+      s"""WITH e0 AS (SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c,
+         |       CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+         |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |und AS (SELECT least(s, c) AS a, greatest(s, c) AS b,
+         |          CAST(sum(w) AS BIGINT) AS w
+         |        FROM e0 WHERE s <> c GROUP BY 1, 2),
+         |adj AS (SELECT a AS x, b AS y, w FROM und
+         |        UNION ALL SELECT b, a, w FROM und),
+         |seeds AS (SELECT DISTINCT x AS node FROM adj ORDER BY node LIMIT 4),
+         |r0 AS (SELECT node AS source, node, CAST(0 AS BIGINT) AS d FROM seeds),
+         |${(1 to 6).map(relax).mkString(",\n")}
+         |SELECT source, node, d AS dist_cost FROM r6""".stripMargin
+    },
     // triangles: the degree-ordered orientation is pure integer plumbing
     // (packed (deg, id) keys), so DuckDB replays the exact wedge/closure
     // joins; UNION ALL mirrors Spark's union-then-count degree aggregate

@@ -800,4 +800,76 @@ object Graph {
       .groupBy("node")
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"${Unit_}L div cast(dist as bigint)")).as("h_micro"))
+
+  /** Multi-source WEIGHTED shortest paths: `rounds` synchronous
+    * Bellman–Ford relaxations over the undirected weighted graph
+    * (per-pair weights summed during canonicalization — non-negative
+    * integer costs, e.g. cents), from the `nSources` smallest node ids.
+    * After `rounds` passes every returned distance is the exact shortest
+    * path using ≤ `rounds` edges — the bounded-hop approximation that,
+    * like [[kCore]]'s fixed peeling, makes the state replayable by any
+    * engine as `rounds` unrolled min-plus joins; once a pass changes
+    * nothing the result IS exact and the loop exits early (detected by
+    * an integer (Σd, count) probe — min-plus state is monotone, so the
+    * pair is unchanged iff the pass changed nothing).
+    *
+    * Scale shape: mirrors [[bfsLevels]] — weighted adjacency
+    * canonicalized + repartitioned + persisted once; each round shuffles
+    * only the `nSources · |V|`-bounded state (one join, one
+    * map-side-combined min aggregate); per-round lineage truncation via
+    * [[graft.plans.Checkpoints]]. Integer sums cannot overflow below
+    * ~10¹⁰ edges of 10⁹-unit weights per path.
+    */
+  def shortestPathsWeighted(edges: DataFrame, nSources: Int = 4,
+      rounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointHandle
+    require(nSources > 0,
+      s"shortestPathsWeighted: nSources must be positive, got $nSources")
+    require(rounds >= 0,
+      s"shortestPathsWeighted: rounds must be >= 0, got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val adj = und.select(col("a").as("x"), col("b").as("y"), col("w"))
+      .union(und.select(col("b").as("x"), col("a").as("y"), col("w")))
+      .repartition(col("x")).persist()
+    adj.count()
+    var state = Checkpoints.truncate(
+      adj.select(col("x").as("node")).distinct()
+        .orderBy(col("node")).limit(nSources)
+        .select(col("node").as("source"), col("node"),
+          lit(0L).as("d")))
+    def probe(s: DataFrame): (Long, Long) = {
+      val r = s.agg(coalesce(sum(col("d")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = probe(state)
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      i += 1
+      val cand = state.join(adj, state("node") === adj("x"))
+        .select(col("source"), col("y").as("node"),
+          (col("d") + col("w")).as("d"))
+      val next = Checkpoints.truncate(
+        state.unionByName(cand)
+          .groupBy("source", "node").agg(min("d").as("d")))
+      val nextSig = probe(next)
+      if (nextSig == sig) {
+        CheckpointHandle.release(next)
+        converged = true
+      } else {
+        CheckpointHandle.release(state)
+        state = next
+        sig = nextSig
+      }
+    }
+    adj.unpersist(blocking = false)
+    val last = state
+    ReleaseRegistry.registerInvalidating("graph.sssp_checkpoint")(
+      () => CheckpointHandle.release(last))
+    last.select(col("source"), col("node"), col("d").as("dist_cost"))
+  }
 }

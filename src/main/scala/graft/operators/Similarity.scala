@@ -131,49 +131,58 @@ object Similarity {
     */
   def projectEmbeddings(embeddings: DataFrame, k: Int = 16): DataFrame = {
     require(k > 0, s"projectEmbeddings: k must be positive, got $k")
-    val w = jlSigns(k, embDims(embeddings))
-    // explode the OUTPUT index from a k-element literal (its inferred
-    // not-empty Generate filter constant-folds away) and compute ONE fold
-    // per (row, j) — posexplode over the computed y array instead makes
-    // InferFiltersFromGenerate duplicate every fold into a pre-Filter,
-    // doubling the operator's CPU (seen in the formatted plan)
-    embeddings
-      .select(col("vec_id"), jlMicro.as("xi"),
-        explode(typedlit((0 until k).toList)).as("j"))
-      .select(col("vec_id"), col("j"),
-        aggregate(
-          zip_with(col("xi"), element_at(typedlit(w), col("j") + 1),
-            (x, sgn) => x * sgn),
-          lit(0L), (acc, e) => acc + e).as("y_micro"))
+    // the y columns come from [[projectColumns]] (native codegen'd dot);
+    // the long form unpivots them through `stack`, NOT posexplode over a
+    // computed array — InferFiltersFromGenerate rewrites ExplodeBase
+    // generators with a pre-Filter that would re-evaluate every fold
+    // (2× CPU, seen in the formatted plan); Stack is not rewritten
+    val k2 = projectColumns(embeddings, k)
+    k2.selectExpr("vec_id",
+      s"stack($k, ${(0 until k).map(j => s"$j, y$j").mkString(", ")}) " +
+        "as (j, y_micro)")
   }
 
   /** [[projectEmbeddings]] in array form: `(vec_id, y: array<bigint>)`. */
   def projectEmbeddingsWide(embeddings: DataFrame, k: Int = 16): DataFrame = {
     require(k > 0, s"projectEmbeddings: k must be positive, got $k")
-    val w = jlSigns(k, embDims(embeddings))
-    val outCols = (0 until k).map { j =>
-      aggregate(
-        zip_with(col("xi"), typedlit(w(j)), (x, sgn) => x * sgn),
-        lit(0L), (acc, e) => acc + e).as(s"y$j")
-    }
-    embeddings.select(col("vec_id"), jlMicro.as("xi"))
-      .select(col("vec_id") +: outCols: _*)
+    projectColumns(embeddings, k)
       .select(col("vec_id"),
         array((0 until k).map(j => col(s"y$j")): _*).as("y"))
   }
 
-  /** The k×dims ±1 JL sign matrix (md5-parity recipe — see
-    * [[projectEmbeddings]]'s scaladoc for the DuckDB replay).
+  /** Shared projection core: one column per output dim, each the NATIVE
+    * codegen'd [[dot]] of the micro-unit vector against its ±1 sign row
+    * (both integral-valued doubles — exact up to 2⁵³, so the long cast
+    * loses nothing; the interpreted `aggregate(zip_with(...))`
+    * formulation it replaces ran outside whole-stage codegen with
+    * per-element boxing — isolated sf0.1 median 1.08 s → see commit).
     */
-  private def jlSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
-    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Seq.tabulate(k, dims)((j, d) => if (h60(s"p:$j:$d") % 2 == 0) 1L else -1L)
+  private def projectColumns(embeddings: DataFrame, k: Int): DataFrame = {
+    val w = jlSigns(k, embDims(embeddings))
+    val outCols = (0 until k).map { j =>
+      graft.functions.VectorFunctions
+        .dotNative(col("xi"), typedlit(w(j)))
+        .cast("long").as(s"y$j")
+    }
+    embeddings.select(col("vec_id"), jlMicro.as("xi"))
+      .select(col("vec_id") +: outCols: _*)
   }
 
-  /** Embedding column in micro-unit integers. */
+  /** The k×dims ±1 JL sign matrix (md5-parity recipe — see
+    * [[projectEmbeddings]]'s scaladoc for the DuckDB replay), as
+    * integral doubles for the native dot.
+    */
+  private def jlSigns(k: Int, dims: Int): Seq[Seq[Double]] = {
+    def h60(s: String): Long = graft.functions.PortableMd5.hash64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq.tabulate(k, dims)((j, d) => if (h60(s"p:$j:$d") % 2 == 0) 1d else -1d)
+  }
+
+  /** Embedding column in micro-unit integers (integral doubles: exact
+    * below 2⁵³, and the native dot consumes `array<double>`).
+    */
   private def jlMicro: Column = expr(
-    "transform(cast(embedding as array<double>), x -> cast(round(x * 1e6) as bigint))")
+    "transform(cast(embedding as array<double>), x -> round(x * 1e6))")
 
   /** Leading dimension count probe (0 on an empty table). */
   private def embDims(embeddings: DataFrame): Int =

@@ -338,6 +338,34 @@ class GraphSpec extends SparkSpec {
       3L -> ((2L, 1500000L)), 4L -> ((2L, 833333L))))
   }
 
+  test("shortestPathsWeighted: relaxation beats the direct edge; dup weights sum") {
+    // 1-2 (w5), 2-3 (w1), 1-3 (w10): from seed 1 the best route to 3 is
+    // 1→2→3 = 6, found only on relaxation round 2; seed 2 reaches both
+    // neighbors directly. The duplicate (1,2) rows must sum to w=5 first.
+    val edges = Seq((1L, 2L, 2L), (1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val got = Graph.shortestPathsWeighted(edges, nSources = 2, rounds = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L), (1L, 2L, 5L), (1L, 3L, 6L),
+      (2L, 2L, 0L), (2L, 1L, 5L), (2L, 3L, 1L)))
+  }
+
+  test("shortestPathsWeighted: bounded rounds cap the hop count; early exit is exact") {
+    // path 1-2-3-4-5 (unit weights): rounds=2 reaches only 2 hops out;
+    // rounds=10 converges early (after round 4 nothing changes) and the
+    // result equals the true shortest paths
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val capped = Graph.shortestPathsWeighted(edges, nSources = 1, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L)))
+    val full = Graph.shortestPathsWeighted(edges, nSources = 1, rounds = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (1L, 4L, 3L), (1L, 5L, 4L)))
+  }
+
   test("bfsLevels: releases its loop state (adjacency + checkpoint generations)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
