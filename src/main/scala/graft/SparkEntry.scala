@@ -272,6 +272,10 @@ object SparkEntry {
     // from the 4 smallest nodes — the oracle unrolls the same rounds
     "sssp_weighted" -> ((s, d) =>
       Graph.shortestPathsWeighted(Graph.tradeEdgesWeighted(s, d))),
+    // personalized PageRank: teleport + dangling mass return to the 4
+    // smallest nodes — integer micro-unit recurrence, oracle-unrolled
+    "ppr" -> ((s, d) =>
+      Graph.personalizedPageRank(Graph.tradeEdges(s, d))),
     // communities = label_prop + rollup; the convenience that resolves,
     // rolls up, and releases its own label cache in one call
     "trade_communities" -> ((s, d) =>
@@ -2573,6 +2577,38 @@ object SparkEntry {
          |r0 AS (SELECT node AS source, node, CAST(0 AS BIGINT) AS d FROM seeds),
          |${(1 to 6).map(relax).mkString(",\n")}
          |SELECT source, node, d AS dist_cost FROM r6""".stripMargin
+    },
+    // ppr: 3 unrolled rounds of the seed-teleport recurrence — every
+    // division truncating (`//` == Spark `div` on non-negative mass),
+    // the two-step teleport parenthesization replayed exactly
+    "ppr" -> {
+      val round = (k: Int) =>
+        s"""c$k AS (SELECT e.dst AS node, CAST(sum(r${k - 1}.r // od.od) AS BIGINT) AS c
+           |     FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |     JOIN od ON e.src = od.src GROUP BY e.dst),
+           |d$k AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+           |     FROM r${k - 1} LEFT JOIN od ON r${k - 1}.node = od.src
+           |     WHERE od.src IS NULL),
+           |r$k AS (SELECT nodes.node,
+           |     CAST(CASE WHEN sd.node IS NOT NULL
+           |          THEN t + (85 * (dang // s)) // 100
+           |               + (85 * coalesce(c$k.c, 0)) // 100
+           |          ELSE (85 * coalesce(c$k.c, 0)) // 100 END AS BIGINT) AS r
+           |     FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node
+           |     LEFT JOIN sd ON nodes.node = sd.node
+           |     CROSS JOIN d$k CROSS JOIN ns CROSS JOIN tl)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+         |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |sd AS (SELECT node FROM nodes ORDER BY node LIMIT 4),
+         |ns AS (SELECT count(*) AS s FROM sd),
+         |tl AS (SELECT CAST(((15 * n * 1000000) // 100) // s AS BIGINT) AS t
+         |     FROM nn CROSS JOIN ns),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, r AS rank_micro FROM r3""".stripMargin
     },
     // triangles: the degree-ordered orientation is pure integer plumbing
     // (packed (deg, id) keys), so DuckDB replays the exact wedge/closure

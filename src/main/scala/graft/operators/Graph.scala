@@ -801,6 +801,94 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"${Unit_}L div cast(dist as bigint)")).as("h_micro"))
 
+  /** Personalized PageRank (random walk with restart): the teleport mass
+    * — and the dangling mass — return to a fixed SEED set instead of
+    * spreading uniformly, so ranks measure proximity to the seeds (the
+    * seed-relevance prior used to expand a trusted core: given verified
+    * suppliers/domains, score everything by walk-closeness to them).
+    * Seeds are the `nSeeds` smallest node ids (deterministic, like
+    * [[bfsLevels]]); every node starts at `Unit_` so total mass matches
+    * [[pageRank]]'s `n·10⁶`.
+    *
+    * Integer recurrence, truncating at every division exactly like
+    * [[pageRank]] (any engine replays it bit-for-bit):
+    * `T = (((dampDen−dampNum)·n·Unit_) div dampDen) div s` per seed, and
+    * `r'(v) = [v∈S]·(T + extra) + (dampNum·c(v)) div dampDen` where
+    * `extra = (dampNum·(dang div s)) div dampDen`.
+    *
+    * Scale shape: identical to [[pageRank]] — the seed flag rides the
+    * cached rank table (resolved once), each round is the shared
+    * edge-layout join + one map-side-combined sum + a scalar dangling
+    * aggregate, with per-round lineage truncation.
+    */
+  def personalizedPageRank(edges: DataFrame, nSeeds: Int = 4,
+      iters: Int = 3, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointHandle
+    require(nSeeds > 0,
+      s"personalizedPageRank: nSeeds must be positive, got $nSeeds")
+    val e = prepareUniform(edges)
+    val contrib = uniformContrib(e)
+    val srcs = e.select(col("src")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = nodes.orderBy(col("node")).limit(nSeeds)
+      .select(col("node").as("snode"))
+    val nodesF = nodes.as("n")
+      .join(srcs.as("s"), col("n.node") === col("s.src"), "left")
+      .join(seedSet, col("n.node") === col("snode"), "left")
+      .select(col("n.node").as("node"), col("s.src").isNull.as("dng"),
+        col("snode").isNotNull.as("seed"))
+      .persist()
+    val nNodes = nodesF.count()
+    val nSeedsActual = math.min(nSeeds.toLong, nNodes)
+    // per-seed teleport: two truncating divisions, in this exact order
+    // (the oracle replays the same parenthesization)
+    val tele =
+      if (nSeedsActual == 0) 0L
+      else ((dampDen - dampNum) * nNodes * Unit_ / dampDen) / nSeedsActual
+    var current: DataFrame =
+      nodesF.withColumn("r", lit(Unit_)).persist()
+    var liveCheckpoint: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val r = current
+      val ct = contrib(r)
+      val dang = r.where(col("dng"))
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val extra =
+        if (nSeedsActual == 0) 0L
+        else dampNum * (dang / nSeedsActual) / dampDen
+      var next = r.select(col("node"), col("dng"), col("seed"))
+        .join(ct, Seq("node"), "left")
+        .select(col("node"), col("dng"), col("seed"),
+          (when(col("seed"), lit(tele + extra)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(c, 0L)) div $dampDen")).as("r"))
+        .persist()
+      next.count()
+      if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
+      if (i < iters) {
+        val t = Checkpoints.truncate(next)
+        next.unpersist()
+        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+        liveCheckpoint = Some(t)
+        next = t
+      }
+      current = next
+    }
+    val fin = current
+    val finCp = liveCheckpoint
+    ReleaseRegistry.register("graph.ppr")(() => {
+      e.unpersist(blocking = false)
+      nodesF.unpersist(blocking = false)
+      if (!finCp.exists(_ eq fin)) fin.unpersist(blocking = false)
+    })
+    finCp.foreach { c =>
+      ReleaseRegistry.registerInvalidating("graph.ppr_checkpoint")(
+        () => CheckpointHandle.release(c))
+    }
+    fin.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** Multi-source WEIGHTED shortest paths: `rounds` synchronous
     * Bellman–Ford relaxations over the undirected weighted graph
     * (per-pair weights summed during canonicalization — non-negative

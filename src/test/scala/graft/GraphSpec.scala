@@ -366,6 +366,44 @@ class GraphSpec extends SparkSpec {
       (1L, 4L, 3L), (1L, 5L, 4L)))
   }
 
+  test("personalizedPageRank: hand-computed seed-teleport ranks") {
+    // A→B, B→A, B→C; seed {A} (smallest id); C dangling. Worked by hand
+    // with T = ((15·3·10⁶) div 100) div 1 = 450000 and the recurrence
+    // r'(v) = [v∈S]·(T + (85·(dang div s)) div 100) + (85·c(v)) div 100:
+    //   r1: A=1725000  B= 850000  C=425000
+    //   r2: A=1172500  B=1466250  C=361250
+    //   r3: A=1380218  B= 996625  C=623156   (mass 2999999 — dust 1)
+    val edges = Seq(("A", "B"), ("B", "A"), ("B", "C")).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, nSeeds = 1, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("A" -> 1380218L, "B" -> 996625L, "C" -> 623156L))
+  }
+
+  test("personalizedPageRank: all-dangling seeds absorb the full mass") {
+    // bipartite S→C with dangling seeds {C1, C2}: after one round the
+    // suppliers hold nothing and teleport+dangling recycle keeps the
+    // whole n·10⁶ mass on the seeds — a fixpoint by round 2
+    val edges = Seq(("S1", "C1"), ("S1", "C2"), ("S2", "C1")).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, nSeeds = 2, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "C1" -> 2000000L, "C2" -> 2000000L, "S1" -> 0L, "S2" -> 0L))
+    assert(got.values.sum === 4L * 1000000L)
+  }
+
+  test("shortestPathsWeighted and personalizedPageRank release their loop state") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(Graph.shortestPathsWeighted(edges, nSources = 1).count() === 3L)
+    assert(Graph.personalizedPageRank(
+      edges.select($"src", $"dst"), nSeeds = 1).count() === 3L)
+    graft.plans.ReleaseRegistry.drain()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"loop state left pinned: $leaked")
+  }
+
   test("bfsLevels: releases its loop state (adjacency + checkpoint generations)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
