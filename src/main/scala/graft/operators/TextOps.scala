@@ -151,21 +151,31 @@ object TextOps {
     * (doc_id, chunk_id) is a stable chunk key under repartitioning and
     * re-runs (ready to join embeddings back to their source spans).
     *
-    * Scale shape: pure row-local explode — no shuffle at any corpus size;
-    * downstream embedding/ANN stages decide their own partitioning.
+    * Scale shape: one bounded repartition of the raw text (the
+    * interpreted chunk transform must not be gated by input-split
+    * count), then a row-local explode; downstream embedding/ANN stages
+    * decide their own partitioning.
     */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
       overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       "overlap must be in [0, chunkTokens)")
     val step = chunkTokens - overlap
+    // repartition + posexplode_outer: the [[Dedup.shingles]] rules — the
+    // chunk transform is interpreted, so spread it across cores (one
+    // bounded shuffle of the raw text) and keep the optimizer's inferred
+    // size() filter from re-evaluating it per row
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), posexplode_outer(expr(
         s"""transform(
            |  sequence(1, greatest(cast(ceil((size(toks) - $overlap) / $step.0) as int), 1)),
            |  i -> concat_ws(' ', slice(toks, (i - 1) * $step + 1, $chunkTokens)))"""
           .stripMargin)).as(Seq("chunk_id", "chunk_text")))
+      .where(col("chunk_text").isNotNull)
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
   }
 
@@ -464,12 +474,19 @@ object TextOps {
     * corpus.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    // repartition + explode_outer: the [[Dedup.shingles]] rules (spread
+    // the interpreted transform across cores; don't let the inferred
+    // size() filter re-evaluate it)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val spans = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
         .as("g"))
+      .where(col("g").isNotNull)
       .select(col("doc_id"), Dedup.portableHash64(col("g")).as("h"))
     val grouped = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
     val dup = grouped.groupBy("h").agg(sum("cnt").as("c")).where(col("c") > 1)
@@ -501,11 +518,20 @@ object TextOps {
     * [[CorpusPipeline]]'s explicit gate style).
     */
   def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    // repartition BEFORE the interpreted segment transform and explode
+    // through `_outer` (+ null filter) — the [[Dedup.shingles]] rules: a
+    // single-file corpus otherwise segments in ONE task (10× soak: 5.4 s
+    // of task time on one core), and plain `explode` makes the optimizer
+    // infer a size() filter that re-evaluates the interpreted transform
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val segs = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr(
         s"transform(sequence(0, cast(ceil(size(toks) / $k.0) as int) - 1), " +
           s"i -> struct(i as s, concat_ws(' ', slice(toks, i * $k + 1, $k)) as seg))")).as("e"))
+      .where(col("e").isNotNull)
       .select(col("doc_id"), col("e.s").as("s"), col("e.seg").as("seg"))
       .withColumn("h", Dedup.portableHash64(col("seg")))
     val w = Window.partitionBy("h").orderBy("doc_id", "s")
