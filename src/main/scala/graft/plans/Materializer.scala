@@ -164,6 +164,84 @@ object Materializer {
     }
   }
 
+  /** What one [[sweep]] pass did: entries examined, entries deleted,
+    * bytes reclaimed, and entries left alone because a writer's claim was
+    * live (the reference cache's `is_locked()` skip).
+    */
+  final case class SweepStats(scanned: Int, deleted: Int, bytesFreed: Long,
+      skippedClaimed: Int)
+
+  /** Bounded-cache eviction sweep — the Spark-side twin of the reference
+    * cache's capacity fit (`/root/reference/src/orthrus/cache.hh:88-128`:
+    * `update_size` walks total size and `try_fit_size` deletes from the
+    * LRU tail, skipping locked entries, until under capacity). Here the
+    * recency signal is each entry's `_SUCCESS` mtime (set once at commit —
+    * insertion order, the cheap monotone approximation of LRU that needs
+    * no per-read metadata write) and
+    * the lock is the writer claim file, so the sweep composes with
+    * [[lookupOrCompute]]'s protocol instead of racing it:
+    *
+    *  - an entry with a live `<fp>._claim` is IN FLIGHT — never touched,
+    *    whatever its size or age (deleting under a writer would tear the
+    *    write it is about to commit);
+    *  - torn leftovers (directory, no `_SUCCESS`, no claim — a crashed
+    *    writer) are junk and reclaimed unconditionally;
+    *  - completed entries age out past `maxAgeMs`, then the OLDEST
+    *    completed entries go first until the namespace fits `maxBytes`.
+    *
+    * Deletion drops the `_SUCCESS` marker before the data so a
+    * concurrently-arriving reader observes a miss (and recomputes through
+    * the normal claim path) rather than a half-deleted parquet directory.
+    * A reader that already resolved its plan against the entry keeps
+    * whatever blocks it opened — run sweeps at job boundaries on shared
+    * caches. Listing and deletion are driver-side metadata calls bounded
+    * by entry COUNT (not data volume): `getContentSummary` is one
+    * namespace call per entry, so a 100 TB cache with thousands of
+    * entries sweeps in seconds.
+    */
+  def sweep(spark: SparkSession, cacheDir: String,
+      maxBytes: Long = Long.MaxValue, maxAgeMs: Long = Long.MaxValue): SweepStats = {
+    val root = new Path(cacheDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return SweepStats(0, 0, 0L, 0)
+    val now = System.currentTimeMillis
+    final case class Entry(path: Path, bytes: Long, mtime: Long, complete: Boolean)
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+    var skippedClaimed = 0
+    val entries = dirs.toSeq.flatMap { st =>
+      if (fs.exists(new Path(root, st.getPath.getName + "._claim"))) {
+        skippedClaimed += 1; None
+      } else {
+        val marker = successMarker(st.getPath.toString)
+        val complete = fs.exists(marker)
+        val mtime =
+          if (complete) fs.getFileStatus(marker).getModificationTime
+          else st.getModificationTime
+        Some(Entry(st.getPath, fs.getContentSummary(st.getPath).getLength,
+          mtime, complete))
+      }
+    }
+    var deleted = 0
+    var freed = 0L
+    def drop(e: Entry): Unit = {
+      val marker = successMarker(e.path.toString)
+      if (fs.exists(marker)) fs.delete(marker, false)
+      fs.delete(e.path, true)
+      deleted += 1
+      freed += e.bytes
+    }
+    val (torn, complete) = entries.partition(!_.complete)
+    torn.foreach(drop)
+    val (aged, fresh) = complete.partition(e => now - e.mtime > maxAgeMs)
+    aged.foreach(drop)
+    var live = fresh.map(_.bytes).sum
+    for (e <- fresh.sortBy(_.mtime) if live > maxBytes) {
+      drop(e)
+      live -= e.bytes
+    }
+    SweepStats(dirs.length, deleted, freed, skippedClaimed)
+  }
+
   /** Drop one materialization (or the whole cache namespace with `op=None`). */
   def invalidate(spark: SparkSession, cacheDir: String, key: Option[CacheKey] = None): Unit = {
     val dir = key match {

@@ -83,6 +83,73 @@ class MaterializerSpec extends SparkSpec {
       "the loser must wait for the winner's marker, not double-write the target")
   }
 
+  test("sweep: over-budget cache shrinks oldest-first, claimed entry " +
+    "survives, swept lookup recomputes") {
+    val cacheDir = Files.createTempDirectory("graft-mat-sweep").toString
+    val computeCount = new AtomicInteger(0)
+    def keyFor(i: Int) = CacheKey("sw", Map("i" -> i.toString), Seq.empty)
+    def run(i: Int) = Materializer.lookupOrCompute(spark, cacheDir, keyFor(i)) {
+      computeCount.incrementAndGet()
+      Seq.tabulate(200)(j => (j.toLong, s"payload-$i-$j")).toDF("id", "v")
+    }
+    // three completed entries with strictly increasing _SUCCESS mtimes
+    (1 to 3).foreach { i =>
+      run(i).count()
+      val marker = java.nio.file.Paths.get(cacheDir,
+        Materializer.fingerprint(spark, keyFor(i)), "_SUCCESS")
+      java.nio.file.Files.setLastModifiedTime(marker,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * i))
+    }
+    assert(computeCount.get() === 3)
+    // a fourth entry is mid-write: claim file present, no _SUCCESS
+    val claimed = java.nio.file.Paths.get(cacheDir, "deadbeef")
+    java.nio.file.Files.createDirectories(claimed)
+    java.nio.file.Files.write(claimed.resolve("part-0"), Array.fill(4096)(1: Byte))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(cacheDir, "deadbeef._claim"))
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val w = java.nio.file.Files.walk(p)
+      try w.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally w.close()
+    }
+    val completeBytes = (1 to 3).map(i => dirBytes(java.nio.file.Paths.get(
+      cacheDir, Materializer.fingerprint(spark, keyFor(i))))).toSeq
+    // budget fits the two newest completed entries but not all three
+    val budget = completeBytes.tail.sum + completeBytes.head / 2
+    val stats = Materializer.sweep(spark, cacheDir, maxBytes = budget)
+    assert(stats.skippedClaimed === 1, "in-flight claim must be untouched")
+    assert(stats.deleted === 1, "exactly the oldest completed entry goes")
+    assert(java.nio.file.Files.exists(claimed.resolve("part-0")),
+      "claimed entry's data must survive the sweep")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cacheDir,
+      Materializer.fingerprint(spark, keyFor(1)))))
+    // swept entry recomputes; surviving entries still serve from cache
+    run(1).count(); run(2).count(); run(3).count()
+    assert(computeCount.get() === 4)
+  }
+
+  test("sweep: maxAge evicts stale completed entries and torn leftovers") {
+    val cacheDir = Files.createTempDirectory("graft-mat-age").toString
+    val key = CacheKey("age", Map(), Seq.empty)
+    Materializer.lookupOrCompute(spark, cacheDir, key) {
+      Seq(1).toDF("x")
+    }.count()
+    val marker = java.nio.file.Paths.get(cacheDir,
+      Materializer.fingerprint(spark, key), "_SUCCESS")
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(1000L)) // ancient
+    // torn leftover: directory without _SUCCESS or claim (crashed writer)
+    val torn = java.nio.file.Paths.get(cacheDir, "0123456789abcdef")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-0"), Array[Byte](1, 2, 3))
+    val stats = Materializer.sweep(spark, cacheDir,
+      maxAgeMs = 24L * 3600 * 1000)
+    assert(stats.deleted === 2)
+    assert(!java.nio.file.Files.exists(torn))
+    assert(!java.nio.file.Files.exists(marker.getParent))
+  }
+
   test("invalidate forces recompute") {
     val cacheDir = Files.createTempDirectory("graft-mat2").toString
     val computeCount = new AtomicInteger(0)
