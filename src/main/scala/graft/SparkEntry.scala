@@ -229,6 +229,13 @@ object SparkEntry {
     // doc-granularity mixture realization: greedy fill of per-source
     // token budgets, exact integer replay
     "token_budget_fill" -> ((s, d) => TextOps.tokenBudgetFill(Tables.documents(s, d))),
+    // iterated BPE trainer: 8 rounds of heaviest-pair merge over the
+    // vocabulary-bounded unique-word table
+    "bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
+    // token_budget_fill with the budget in REAL tokens: the corpus's own
+    // 8-merge BPE table encodes every doc row-locally before the fill
+    "token_budget_fill_bpe" -> ((s, d) =>
+      TextOps.tokenBudgetFillBpe(Tables.documents(s, d))),
     // curation-funnel observability: cumulative doc/token survival
     // through the five standard filter stages
     "filter_cascade" -> ((s, d) => TextOps.filterCascade(Tables.documents(s, d))),
@@ -2364,6 +2371,11 @@ object SparkEntry {
         |SELECT source, min(budget_tokens) AS budget_tokens,
         |       count(*)::BIGINT AS n_docs_kept, sum(tok)::BIGINT AS tokens_kept
         |FROM r WHERE cum_before < budget_tokens GROUP BY source""".stripMargin,
+    // unrolled 8-round BPE training replay (generated: bpeRoundCtes)
+    "bpe_merges" -> bpeMergesOracle(8),
+    // the same 8 winners applied to every document word (nested
+    // list_reduce folds), then the integer greedy fill
+    "token_budget_fill_bpe" -> tokenBudgetFillBpeOracle(8),
     "kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -3498,6 +3510,80 @@ object SparkEntry {
       .mkString(" + ")
     s"""SELECT event_id, user_id, round(($num) / ($den), 4) AS ewma
        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  }
+
+  /** Shared CTE chain replaying [[graft.operators.TextOps.bpeMerges]]'s
+    * training rounds, unrolled (the engine's established fixed-iteration
+    * oracle pattern): `v0` is the char symbolization of the unique-word
+    * table; round r counts adjacent pairs (`c\$r`), picks the winner
+    * (`w\$r` — max count, ties on binary pair order), and folds it into
+    * the vocabulary (`v\$r`) with the SAME flush-append list fold the
+    * Spark side runs (append without separator exactly when the
+    * accumulator's last symbol is lhs and the element is rhs).
+    */
+  private def bpeRoundCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      s"""c$r AS (SELECT sy[i] AS lhs, sy[i+1] AS rhs, sum(cnt)::BIGINT AS n_occ
+         |        FROM v${r - 1}, unnest(generate_series(1, len(sy)-1)) AS t(i)
+         |        GROUP BY 1, 2),
+         |w$r AS (SELECT lhs, rhs, n_occ FROM c$r
+         |        ORDER BY n_occ DESC, lhs, rhs LIMIT 1),
+         |v$r AS (SELECT cnt, string_split(list_reduce(sy, (acc, x) ->
+         |          CASE WHEN (acc = lhs OR ends_with(acc, chr(1) || lhs))
+         |                    AND x = rhs
+         |               THEN acc || x ELSE acc || chr(1) || x END),
+         |          chr(1)) AS sy
+         |        FROM v${r - 1} CROSS JOIN w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |      FROM documents WHERE text IS NOT NULL),
+       |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w
+       |       WHERE word <> '' GROUP BY word),
+       |v0 AS (SELECT cnt, string_split(word, '') AS sy FROM wc
+       |       WHERE len(word) >= 2 AND NOT contains(word, chr(1))),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesOracle(n: Int): String = {
+    val union = (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, n_occ FROM w$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeRoundCtes(n)}\n$union"
+  }
+
+  /** [[graft.operators.TextOps.tokenBudgetFillBpe]] replay: the learned
+    * winners cross-join in as scalar columns l1..l\$n/r1..r\$n, every doc
+    * word folds through them in rank order (nested list_reduce, innermost
+    * = char split), and the greedy per-source fill runs on the resulting
+    * real token counts.
+    */
+  private def tokenBudgetFillBpeOracle(n: Int): String = {
+    val mCols = (1 to n).map(r => s"w$r.lhs AS l$r, w$r.rhs AS r$r").mkString(", ")
+    val mFrom = (1 to n).map(r => s"w$r").mkString(", ")
+    val fold = (1 to n).foldLeft("string_split(wd, '')") { (inner, r) =>
+      s"""string_split(list_reduce($inner, (acc, x) ->
+         |  CASE WHEN (acc = l$r OR ends_with(acc, chr(1) || l$r)) AND x = r$r
+         |       THEN acc || x ELSE acc || chr(1) || x END), chr(1))""".stripMargin
+    }
+    s"""WITH ${bpeRoundCtes(n)},
+       |m AS (SELECT $mCols FROM $mFrom),
+       |d AS (SELECT doc_id, source, n_chars,
+       |        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |      FROM documents WHERE text IS NOT NULL),
+       |e AS (SELECT doc_id, source, n_chars,
+       |        coalesce(list_sum(list_transform(ws, wd -> len($fold))), 0)::BIGINT AS tok
+       |      FROM d CROSS JOIN m),
+       |b AS (SELECT source, ((sum(tok) * 30) // 100)::BIGINT AS budget_tokens
+       |      FROM e GROUP BY source),
+       |r AS (SELECT e.source, e.tok, b.budget_tokens,
+       |        coalesce(sum(e.tok) OVER (PARTITION BY e.source
+       |          ORDER BY e.n_chars DESC, e.doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0) AS cum_before
+       |      FROM e JOIN b USING (source))
+       |SELECT source, min(budget_tokens) AS budget_tokens,
+       |       count(*)::BIGINT AS n_docs_kept, sum(tok)::BIGINT AS tokens_kept
+       |FROM r WHERE cum_before < budget_tokens GROUP BY source""".stripMargin
   }
 
   private def profileCustomerOracle: String = {

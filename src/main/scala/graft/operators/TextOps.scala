@@ -1328,6 +1328,149 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(topN)
 
+  /** Separator between symbols inside a BPE symbolization string — a
+    * control char that natural-language corpora never contain (asserted
+    * by [[bpeMerges]]'s vocab filter, which drops any word carrying it
+    * rather than corrupting the fold).
+    */
+  private[graft] val BpeSep = ""
+
+  /** Apply ONE BPE merge `(lhs, rhs)` to a symbol list: left fold where
+    * the accumulator string grows by `x` WITHOUT a [[BpeSep]] separator
+    * exactly when its last symbol is `lhs` and `x` is `rhs` — i.e.
+    * merging is "write the right part flush against the left". This
+    * single left-to-right pass IS canonical greedy BPE application: a
+    * just-merged symbol `lhs+rhs` can never equal `lhs` again (rhs is
+    * non-empty), so no re-merge-within-the-pass ambiguity exists. The
+    * empty accumulator doubles as the "first element" marker (symbols are
+    * never empty), so the fold starts from `lit("")` and `sy` is
+    * referenced EXACTLY ONCE — higher-order functions evaluate
+    * interpreted with no common-subexpression sharing, and a fold that
+    * read its input k times would blow nested-merge expression trees up
+    * k^rounds-fold (measured: 3^8 made an sf0.001 encode run for
+    * minutes). Returns the merged [[BpeSep]]-joined string.
+    */
+  private def bpeApplyOne(sy: Column, lhs: String, rhs: String): Column =
+    aggregate(
+      sy,
+      lit(""),
+      (acc, x) => when(acc === lit(""), x)
+        .when(
+          (acc === lit(lhs) || acc.endsWith(lit(BpeSep + lhs))) && x === lit(rhs),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+
+  /** Iterated BPE merge-table builder — the tokenizer-training loop that
+    * [[bpePairStats]] is the first round of: `nMerges` rounds of
+    * (count adjacent symbol pairs weighted by word frequency → pick the
+    * heaviest pair → merge it everywhere), over the UNIQUE-WORD table.
+    *
+    * Returns the learned merge table `(merge_rank, lhs, rhs, n_occ)` in
+    * rank order — the artifact a BPE tokenizer ships. Ties at the top
+    * break on (lhs, rhs) binary order, deterministic across engines.
+    *
+    * Scale shape: the corpus-scale work is [[wordCount]]'s one
+    * map-side-combined shuffle, ONCE; every round after that runs on the
+    * vocabulary-bounded unique-word table (millions of rows at 100 TB,
+    * not trillions) — one pair explode + hash aggregate and one row-local
+    * fold per round, with per-round lineage truncation
+    * ([[graft.plans.Checkpoints.truncate]]) so round-r plans stay
+    * constant-depth. The per-round winner is a SINGLE collected row
+    * (bounded driver state: `nMerges` rows total) — the same
+    * scalar-probe discipline as the rank loops' convergence tests.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = graft.plans.Checkpoints.truncate(
+      wordCount(docs)
+        .where(length(col("word")) >= 2 && !col("word").contains(BpeSep))
+        .select(col("cnt"),
+          array_join(transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))), BpeSep).as("s")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val sy = split(col("s"), BpeSep)
+      val winner = vocab
+        .where(size(sy) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(sy) - 1),
+          i => struct(element_at(sy, i).as("lhs"),
+            element_at(sy, i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (winner.isEmpty) exhausted = true
+      else {
+        val w = winner.head
+        val (l, rr, n) = (w.getString(0), w.getString(1), w.getLong(2))
+        merges += ((r, l, rr, n))
+        val next = graft.plans.Checkpoints.truncate(
+          vocab.withColumn("s", bpeApplyOne(split(col("s"), BpeSep), l, rr)))
+        org.apache.spark.sql.graft.CheckpointHandle.release(vocab)
+        vocab = next
+      }
+    }
+    org.apache.spark.sql.graft.CheckpointHandle.release(vocab)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_occ")
+      .select(col("merge_rank").cast("int").as("merge_rank"),
+        col("lhs"), col("rhs"), col("n_occ"))
+  }
+
+  /** BPE-encode every document against a learned merge table and return
+    * the per-document REAL token count (`doc_id, source, n_chars,
+    * bpe_tok`): whitespace pre-tokenize, fold each word through the
+    * merges in rank order ([[bpeApplyOne]] per merge), count surviving
+    * symbols. The merge table rides the plan as literals (it is
+    * `nMerges` rows — tokenizer-sized, not data-sized), so the whole
+    * encode is ONE row-local projection: no join, no shuffle, scales
+    * linearly in corpus bytes. This is the encode path a training-shard
+    * writer runs over 100 TB.
+    */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def encodeWord(w: Column): Column = {
+      val init = array_join(
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), BpeSep)
+      val folded = merges.foldLeft(init) {
+        case (s, (l, r)) => bpeApplyOne(split(s, BpeSep), l, r)
+      }
+      size(split(folded, BpeSep)).cast("long")
+    }
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        aggregate(
+          transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
+            w => encodeWord(w)),
+          lit(0L), (acc, x) => acc + x).as("bpe_tok"))
+  }
+
+  /** [[tokenBudgetFill]] with the budget denominated in REAL tokens: the
+    * corpus's own [[bpeMerges]] table BPE-encodes every document and the
+    * greedy per-source fill runs on `bpe_tok` instead of the whitespace
+    * proxy. Same all-integer keep decision, same single source-partitioned
+    * shuffle; the added cost is the row-local encode projection and the
+    * vocabulary-bounded training loop in front.
+    */
+  def tokenBudgetFillBpe(docs: DataFrame, nMerges: Int = 8,
+      budgetPct: Int = 30): DataFrame = {
+    val merges = bpeMerges(docs, nMerges).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val d = applyBpe(docs, merges)
+    val bySrc = Window.partitionBy("source")
+    val w = bySrc.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d
+      .withColumn("total_tok", sum("bpe_tok").over(bySrc))
+      .withColumn("budget_tokens", expr(s"(total_tok * $budgetPct) div 100"))
+      .withColumn("cum_before", coalesce(sum("bpe_tok").over(w), lit(0L)))
+      .where(col("cum_before") < col("budget_tokens"))
+      .groupBy("source")
+      .agg(first("budget_tokens").as("budget_tokens"),
+        count(lit(1)).as("n_docs_kept"),
+        sum("bpe_tok").as("tokens_kept"))
+  }
+
   /** Token-budget mixture realization at DOCUMENT granularity: each
     * source gets a token budget (`budgetPct`% of its own token mass),
     * and docs fill it greedily in (n_chars desc, doc_id) order — longest

@@ -687,6 +687,53 @@ class TextOpsSpec extends SparkSpec {
     assert(e3.count { case (d, p) => d + 1 == p } < n / 10)
   }
 
+  test("bpeMerges learns the hand-computed merge sequence with canonical " +
+    "greedy application between rounds") {
+    // corpus: "aaab" x2, "ab" x1. Round 1: (a,a) weight 4 beats (a,b)
+    // weight 3. Canonical apply: aaab -> [aa, a, b] (NOT [aa, aa?]/[a, aa,
+    // b] — left-to-right greedy). Round 2: (a,b) 2+1=3 beats (aa,a) 2.
+    // Apply: [aa, ab], [ab]. Round 3: (aa, ab) 2.
+    val d = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(d, nMerges = 3)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeMerges stops early when the vocabulary is fully merged") {
+    val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); afterwards every word is one symbol — no
+    // pairs remain, so ranks 2+ must not exist (no degenerate rows)
+    val got = TextOps.bpeMerges(d, nMerges = 5).collect()
+    assert(got.length === 1)
+  }
+
+  test("applyBpe counts canonical-greedy tokens per document") {
+    val d = Seq((7L, "src", 8L, "aaaa aaa b")).toDF("doc_id", "source", "n_chars", "text")
+    // merge (a,a): aaaa -> [aa, aa] = 2; aaa -> [aa, a] = 2; b -> 1
+    val got = TextOps.applyBpe(d, Seq(("a", "a")))
+      .select("doc_id", "bpe_tok").as[(Long, Long)].head()
+    assert(got === ((7L, 5L)))
+    // merges chain in rank order: (a,a) then (aa,aa): aaaa -> [aaaa] = 1
+    val chained = TextOps.applyBpe(d, Seq(("a", "a"), ("aa", "aa")))
+      .select("bpe_tok").as[Long].head()
+    assert(chained === 4L)
+  }
+
+  test("tokenBudgetFillBpe keeps the greedy prefix under a real-token budget") {
+    val d = Seq(
+      (1L, "s", 30L, "aaab aaab aaab aaab"), // longest first
+      (2L, "s", 20L, "aaab aaab"),
+      (3L, "s", 10L, "ab")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val row = TextOps.tokenBudgetFillBpe(d, nMerges = 2, budgetPct = 50).head()
+    // 2 merges: (a,a) then (a,b) -> aaab = [aa, ab] = 2 tokens, ab = 1.
+    // totals: doc1 = 8, doc2 = 4, doc3 = 1 -> total 13, budget 6.
+    // greedy: doc1 starts at 0 < 6 (kept, 8), doc2 starts at 8 >= 6 out.
+    assert(row.getAs[Long]("budget_tokens") === 6L)
+    assert(row.getAs[Long]("n_docs_kept") === 1L)
+    assert(row.getAs[Long]("tokens_kept") === 8L)
+  }
+
   test("interleaveBySource: sources round-robin while ranks stay dense") {
     val docs = Seq(
       (1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
