@@ -53,6 +53,60 @@ object GraftSession {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
 
+  /** One named scheduler pool for [[writePoolFile]]: `weight` is the
+    * pool's share of executors relative to its siblings, `minShare` a
+    * guaranteed core count served before any weight math, `mode` the
+    * INTERNAL ordering among the pool's own jobs (`FAIR` or `FIFO`).
+    */
+  final case class PoolSpec(name: String, weight: Int = 1, minShare: Int = 0,
+      mode: String = "FAIR")
+
+  /** Write a Spark fair-scheduler allocation file and return its path —
+    * the declarative replacement for the reference master's connection
+    * admission loop (`/root/reference/src/master/dht/master.cc:343-366`:
+    * at `max_job` concurrent jobs new arrivals get `nospace` and are
+    * dropped). Spark's model is strictly better at 100 TB: instead of
+    * rejecting job `max_job+1`, FAIR pools keep every submitted query
+    * running at a weighted share of the cluster, and a `minShare` floor
+    * plays the role of an admission guarantee for the interactive pool.
+    * Wire it in with
+    * `.config("spark.scheduler.allocation.file", path)` on [[builder]]
+    * (read once at SparkContext creation), then route each request's
+    * thread through [[inPool]]. Note: under `spark.scheduler.mode=FAIR`
+    * an allocation file is OPTIONAL — pools named at runtime auto-create
+    * with weight 1 — so the file exists to pin weights/floors, not to
+    * enable fairness.
+    */
+  def writePoolFile(path: String, pools: Seq[PoolSpec]): String = {
+    val xml = pools.map { p =>
+      require(p.mode == "FAIR" || p.mode == "FIFO", s"bad mode: ${p.mode}")
+      require(p.name.matches("[A-Za-z0-9_.-]+"), s"bad pool name: ${p.name}")
+      s"""  <pool name="${p.name}">
+         |    <schedulingMode>${p.mode}</schedulingMode>
+         |    <weight>${p.weight}</weight>
+         |    <minShare>${p.minShare}</minShare>
+         |  </pool>""".stripMargin
+    }.mkString("<?xml version=\"1.0\"?>\n<allocations>\n", "\n", "\n</allocations>\n")
+    val target = java.nio.file.Paths.get(path)
+    if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.write(target, xml.getBytes("UTF-8"))
+    path
+  }
+
+  /** Run `body` with every Spark job the CURRENT THREAD submits assigned
+    * to scheduler pool `pool` (a thread-local Spark property — concurrent
+    * request threads each pin their own pool and share executors at the
+    * pool weights; previous assignment restored on exit, so nesting and
+    * thread reuse are safe). Pools not in the allocation file auto-create
+    * with default weight under FAIR mode.
+    */
+  def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
