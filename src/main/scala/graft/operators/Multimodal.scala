@@ -496,26 +496,40 @@ object Multimodal {
       .select(col("media_id"), expr(
         "transform(features, x -> cast(round(cast(x as double) * 1000003) as bigint))")
         .as("ri"))
+      // hoist the row total and dims OUT of the bit fold: higher-order
+      // functions evaluate interpreted with no subexpression sharing, so
+      // a total computed inside the zip_with lambda would re-sum the row
+      // per element — O(dims²) per row, a trap once the feature grid
+      // grows past the 4×4 stub
+      .select(col("media_id"), col("ri"),
+        expr("aggregate(ri, 0L, (a, x) -> a + x)").as("rtot"),
+        size(col("ri")).cast("long").as("nd"))
       .select(col("media_id"), expr(
         """aggregate(
           |  zip_with(ri, sequence(0, size(ri) - 1),
-          |    (r, d) -> if(r * size(ri) > aggregate(ri, 0L, (a, x) -> a + x),
-          |              shiftleft(1L, cast(d as int)), 0L)),
+          |    (r, d) -> if(r * nd > rtot, shiftleft(1L, cast(d as int)), 0L)),
           |  0L, (a, x) -> a + x)""".stripMargin).as("phash"))
 
   /** [[perceptualHash]] + duplicate accounting: per media row, how many
-    * OTHER rows share its hash (`n_dups = |hash bucket| − 1`), via a
-    * hash-partitioned count window — ONE decode pass and ONE shuffle
-    * (the aggregate-then-join-back alternative runs the decode subtree
-    * twice, and decode is the expensive stage at scale). Partitions are
-    * hash buckets (cardinality ≈ corpus size), never global.
+    * OTHER rows share its hash (`n_dups = |hash bucket| − 1`). The hash
+    * frame — (media_id, phash), 16 bytes a row, NOT the payloads — is
+    * persisted behind a count barrier so the decode pass runs ONCE, then
+    * bucket sizes come from a map-side-combined aggregate and join back.
+    * This shape has no skew failure mode: a window partitioned by phash
+    * would funnel a degenerate corpus (every flat image hashing equal)
+    * into one task, while an aggregate pre-combines per input partition
+    * and AQE skew-splits the join if the bucket table is ever large.
+    * Release of the pinned hash frame queues with the registry.
     */
-  def phashDupCounts(media: DataFrame): DataFrame =
-    perceptualHash(media)
-      .select(col("media_id"), col("phash"),
-        (count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("phash")) - 1L)
-          .as("n_dups"))
+  def phashDupCounts(media: DataFrame): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    ph.count() // barrier: one decode pass; only the tiny hash frame pins
+    graft.plans.ReleaseRegistry.register("multimodal.phash_dups")(
+      () => ph.unpersist(blocking = false))
+    val counts = ph.groupBy("phash").agg(count(lit(1)).as("nb"))
+    ph.join(counts, "phash") // AQE broadcasts the bucket table when small
+      .select(col("media_id"), col("phash"), (col("nb") - 1L).as("n_dups"))
+  }
 
   /** Resize stage shape for images: rewrites the payload through the
     * batched codec boundary and stamps the new dimensions into the metadata

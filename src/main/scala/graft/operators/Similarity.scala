@@ -184,10 +184,22 @@ object Similarity {
   private def jlMicro: Column = expr(
     "transform(cast(embedding as array<double>), x -> round(x * 1e6))")
 
-  /** Leading dimension count probe (0 on an empty table). */
-  private def embDims(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding")))
-      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+  /** Dimension count probe (0 on an empty table) — verified UNIFORM with
+    * one map-side-combined min/max aggregate: sizing the JL sign matrix
+    * (or any per-dim structure) from one arbitrary row would let a
+    * mixed-dims corpus silently fold truncated dot products instead of
+    * failing loudly.
+    */
+  private def embDims(embeddings: DataFrame): Int = {
+    val r = embeddings.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).head()
+    if (r.isNullAt(0)) 0
+    else {
+      require(r.getInt(0) == r.getInt(1),
+        s"embedding dims must be uniform, found ${r.getInt(0)}..${r.getInt(1)}")
+      r.getInt(0)
+    }
+  }
 
   /** Scalar digest of [[quantizeEmbeddings]] for engine-portable checks:
     * per-vector dimension count and sum/min/max of the int8 codes. (The raw

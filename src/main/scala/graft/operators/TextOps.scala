@@ -165,10 +165,7 @@ object TextOps {
     // chunk transform is interpreted, so spread it across cores (one
     // bounded shuffle of the raw text) and keep the optimizer's inferred
     // size() filter from re-evaluating it per row
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs
-      .select(col("doc_id"), col("text"))
-      .repartition(par)
+    spreadNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), posexplode_outer(expr(
         s"""transform(
@@ -477,10 +474,7 @@ object TextOps {
     // repartition + explode_outer: the [[Dedup.shingles]] rules (spread
     // the interpreted transform across cores; don't let the inferred
     // size() filter re-evaluate it)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spans = docs
-      .select(col("doc_id"), col("text"))
-      .repartition(par)
+    val spans = spreadNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), explode_outer(expr(
@@ -523,10 +517,7 @@ object TextOps {
     // single-file corpus otherwise segments in ONE task (10× soak: 5.4 s
     // of task time on one core), and plain `explode` makes the optimizer
     // infer a size() filter that re-evaluates the interpreted transform
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val segs = docs
-      .select(col("doc_id"), col("text"))
-      .repartition(par)
+    val segs = spreadNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), explode_outer(expr(
         s"transform(sequence(0, cast(ceil(size(toks) / $k.0) as int) - 1), " +
@@ -1327,6 +1318,19 @@ object TextOps {
       .groupBy("pair").agg(sum("cnt").as("n_occ"))
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(topN)
+
+  /** Spread an interpreted per-row transform across cores WITHOUT ever
+    * coalescing a wider input: repartition up to defaultParallelism only
+    * when the incoming frame has FEWER partitions (a local parquet read
+    * often arrives as a handful of splits); a many-split cluster input is
+    * already distributed and keeps its layout — forcing it to exactly
+    * defaultParallelism would shuffle the whole corpus and could shrink
+    * its parallelism.
+    */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Separator between symbols inside a BPE symbolization string — a
     * control char that natural-language corpora never contain (asserted
