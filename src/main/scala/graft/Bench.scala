@@ -12,6 +12,30 @@ import org.apache.spark.sql.SparkSession
   * would time as a row-count scan).
   */
 object Bench {
+
+  /** The committed artifact's per-query medians, via a REAL JSON parse
+    * (json4s ships on the Spark classpath) — the earlier regex scrape
+    * broke on any format change (pretty-printing, key reordering around
+    * a nested object) and would have silently disabled the regression
+    * guard. Non-numeric / null medians (failed queries) are skipped;
+    * anything unparseable yields an empty map, which [[main]] reports
+    * loudly rather than reading as "no regressions".
+    */
+  private[graft] def parseQueryMedians(txt: String): Map[String, Double] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parseOpt(txt).toSeq.flatMap { j =>
+      j \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JLong(v)) => k -> v.toDouble
+        }
+        case _ => Seq.empty
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,16 +143,8 @@ object Bench {
     // an archaeology project.
     val prevArtifact = java.nio.file.Paths.get("tools/bench_full.json")
     val prevMedians: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(prevArtifact),
-        "UTF-8")
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
-        .map(_.split(",").flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) if v != "null" =>
-              Some(k.replace("\"", "") -> v.toDouble)
-            case _ => None
-          }
-        }.toMap).getOrElse(Map.empty)
+      parseQueryMedians(new String(
+        java.nio.file.Files.readAllBytes(prevArtifact), "UTF-8"))
     } catch { case _: Throwable => Map.empty[String, Double] }
     // a present-but-unparseable artifact must not silently disable the
     // regression guard (a format drift would otherwise read as "no

@@ -729,14 +729,18 @@ object Graph {
     * usually much smaller) frontier moves. State is `nSources · |V|`
     * rows worst-case — linear in the graph for a constant sample, never
     * the all-pairs quadratic. Each round is one join + distinct + one
-    * anti-join against the visited set (a union of ≤ `maxDepth`
-    * already-truncated frontier generations, so the plan stays
-    * constant-depth per round); no broadcast hints — frontier and
-    * visited sizes are data-dependent, Catalyst/AQE picks the strategy.
-    * The loop exits early when a frontier comes back empty (the count
-    * doubles as the materialization barrier). Per-round lineage
-    * truncation via [[graft.plans.Checkpoints.truncate]] (local by
-    * default, reliable under `graft.checkpoint.dir`).
+    * anti-join against a SINGLE cumulative visited frame, maintained as
+    * its own truncated generation per round (`visited ∪ next`, then
+    * truncate): the anti-join stays one-leg at ANY depth, where the
+    * earlier re-union of every frontier generation grew the plan by one
+    * leg per round and made deep traversals pay O(depth) plan nodes per
+    * round. No broadcast hints — frontier and visited sizes are
+    * data-dependent, Catalyst/AQE picks the strategy. The loop exits
+    * early when a frontier comes back empty (the count doubles as the
+    * materialization barrier). Per-round lineage truncation via
+    * [[graft.plans.Checkpoints.truncate]] (local by default, reliable
+    * under `graft.checkpoint.dir`); superseded visited/frontier
+    * generations release as soon as their successor materializes.
     */
   def bfsLevels(edges: DataFrame, nSources: Int = 8,
       maxDepth: Int = 6): DataFrame = {
@@ -755,13 +759,12 @@ object Graph {
       adj.select(col("x").as("node")).distinct()
         .orderBy(col("node")).limit(nSources)
         .select(col("node").as("source"), col("node"), lit(0).as("dist")))
-    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
+    var visited = f0
     var frontier = f0
     var d = 0
     var done = f0.count() == 0L // empty graph: nothing to expand
     while (d < maxDepth && !done) {
       d += 1
-      val visited = frontiers.reduce(_ union _)
       val next = Checkpoints.truncate(
         frontier.join(adj, frontier("node") === adj("x"))
           .select(col("source"), col("y").as("node")).distinct()
@@ -771,16 +774,23 @@ object Graph {
         CheckpointHandle.release(next)
         done = true
       } else {
-        frontiers += next
+        val grown = Checkpoints.truncate(visited.union(next))
+        // superseded generations: the old frontier (= old visited in
+        // round 1 — release exactly once) and the old visited
+        if (frontier ne visited) CheckpointHandle.release(frontier)
+        CheckpointHandle.release(visited)
         frontier = next
+        visited = grown
       }
     }
     adj.unpersist(blocking = false)
-    frontiers.foreach { f =>
-      ReleaseRegistry.registerInvalidating("graph.bfs_checkpoint")(
-        () => CheckpointHandle.release(f))
-    }
-    frontiers.reduce(_ union _)
+    // the last frontier's rows are folded into `visited`, which is an
+    // independent truncated generation — the frontier frame can go now
+    if (frontier ne visited) CheckpointHandle.release(frontier)
+    val out = visited
+    ReleaseRegistry.registerInvalidating("graph.bfs_checkpoint")(
+      () => CheckpointHandle.release(out))
+    out
   }
 
   /** Sampled harmonic centrality (Eppstein–Wang estimator shape): for

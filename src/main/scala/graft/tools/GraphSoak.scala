@@ -77,9 +77,19 @@ object GraphSoak {
       Graph.kCore(edges, k = 70, rounds = 4, broadcastMaxRows = 0L))
     timed("assortativity")(Graph.assortativity(edges))
     timed("bfs_levels")(Graph.bfsLevels(edges))
+    // deep traversal: with the single cumulative visited frame each round
+    // is the same 2-join plan at depth 12 as at depth 6 — wall must grow
+    // with FRONTIER WORK only, never with plan legs per round
+    timed("bfs_levels_depth12")(Graph.bfsLevels(edges, maxDepth = 12))
     timed("harmonic_centrality")(Graph.harmonicCentrality(edges))
     if (sys.env.contains("SPARK_GRAFT_SOAK_TRIANGLES"))
       timed("triangles")(Graph.triangleCounts(edges))
     spark.stop()
+    // reclaim the replicated edge list — repeated soaks would otherwise
+    // stack multi-GB parquet trees in the temp filesystem
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
   }
 }
