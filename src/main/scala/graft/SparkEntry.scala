@@ -250,6 +250,9 @@ object SparkEntry {
     // arithmetic (truncating div at every step) so per-group sums are
     // order-independent and the 3-iteration cascade hash-matches
     "pagerank" -> ((s, d) => Graph.pageRank(Graph.tradeEdges(s, d))),
+    // truncated Katz series over the trade graph: unnormalized in-sums,
+    // no dangling recycling — the shared iterate loop minus one job/round
+    "katz" -> ((s, d) => Graph.katzCentrality(Graph.tradeEdges(s, d))),
     // per-part triangle counts over the co-purchase graph — degree-ordered
     // orientation (integer-keyed), so the oracle replays the exact joins
     "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
@@ -2492,6 +2495,10 @@ object SparkEntry {
     // pagerank: 3 integer-arithmetic iterations — `//` (floor div) equals
     // Spark's `div` truncation on the all-positive rank mass, and every
     // BIGINT sum is cast back from DuckDB's HUGEINT
+    // 3 unrolled Katz rounds: beta 800000 = unit*(100-20) div 100, alpha
+    // 20/100, contribution = plain in-neighbor sum (no degree split, no
+    // dangling term) — mirrors Graph.katzCentrality's integer steps
+    "katz" -> katzOracle(3),
     "pagerank" ->
       """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
         |                  o_custkey * 2 + 1 AS dst
@@ -3542,6 +3549,30 @@ object SparkEntry {
        |v0 AS (SELECT cnt, string_split(word, '') AS sy FROM wc
        |       WHERE len(word) >= 2 AND NOT contains(word, chr(1))),
        |$rounds""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.operators.Graph.katzCentrality]]:
+    * `r0 = unit`, `r_k = beta + (alphaNum · in-sum) div alphaDen` with
+    * beta = `unit·(alphaDen−alphaNum) div alphaDen` evaluated here the
+    * same way the Scala literal is.
+    */
+  private def katzOracle(iters: Int): String = {
+    val (unit, aNum, aDen) = (1000000L, 20L, 100L)
+    val beta = unit * (aDen - aNum) / aDen
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, CAST(sum(r${k - 1}.r) AS BIGINT) AS c
+         |       FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node GROUP BY e.dst),
+         |r$k AS (SELECT nodes.node,
+         |         CAST($beta + ($aNum * coalesce(c$k.c, 0)) // $aDen AS BIGINT) AS r
+         |       FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
+       |                  o_custkey * 2 + 1 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS katz_micro FROM r$iters""".stripMargin
   }
 
   private def bpeMergesOracle(n: Int): String = {

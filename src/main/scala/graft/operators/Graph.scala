@@ -194,7 +194,7 @@ object Graph {
     */
   private def iterate(e: DataFrame, contrib: DataFrame => DataFrame,
       iters: Int, dampNum: Long, dampDen: Long,
-      stopDeltaMicro: Long): RankResult = {
+      stopDeltaMicro: Long, redistributeDangling: Boolean = true): RankResult = {
     import org.apache.spark.sql.graft.CheckpointHandle
     // whether a node dangles (no out-edges) never changes — resolve it
     // ONCE as a flag carried on the rank table, so each iteration's
@@ -224,11 +224,13 @@ object Graph {
       // one tiny job over the cached rank table; both operands of the
       // share are non-negative, so Scala's / == SQL's truncating div and
       // the integer replay contract is untouched
-      val dangMass = r.where(col("dng"))
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      // empty graph: no rows exist for the expression to touch, but the
-      // scalar division must still not throw
-      val share = if (nNodes == 0) 0L else dangMass / nNodes
+      // Katz-style recurrences keep β fixed instead of recycling dangling
+      // mass — skipping the probe saves one job per round there. Empty
+      // graph: no rows exist, but the scalar division must still not throw
+      val share =
+        if (!redistributeDangling || nNodes == 0) 0L
+        else r.where(col("dng"))
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0) / nNodes
       val stepped = r.select(col("node"), col("dng"), col("r").as("r_old"))
         .join(ct, Seq("node"), "left")
         .select(col("node"), col("dng"), col("r_old"),
@@ -294,6 +296,55 @@ object Graph {
         () => CheckpointHandle.release(c))
     }
     RankResult(ranks, i, release, releaseAll)
+  }
+
+  /** Edge prep without the out-degree column (Katz's contribution is an
+    * UNNORMALIZED in-neighbor sum — pre-joining a degree nobody reads
+    * would pay an aggregate + join at prep for nothing): dedup, lay out
+    * on `src` once, persist.
+    */
+  private def preparePlain(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
+    e.count() // barrier: materialize before the iteration chain re-reads
+    e
+  }
+
+  /** Unnormalized contribution: each in-neighbor donates its full score
+    * (`Σ_{j→i} r_j` — the Katz recurrence's matrix term). One join + one
+    * map-side-combined sum per iteration on the cached edge layout.
+    */
+  private def plainContrib(e: DataFrame): DataFrame => DataFrame =
+    r => e.join(r, e("src") === r("node"))
+      .select(col("dst").as("node"), col("r").as("c"))
+      .groupBy("node").agg(sum("c").as("c"))
+
+  /** Bounded-round Katz centrality `x ← β + α·Aᵀx` in integer
+    * micro-units, with the attenuation `α = alphaNum/alphaDen` and
+    * `β = (1−α)·unit` (the scaling that keeps scores commensurate with
+    * the other rank variants' micro-units and every step exactly
+    * integer: `β_micro = unit·(alphaDen−alphaNum) div alphaDen`).
+    * Unlike PageRank, a node's donation is NOT split across its
+    * out-edges and dangling mass is NOT recycled — Katz counts
+    * attenuated walk arrivals, so high-out-degree hubs radiate full
+    * strength to every neighbor. Fixed `iters` rounds = the k-truncated
+    * Katz series, replayable exactly by unrolled CTEs.
+    *
+    * Scale shape: identical to [[pageRank]] — the shared [[iterate]]
+    * loop (edges partitioned+persisted once, rank table the only moving
+    * state, per-round persist + lineage truncation), minus the one
+    * dangling-mass job per round the `redistributeDangling=false` switch
+    * removes.
+    */
+  def katzCentrality(edges: DataFrame, iters: Int = 3,
+      alphaNum: Long = 20L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"katz: need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val e = preparePlain(edges)
+    val res = iterate(e, plainContrib(e), iters, alphaNum, alphaDen,
+      stopDeltaMicro = -1L, redistributeDangling = false)
+    ReleaseRegistry.register("graph.katz")(res.release)
+    res.ranks.select(col("node"), col("rank_micro").as("katz_micro"))
   }
 
   /** The supplier→customer trade graph: one directed edge per (supplier,

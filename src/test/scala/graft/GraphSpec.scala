@@ -18,6 +18,20 @@ class GraphSpec extends SparkSpec {
       "S1" -> 678858L, "S2" -> 678858L, "C1" -> 1642280L, "C2" -> 999999L))
   }
 
+  test("katzCentrality: hand-computed 3-round truncated series") {
+    // 1→2, 3→2, 2→4; unit 1e6, alpha 20/100, beta 800000. No degree
+    // split, no dangling recycling:
+    //   r1: {1:800000, 3:800000, 2:1200000, 4:1000000}
+    //   r2: {2: 800000+(20·1600000)//100 = 1120000, 4: 800000+240000}
+    //   r3: {2: 1120000, 4: 800000+(20·1120000)//100 = 1024000}
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.katzCentrality(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Map(
+      1L -> 800000L, 2L -> 1120000L, 3L -> 800000L, 4L -> 1024000L))
+  }
+
   test("pageRank: duplicate edges collapse; rank mass is conserved minus dust") {
     val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
       .toDF("src", "dst")
