@@ -253,6 +253,9 @@ object SparkEntry {
     // truncated Katz series over the trade graph: unnormalized in-sums,
     // no dangling recycling — the shared iterate loop minus one job/round
     "katz" -> ((s, d) => Graph.katzCentrality(Graph.tradeEdges(s, d))),
+    // bounded-round HITS: supplier hubs / customer authorities on the
+    // bipartite trade graph, integer mean-rescale per half-step
+    "hits" -> ((s, d) => Graph.hits(Graph.tradeEdges(s, d))),
     // per-part triangle counts over the co-purchase graph — degree-ordered
     // orientation (integer-keyed), so the oracle replays the exact joins
     "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
@@ -2499,6 +2502,9 @@ object SparkEntry {
     // 20/100, contribution = plain in-neighbor sum (no degree split, no
     // dangling term) — mirrors Graph.katzCentrality's integer steps
     "katz" -> katzOracle(3),
+    // 2 unrolled HITS rounds: alternating in/out sums with the integer
+    // mean-rescale (greatest(1, sum // (n*unit))) mirroring Graph.hits
+    "hits" -> hitsOracle(2),
     "pagerank" ->
       """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
         |                  o_custkey * 2 + 1 AS dst
@@ -3573,6 +3579,47 @@ object SparkEntry {
        |r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT node, r AS katz_micro FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.operators.Graph.hits]]: per round, an
+    * authority half-step (in-neighbor sum of hubs, then the integer
+    * mean-rescale `s // greatest(1, Σs // (n·unit))`) and the mirrored
+    * hub half-step. Role cardinalities ride a scalar CTE exactly like
+    * the Scala driver scalars.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val unit = 1000000L
+    val rounds = (1 to iters).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS node, CAST(sum(h${k - 1}.s) AS BIGINT) AS sr
+         |        FROM e JOIN h${k - 1} ON e.src = h${k - 1}.node GROUP BY e.dst),
+         |a${k}s AS (SELECT greatest(1, CAST(sum(sr) AS BIGINT)
+         |            // (greatest(1, (SELECT na FROM cnts)) * $unit)) AS sc
+         |        FROM a${k}r),
+         |a$k AS (SELECT node,
+         |          CAST(sr // (SELECT sc FROM a${k}s) AS BIGINT) AS s
+         |        FROM a${k}r),
+         |h${k}r AS (SELECT e.src AS node, CAST(sum(a$k.s) AS BIGINT) AS sr
+         |        FROM e JOIN a$k ON e.dst = a$k.node GROUP BY e.src),
+         |h${k}s AS (SELECT greatest(1, CAST(sum(sr) AS BIGINT)
+         |            // (greatest(1, (SELECT nh FROM cnts)) * $unit)) AS sc
+         |        FROM h${k}r),
+         |h$k AS (SELECT node,
+         |          CAST(sr // (SELECT sc FROM h${k}s) AS BIGINT) AS s
+         |        FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,
+       |                  o_custkey * 2 + 1 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |cnts AS (SELECT count(DISTINCT src) AS nh, count(DISTINCT dst) AS na
+       |         FROM e),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($unit AS BIGINT) AS s FROM e),
+       |$rounds
+       |SELECT nodes.node,
+       |  CAST(coalesce(h$iters.s, 0) AS BIGINT) AS hub_micro,
+       |  CAST(coalesce(a$iters.s, 0) AS BIGINT) AS auth_micro
+       |FROM nodes LEFT JOIN h$iters ON nodes.node = h$iters.node
+       |           LEFT JOIN a$iters ON nodes.node = a$iters.node""".stripMargin
   }
 
   private def bpeMergesOracle(n: Int): String = {

@@ -347,6 +347,72 @@ object Graph {
     res.ranks.select(col("node"), col("rank_micro").as("katz_micro"))
   }
 
+  /** Bounded-round HITS (hubs & authorities) in integer micro-units:
+    * `a_k = Aᵀ·h_{k-1}`, `h_k = A·a_k`, each rescaled after its step so
+    * the MEAN score returns to ~unit — the integer stand-in for the
+    * classic norm, and the piece that makes bounded rounds safe (raw
+    * power iteration grows scores by a degree factor per half-step and
+    * would overflow BIGINT by round 3 on a hubby graph). The scale is
+    * `s = max(1, Σscore div (n·unit))` and every node divides by it
+    * (truncating) — a pure-integer, engine-exact normalization; the Σ
+    * probes are one scalar aggregate per half-step and double as the
+    * materialization barriers (the rank loops' discipline). On the
+    * bipartite trade graph hubs are suppliers and authorities customers —
+    * the two sides never mix, which is HITS' natural reading there.
+    *
+    * Output `(node, hub_micro, auth_micro)` over ALL nodes (0 for the
+    * missing role). Scale shape: edges partitioned+persisted once; each
+    * half-step is one equi-join against that fixed layout + one
+    * map-side-combined sum; both score tables are |nodes|-bounded and
+    * lineage-truncate per round ([[graft.plans.Checkpoints.truncate]]).
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointHandle
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = preparePlain(edges)
+    // loop-invariant role cardinalities (driver scalars, like nNodes in
+    // the rank loops)
+    val nHub = e.select("src").distinct().count()
+    val nAuth = e.select("dst").distinct().count()
+    var h = Checkpoints.truncate(
+      e.select(col("src").as("node")).distinct().withColumn("s", lit(Unit_)))
+    var a: DataFrame = null
+    def halfStep(from: DataFrame, joinKey: String, outKey: String,
+        n: Long): DataFrame = {
+      val raw = e.join(from, e(joinKey) === from("node"))
+        .select(e(outKey).as("node"), col("s"))
+        .groupBy("node").agg(sum("s").as("s_raw")).persist()
+      // Σ probe = barrier + the round's normalization scale
+      val tot = raw.agg(coalesce(sum("s_raw"), lit(0L))).head().getLong(0)
+      val scale = math.max(1L, tot / (math.max(1L, n) * Unit_))
+      val out = Checkpoints.truncate(
+        raw.select(col("node"), expr(s"s_raw div $scale").as("s")))
+      raw.unpersist(blocking = false)
+      out
+    }
+    for (_ <- 1 to iters) {
+      val aNew = halfStep(h, "src", "dst", nAuth)
+      if (a != null) CheckpointHandle.release(a)
+      a = aNew
+      val hNew = halfStep(a, "dst", "src", nHub)
+      CheckpointHandle.release(h)
+      h = hNew
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val (hF, aF) = (h, a)
+    ReleaseRegistry.registerInvalidating("graph.hits_checkpoint") { () =>
+      CheckpointHandle.release(hF); CheckpointHandle.release(aF)
+      e.unpersist(blocking = false)
+    }
+    nodes
+      .join(hF.select(col("node"), col("s").as("hub_micro")), Seq("node"), "left")
+      .join(aF.select(col("node"), col("s").as("auth_micro")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_micro"), lit(0L)).as("hub_micro"),
+        coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
+  }
+
   /** The supplier→customer trade graph: one directed edge per (supplier,
     * customer) pair that ever transacted (lineitem ⨝ orders). Node ids
     * are BIGINT with disjoint parity — `2·suppkey` (even) vs

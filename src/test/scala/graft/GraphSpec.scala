@@ -32,6 +32,19 @@ class GraphSpec extends SparkSpec {
       1L -> 800000L, 2L -> 1120000L, 3L -> 800000L, 4L -> 1024000L))
   }
 
+  test("hits: hand-computed one-round hubs/authorities with integer rescale") {
+    // 1→10, 2→10, 2→11, 3→11 (bipartite). a1 raw: {10:2e6, 11:2e6},
+    // Σ=4e6, na=2 → scale 2 → both 1e6. h1 raw: {1:1e6, 2:2e6, 3:1e6},
+    // Σ=4e6, nh=3 → scale max(1, 4e6//3e6)=1 → unchanged.
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Map(
+      1L -> ((1000000L, 0L)), 2L -> ((2000000L, 0L)), 3L -> ((1000000L, 0L)),
+      10L -> ((0L, 1000000L)), 11L -> ((0L, 1000000L))))
+  }
+
   test("pageRank: duplicate edges collapse; rank mass is conserved minus dust") {
     val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
       .toDF("src", "dst")
