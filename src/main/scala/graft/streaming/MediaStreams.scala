@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Incremental perceptual-hash duplicate accounting over a GROWING media
+  * corpus — the streaming twin of
+  * [[graft.operators.Multimodal.phashDupCounts]], built on the same
+  * per-bucket-state pattern as [[DedupStreams.incrementalMinhashPairs]].
+  *
+  * At 100 TB the media archive is never re-decoded: new items arrive and
+  * the question is "how many already-ingested items does this one
+  * perceptually duplicate?". The batch operator rebuilds bucket counts
+  * per run; this one keeps ONE counter per phash bucket as state. Each
+  * arriving row is emitted exactly once with `n_dups` = the number of
+  * PRIOR rows sharing its hash (carried state + earlier rows of its own
+  * micro-batch, in arrival order) — so a bucket's LATEST emission always
+  * equals the batch operator's answer for that row at that instant, and
+  * over a full ingest the emitted values per bucket are exactly
+  * 0,1,…,size−1 whatever the batch boundaries (parity-pinned in
+  * MediaStreamsSpec).
+  *
+  * The hash itself is [[graft.operators.Multimodal.perceptualHash]]
+  * verbatim — row-local, so it composes onto the streaming frame with no
+  * extra state; the only stateful piece is the per-bucket counter (ONE
+  * long per distinct hash — state tracks distinct-hash cardinality, not
+  * corpus size). For endless archives `ttl` bounds even that: with it the
+  * processor runs in processing-time mode and a bucket's counter expires
+  * after the trailing window, giving duplicates-against-recent exactly
+  * like the minhash TTL mode.
+  */
+object MediaStreams {
+
+  /** One arrival: media id + its perceptual hash (the bucket key). */
+  final case class PhashRow(mediaId: Long, phash: Long)
+
+  /** One emission: how many prior arrivals shared this row's hash. */
+  final case class PhashDup(mediaId: Long, phash: Long, nDups: Long)
+
+  /** Per-bucket arrival counter. Emission order inside a micro-batch is
+    * the bucket iterator's row order; the VALUE each row gets is a pure
+    * function of how many rows preceded it in its bucket.
+    */
+  final class PhashBucketCounter(ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, PhashRow, PhashDup] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "cnt", Encoders.scalaLong,
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[PhashRow],
+        timerValues: TimerValues): Iterator[PhashDup] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      // materialize before updating state — the returned iterator is
+      // consumed after this call, but the counter must reflect the whole
+      // batch once the call ends
+      val out = rows.map { r =>
+        val d = PhashDup(r.mediaId, key, n)
+        n += 1
+        d
+      }.toArray
+      cnt.update(n)
+      out.iterator
+    }
+  }
+
+  /** Hash a (possibly streaming) media frame row-locally and run the
+    * per-bucket counter. Requires the RocksDB state store provider on a
+    * real stream; in single-batch mode it degenerates to the batch
+    * operator's counts in arrival order.
+    */
+  def incrementalPhashDups(media: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[PhashDup] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.perceptualHash(media)
+      .select(col("media_id").as("mediaId"), col("phash"))
+      .as[PhashRow]
+      .groupByKey(_.phash)
+      .transformWithState(new PhashBucketCounter(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+}
