@@ -259,6 +259,9 @@ object SparkEntry {
     // per-part triangle counts over the co-purchase graph — degree-ordered
     // orientation (integer-keyed), so the oracle replays the exact joins
     "triangles" -> ((s, d) => Graph.triangleCounts(Graph.coOccurrenceEdges(s, d))),
+    // per-node local clustering coefficient on the same oriented-wedge
+    // core; exact integer micro-units
+    "lcc" -> ((s, d) => Graph.clusteringCoefficient(Graph.coOccurrenceEdges(s, d))),
     // degree assortativity over the co-purchase graph: integer moments,
     // one double Pearson ratio
     "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
@@ -2656,6 +2659,33 @@ object SparkEntry {
         |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
         |      UNION ALL SELECT k3 FROM t)
         |SELECT k % 4294967296 AS node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin,
+    // local clustering coefficient: the triangles CTE chain + the degree
+    // table, 2e6*tri // (dg*(dg-1)) in truncating integer space
+    "lcc" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT a AS node FROM pe UNION ALL SELECT b FROM pe) u
+        |        GROUP BY node),
+        |ke AS (SELECT da.dg * 4294967296 + pe.a AS ka,
+        |              db.dg * 4294967296 + pe.b AS kb
+        |       FROM pe JOIN deg da ON pe.a = da.node
+        |       JOIN deg db ON pe.b = db.node),
+        |o AS (SELECT least(ka, kb) AS kx, greatest(ka, kb) AS ky FROM ke),
+        |w AS (SELECT e1.kx AS k1, e1.ky AS k2, e2.ky AS k3
+        |      FROM o e1 JOIN o e2 ON e1.kx = e2.kx AND e1.ky < e2.ky),
+        |t AS (SELECT k1, k2, k3 FROM w JOIN o e3 ON w.k2 = e3.kx AND w.k3 = e3.ky),
+        |n AS (SELECT k1 AS k FROM t UNION ALL SELECT k2 FROM t
+        |      UNION ALL SELECT k3 FROM t),
+        |tc AS (SELECT k % 4294967296 AS node, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM n GROUP BY 1)
+        |SELECT deg.node, deg.dg,
+        |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN deg.dg >= 2
+        |       THEN (2000000 * coalesce(tc.n_tri, 0)) // (deg.dg * (deg.dg - 1))
+        |       ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN tc USING (node)""".stripMargin,
     // degree assortativity: integer moments over both edge orientations,
     // one double Pearson ratio (moments convert to double before the
     // products so nothing overflows)

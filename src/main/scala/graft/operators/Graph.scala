@@ -642,12 +642,27 @@ object Graph {
     * splitting; nothing is driver-side and nothing is quadratic in any
     * node's raw degree.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    trianglePipeline(edges)._2
+
+  /** The shared oriented-triangle core: returns `(deg, tri)` — the
+    * undirected degree table and per-node triangle counts (nodes with no
+    * triangle absent from `tri`). The canonical edge list persists behind
+    * a count barrier so the degree aggregate, the keying joins, AND any
+    * caller reuse of `deg` (e.g. [[clusteringCoefficient]]'s final join)
+    * all read one materialization of the caller's edge generation — the
+    * same duplicate-generation guard [[modularity]] carries.
+    */
+  private[graft] def trianglePipeline(edges: DataFrame): (DataFrame, DataFrame) = {
     val SHIFT = 4294967296L // 2^32
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .persist()
+    und.count()
+    ReleaseRegistry.register("graph.triangles_edges")(
+      () => und.unpersist(blocking = false))
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -672,9 +687,31 @@ object Graph {
       .select(col("e1.kx").as("k1"), col("e1.ky").as("k2"), col("e2.ky").as("k3"))
       .join(o.as("e3"), col("k2") === col("e3.kx") && col("k3") === col("e3.ky"))
       .select("k1", "k2", "k3")
-    tri.select(explode(array(col("k1"), col("k2"), col("k3"))).as("k"))
+      .select(explode(array(col("k1"), col("k2"), col("k3"))).as("k"))
       .select((col("k") % SHIFT).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (deg, tri)
+  }
+
+  /** Per-node local clustering coefficient in integer micro-units:
+    * `lcc = 2·n_tri·10⁶ div (dg·(dg−1))` — what fraction of a node's
+    * neighbor pairs are themselves connected, the standard
+    * community-density signal next to the global [[modularity]]. Exact
+    * integer output (truncating div), replayed verbatim by extending the
+    * triangles oracle CTE; degree-0/1 nodes report 0.
+    *
+    * Scale shape: [[trianglePipeline]]'s O(E^{3/2}) wedge bound plus one
+    * |V|-row left join of the (persisted-edge-derived) degree table with
+    * the triangle counts — no new corpus-scale stage.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val (deg, tri) = trianglePipeline(edges)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("dg") >= 2,
+          expr("(2000000 * coalesce(n_tri, 0L)) div (dg * (dg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
   }
 
   /** Bounded-round k-core peeling: repeatedly delete nodes whose degree

@@ -32,6 +32,19 @@ class GraphSpec extends SparkSpec {
       1L -> 800000L, 2L -> 1120000L, 3L -> 800000L, 4L -> 1024000L))
   }
 
+  test("clusteringCoefficient: hand-computed lcc on a square with a diagonal") {
+    // 1-2-3-4-1 plus 1-3: triangles (1,2,3) and (1,3,4). deg 1=3, 2=2,
+    // 3=3, 4=2; lcc(1)=2*2e6//(3*2)=666666, lcc(2)=2e6//2*... = 1000000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Map(
+      1L -> ((3L, 2L, 666666L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 2L, 666666L)), 4L -> ((2L, 1L, 1000000L))))
+  }
+
   test("hits: hand-computed one-round hubs/authorities with integer rescale") {
     // 1→10, 2→10, 2→11, 3→11 (bipartite). a1 raw: {10:2e6, 11:2e6},
     // Σ=4e6, na=2 → scale 2 → both 1e6. h1 raw: {1:1e6, 2:2e6, 3:1e6},
