@@ -262,6 +262,9 @@ object SparkEntry {
     // per-node local clustering coefficient on the same oriented-wedge
     // core; exact integer micro-units
     "lcc" -> ((s, d) => Graph.clusteringCoefficient(Graph.coOccurrenceEdges(s, d))),
+    // RA link prediction: inverse-degree common-neighbor evidence from
+    // capped wedge centers, existing edges anti-joined out, exact top-100
+    "link_pred" -> ((s, d) => Graph.linkPredictionRA(Graph.coOccurrenceEdges(s, d))),
     // degree assortativity over the co-purchase graph: integer moments,
     // one double Pearson ratio
     "assortativity" -> ((s, d) => Graph.assortativity(Graph.coOccurrenceEdges(s, d))),
@@ -2686,6 +2689,25 @@ object SparkEntry {
         |       THEN (2000000 * coalesce(tc.n_tri, 0)) // (deg.dg * (deg.dg - 1))
         |       ELSE 0 END AS BIGINT) AS lcc_micro
         |FROM deg LEFT JOIN tc USING (node)""".stripMargin,
+    // RA link prediction: center-enumerated wedges under the degree cap,
+    // 1e6 // dg evidence summed per non-adjacent pair, exact top-100
+    "link_pred" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |dbl AS (SELECT a AS z, b AS n FROM pe UNION ALL SELECT b, a FROM pe),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM dbl GROUP BY z),
+        |zn AS (SELECT dbl.z, dbl.n, deg.dg FROM dbl JOIN deg USING (z)
+        |       WHERE deg.dg <= 128),
+        |wg AS (SELECT p.n AS u, q.n AS v, 1000000 // p.dg AS c
+        |       FROM zn p JOIN zn q ON p.z = q.z AND p.n < q.n),
+        |s AS (SELECT u, v, count(*)::BIGINT AS n_common,
+        |        CAST(sum(c) AS BIGINT) AS ra_micro
+        |      FROM wg GROUP BY u, v),
+        |cand AS (SELECT s.* FROM s LEFT JOIN pe ON s.u = pe.a AND s.v = pe.b
+        |         WHERE pe.a IS NULL)
+        |SELECT u, v, n_common, ra_micro FROM cand
+        |ORDER BY ra_micro DESC, u, v LIMIT 100""".stripMargin,
     // degree assortativity: integer moments over both edge orientations,
     // one double Pearson ratio (moments convert to double before the
     // products so nothing overflows)

@@ -45,6 +45,29 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 2L, 666666L)), 4L -> ((2L, 1L, 1000000L))))
   }
 
+  test("linkPredictionRA: inverse-degree evidence, edges excluded, cap honored") {
+    // square 1-2-3-4: the two diagonals are the only non-adjacent pairs,
+    // each with both opposite corners (deg 2) as common neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got = Graph.linkPredictionRA(sq)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // add a hub 5 adjacent to all: cap 3 keeps the corners (deg 3) as
+    // wedge centers (333333 each) and drops the hub (deg 4) — its
+    // evidence for the diagonals is truncated by design; every pair
+    // INVOLVING 5 is an edge and is anti-joined out
+    val hub = sq.union(Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("src", "dst"))
+    val got2 = Graph.linkPredictionRA(hub, maxHubDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(got2 === Seq((1L, 3L, 2L, 666666L), (2L, 4L, 2L, 666666L)))
+    // cap 2 excludes every center: no candidates survive
+    val got3 = Graph.linkPredictionRA(hub, maxHubDegree = 2L).count()
+    graft.plans.ReleaseRegistry.drain()
+    assert(got3 === 0L)
+  }
+
   test("hits: hand-computed one-round hubs/authorities with integer rescale") {
     // 1→10, 2→10, 2→11, 3→11 (bipartite). a1 raw: {10:2e6, 11:2e6},
     // Σ=4e6, na=2 → scale 2 → both 1e6. h1 raw: {1:1e6, 2:2e6, 3:1e6},
