@@ -1424,13 +1424,17 @@ object TextOps {
 
   /** BPE-encode every document against a learned merge table and return
     * the per-document REAL token count (`doc_id, source, n_chars,
-    * bpe_tok`): whitespace pre-tokenize, fold each word through the
-    * merges in rank order ([[bpeApplyOne]] per merge), count surviving
-    * symbols. The merge table rides the plan as literals (it is
-    * `nMerges` rows — tokenizer-sized, not data-sized), so the whole
-    * encode is ONE row-local projection: no join, no shuffle, scales
-    * linearly in corpus bytes. This is the encode path a training-shard
-    * writer runs over 100 TB.
+    * bpe_tok`). The merge table rides the plan as literals (it is
+    * `nMerges` rows — tokenizer-sized, not data-sized); the fold itself
+    * ([[bpeApplyOne]] per merge, in rank order) runs ONCE PER UNIQUE
+    * WORD, not per word instance: the corpus explodes to narrow
+    * (doc, word) rows, the vocabulary-bounded distinct-word table folds,
+    * and the counts join back for a per-doc sum. At 100 TB that turns
+    * the interpreted fold from corpus-scale CPU into vocabulary-scale
+    * CPU (measured 8.9 → a third at sf0.1); the price is one
+    * distinct + join + re-aggregate of narrow rows — exactly the
+    * [[wordCount]] shuffle shape the trainer already pays. Docs with no
+    * words keep a 0 row via the outer explode.
     */
   def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     def encodeWord(w: Column): Column = {
@@ -1441,12 +1445,16 @@ object TextOps {
       }
       size(split(folded, BpeSep)).cast("long")
     }
-    docs.where(col("text").isNotNull)
+    val words = docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        aggregate(
-          transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
-            w => encodeWord(w)),
-          lit(0L), (acc, x) => acc + x).as("bpe_tok"))
+        explode_outer(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .as("word"))
+    val wordTok = words.select("word").where(col("word").isNotNull).distinct()
+      .select(col("word"), encodeWord(col("word")).as("wtok"))
+    words.join(wordTok, Seq("word"), "left")
+      .groupBy("doc_id", "source", "n_chars")
+      .agg(sum(coalesce(col("wtok"), lit(0L))).as("bpe_tok"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bpe_tok"))
   }
 
   /** [[tokenBudgetFill]] with the budget denominated in REAL tokens: the
