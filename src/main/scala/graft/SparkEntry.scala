@@ -197,6 +197,9 @@ object SparkEntry {
     // clustering sanity metric: per-cluster majority-label share over the
     // kmeans assignment — one (cid,label) aggregate on top of it
     "cluster_purity" -> ((s, d) => Similarity.clusterPurity(Tables.embeddings(s, d))),
+    // confident-learning-style screen: vectors nearer another label's
+    // centroid than their own, rolled up per label
+    "label_noise" -> ((s, d) => Similarity.labelNoiseAudit(Tables.embeddings(s, d))),
     // centroid-based silhouette: O(n·k) separation metric over the same
     // Lloyd centroids; integer basis-point means
     "silhouette" -> ((s, d) => Similarity.silhouetteSimplified(Tables.embeddings(s, d))),
@@ -2388,6 +2391,26 @@ object SparkEntry {
     // the same 8 winners applied to every document word (nested
     // list_reduce folds), then the integer greedy fill
     "token_budget_fill_bpe" -> tokenBudgetFillBpeOracle(8),
+    // label-noise screen: label centroids via avg(v[i]) (the exact form
+    // the kmeans oracle hash-matches), nearest centroid per vector via
+    // (dist, cid) row_number, per-label suspect rollup
+    "label_noise" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |sm AS (SELECT label AS cid, i, avg(v[i]) AS m FROM e, dims GROUP BY 1, 2),
+        |c0 AS (SELECT cid, list(m ORDER BY i) AS c FROM sm GROUP BY cid),
+        |a AS (SELECT e.vec_id, e.label, c0.cid,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+        |                   + list_dot_product(c, c), c0.cid) AS rn
+        |      FROM e CROSS JOIN c0),
+        |n AS (SELECT vec_id, label, cid AS near FROM a WHERE rn = 1)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  CAST(sum(CASE WHEN near <> label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suspect,
+        |  round(sum(CASE WHEN near <> label THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*)::DOUBLE, 4) AS suspect_rate
+        |FROM n GROUP BY label""".stripMargin,
     "kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS i),

@@ -302,6 +302,49 @@ object Similarity {
           .as("purity"))
   }
 
+  /** Label-noise audit (the confident-learning-style screen a labeled
+    * training corpus runs before fine-tuning): centroid per LABEL, then
+    * every vector's nearest-centroid assignment — a vector whose nearest
+    * label centroid is NOT its own label is a mislabel suspect. Reports
+    * the per-label rollup `(label, n_vecs, n_suspect, suspect_rate)`;
+    * pair with a topK over margins for the triage list.
+    *
+    * Scale shape: label centroids are ONE map-side-combined vector-sum
+    * aggregate (|labels| rows); the centroid table packs into a single
+    * broadcast row exactly like [[kmeansAssign]]'s nearest-centroid
+    * pipeline (row-local argmin over per-element (dist, label) structs,
+    * NO corpus exchange); the rollup is a |labels|-row aggregate.
+    * Argmin ties break to the smaller label id — deterministic, and the
+    * double distance replay is the same form the kmeans oracle already
+    * hash-matches.
+    */
+  def labelNoiseAudit(embeddings: DataFrame): DataFrame = {
+    val p = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val cents = p.groupBy(col("label").as("cid"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("sum"),
+        count(lit(1)).as("cn"))
+      .select(col("cid"), transform(col("sum"), x => x / col("cn")).as("c"))
+    val packed = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
+    p.crossJoin(broadcast(packed))
+      .withColumn("m",
+        array_min(transform(col("cl"), e =>
+          struct(
+            (dot(col("v"), col("v"))
+              - lit(2.0) * dot(col("v"), e.getField("c"))
+              + dot(e.getField("c"), e.getField("c"))).as("dist"),
+            e.getField("cid").as("cid")))))
+      .select(col("label"), col("m").getField("cid").as("near"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("near") =!= col("label"), 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select(col("label"), col("n_vecs"), col("n_suspect"),
+        round(col("n_suspect").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("suspect_rate"))
+  }
+
   /** Per-dimension z-score standardization of the embedding corpus:
     * `z_i = (x_i − μ_i)/σ_i` with population σ (zero-variance dims map
     * to 0). The preprocessing step before distance-based work when

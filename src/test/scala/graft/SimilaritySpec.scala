@@ -340,6 +340,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelNoiseAudit flags the vector nearer another label's centroid") {
+    // label 0 sits near (1,0); label 1 near (0,1) except vec 5, which is
+    // planted at (0.95,0.05) — centroid-nearest to label 0, so suspect
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseAudit(e)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0) === ((0, 2L, 0L, 0.0)))
+    assert(got(1) === ((1, 3L, 1L, 0.3333)))
+  }
+
   test("standardizeEmbeddings: per-dim moments ~ (0, 1) after the transform") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
