@@ -522,6 +522,15 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.phashDupCounts(media)
     }),
+    // integer-exact grid variance + brightness + flat-frame flag on the
+    // same one-decode-pass residues
+    "media_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      Multimodal.imageQuality(media)
+    }),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -3502,6 +3511,17 @@ object SparkEntry {
         |SELECT media_id, phash,
         |  CAST(count(*) OVER (PARTITION BY phash) - 1 AS BIGINT) AS n_dups
         |FROM p""".stripMargin,
+    // media_quality: same stub residues, n·Σr²−(Σr)² scaled variance +
+    // truncating mean + zero-variance flat flag, all integer-exact
+    "media_quality" ->
+      """WITH r AS (SELECT d.doc_id AS media_id,
+        |    ('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g)
+        |SELECT media_id,
+        |  CAST(16 * sum(rv * rv) - sum(rv) * sum(rv) AS BIGINT) AS var_scaled,
+        |  CAST(sum(rv) // 16 AS BIGINT) AS mean_r,
+        |  (16 * sum(rv * rv) = sum(rv) * sum(rv)) AS is_flat
+        |FROM r GROUP BY media_id""".stripMargin,
     // classify_media: rebuild the identical prefixed payload string, then
     // replay the magic-byte predicates (substr positions mirror the
     // sniff's byte offsets; image magics can't occur — every prefix is

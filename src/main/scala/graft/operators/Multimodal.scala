@@ -510,6 +510,30 @@ object Multimodal {
           |    (r, d) -> if(r * nd > rtot, shiftleft(1L, cast(d as int)), 0L)),
           |  0L, (a, x) -> a + x)""".stripMargin).as("phash"))
 
+  /** Image-quality screen over the decoded feature grid, all in EXACT
+    * integer space: per media row the grid's scaled variance
+    * `n·Σr² − (Σr)²` (no division — the integer-exact spread statistic),
+    * its mean brightness `Σr div n`, and the `is_flat` flag (zero
+    * variance = a blank/solid frame). The cheap structural filter a
+    * media pipeline runs before spending GPU decode on blank captures,
+    * test cards, and single-color fills; over real decodes the features
+    * are the 4×4 luminance grid, so zero variance is exactly "every cell
+    * equal". Row-local on the one decode pass — no shuffle, no state.
+    */
+  def imageQuality(media: DataFrame): DataFrame =
+    extractFeatures(media)
+      .select(col("media_id"), expr(
+        "transform(features, x -> cast(round(cast(x as double) * 1000003) as bigint))")
+        .as("ri"))
+      .select(col("media_id"),
+        expr("aggregate(ri, 0L, (a, x) -> a + x)").as("rtot"),
+        expr("aggregate(ri, 0L, (a, x) -> a + x * x)").as("rsq"),
+        size(col("ri")).cast("long").as("nd"))
+      .select(col("media_id"),
+        (col("nd") * col("rsq") - col("rtot") * col("rtot")).as("var_scaled"),
+        expr("rtot div nd").as("mean_r"),
+        (col("nd") * col("rsq") === col("rtot") * col("rtot")).as("is_flat"))
+
   /** [[perceptualHash]] + duplicate accounting: per media row, how many
     * OTHER rows share its hash (`n_dups = |hash bucket| − 1`). The hash
     * frame — (media_id, phash), 16 bytes a row, NOT the payloads — is

@@ -278,6 +278,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("imageQuality: flat real frame flags is_flat, contrast frame does not") {
+    val flat = pngBytes(32, 32)((_, _) => 0x808080)
+    val contrast = pngBytes(32, 32)((x, _) => if (x < 16) 0 else 0xffffff)
+    val df = Seq((1L, flat), (2L, contrast)).toDF("id", "bytes")
+    val got = Multimodal.imageQuality(
+      Multimodal.fromBinary(df, "id", "bytes", "image"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 0L && got(1L)._4, "solid fill must read flat")
+    assert(got(2L)._2 > 0L && !got(2L)._4)
+    // half-black/half-white grid: mean residue sits near the midpoint of
+    // the two cell values (8 cells each) — sanity, not exactness
+    assert(got(2L)._3 > 0L)
+  }
+
   test("perceptualHash stub path matches the hand-computed md5 residue bits") {
     val payload = "definitely not an image".getBytes("UTF-8")
     val df = Seq((9L, payload)).toDF("id", "bytes")
