@@ -1,0 +1,92 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming heavy hitters over a growing token stream — the streaming
+  * twin of the bounded-memory [[graft.functions.FrequentItems]]
+  * aggregate (Misra–Gries summary), on the per-key-state pattern the
+  * dedup and media streams established.
+  *
+  * Tokens shard by `hash(word) % nShards` so ALL occurrences of a word
+  * land on one shard; each shard keeps at most `k` counters as state
+  * whatever the vocabulary size. Per micro-batch, the arriving tokens
+  * count exactly and fold into the carried summary with the SAME
+  * mergeable-summaries step as the batch aggregate (sum counters, then
+  * subtract the (k+1)-th largest so at most k survive) — so the
+  * guarantees transfer verbatim per shard: every item with true
+  * frequency > shardMass/k is present, every reported count
+  * under-estimates by at most shardMass/k, and when a shard's distinct
+  * count never exceeds k its counts are EXACT (pinned against
+  * `wordCount` in TextStreamsSpec).
+  *
+  * Each batch emits the shard's refreshed summary stamped with a
+  * per-shard generation counter; consumers keep the max-generation rows
+  * per shard (emissions supersede, they don't accumulate — Append mode
+  * keeps the per-bucket emission free of any global exchange). State is
+  * ≤ k counters × nShards — constant, not corpus-scale.
+  */
+object TextStreams {
+
+  /** Per-shard summary state: parallel item/count arrays + generation. */
+  final case class MgState(items: Array[String], counts: Array[Long], gen: Long)
+
+  /** One summary row: shard, its generation, a tracked item + estimate. */
+  final case class HeavyHitter(shard: Int, gen: Long, item: String, est: Long)
+
+  final class ShardHeavyHitters(k: Int)
+      extends StatefulProcessor[Int, (Int, String), HeavyHitter] {
+    @transient private var st: ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MgState](
+        "mg", Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      val prior = if (st.exists()) st.get() else MgState(Array.empty, Array.empty, 0L)
+      val buf = mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < prior.items.length) {
+        buf.update(prior.items(i), prior.counts(i)); i += 1
+      }
+      // exact batch counts, then ONE mergeable-summaries fold — identical
+      // to FrequentItems.merge, so the deficit bound is the batch bound
+      rows.foreach { case (_, w) => buf.update(w, buf.getOrElse(w, 0L) + 1L) }
+      if (buf.size > k) {
+        val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { key =>
+          val c = buf(key) - cut
+          if (c <= 0) dead += key else buf.update(key, c)
+        }
+        dead.foreach(buf.remove)
+      }
+      val gen = prior.gen + 1
+      val out = buf.toArray.sortBy { case (item, c) => (-c, item) }
+      st.update(MgState(out.map(_._1), out.map(_._2), gen))
+      out.iterator.map { case (item, c) => HeavyHitter(key, gen, item, c) }
+    }
+  }
+
+  /** Tokenize a (possibly streaming) documents frame and run the sharded
+    * summary. Requires the RocksDB state store provider on a real stream.
+    */
+  def streamingHeavyHitters(docs: DataFrame, k: Int = 64,
+      nShards: Int = 32): Dataset[HeavyHitter] = {
+    require(k >= 1 && nShards >= 1, "streamingHeavyHitters: k, nShards >= 1")
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .select(pmod(hash(col("word")), lit(nShards)).cast("int").as("shard"),
+        col("word"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ShardHeavyHitters(k), TimeMode.None(),
+        OutputMode.Append())
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.TextStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class TextStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("heavy hitters are EXACT across batches while distinct <= k, " +
+    "matching batch wordCount on the union") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val b1 = Seq((1L, "a a b c"), (2L, "c a"))
+      val b2 = Seq((3L, "a b b d"), (4L, "d d d"))
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingHeavyHitters(
+          mem.toDF().toDF("doc_id", "text"), k = 16, nShards = 4)
+        .writeStream.format("memory").queryName("hh_exact")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val rows = spark.table("hh_exact")
+          .as[(Int, Long, String, Long)].collect().toSeq
+        // latest generation per shard supersedes earlier emissions
+        val latest = rows.groupBy(_._1).flatMap { case (_, rs) =>
+          val g = rs.map(_._2).max
+          rs.filter(_._2 == g)
+        }
+        val got = latest.map(r => r._3 -> r._4).toMap
+        val want = operators.TextOps.wordCount((b1 ++ b2).toDF("doc_id", "text"))
+          .as[(String, Long)].collect().toMap
+        assert(got === want)
+      } finally q.stop()
+    }
+  }
+
+  test("small k: under-estimates only, and every item above the deficit " +
+    "bound survives") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // one shard so the MG bound applies to the full stream: 12 tokens,
+      // k=2 -> deficit <= 12/2; 'a' (6 occurrences) must survive
+      val b1 = Seq((1L, "a a a x y z"))
+      val b2 = Seq((2L, "a a a u v w"))
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingHeavyHitters(
+          mem.toDF().toDF("doc_id", "text"), k = 2, nShards = 1)
+        .writeStream.format("memory").queryName("hh_bound")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val rows = spark.table("hh_bound")
+          .as[(Int, Long, String, Long)].collect().toSeq
+        val g = rows.map(_._2).max
+        val latest = rows.filter(_._2 == g).map(r => r._3 -> r._4).toMap
+        assert(latest.size <= 2, "state capacity is k counters")
+        assert(latest.contains("a"), "true count 6 > n/k = 6-deficit bound")
+        val truth = Map("a" -> 6L, "x" -> 1L, "y" -> 1L, "z" -> 1L,
+          "u" -> 1L, "v" -> 1L, "w" -> 1L)
+        latest.foreach { case (item, est) =>
+          assert(est <= truth(item), s"$item over-estimated")
+          assert(truth(item) - est <= 12L / 2, s"$item deficit beyond bound")
+        }
+      } finally q.stop()
+    }
+  }
+}
