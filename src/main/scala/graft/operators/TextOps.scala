@@ -1437,14 +1437,11 @@ object TextOps {
     * words keep a 0 row via the outer explode.
     */
   def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    def encodeWord(w: Column): Column = {
-      val init = array_join(
-        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), BpeSep)
-      val folded = merges.foldLeft(init) {
-        case (s, (l, r)) => bpeApplyOne(split(s, BpeSep), l, r)
-      }
-      size(split(folded, BpeSep)).cast("long")
-    }
+    // the native expression is the same flush-append fold in one JVM call
+    // per word ([[graft.functions.BpeTokenCount]]) — the nested-HOF
+    // formulation it replaces paid nMerges interpreted folds per word
+    def encodeWord(w: Column): Column =
+      graft.functions.TextFunctions.bpeTokenCount(w, merges)
     val words = docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars"),
         explode_outer(filter(split(col("text"), "\\s+"), x => x =!= ""))

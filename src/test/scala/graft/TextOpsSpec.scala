@@ -719,6 +719,34 @@ class TextOpsSpec extends SparkSpec {
     assert(chained === 4L)
   }
 
+  test("native bpeTokenCount equals the HOF flush-append fold on tricky words") {
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("aa", "b"))
+    val words = Seq("aaaa", "aaa", "aaab", "abab", "b", "", "aabaa",
+      "xaaby", "a".repeat(9))
+    val df = words.toDF("w")
+    val native = df.select(
+      graft.functions.TextFunctions.bpeTokenCount($"w", merges).as("n"))
+      .as[Long].collect().toSeq
+    // reference: the same fold via the interpreted HOF chain TextOps
+    // trains with (bpeApplyOne) — symbolize, fold each merge, count
+    val sep = ""
+    def hof(w: String): Long = {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        syms = out.toList
+      }
+      syms.length.toLong
+    }
+    assert(native === words.map(hof))
+    assert(sep.length === 1) // the HOF path's separator stays a single char
+  }
+
   test("tokenBudgetFillBpe keeps the greedy prefix under a real-token budget") {
     val d = Seq(
       (1L, "s", 30L, "aaab aaab aaab aaab"), // longest first
