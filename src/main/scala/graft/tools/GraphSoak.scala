@@ -82,8 +82,13 @@ object GraphSoak {
     // with FRONTIER WORK only, never with plan legs per round
     timed("bfs_levels_depth12")(Graph.bfsLevels(edges, maxDepth = 12))
     timed("harmonic_centrality")(Graph.harmonicCentrality(edges))
-    if (sys.env.contains("SPARK_GRAFT_SOAK_TRIANGLES"))
+    timed("katz3")(Graph.katzCentrality(edges, iters = 3))
+    timed("hits2")(Graph.hits(edges, iters = 2))
+    timed("link_pred")(Graph.linkPredictionRA(edges))
+    if (sys.env.contains("SPARK_GRAFT_SOAK_TRIANGLES")) {
       timed("triangles")(Graph.triangleCounts(edges))
+      timed("lcc")(Graph.clusteringCoefficient(edges))
+    }
     spark.stop()
     // reclaim the replicated edge list — repeated soaks would otherwise
     // stack multi-GB parquet trees in the temp filesystem
