@@ -103,4 +103,46 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(attr === Seq(("direct", 1L, 5.0)))
   }
+
+  test("round-11 ops on empty and degenerate inputs") {
+    import graft.operators.{Graph, Multimodal, Similarity}
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // empty graph: every round-11 graph op returns empty without jobs
+    // failing on empty aggregates or the winner collect
+    assert(Graph.katzCentrality(emptyEdges).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Graph.hits(emptyEdges).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Graph.clusteringCoefficient(emptyEdges).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Graph.linkPredictionRA(emptyEdges).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    // a single self-loop edge: canonicalization drops it everywhere
+    val selfLoop = Seq((7L, 7L)).toDF("src", "dst")
+    assert(Graph.clusteringCoefficient(selfLoop).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    // BPE on an empty corpus: no merges learned, encode yields no rows
+    assert(TextOps.bpeMerges(emptyDocs).count() === 0)
+    assert(TextOps.applyBpe(emptyDocs, Seq(("a", "b"))).count() === 0)
+    // BPE on a vocabulary that exhausts before nMerges: ranks stay dense
+    val tiny = Seq((1L, "xy")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(tiny, nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "x", "y", 1L)))
+    // whitespace-only doc still gets a 0-token row through the encode
+    val blank = Seq((1L, "s", 3L, "   ")).toDF("doc_id", "source", "n_chars", "text")
+    val enc = TextOps.applyBpe(blank, Seq(("a", "b")))
+      .select("bpe_tok").as[Long].collect().toSeq
+    assert(enc === Seq(0L))
+    // label-noise audit on an empty embedding table
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelNoiseAudit(emptyEmb).count() === 0)
+    // media quality on an empty media frame
+    val emptyMedia = Multimodal.fromBinary(
+      Seq.empty[(Long, Array[Byte])].toDF("id", "bytes"), "id", "bytes", "image")
+    assert(Multimodal.imageQuality(emptyMedia).count() === 0)
+    assert(Multimodal.phashDupCounts(emptyMedia).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+  }
 }

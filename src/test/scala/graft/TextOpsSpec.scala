@@ -747,6 +747,34 @@ class TextOpsSpec extends SparkSpec {
     assert(sep.length === 1) // the HOF path's separator stays a single char
   }
 
+  test("bpeTokenCount property sweep: 300 random words × random merge " +
+    "chains match the independent list-fold reference") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    // merge chains that can produce multi-char symbols on both sides
+    val merges = Seq(("a", "b"), ("ab", "c"), ("a", "a"), ("aa", "ab"), ("c", "c"))
+    def reference(w: String): Long = {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        syms = out.toList
+      }
+      syms.length.toLong
+    }
+    val words = Seq.fill(300)(randWord())
+    val got = words.toDF("w")
+      .select(graft.functions.TextFunctions.bpeTokenCount($"w", merges).as("n"))
+      .as[Long].collect().toSeq
+    assert(got === words.map(reference))
+  }
+
   test("tokenBudgetFillBpe keeps the greedy prefix under a real-token budget") {
     val d = Seq(
       (1L, "s", 30L, "aaab aaab aaab aaab"), // longest first
