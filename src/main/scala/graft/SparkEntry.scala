@@ -614,6 +614,9 @@ object SparkEntry {
     // trailing-horizon EWMA with α=1/2: every weight an exact power of
     // two, so the float math is engine-portable despite no integer scaling
     "ewma" -> ((s, d) => EventOps.ewma(s, d)),
+    // Holt level+trend smoothing of hourly counts per type; exact
+    // integer micro recurrence, group-bounded row-local fold
+    "holt_smooth" -> ((s, d) => EventOps.holtSmooth(s, d)),
     // snapshot diff: v2 = v1 minus 'F' orders, urgent prices bumped 10%,
     // plus a remapped-key slice re-added — exercises all three change kinds
     "snapshot_diff" -> ((s, d) => {
@@ -1821,6 +1824,33 @@ object SparkEntry {
     // ewma: generated — 8 lag terms with exact power-of-two weights in
     // a fixed left-to-right sum (see ewmaOracle)
     "ewma" -> ewmaOracle,
+    // recursive-CTE replay of the Holt recurrence: both engines truncate
+    // integer division toward zero (negative trends included)
+    "holt_smooth" ->
+      """WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
+        |           count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, y, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY hb) AS rn FROM h),
+        |mx AS (SELECT event_type, max(rn) AS m, count(*)::BIGINT AS n
+        |       FROM r GROUP BY event_type),
+        |rec AS (
+        |  SELECT event_type, rn, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn, s.lnew AS l,
+        |         ((2 * (s.lnew - s.l) + 8 * s.b) // 10) AS b FROM (
+        |    SELECT r.event_type AS event_type, r.rn AS rn, rec.l AS l,
+        |           rec.b AS b,
+        |           ((3 * r.y * 1000000 + 7 * (rec.l + rec.b)) // 10) AS lnew
+        |    FROM rec JOIN r ON r.event_type = rec.event_type
+        |                   AND r.rn = rec.rn + 1) s
+        |)
+        |SELECT rec.event_type AS event_type, mx.n AS n_points,
+        |  CAST(rec.l AS BIGINT) AS level_micro,
+        |  CAST(rec.b AS BIGINT) AS trend_micro,
+        |  CAST(rec.l + rec.b AS BIGINT) AS forecast_next_micro
+        |FROM rec JOIN mx ON rec.event_type = mx.event_type
+        |                AND rec.rn = mx.m""".stripMargin,
     "snapshot_diff" ->
       """WITH v2 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -153,6 +153,51 @@ object EventOps {
     * Scale shape: a single `lag` window partitioned by user — one shuffle
     * on user_id, no global window, per-row state is `horizon` doubles.
     */
+  /** Holt linear-trend smoothing of the hourly count series per event
+    * type — the level+trend forecaster one step up from [[ewma]] (which
+    * tracks level only): `l ← α·y + (1−α)(l+b)`, `b ← β(l−l_prev) +
+    * (1−β)·b`, α=3/10, β=2/10, all in integer micro-units with
+    * truncating div (Spark `div` and DuckDB `//` BOTH truncate toward
+    * zero, negatives included — trend can go negative, and the replay
+    * stays bit-exact). Init: level = first observation, trend = 0;
+    * smoothing runs over the OBSERVED hourly points in time order.
+    * Output per type: point count, final level/trend, and the one-step
+    * forecast `level + trend` (micro-units).
+    *
+    * Scale shape: one map-side-combined (type, hour) count shuffle, then
+    * ONE group-bounded fold per type: the series packs into a sorted
+    * array (series length = hours observed — bounded by time span, not
+    * corpus size: a year is 8 760 points) and folds row-locally. The
+    * recurrence is inherently sequential per series; parallelism comes
+    * from the series count, which is the right decomposition for
+    * metric-store workloads (millions of series × bounded length).
+    */
+  def holtSmooth(spark: SparkSession, dir: String): DataFrame =
+    holtSmoothOf(Tables.events(spark, dir))
+
+  /** [[holtSmooth]] on an explicit events frame (ts, event_type). */
+  def holtSmoothOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+      .agg(count(lit(1)).as("y"))
+    hourly.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hb"), col("y")))).as("pts"))
+      .select(col("event_type"),
+        size(col("pts")).cast("long").as("n_points"),
+        expr(
+          """aggregate(
+            |  slice(pts, 2, size(pts) - 1),
+            |  named_struct('l', element_at(pts, 1).y * 1000000L, 'b', 0L),
+            |  (acc, p) -> named_struct(
+            |    'l', (3L * p.y * 1000000L + 7L * (acc.l + acc.b)) div 10L,
+            |    'b', (2L * (((3L * p.y * 1000000L + 7L * (acc.l + acc.b)) div 10L)
+            |              - acc.l) + 8L * acc.b) div 10L))""".stripMargin)
+          .as("st"))
+      .select(col("event_type"), col("n_points"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        (col("st.l") + col("st.b")).as("forecast_next_micro"))
+  }
+
   def ewma(spark: SparkSession, dir: String): DataFrame =
     ewmaOf(Tables.events(spark, dir))
 

@@ -76,6 +76,31 @@ class EventOpsSpec extends SparkSpec {
     assert(got("purchase") === ((2L, 1L)))
   }
 
+  test("holtSmooth: hand-computed level/trend on a 3-point series; " +
+    "declining series carries a negative trend") {
+    def ev(id: Long, t: String, et: String) =
+      (id, java.sql.Timestamp.valueOf(t), 1L, et, 0.0)
+    // type "a": hourly counts [10, 12, 9] -> worked by hand with the
+    // integer recurrence (alpha 3/10, beta 2/10, truncating div):
+    //   t2: l = (3*12e6 + 7*10e6)//10 = 10.6e6, b = 120000
+    //   t3: l = (27e6 + 7*10.72e6)//10 = 10204000, b = 16800
+    val rows =
+      (1 to 10).map(i => ev(i, "2024-01-01 00:00:01", "a")) ++
+      (11 to 22).map(i => ev(i, "2024-01-01 01:00:01", "a")) ++
+      (23 to 31).map(i => ev(i, "2024-01-01 02:00:01", "a")) ++
+      // type "d": [5, 1] declines -> trend must go NEGATIVE and must
+      // replay with truncating (not flooring) division
+      (32 to 36).map(i => ev(i, "2024-01-01 00:00:01", "d")) :+
+      ev(37, "2024-01-01 01:00:01", "d")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.holtSmoothOf(df)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 3L, 10204000L, 16800L, 10220800L)))
+    // d: l2 = (3*1e6 + 7*5e6)//10 = 3.8e6; b2 = (2*(3.8e6-5e6))//10 = -240000
+    assert(got("d") === (("d", 2L, 3800000L, -240000L, 3560000L)))
+  }
+
   test("ewma: first event equals its value; constant series is a fixed point") {
     val out = EventOps.ewma(spark, sfDir).cache()
     val events = Tables.events(spark, sfDir)
