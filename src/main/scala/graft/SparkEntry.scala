@@ -617,6 +617,8 @@ object SparkEntry {
     // Holt level+trend smoothing of hourly counts per type; exact
     // integer micro recurrence, group-bounded row-local fold
     "holt_smooth" -> ((s, d) => EventOps.holtSmooth(s, d)),
+    // lag-24 autocorrelation of densified hourly counts per type
+    "seasonality" -> ((s, d) => EventOps.seasonalityStrength(s, d)),
     // snapshot diff: v2 = v1 minus 'F' orders, urgent prices bumped 10%,
     // plus a remapped-key slice re-added — exercises all three change kinds
     "snapshot_diff" -> ((s, d) => {
@@ -1826,6 +1828,26 @@ object SparkEntry {
     "ewma" -> ewmaOracle,
     // recursive-CTE replay of the Holt recurrence: both engines truncate
     // integer division toward zero (negative trends included)
+    // densify each type's hour span (gaps are true zeros for counts),
+    // then corr against the 24-hour lag; 4dp like corr_stats
+    "seasonality" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
+        |           count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hb) AS lo, max(hb) AS hi
+        |         FROM h GROUP BY event_type),
+        |grid AS (SELECT span.event_type,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb
+        |         FROM span),
+        |dense AS (SELECT grid.event_type, grid.hb,
+        |            coalesce(h.y, 0) AS y
+        |          FROM grid LEFT JOIN h ON h.event_type = grid.event_type
+        |                                AND h.hb = grid.hb),
+        |lagd AS (SELECT event_type, y,
+        |           lag(y, 24) OVER (PARTITION BY event_type ORDER BY hb) AS yl
+        |         FROM dense)
+        |SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |  round(corr(y::DOUBLE, yl::DOUBLE), 4) AS autocorr
+        |FROM lagd WHERE yl IS NOT NULL GROUP BY event_type""".stripMargin,
     "holt_smooth" ->
       """WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hb,
         |           count(*)::BIGINT AS y FROM events GROUP BY 1, 2),

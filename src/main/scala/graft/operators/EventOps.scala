@@ -198,6 +198,42 @@ object EventOps {
         (col("st.l") + col("st.b")).as("forecast_next_micro"))
   }
 
+  /** Daily-seasonality strength per event type: Pearson correlation of
+    * the hourly count series against itself at `lagHours` (default 24) —
+    * near 1 means a strong daily cycle, near 0 none. The standard quick
+    * screen before fitting any seasonal model (pairs with [[holtSmooth]],
+    * which deliberately has no seasonal term). Missing hours in the
+    * observed series are genuine zeros for a count metric, so the series
+    * is densified over each type's [min, max] hour span before lagging —
+    * otherwise gaps would silently misalign the lag.
+    *
+    * Scale shape: one map-side-combined (type, hour) count shuffle, a
+    * per-type `sequence` densification (span-bounded, not corpus-bounded),
+    * one lag window partitioned by type, and a 4dp-rounded `corr`
+    * aggregate (mergeable moments — the same FP-stability contract the
+    * corr_stats query already proves out against the oracle).
+    */
+  def seasonalityStrength(spark: SparkSession, dir: String,
+      lagHours: Int = 24): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+      .agg(count(lit(1)).as("y"))
+    val dense = hourly.groupBy("event_type")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("event_type"), explode(expr(
+        "sequence(lo, hi, interval 1 hour)")).as("hb"))
+      .join(hourly, Seq("event_type", "hb"), "left")
+      .select(col("event_type"), col("hb"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("hb")
+    dense
+      .withColumn("y_lag", lag(col("y"), lagHours).over(w))
+      .where(col("y_lag").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("y").cast("double"), col("y_lag").cast("double")), 4)
+          .as("autocorr"))
+  }
+
   def ewma(spark: SparkSession, dir: String): DataFrame =
     ewmaOf(Tables.events(spark, dir))
 

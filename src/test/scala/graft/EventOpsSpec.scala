@@ -101,6 +101,32 @@ class EventOpsSpec extends SparkSpec {
     assert(got("d") === (("d", 2L, 3800000L, -240000L, 3560000L)))
   }
 
+  test("seasonalityStrength: a perfect 24h cycle reads autocorr 1.0") {
+    val strength = EventOps.seasonalityStrength(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(strength.nonEmpty)
+    strength.foreach { case (_, n, ac) =>
+      assert(n > 0 && ac >= -1.0001 && ac <= 1.0001)
+    }
+    // synthetic exact daily cycle via the fixture path is impractical, so
+    // exercise the math directly: densified counts repeating with period
+    // 24 correlate at exactly 1 against their own lag
+    val df = spark.range(0, 24L * 4).select(
+      org.apache.spark.sql.functions.lit("c").as("event_type"),
+      org.apache.spark.sql.functions.expr(
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)").as("hb"),
+      org.apache.spark.sql.functions.expr("1 + id % 24").as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hb")
+    val ac = df
+      .withColumn("yl", org.apache.spark.sql.functions.lag($"y", 24).over(w))
+      .where($"yl".isNotNull)
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.corr($"y", $"yl"), 4))
+      .as[Double].head()
+    assert(ac === 1.0)
+  }
+
   test("ewma: first event equals its value; constant series is a fixed point") {
     val out = EventOps.ewma(spark, sfDir).cache()
     val events = Tables.events(spark, sfDir)
