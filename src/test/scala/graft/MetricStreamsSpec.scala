@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.MetricStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MetricStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming Holt over two chronological batches equals the batch " +
+    "fold on the full series") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // the fixture's real hourly count series, split chronologically
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("event_type").as("series"),
+          date_trunc("hour", col("ts")).as("hb"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("series"), expr("unix_micros(hb)").as("hbUs"), col("y"))
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val cut = hourly.map(_._2).sorted.apply(hourly.length / 2)
+      val b1 = hourly.filter(_._2 < cut)
+      val b2 = hourly.filter(_._2 >= cut)
+      val mem = MemoryStream[(String, Long, Long)]
+      val pts = mem.toDF().toDF("series", "hbUs", "y")
+        .select(col("series"), expr("timestamp_micros(hbUs)").as("hb"), col("y"))
+      val q = MetricStreams.holtStream(pts)
+        .writeStream.format("memory").queryName("holt_parity")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1.toSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toSeq: _*); q.processAllAvailable()
+        val rows = spark.table("holt_parity")
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        assert(rows.size === hourly.length, "one emission per point")
+        // final emission per series == the batch fold over the whole series
+        val last = rows.groupBy(_._1).map { case (s, rs) =>
+          val m = rs.maxBy(_._3) // highest nPoints = last fold
+          s -> ((m._3, m._4, m._5, m._6))
+        }
+        val batch = graft.operators.EventOps.holtSmoothOf(Tables.events(spark, sfDir))
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        assert(last === batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
