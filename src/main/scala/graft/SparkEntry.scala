@@ -3793,7 +3793,8 @@ object SparkEntry {
     s"""WITH ${bpeRoundCtes(n)},
        |m AS (SELECT $mCols FROM $mFrom),
        |d AS (SELECT doc_id, source, n_chars,
-       |        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |        list_filter(string_split_regex(text, '\\s+'),
+       |                    x -> x <> '' AND NOT contains(x, chr(1))) AS ws
        |      FROM documents WHERE text IS NOT NULL),
        |e AS (SELECT doc_id, source, n_chars,
        |        coalesce(list_sum(list_transform(ws, wd -> len($fold))), 0)::BIGINT AS tok

@@ -89,16 +89,7 @@ case class FrequentItems(
   override def merge(buf: mutable.HashMap[String, Long],
       other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     other.foreach { case (item, c) => buf.update(item, buf.getOrElse(item, 0L) + c) }
-    if (buf.size > k) {
-      val counts = buf.values.toArray.sorted(Ordering[Long].reverse)
-      val cut = counts(k) // (k+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { key =>
-        val c = buf(key) - cut
-        if (c <= 0) dead += key else buf.update(key, c)
-      }
-      dead.foreach(buf.remove)
-    }
+    FrequentItems.capacityFit(buf, k)
     buf
   }
 
@@ -151,6 +142,27 @@ case class FrequentItems(
 }
 
 object FrequentItems {
+
+  /** The mergeable-summaries capacity fit — sum counters first, then this
+    * subtracts the (k+1)-th largest count from every counter so at most k
+    * survive. ONE implementation shared by the batch aggregate's merge
+    * and the streaming shard processor
+    * ([[graft.streaming.TextStreams.ShardHeavyHitters]]), so the
+    * presence/deficit guarantees the streaming doc transfers from the
+    * batch op cannot drift between two copies of the fold.
+    */
+  private[graft] def capacityFit(buf: mutable.HashMap[String, Long],
+      k: Int): Unit =
+    if (buf.size > k) {
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { key =>
+        val c = buf(key) - cut
+        if (c <= 0) dead += key else buf.update(key, c)
+      }
+      dead.foreach(buf.remove)
+    }
+
   /** Column-level entry point: MG frequent-items summary of a string
     * column, at most `k` counters.
     */

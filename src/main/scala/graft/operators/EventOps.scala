@@ -230,8 +230,11 @@ object EventOps {
       .where(col("y_lag").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"),
-        round(corr(col("y").cast("double"), col("y_lag").cast("double")), 4)
-          .as("autocorr"))
+        // NaN → NULL: Spark's corr yields NaN on a zero-variance or
+        // single-pair series where DuckDB (and SQL convention) yields
+        // NULL — normalize so degenerate types replay hash-exact
+        round(nanvl(corr(col("y").cast("double"), col("y_lag").cast("double")),
+          lit(null).cast("double")), 4).as("autocorr"))
   }
 
   def ewma(spark: SparkSession, dir: String): DataFrame =

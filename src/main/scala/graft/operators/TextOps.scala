@@ -1329,7 +1329,20 @@ object TextOps {
     */
   private def spreadNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // probe the partition count ONLY for scan-shaped plans: `df.rdd` on a
+    // plan containing exchanges would, under AQE, execute those shuffle
+    // stages at probe time just to read getNumPartitions — and they run
+    // AGAIN at the real action (no cross-query stage reuse). A frame that
+    // already shuffled is already spread at shuffle-partition width, so
+    // it passes through untouched without any probe.
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val shuffled = df.queryExecution.analyzed.collectFirst {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Distinct |
+           _: lp.Deduplicate | _: lp.RepartitionOperation | _: lp.Sort => true
+    }.nonEmpty
+    if (shuffled) df
+    else if (df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
 
   /** Separator between symbols inside a BPE symbolization string — a
@@ -1442,10 +1455,15 @@ object TextOps {
     // formulation it replaces paid nMerges interpreted folds per word
     def encodeWord(w: Column): Column =
       graft.functions.TextFunctions.bpeTokenCount(w, merges)
+    // words carrying the internal sentinel are excluded from token
+    // counting, mirroring the trainer's vocab filter: the native count
+    // would handle them, but the oracle's separator-joined replay cannot,
+    // and a divergent count on a pathological byte is worse than a
+    // documented exclusion
     val words = docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        explode_outer(filter(split(col("text"), "\\s+"), x => x =!= ""))
-          .as("word"))
+        explode_outer(filter(split(col("text"), "\\s+"),
+          x => x =!= "" && !x.contains(BpeSep))).as("word"))
     val wordTok = words.select("word").where(col("word").isNotNull).distinct()
       .select(col("word"), encodeWord(col("word")).as("wtok"))
     words.join(wordTok, Seq("word"), "left")

@@ -181,9 +181,14 @@ object Materializer {
     * the lock is the writer claim file, so the sweep composes with
     * [[lookupOrCompute]]'s protocol instead of racing it:
     *
-    *  - an entry with a live `<fp>._claim` is IN FLIGHT — never touched,
-    *    whatever its size or age (deleting under a writer would tear the
-    *    write it is about to commit);
+    *  - an entry with a live `<fp>._claim` (younger than `staleClaimMs`)
+    *    is IN FLIGHT — never touched, whatever its size or age (deleting
+    *    under a writer would tear the write it is about to commit); an
+    *    OLDER claim is a crashed writer's leftover and is reclaimed along
+    *    with its torn directory. Every deletion first takes the entry's
+    *    own claim through the writers' election protocol, so a writer
+    *    arriving between the scan and the delete wins and the sweep
+    *    skips — no check-then-act window;
     *  - torn leftovers (directory, no `_SUCCESS`, no claim — a crashed
     *    writer) are junk and reclaimed unconditionally;
     *  - completed entries age out past `maxAgeMs`, then the OLDEST
@@ -200,18 +205,30 @@ object Materializer {
     * entries sweeps in seconds.
     */
   def sweep(spark: SparkSession, cacheDir: String,
-      maxBytes: Long = Long.MaxValue, maxAgeMs: Long = Long.MaxValue): SweepStats = {
+      maxBytes: Long = Long.MaxValue, maxAgeMs: Long = Long.MaxValue,
+      staleClaimMs: Long = 3600000L): SweepStats = {
     val root = new Path(cacheDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return SweepStats(0, 0, 0L, 0)
     val now = System.currentTimeMillis
     final case class Entry(path: Path, bytes: Long, mtime: Long, complete: Boolean)
+    def claimPath(name: String) = new Path(root, name + "._claim")
+    // a claim older than staleClaimMs is a crashed writer's leftover
+    // (lookupOrCompute writers finish or time out long before this):
+    // reclaim it here, or the torn multi-GB directory behind it would
+    // stay unreclaimable FOREVER for a content-addressed key nobody
+    // requests again — defeating the one tool meant to bound the cache
+    def claimIsLive(name: String): Boolean = {
+      val p = claimPath(name)
+      if (!fs.exists(p)) false
+      else if (now - fs.getFileStatus(p).getModificationTime <= staleClaimMs) true
+      else { fs.delete(p, false); false }
+    }
     val dirs = fs.listStatus(root).filter(_.isDirectory)
     var skippedClaimed = 0
     val entries = dirs.toSeq.flatMap { st =>
-      if (fs.exists(new Path(root, st.getPath.getName + "._claim"))) {
-        skippedClaimed += 1; None
-      } else {
+      if (claimIsLive(st.getPath.getName)) { skippedClaimed += 1; None }
+      else {
         val marker = successMarker(st.getPath.toString)
         val complete = fs.exists(marker)
         val mtime =
@@ -223,13 +240,20 @@ object Materializer {
     }
     var deleted = 0
     var freed = 0L
-    def drop(e: Entry): Unit = {
-      val marker = successMarker(e.path.toString)
-      if (fs.exists(marker)) fs.delete(marker, false)
-      fs.delete(e.path, true)
-      deleted += 1
-      freed += e.bytes
-    }
+    // deletion takes the entry's OWN claim first (the writers' election
+    // protocol): a writer that claimed between the scan above and this
+    // delete keeps its claim, we lose the race and skip — without it the
+    // scan-time check is TOCTOU and a fresh write could be torn mid-flight
+    def drop(e: Entry): Unit =
+      if (tryClaim(fs, claimPath(e.path.getName))) {
+        try {
+          val marker = successMarker(e.path.toString)
+          if (fs.exists(marker)) fs.delete(marker, false)
+          fs.delete(e.path, true)
+          deleted += 1
+          freed += e.bytes
+        } finally fs.delete(claimPath(e.path.getName), false)
+      } else skippedClaimed += 1
     val (torn, complete) = entries.partition(!_.complete)
     torn.foreach(drop)
     val (aged, fresh) = complete.partition(e => now - e.mtime > maxAgeMs)

@@ -53,18 +53,11 @@ object TextStreams {
       while (i < prior.items.length) {
         buf.update(prior.items(i), prior.counts(i)); i += 1
       }
-      // exact batch counts, then ONE mergeable-summaries fold — identical
-      // to FrequentItems.merge, so the deficit bound is the batch bound
+      // exact batch counts, then ONE mergeable-summaries fold — the SAME
+      // capacity fit the batch aggregate's merge runs (shared code, so
+      // the transferred deficit bound cannot drift between copies)
       rows.foreach { case (_, w) => buf.update(w, buf.getOrElse(w, 0L) + 1L) }
-      if (buf.size > k) {
-        val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.keysIterator.foreach { key =>
-          val c = buf(key) - cut
-          if (c <= 0) dead += key else buf.update(key, c)
-        }
-        dead.foreach(buf.remove)
-      }
+      graft.functions.FrequentItems.capacityFit(buf, k)
       val gen = prior.gen + 1
       val out = buf.toArray.sortBy { case (item, c) => (-c, item) }
       st.update(MgState(out.map(_._1), out.map(_._2), gen))

@@ -78,11 +78,6 @@ object DedupSoak {
     timed("segment_dedup")(TextOps.segmentDedup(docs))
     timed("simhash_pairs")(Dedup.simhashPairs(docs))
     spark.stop()
-    // reclaim the replicated corpus — repeated soaks would otherwise
-    // stack multi-GB parquet trees in the temp filesystem
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    finally walk.close()
+    TmpDirs.deleteRecursively(tmp)
   }
 }

@@ -90,11 +90,6 @@ object GraphSoak {
       timed("lcc")(Graph.clusteringCoefficient(edges))
     }
     spark.stop()
-    // reclaim the replicated edge list — repeated soaks would otherwise
-    // stack multi-GB parquet trees in the temp filesystem
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    finally walk.close()
+    TmpDirs.deleteRecursively(tmp)
   }
 }

@@ -129,6 +129,32 @@ class MaterializerSpec extends SparkSpec {
     assert(computeCount.get() === 4)
   }
 
+  test("sweep: a crashed writer's stale claim is reclaimed with its torn " +
+    "directory; a fresh claim still protects") {
+    val cacheDir = Files.createTempDirectory("graft-mat-stale").toString
+    def plant(name: String, claimAgeMs: Long): Unit = {
+      val d = java.nio.file.Paths.get(cacheDir, name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-0"), Array[Byte](1, 2, 3))
+      val claim = java.nio.file.Paths.get(cacheDir, name + "._claim")
+      java.nio.file.Files.createFile(claim)
+      java.nio.file.Files.setLastModifiedTime(claim,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - claimAgeMs))
+    }
+    plant("aaaa0000", claimAgeMs = 2 * 3600 * 1000L) // crashed: 2h-old claim
+    plant("bbbb1111", claimAgeMs = 0L)               // live writer
+    val stats = Materializer.sweep(spark, cacheDir)
+    assert(stats.deleted === 1 && stats.skippedClaimed === 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cacheDir, "aaaa0000")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cacheDir, "aaaa0000._claim")),
+      "the stale claim itself must be reclaimed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cacheDir, "bbbb1111", "part-0")))
+  }
+
   test("sweep: maxAge evicts stale completed entries and torn leftovers") {
     val cacheDir = Files.createTempDirectory("graft-mat-age").toString
     val key = CacheKey("age", Map(), Seq.empty)
