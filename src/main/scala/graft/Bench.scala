@@ -36,6 +36,82 @@ object Bench {
     }.toMap
   }
 
+  /** Extract `name`'s median from a child bench run's stdout: the child
+    * prints one or two JSON lines (full + compact); the first line whose
+    * `queries` object carries `name` wins. Factored from the spawn so the
+    * parse is spec-testable without a JVM fork.
+    */
+  private[graft] def medianFromChildOutput(out: String, name: String): Option[Double] =
+    out.linesIterator
+      .map(parseQueryMedians)
+      .collectFirst { case m if m.contains(name) => m(name) }
+
+  /** The regression block's artifact schema: per flagged query
+    * `{now, prev, isolated, verdict}` where `isolated` is the fresh-JVM
+    * re-check median (null when the re-run failed) and `verdict` is
+    * "noise" (isolated median back under the 2x bar), "confirmed"
+    * (still over it), or "unknown" (no isolated median).
+    */
+  private[graft] def regressionsJson(regs: Seq[(String, (Double, Double))],
+      isolated: Map[String, Double]): String =
+    regs.map { case (k, (now, prev)) =>
+      val iso = isolated.get(k)
+      val verdict = iso match {
+        case Some(v) if v <= 2.0 * prev => "noise"
+        case Some(_) => "confirmed"
+        case None => "unknown"
+      }
+      "\"" + k + "\":{\"now\":" + now + ",\"prev\":" + prev +
+        ",\"isolated\":" + iso.map(_.toString).getOrElse("null") +
+        ",\"verdict\":\"" + verdict + "\"}"
+    }.mkString("{", ",", "}")
+
+  /** Re-run ONE query in a fresh single-query JVM and return its isolated
+    * median. Two consecutive rounds (r10 `triangles`, r11 `bfs_levels`)
+    * had the >2x guard fire on suite-position noise — the committed code
+    * measured fine in isolation — and each flag cost a manual worktree
+    * protocol. This automates that protocol: same classpath, same JVM
+    * flags (add-opens, heap), `SPARK_GRAFT_BENCH_ONLY=<name>` so the
+    * child runs the full warmup + adaptive-sampling methodology on just
+    * the flagged query and skips the artifact write. Child stderr flows
+    * through to ours; stdout is captured and parsed. Returns None when
+    * the child fails, times out, or prints no median — the artifact then
+    * records verdict "unknown" rather than silently dropping the flag.
+    */
+  private[graft] def isolatedRerun(name: String, sfDir: String, cpus: String,
+      timeoutMinutes: Long = 20): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      p.getOutputStream.close()
+      // a watchdog (not a timed waitFor) bounds the run: readAllBytes
+      // blocks until stdout EOF, so a hung child must be killed for the
+      // read to return at all. stderr is inherited — no pipe-buffer
+      // deadlock on the captured stream.
+      val killer = new java.util.Timer("bench-isolated-watchdog", true)
+      killer.schedule(new java.util.TimerTask {
+        def run(): Unit = { p.destroyForcibly(); () }
+      }, timeoutMinutes * 60000L)
+      val out =
+        try new String(p.getInputStream.readAllBytes(), "UTF-8")
+        finally killer.cancel()
+      p.waitFor()
+      medianFromChildOutput(out, name)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -160,12 +236,35 @@ object Bench {
     regressions.foreach { case (k, (now, prev)) =>
       System.err.println(f"BENCH REGRESSION: $k $prev%.2f -> $now%.2f s (>2x)")
     }
+    // Automated isolation protocol: every flag gets a fresh-JVM re-check
+    // so a suite-position noise flag (r10 triangles, r11 bfs_levels) is
+    // settled IN the artifact instead of costing a manual worktree run.
+    // Only the top-level full run does this — a BENCH_ONLY child (only
+    // nonEmpty) must not recurse into grandchildren.
+    val isolated: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else regressions.map(_._1).sorted.flatMap { k =>
+        System.err.println(s"BENCH ISOLATING: re-running $k in a fresh JVM")
+        val iso = isolatedRerun(k, sfDir, cpus)
+        iso match {
+          case Some(v) =>
+            val prev = prevMedians(k)
+            val verdict = if (v <= 2.0 * prev) "suite noise" else "CONFIRMED regression"
+            System.err.println(
+              f"BENCH ISOLATED: $k isolated $v%.2f s vs committed $prev%.2f s -> $verdict")
+          case None =>
+            System.err.println(s"BENCH ISOLATED: $k re-run yielded no median (verdict unknown)")
+        }
+        iso.map(k -> _)
+      }.toMap
 
     // Fixture-scale probes: the co-occurrence graph's edge count and the
     // base fact-table row count ride in the artifact so fixture vintage
     // drift (the driver regenerates /root/testdata) stops masquerading as
     // plan drift when rounds are compared.
-    val probeJson = try {
+    // (skipped in BENCH_ONLY children — an isolated re-check's purpose is
+    // one query's median, and the probes would add a minute of wall)
+    val probeJson = if (only.nonEmpty) "{}" else try {
       val coocEdges = operators.Graph.coOccurrenceEdges(spark, sfDir).count()
       val liRows = Tables.lineitem(spark, sfDir).count()
       val docRows = Tables.documents(spark, sfDir).count()
@@ -187,9 +286,7 @@ object Bench {
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    val regJson = regressions.map { case (k, (now, prev)) =>
-      "\"" + k + "\":{\"now\":" + now + ",\"prev\":" + prev + "}"
-    }.mkString("{", ",", "}")
+    val regJson = regressionsJson(regressions.toSeq.sortBy(_._1), isolated)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$qs,"runs":$runsJson,"sampled":$sampledJson,"rows":$rs,"failed":$fs,"regressions_vs_committed":$regJson,"fixture_probe":$probeJson,"sf":"$sfDir","shuffle_partitions":$cpus}"""
     // full-detail line first (log readers), and persisted as an artifact —
     // the full line is ~4 KB and harness tail-captures truncate it.

@@ -215,9 +215,15 @@ object EventOps {
     */
   def seasonalityStrength(spark: SparkSession, dir: String,
       lagHours: Int = 24): DataFrame = {
+    // persisted because the aggregate feeds BOTH the span min/max and the
+    // densify join — unpersisted, the events scan + (type,hour) shuffle
+    // would execute twice per run
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
       .agg(count(lit(1)).as("y"))
+      .persist()
+    graft.plans.ReleaseRegistry.register("eventops.seasonality_hourly")(
+      () => hourly.unpersist(blocking = false))
     val dense = hourly.groupBy("event_type")
       .agg(min("hb").as("lo"), max("hb").as("hi"))
       .select(col("event_type"), explode(expr(

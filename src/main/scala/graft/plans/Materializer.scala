@@ -128,13 +128,17 @@ object Materializer {
     * for a fingerprint is elected by an atomic exclusive claim file, so
     * two sessions sharing `cacheDir` can never interleave writes into the
     * same target. A loser waits up to `waitMs` for the winner's marker
-    * and serves the cached copy; on timeout (winner crashed or is slower
-    * than the wait) it removes the stale claim for future callers and
-    * serves its own computed frame UNCACHED — duplicated work is the
-    * worst case, never a corrupted or torn read.
+    * and serves the cached copy; on timeout it serves its own computed
+    * frame UNCACHED — duplicated work is the worst case, never a
+    * corrupted or torn read. The timed-out loser removes the winner's
+    * claim ONLY when the claim is older than `staleClaimMs` (a crashed
+    * writer's leftover): a claim younger than that may belong to a
+    * slow-but-live writer, and deleting it would let a third caller
+    * elect itself and overwrite the same target mid-write — and would
+    * let [[sweep]] misclassify the in-flight directory as torn.
     */
   def lookupOrCompute(spark: SparkSession, cacheDir: String, key: CacheKey,
-      waitMs: Long = 300000L)(compute: => DataFrame): DataFrame = {
+      waitMs: Long = 300000L, staleClaimMs: Long = 3600000L)(compute: => DataFrame): DataFrame = {
     val fp = fingerprint(spark, key)
     val target = s"$cacheDir/$fp"
     val path = new Path(target)
@@ -158,7 +162,11 @@ object Materializer {
       while (!committed && System.nanoTime < deadline) Thread.sleep(100)
       if (committed) spark.read.parquet(target)
       else {
-        fs.delete(claim, false) // stale claim: don't strand future callers
+        // don't strand future callers behind a crashed writer's claim —
+        // but a YOUNG claim is a live slow writer: leave it in place
+        if (fs.exists(claim) &&
+            System.currentTimeMillis - fs.getFileStatus(claim).getModificationTime > staleClaimMs)
+          fs.delete(claim, false)
         compute
       }
     }
@@ -190,7 +198,9 @@ object Materializer {
     *    arriving between the scan and the delete wins and the sweep
     *    skips — no check-then-act window;
     *  - torn leftovers (directory, no `_SUCCESS`, no claim — a crashed
-    *    writer) are junk and reclaimed unconditionally;
+    *    writer) are reclaimed once older than `staleClaimMs`; younger
+    *    ones are left alone, because a slow-but-live writer whose claim
+    *    a timed-out reader raced could otherwise be torn mid-write;
     *  - completed entries age out past `maxAgeMs`, then the OLDEST
     *    completed entries go first until the namespace fits `maxBytes`.
     *
@@ -243,8 +253,10 @@ object Materializer {
     // deletion takes the entry's OWN claim first (the writers' election
     // protocol): a writer that claimed between the scan above and this
     // delete keeps its claim, we lose the race and skip — without it the
-    // scan-time check is TOCTOU and a fresh write could be torn mid-flight
-    def drop(e: Entry): Unit =
+    // scan-time check is TOCTOU and a fresh write could be torn mid-flight.
+    // Returns whether the entry was actually deleted, so the capacity
+    // accounting below never credits a skipped or failed drop.
+    def drop(e: Entry): Boolean =
       if (tryClaim(fs, claimPath(e.path.getName))) {
         try {
           val marker = successMarker(e.path.toString)
@@ -252,16 +264,20 @@ object Materializer {
           fs.delete(e.path, true)
           deleted += 1
           freed += e.bytes
+          true
         } finally fs.delete(claimPath(e.path.getName), false)
-      } else skippedClaimed += 1
+      } else { skippedClaimed += 1; false }
     val (torn, complete) = entries.partition(!_.complete)
-    torn.foreach(drop)
+    // a claimless incomplete dir younger than staleClaimMs may be a live
+    // writer whose claim a timed-out loser once raced (or whose claim is
+    // about to appear): only dirs old enough that any legitimate writer
+    // would have committed or left a reclaimable claim are torn junk
+    torn.filter(e => now - e.mtime > staleClaimMs).foreach(drop)
     val (aged, fresh) = complete.partition(e => now - e.mtime > maxAgeMs)
     aged.foreach(drop)
     var live = fresh.map(_.bytes).sum
     for (e <- fresh.sortBy(_.mtime) if live > maxBytes) {
-      drop(e)
-      live -= e.bytes
+      if (drop(e)) live -= e.bytes
     }
     SweepStats(dirs.length, deleted, freed, skippedClaimed)
   }

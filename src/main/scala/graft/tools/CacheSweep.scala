@@ -24,7 +24,15 @@ object CacheSweep {
     val spark = graft.GraftSession.local("graft-cache-sweep", cores = 1)
     try {
       val s = Materializer.sweep(spark, cacheDir, maxBytes, maxAgeMs)
-      println(s"""{"cache_dir":"$cacheDir","scanned":${s.scanned},""" +
+      // JSON-escape the user-supplied path so a quote/backslash/control
+      // char can't emit an invalid line for the log scrapers this targets
+      val dirJson = cacheDir.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
+      println(s"""{"cache_dir":"$dirJson","scanned":${s.scanned},""" +
         s""""deleted":${s.deleted},"bytes_freed":${s.bytesFreed},""" +
         s""""skipped_claimed":${s.skippedClaimed}}""")
     } finally spark.stop()

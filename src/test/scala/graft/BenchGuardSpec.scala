@@ -34,6 +34,41 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseQueryMedians("""{"queries":[1,2]}""") === Map.empty)
   }
 
+  test("child-output median extraction finds the flagged query's median") {
+    val childOut =
+      """some log line the child printed
+        |{"metric":"total","value":9.9,"queries":{"triangles":4.61,"other":1.0},"sf":"x"}
+        |{"metric":"total","value":9.9,"queries":{"triangles":4.610},"n_queries":1}
+        |""".stripMargin
+    assert(Bench.medianFromChildOutput(childOut, "triangles") === Some(4.61))
+    assert(Bench.medianFromChildOutput(childOut, "absent") === None)
+    assert(Bench.medianFromChildOutput("", "triangles") === None)
+  }
+
+  test("regression block carries {now, prev, isolated, verdict}") {
+    val regs = Seq(
+      "noisy" -> (8.88, 3.73), // isolated back under 2x prev -> noise
+      "real" -> (9.0, 2.0), // isolated still over 2x prev -> confirmed
+      "dead" -> (5.0, 1.0)) // no isolated median -> unknown
+    val json = Bench.regressionsJson(regs, Map("noisy" -> 4.61, "real" -> 7.5))
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    assert((j \ "noisy" \ "verdict") === JString("noise"))
+    assert((j \ "noisy" \ "isolated") === JDouble(4.61))
+    assert((j \ "noisy" \ "prev") === JDouble(3.73))
+    assert((j \ "real" \ "verdict") === JString("confirmed"))
+    assert((j \ "dead" \ "verdict") === JString("unknown"))
+    assert((j \ "dead" \ "isolated") === JNull)
+  }
+
+  test("isolatedRerun spawns a fresh JVM and returns the query's median") {
+    // the full automated protocol end-to-end at fixture scale: fresh JVM,
+    // same classpath + module flags, BENCH_ONLY child, median parsed back
+    val iso = Bench.isolatedRerun("word_count", "/root/testdata/sf0.001", "4")
+    assert(iso.isDefined, "child bench run produced no median")
+    assert(iso.get > 0.0 && iso.get < 120.0)
+  }
+
   test("the committed artifact itself parses to per-query medians") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("tools/bench_full.json")), "UTF-8")

@@ -132,18 +132,21 @@ class MaterializerSpec extends SparkSpec {
   test("sweep: a crashed writer's stale claim is reclaimed with its torn " +
     "directory; a fresh claim still protects") {
     val cacheDir = Files.createTempDirectory("graft-mat-stale").toString
-    def plant(name: String, claimAgeMs: Long): Unit = {
+    def plant(name: String, ageMs: Long): Unit = {
       val d = java.nio.file.Paths.get(cacheDir, name)
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.write(d.resolve("part-0"), Array[Byte](1, 2, 3))
       val claim = java.nio.file.Paths.get(cacheDir, name + "._claim")
       java.nio.file.Files.createFile(claim)
-      java.nio.file.Files.setLastModifiedTime(claim,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis - claimAgeMs))
+      // a writer that crashed ageMs ago left BOTH its claim and its torn
+      // directory at that age — backdate both, as sweep ages both
+      val t = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - ageMs)
+      java.nio.file.Files.setLastModifiedTime(claim, t)
+      java.nio.file.Files.setLastModifiedTime(d, t)
     }
-    plant("aaaa0000", claimAgeMs = 2 * 3600 * 1000L) // crashed: 2h-old claim
-    plant("bbbb1111", claimAgeMs = 0L)               // live writer
+    plant("aaaa0000", ageMs = 2 * 3600 * 1000L) // crashed: 2h-old claim+dir
+    plant("bbbb1111", ageMs = 0L)               // live writer
     val stats = Materializer.sweep(spark, cacheDir)
     assert(stats.deleted === 1 && stats.skippedClaimed === 1)
     assert(!java.nio.file.Files.exists(
@@ -165,15 +168,25 @@ class MaterializerSpec extends SparkSpec {
       Materializer.fingerprint(spark, key), "_SUCCESS")
     java.nio.file.Files.setLastModifiedTime(marker,
       java.nio.file.attribute.FileTime.fromMillis(1000L)) // ancient
-    // torn leftover: directory without _SUCCESS or claim (crashed writer)
+    // torn leftover: OLD directory without _SUCCESS or claim (crashed
+    // writer, long gone) — reclaimable
     val torn = java.nio.file.Paths.get(cacheDir, "0123456789abcdef")
     java.nio.file.Files.createDirectories(torn)
     java.nio.file.Files.write(torn.resolve("part-0"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    // a FRESH claimless incomplete dir may be a live writer mid-write
+    // whose claim a timed-out loser raced — sweep must leave it alone
+    val freshTorn = java.nio.file.Paths.get(cacheDir, "feedfacefeedface")
+    java.nio.file.Files.createDirectories(freshTorn)
+    java.nio.file.Files.write(freshTorn.resolve("part-0"), Array[Byte](7))
     val stats = Materializer.sweep(spark, cacheDir,
       maxAgeMs = 24L * 3600 * 1000)
     assert(stats.deleted === 2)
     assert(!java.nio.file.Files.exists(torn))
     assert(!java.nio.file.Files.exists(marker.getParent))
+    assert(java.nio.file.Files.exists(freshTorn.resolve("part-0")),
+      "a fresh claimless incomplete dir (possible live writer) must survive")
   }
 
   test("invalidate forces recompute") {
