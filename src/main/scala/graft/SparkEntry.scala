@@ -55,6 +55,7 @@ object SparkEntry {
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
     "dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
+    "dup_substrings" -> ((s, d) => TextOps.dupSubstrings(Tables.documents(s, d))),
     "seg_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
     "mix_sources" -> ((s, d) =>
       TextOps.mixSources(Tables.documents(s, d),
@@ -995,6 +996,36 @@ object SparkEntry {
         |c AS (SELECT h, count(*) AS c FROM sp GROUP BY h HAVING count(*) > 1)
         |SELECT doc_id, count(*) AS n_spans, count(c.c) AS n_dup_spans
         |FROM sp LEFT JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+    // dup_substrings: the same sorted-suffix construction replayed in SQL —
+    // chr(1)-joined w-truncated suffixes, lead() over the byte-lex sort,
+    // one token-LCP per adjacent pair credited to both endpoints, max per
+    // position, per-doc rollup. Pure integers end to end.
+    "dup_substrings" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sfx AS (SELECT doc_id, i,
+        |          LEAST(32, len(toks) - i + 1) AS sl,
+        |          array_to_string(toks[i : i + 31], chr(1)) AS s
+        |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |ord AS (SELECT doc_id, i, sl, s,
+        |          lead(s) OVER (ORDER BY s, doc_id, i) AS s2,
+        |          row_number() OVER (ORDER BY s, doc_id, i) AS p
+        |        FROM sfx),
+        |pl AS (SELECT p,
+        |         CASE WHEN s = s2 THEN len(string_split(s, chr(1)))
+        |           ELSE list_position(
+        |             list_transform(
+        |               range(1, GREATEST(len(string_split(s, chr(1))),
+        |                                 len(string_split(s2, chr(1)))) + 1),
+        |               j -> coalesce(string_split(s, chr(1))[j] = string_split(s2, chr(1))[j], FALSE)),
+        |             FALSE) - 1 END AS lcp
+        |       FROM ord WHERE s2 IS NOT NULL),
+        |contrib AS (SELECT p, lcp FROM pl UNION ALL SELECT p + 1 AS p, lcp FROM pl),
+        |dl AS (SELECT p, max(lcp) AS dl FROM contrib GROUP BY p)
+        |SELECT doc_id, count(*) AS n_suffixes,
+        |       CAST(max(coalesce(dl, 0)) AS BIGINT) AS max_dup_len,
+        |       CAST(sum(CASE WHEN sl >= 8 AND coalesce(dl, 0) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans8
+        |FROM ord LEFT JOIN dl USING (p)
+        |GROUP BY doc_id""".stripMargin,
     // seg_dedup: C4-style segment dedup + rewrite; first occurrence =
     // smallest (doc_id, position) per 60-bit segment hash, so the window
     // replay is exactly deterministic and the reassembled text is

@@ -490,6 +490,78 @@ object TextOps {
         sum(when(col("c").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_dup_spans"))
   }
 
+  /** Exact-substring duplicate detection via sorted-suffix blocking — the
+    * distributed shape of the suffix-array dedup in Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"), which
+    * [[duplicatedSpans]] only approximates at one fixed width: for every
+    * token position in the corpus this reports the length of the LONGEST
+    * substring starting there that also occurs anywhere else (another
+    * document, or another position of the same document — self-repetition
+    * is duplication), exactly up to a declared block width `w` tokens
+    * (longer duplicates saturate at `w`).
+    *
+    * Method: every suffix is truncated to its first `w` tokens and
+    * globally sorted; in lexicographic order the maximum common prefix a
+    * suffix shares with ANY other suffix is attained at one of its two
+    * sort neighbors, so per-position duplicate length = max(LCP with
+    * predecessor, LCP with successor). Truncation makes this exact for
+    * all lengths ≤ `w` — the classic unbounded-suffix-array answer,
+    * capped. Suffixes join on a `` separator (sorts below every
+    * token byte), which preserves the token-prefix property under plain
+    * byte-lexicographic ordering in both engines.
+    *
+    * Output per document: `n_suffixes` (= token count), `max_dup_len`
+    * (longest duplicated substring starting in this doc, tokens, ≤ w),
+    * and `n_dup_spans8` (positions whose full 8-token span duplicates —
+    * by construction this agrees with [[duplicatedSpans]]'s
+    * `n_dup_spans`, pinned in TextOpsSpec).
+    *
+    * Scale shape: the suffix table is n_tokens rows × ≤`w` tokens — a
+    * DECLARED w-fold blowup of the corpus (Lee et al.'s suffix array is
+    * the same order), range-partitioned by suffix so the sort never
+    * funnels; neighbor pairing is a self-join on the dense global
+    * position from [[Relational.positionByRange]] (the packSequences
+    * prefix-sum machinery — no global window, no driver state); LCPs are
+    * one bounded zip per adjacent pair. Everything downstream is integer,
+    * so the oracle replays hash-exact.
+    */
+  def dupSubstrings(docs: DataFrame, w: Int = 32): DataFrame = {
+    val sfx = spreadNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks)), i -> concat_ws(char(1), slice(toks, i, $w)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        least(lit(w).cast("long"), col("n") - col("pos")).as("sl"),
+        col("col").as("s"))
+    val ranged = Relational.positionByRange(sfx,
+      Seq(col("s"), col("doc_id"), col("i")), "text.dup_substrings")
+    // adjacent pairs via the dense position: (p, p+1); LCP in TOKENS —
+    // zip the split suffixes, first mismatch index − 1 (0 = none found =
+    // arrays identical = full truncated length). One HOF pass per pair,
+    // inputs read exactly once (the interpreted-eval budget rule).
+    val nxt = ranged.select((col("pos") - 1).as("pos"), col("s").as("s2"))
+    val pairLcp = ranged.join(nxt, Seq("pos"))
+      .select(col("pos"), expr(
+        """CASE WHEN s = s2 THEN size(split(s, char(1)))
+          |ELSE array_position(
+          |  zip_with(split(s, char(1)), split(s2, char(1)),
+          |           (x, y) -> coalesce(x = y, false)), false) - 1 END"""
+          .stripMargin).cast("long").as("lcp"))
+    // per-position duplicate length = max over both neighbors: each pair
+    // credits both of its endpoints, then a max-by-position rollup
+    val contrib = pairLcp.select(col("pos"), col("lcp"))
+      .unionAll(pairLcp.select((col("pos") + 1).as("pos"), col("lcp")))
+    val duplen = contrib.groupBy("pos").agg(max("lcp").as("dl"))
+    ranged.select("pos", "doc_id", "i", "sl")
+      .join(duplen, Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"),
+        max(coalesce(col("dl"), lit(0L))).as("max_dup_len"),
+        sum(when(col("sl") >= 8 && coalesce(col("dl"), lit(0L)) >= 8, 1L)
+          .otherwise(0L)).as("n_dup_spans8"))
+  }
+
   /** C4-style segment-level dedup WITH corpus rewrite (the canonical "drop
     * duplicated three-sentence spans" preprocessing step, adapted to
     * fixed-k token segments on this punctuation-less fixture): each

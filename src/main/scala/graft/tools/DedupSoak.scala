@@ -77,6 +77,14 @@ object DedupSoak {
       Dedup.resolveClusters(docs, Dedup.minhashPairs(docs)))
     timed("segment_dedup")(TextOps.segmentDedup(docs))
     timed("simhash_pairs")(Dedup.simhashPairs(docs))
+    // exact-substring dedup growth check: sorted-suffix blocking touches
+    // each suffix's two sort neighbors only, so cost must scale ~linearly
+    // in corpus size even at 90% duplication (every suffix ×copies) —
+    // a quadratic all-pairs regression would show as wall_10x/wall_1x ≈
+    // copies² instead of ≈ copies
+    timed("dup_substrings_1x")(
+      TextOps.dupSubstrings(graft.Tables.documents(spark, sfDir)))
+    timed("dup_substrings_10x")(TextOps.dupSubstrings(docs))
     spark.stop()
     TmpDirs.deleteRecursively(tmp)
   }

@@ -206,6 +206,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
   }
 
+  test("dupSubstrings: longest duplicated substring per doc, hand-checked") {
+    val d = Seq(
+      // docs 1/2 share a 6-token run ("alpha .. foxtrot"); doc 1's longest
+      // duplicate is that run, doc 3 shares only a 2-token run with doc 1
+      (1L, "alpha bravo charlie delta echo foxtrot uno dos"),
+      (2L, "pre alpha bravo charlie delta echo foxtrot post"),
+      (3L, "uno dos standalone words without other overlap"),
+      (4L, "nothing here matches anything else at all truly")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSubstrings(d).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === (8L, 6L, 0L)) // 8 tokens, "alpha..foxtrot" = 6
+    assert(got(2L) === (8L, 6L, 0L))
+    assert(got(3L) === (7L, 2L, 0L)) // "uno dos"
+    assert(got(4L) === (8L, 0L, 0L)) // nothing duplicated anywhere
+  }
+
+  test("dupSubstrings: self-repetition counts, lengths saturate at w") {
+    // one doc, token "rep" repeated 12 times: the suffix at position 1
+    // shares 11 tokens with the suffix at position 2 (overlapping
+    // self-duplication, the Lee et al. semantics)
+    val d = Seq((1L, Seq.fill(12)("rep").mkString(" "))).toDF("doc_id", "text")
+    val full = TextOps.dupSubstrings(d).as[(Long, Long, Long, Long)].head()
+    assert(full === ((1L, 12L, 11L, 5L))) // positions 1..5 have full 8-wide dup spans
+    // w caps the reported length: same corpus, w = 4
+    val capped = TextOps.dupSubstrings(d, w = 4).as[(Long, Long, Long, Long)].head()
+    assert(capped._3 === 4L)
+  }
+
+  test("dupSubstrings agrees with duplicatedSpans on the fixed-width subset") {
+    // n_dup_spans8 (positions whose duplicate length >= 8 at full width)
+    // must equal duplicatedSpans' n_dup_spans on every doc of the corpus —
+    // the suffix construction is the exact superset of the k=8 span hash
+    val docs = Tables.documents(spark, sfDir)
+    val sub = TextOps.dupSubstrings(docs).select($"doc_id", $"n_dup_spans8")
+    val spans = TextOps.duplicatedSpans(docs).select($"doc_id", $"n_dup_spans")
+    val joined = sub.join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_dup_spans8", coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"))
+    val disagree = joined.where($"n_dup_spans8" =!= $"n_dup_spans").count()
+    assert(disagree === 0, "fixed-width-8 subset must agree with dup_spans")
+    // and the family is live on this corpus: some duplication exists
+    assert(TextOps.dupSubstrings(docs).agg(max($"max_dup_len")).as[Long].head() > 0L)
+  }
+
   test("segmentDedup: rewrite keeps each distinct segment exactly once, in order") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextOps.segmentDedup(docs, k = 8).cache()
