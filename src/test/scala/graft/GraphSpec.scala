@@ -68,6 +68,27 @@ class GraphSpec extends SparkSpec {
     assert(got3 === 0L)
   }
 
+  test("linkPredictionCore: RA on the k-core backbone drops periphery candidates") {
+    // dense core: K5 minus edge (1,3); sparse periphery: 6 hangs off 1,
+    // 7 hangs off 6. k=3 peels {6,7}; the core's only non-adjacent pair
+    // is (1,3) with common neighbors 2/4/5 (subgraph degree 4 each).
+    val core = Seq((1L, 2L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val g = (core ++ Seq((1L, 6L), (6L, 7L))).toDF("src", "dst")
+    val got = Graph.linkPredictionCore(g, k = 3, rounds = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Seq((1L, 3L, 3L, 750000L)))
+    // the raw variant on the same graph also surfaces periphery pairs
+    // (e.g. (2,6) through center 1) — the composition must exclude them
+    val raw = Graph.linkPredictionRA(g)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(raw.exists(r => r._1 == 2L && r._2 == 6L))
+    assert(raw.contains((1L, 3L, 3L, 750000L)),
+      "core degrees equal raw degrees here, so the shared pair scores the same")
+  }
+
   test("hits: hand-computed one-round hubs/authorities with integer rescale") {
     // 1→10, 2→10, 2→11, 3→11 (bipartite). a1 raw: {10:2e6, 11:2e6},
     // Σ=4e6, na=2 → scale 2 → both 1e6. h1 raw: {1:1e6, 2:2e6, 3:1e6},
