@@ -525,6 +525,32 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.phashDupCounts(media)
     }),
+    // REAL video frame sampling on a mixed corpus: every 4th doc carries a
+    // synthesized Y4M container (8x4 Cmono, 2-4 frames, pixel bytes from
+    // an ASCII-safe arithmetic pattern — chars 48..111, so the payload is
+    // byte-exactly rebuildable in SQL) whose luma planes the codec parses
+    // STRUCTURALLY (header W/H/C, FRAME boundaries, Y-plane byte sums);
+    // the other docs keep their raw text payload and take the md5 stub
+    // pseudo-frame path. The oracle replays the y4m rows from the pixel
+    // FORMULA (it never parses binary) and the stub rows from md5 — both
+    // pure integer
+    "media_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val alphabet = (48 until 112).map(_.toChar).mkString
+      def lumaChar(f: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        lit(alphabet).substr(
+          pmod(col("doc_id") * 7 + f * 13 + i * 5, lit(64)).cast("int") + 1, lit(1))
+      val frameStr = (f: org.apache.spark.sql.Column) => concat(lit("FRAME\n"),
+        array_join(transform(sequence(lit(0), lit(31)), i => lumaChar(f, i)), ""))
+      val y4m = concat(lit("YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n"),
+        array_join(transform(
+          sequence(lit(0), (col("doc_id") % 3 + 1).cast("int")), frameStr), ""))
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, y4m).otherwise(col("text")).as("p")),
+        "doc_id", "p", "video")
+      Multimodal.decodeFrames(media)
+    }),
     // integer-exact grid variance + brightness + flat-frame flag on the
     // same one-decode-pass residues
     "media_quality" -> ((s, d) => {
@@ -3679,6 +3705,30 @@ object SparkEntry {
         |       ELSE 'unknown' END AS kind_detected,
         |  coalesce(format_detected IN ('wav', 'aiff', 'au'), FALSE) AS decodable
         |FROM c""".stripMargin,
+    // media_frames: y4m rows replay from the pixel CONSTRUCTION formula
+    // (mean of 32 bytes '48 + (doc_id*7 + f*13 + i*5) % 64', micro-scaled
+    // over 255), sampled at the shared (k*n)//4 stride; stub rows replay
+    // the portable-md5 pseudo-frames off the raw text payload
+    "media_frames" ->
+      """WITH vid AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+        |             WHERE doc_id % 4 = 0),
+        |sel AS (SELECT DISTINCT doc_id, nf, (k * nf) // 4 AS f
+        |        FROM vid CROSS JOIN range(0, 4) t(k)),
+        |y AS (SELECT doc_id, nf, f,
+        |        list_sum(list_transform(range(0, 32),
+        |          i -> 48 + (doc_id * 7 + f * 13 + i * 5) % 64)) AS s
+        |      FROM sel),
+        |yr AS (SELECT doc_id AS media_id, 'y4m' AS container,
+        |         CAST(nf AS BIGINT) AS n_frames, CAST(f AS INT) AS frame_idx,
+        |         CAST((s * 1000000) // (32 * 255) AS BIGINT) AS luma_micro
+        |       FROM y),
+        |st AS (SELECT d.doc_id AS media_id, 'stub' AS container,
+        |         CAST(NULL AS BIGINT) AS n_frames, CAST(k AS INT) AS frame_idx,
+        |         ('0x'||substr(md5(d.text || ':f' || k),1,15))::BIGINT % 1000001
+        |           AS luma_micro
+        |       FROM documents d CROSS JOIN range(0, 4) t(k)
+        |       WHERE d.doc_id % 4 <> 0)
+        |SELECT * FROM yr UNION ALL SELECT * FROM st""".stripMargin,
     // ── sketch-variant bound checks: the sketches themselves (HLL,
     // approx_percentile KLL, xxhash64 simhash/quantize digests) have no
     // DuckDB equivalent, so each Spark query reports a replayable

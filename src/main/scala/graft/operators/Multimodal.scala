@@ -275,7 +275,155 @@ object Multimodal {
       else if (p(0) == 0x1a.toByte && p(1) == 0x45.toByte &&
         p(2) == 0xdf.toByte && p(3) == 0xa3.toByte)
         ("webm", "video", false) // EBML header (Matroska/WebM)
+      else if (looksLikeY4m(p))
+        ("y4m", "video", true) // uncompressed planar frames: decodable HERE
       else (null, "unknown", false)
+    }
+
+    /** Y4M (YUV4MPEG2) stream magic — the uncompressed planar video
+      * container whose frames decode here with zero external codecs: the
+      * header is an ASCII parameter line, every frame is a `FRAME` line
+      * followed by raw Y (then U, V) planes, and the luma plane IS the
+      * luminance data.
+      */
+    private def looksLikeY4m(p: Array[Byte]): Boolean =
+      p != null && p.length >= 10 &&
+        new String(p, 0, 10, java.nio.charset.StandardCharsets.ISO_8859_1) == "YUV4MPEG2 "
+
+    private def looksLikeJpegSoi(p: Array[Byte], i: Int): Boolean =
+      i + 2 < p.length && p(i) == 0xff.toByte && p(i + 1) == 0xd8.toByte &&
+        p(i + 2) == 0xff.toByte
+
+    /** Evenly-spaced sample of frame indices: `floor(k·n/max)` for
+      * k < max, deduplicated — every frame when n ≤ max, a uniform
+      * stride otherwise. Shared by the real decoders and the oracle
+      * replay (the SQL twin computes the same `(k*n)//max` set).
+      */
+    private[operators] def sampleIdx(nFrames: Int, maxFrames: Int): Seq[Int] =
+      (0 until maxFrames).map(k => k * nFrames / maxFrames).distinct
+        .filter(_ < nFrames)
+
+    /** REAL frame sampling for the video containers this JDK decodes
+      * without external codecs. Returns `(container, nFrames, samples)`
+      * where each sample is `(frameIdx, lumaMicro)` — the frame's mean
+      * luminance as a fraction of full-scale in integer micro-units
+      * (`Σluma·10⁶ div (pixels·255)`, truncating — engine-replayable):
+      *
+      *  - Y4M: header line gives W/H/colorspace (mono = Y only,
+      *    444/422/420 plane sizes); each `FRAME` line is followed by the
+      *    raw Y plane, whose byte sum is the luminance — a genuine
+      *    structural parse of the container bytes;
+      *  - MJPEG (concatenated JPEGs, SOI-delimited): the frame COUNT
+      *    comes from scanning SOI markers; only the SAMPLED frames
+      *    decode (via `javax.imageio`), with Rec.601 integer weights
+      *    (299/587/114, scaled by 255000) — sampling must not pay a
+      *    full-stream decode.
+      *
+      * Returns null for anything else (compressed video, garbage,
+      * truncated streams) — callers fall back to [[stubFrameLumas]], the
+      * same quarantine contract as [[decode]].
+      */
+    def videoFrames(payload: Array[Byte], maxFrames: Int): (String, Int, Seq[(Int, Long)]) =
+      try {
+        if (looksLikeY4m(payload)) y4mFrames(payload, maxFrames)
+        else if (looksLikeJpegSoi(payload, 0)) mjpegFrames(payload, maxFrames)
+        else null
+      } catch { case scala.util.control.NonFatal(_) => null }
+
+    private def y4mFrames(p: Array[Byte], maxFrames: Int): (String, Int, Seq[(Int, Long)]) = {
+      var i = 0
+      while (i < p.length && p(i) != '\n') i += 1
+      if (i >= p.length) return null
+      val header = new String(p, 0, i, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var w = 0
+      var h = 0
+      var cs = "420"
+      header.split(" ").drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.tail.toInt
+          case 'H' => h = t.tail.toInt
+          case 'C' => cs = t.tail
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0) return null
+      val ySize = w * h
+      val frameSize =
+        if (cs.startsWith("mono")) ySize
+        else if (cs.startsWith("444")) ySize * 3
+        else if (cs.startsWith("422")) ySize * 2
+        else ySize * 3 / 2 // 420 family (jpeg/mpeg2/paldv variants)
+      val lumas = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = i + 1
+      var ok = true
+      while (ok && pos < p.length) {
+        val lineStart = pos
+        while (pos < p.length && p(pos) != '\n') pos += 1
+        val line = new String(p, lineStart,
+          math.min(5, pos - lineStart), java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (pos >= p.length || !line.startsWith("FRAME") ||
+          pos + 1 + frameSize > p.length) ok = false // truncated/garbage tail
+        else {
+          pos += 1
+          var s = 0L
+          var j = 0
+          while (j < ySize) { s += p(pos + j) & 0xff; j += 1 }
+          lumas += s * 1000000L / (ySize.toLong * 255L)
+          pos += frameSize
+        }
+      }
+      if (lumas.isEmpty) null
+      else ("y4m", lumas.length,
+        sampleIdx(lumas.length, maxFrames).map(f => (f, lumas(f))))
+    }
+
+    private def mjpegFrames(p: Array[Byte], maxFrames: Int): (String, Int, Seq[(Int, Long)]) = {
+      // frame boundaries from SOI markers alone — counting must not decode
+      val sois = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < p.length) {
+        if (looksLikeJpegSoi(p, i)) { sois += i; i += 2 }
+        i += 1
+      }
+      if (sois.isEmpty) return null
+      val n = sois.length
+      val samples = sampleIdx(n, maxFrames).map { f =>
+        val from = sois(f)
+        val until = if (f + 1 < n) sois(f + 1) else p.length
+        val img = readImage(java.util.Arrays.copyOfRange(p, from, until))
+        if (img == null) return null // one poison frame → whole payload stubs
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val px = img.getWidth.toLong * img.getHeight
+        (f, s * 1000000L / (px * 255000L))
+      }
+      ("mjpeg", n, samples)
+    }
+
+    /** STUB pseudo-frame lumas for payloads [[videoFrames]] cannot decode:
+      * frame `f` is `md5_60bit(payload ++ ":f" ++ f) % 1000001` — the
+      * portable md5 scheme (DuckDB:
+      * `('0x'||substr(md5(s || ':f' || f),1,15))::BIGINT % 1000001`), one
+      * digest-state clone per frame like [[stubFeatures]].
+      */
+    def stubFrameLumas(payload: Array[Byte], maxFrames: Int): Seq[Long] = {
+      val base = java.security.MessageDigest.getInstance("MD5")
+      if (payload != null) base.update(payload)
+      (0 until maxFrames).map { f =>
+        val md = base.clone().asInstanceOf[java.security.MessageDigest]
+        md.update((":f" + f).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.functions.PortableMd5.fromDigest(md.digest()) % 1000001L
+      }
     }
 
     /** Header-level duration probe for COMPRESSED formats this environment
@@ -469,6 +617,54 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val features = MediaCodec.decode(payload, r.getString(kindIdx))
         Row.fromSeq(keepIdx.map(r.get) :+ features.toSeq)
+      }
+    }
+  }
+
+  /** Decoded frame-sample stage (the decode-level complement of
+    * [[sampleFrames]], which schedules frame TIMES from metadata without
+    * touching bytes): one output row per SAMPLED frame (up to
+    * `maxFrames`, evenly spaced) per media row. Uncompressed/intra-only
+    * containers decode for REAL through [[MediaCodec.videoFrames]] — Y4M
+    * luma planes read structurally, MJPEG frames through `javax.imageio`,
+    * and only the sampled frames pay a decode; everything else (mp4/webm
+    * and garbage — no codec here) emits `maxFrames` deterministic stub
+    * pseudo-frames ([[MediaCodec.stubFrameLumas]], portable-md5
+    * replayable), keeping the whole stage hash-checkable while the real
+    * rows carry genuinely decoded luminance.
+    *
+    * Output: `(media_id, container, n_frames, frame_idx, luma_micro)` —
+    * `n_frames` is the true container frame count (null on the stub
+    * path), `luma_micro` the frame's mean luminance as a full-scale
+    * fraction in integer micro-units.
+    *
+    * Scale shape: row-local flatMap at the same `mapPartitions` codec
+    * boundary as [[extractFeatures]] (per-partition codec init, payloads
+    * never shuffle); output is 16 bytes × ≤maxFrames per payload.
+    */
+  def decodeFrames(media: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("luma_micro", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val v = MediaCodec.videoFrames(payload, maxFrames)
+        if (v != null) {
+          val (container, nFrames, samples) = v
+          samples.map { case (f, lm) =>
+            Row(id, container, nFrames.toLong, f, lm)
+          }
+        } else MediaCodec.stubFrameLumas(payload, maxFrames).zipWithIndex.map {
+          case (lm, f) => Row(id, "stub", null, f, lm)
+        }
       }
     }
   }

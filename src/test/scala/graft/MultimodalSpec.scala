@@ -251,6 +251,78 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 3 * 4) // 0,1000,2000,3000 per video
   }
 
+  test("decodeFrames: y4m luma planes parse structurally, hand-computed means") {
+    import graft.operators.Multimodal.MediaCodec
+    // 2x2 Cmono, 3 frames with known luma bytes — the parse must walk
+    // header -> FRAME lines -> raw planes and sum real bytes
+    def frame(b: Seq[Int]) =
+      "FRAME\n".getBytes("ISO-8859-1") ++ b.map(_.toByte).toArray
+    val p = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++
+      frame(Seq(0, 0, 0, 0)) ++ frame(Seq(255, 255, 255, 255)) ++
+      frame(Seq(100, 100, 100, 100))
+    val got = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((1L, p)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, String, Option[Long], Int, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSet === Set("y4m"))
+    assert(got.map(_._3).toSet === Set(Some(3L)))
+    assert(got.map(r => r._4 -> r._5).toSeq ===
+      Seq(0 -> 0L, 1 -> 1000000L, 2 -> (100L * 1000000L / 255L)))
+    // a truncated stream (header promises a frame it doesn't carry in
+    // full) keeps the complete frames and drops the torn tail
+    val torn = p.dropRight(2)
+    val t = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((1L, torn)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, String, Option[Long], Int, Long)].collect()
+    assert(t.map(_._3).toSet === Set(Some(2L)))
+    // garbage with the right magic but no parsable header → stub path
+    val junk = "YUV4MPEG2 garbage".getBytes("ISO-8859-1")
+    val j = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((1L, junk)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, String, Option[Long], Int, Long)].collect()
+    assert(j.map(_._2).toSet === Set("stub") && j.length === 4)
+    assert(j.map(_._5).toSeq === MediaCodec.stubFrameLumas(junk, 4))
+  }
+
+  test("decodeFrames: mjpeg counts SOI frames, decodes only the sampled ones") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // 6 REAL JPEG frames; maxFrames=4 samples (k*6)//4 = {0,1,3,4}
+    val grays = Seq(10, 200, 10, 200, 10, 128)
+    val p = grays.map(jpeg).reduce(_ ++ _)
+    val got = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((1L, p)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, String, Option[Long], Int, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSet === Set("mjpeg"))
+    assert(got.map(_._3).toSet === Set(Some(6L)))
+    assert(got.map(_._4).toSeq === Seq(0, 1, 3, 4))
+    // decoded luminance of a solid-gray JPEG lands within 2% of gray/255
+    got.foreach { r =>
+      val expect = grays(r._4) * 1000000L / 255L
+      assert(math.abs(r._5 - expect) < 20000L,
+        s"frame ${r._4}: luma ${r._5} vs expected ~$expect")
+    }
+  }
+
+  test("decodeFrames: stub pseudo-frames replay the portable md5 contract") {
+    import graft.operators.Multimodal.MediaCodec
+    val p = "definitely not a video".getBytes("UTF-8")
+    val got = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((7L, p)).toDF("id", "bytes"), "id", "bytes", "video"), maxFrames = 3)
+      .as[(Long, String, Option[Long], Int, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSet === Set("stub"))
+    assert(got.map(_._3).toSet === Set(None))
+    val expected = (0 until 3).map(f => graft.functions.PortableMd5.hash64(
+      p ++ s":f$f".getBytes("UTF-8")) % 1000001L)
+    assert(got.map(_._5).toSeq === expected)
+  }
+
   test("perceptualHash: identical images collide, contrasting images differ") {
     // left-dark/right-light vs its copy vs the mirrored gradient — real
     // PNG decodes, so the bits come from actual 4x4 luminance cells
