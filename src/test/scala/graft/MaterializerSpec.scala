@@ -189,6 +189,74 @@ class MaterializerSpec extends SparkSpec {
       "a fresh claimless incomplete dir (possible live writer) must survive")
   }
 
+  test("cross-process race: sweep and readers against a live writer in " +
+    "another JVM") {
+    import scala.jdk.CollectionConverters._
+    val cacheDir = Files.createTempDirectory("graft-mat-race").toString
+    val key = CacheKey("race", Map("x" -> "1"), Seq.empty)
+    val fp = Materializer.fingerprint(spark, key)
+    val claim = java.nio.file.Paths.get(cacheDir, s"$fp._claim")
+    // spawn the writer child with this JVM's flags + classpath (it needs
+    // the add-opens set and the test classes); it claims, holds the write
+    // for 20 s, commits, exits 0
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.MaterializerRaceChild", cacheDir, "20000")).asJava)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val child = pb.start()
+    try {
+      // wait for the child's claim — the in-flight window opens
+      val deadline = System.nanoTime + 90L * 1000000000L
+      while (!java.nio.file.Files.exists(claim) && System.nanoTime < deadline)
+        Thread.sleep(100)
+      assert(java.nio.file.Files.exists(claim), "child never claimed")
+
+      // 1. an aggressive sweep (everything over budget and over age) must
+      // leave the in-flight entry alone: the claim is young
+      val s1 = Materializer.sweep(spark, cacheDir, maxBytes = 0L, maxAgeMs = 0L)
+      assert(java.nio.file.Files.exists(claim),
+        "sweep must not reclaim a live writer's young claim")
+      assert(s1.deleted === 0, s"sweep deleted a live writer's state: $s1")
+
+      // 2. a short-wait reader loses the election, times out, and serves
+      // its OWN computed frame uncached — and must NOT delete the young
+      // claim on its way out (a third caller would otherwise double-write)
+      val computed = new AtomicInteger(0)
+      val loser = Materializer.lookupOrCompute(spark, cacheDir, key,
+        waitMs = 1000L) {
+        computed.incrementAndGet()
+        Seq((1L, "loser")).toDF("id", "v")
+      }
+      assert(computed.get() === 1 &&
+        loser.select("v").head().getString(0) === "loser")
+      assert(java.nio.file.Files.exists(claim),
+        "timed-out loser must leave a young (live) claim in place")
+
+      // 3. a patient reader blocks until the child commits and serves the
+      // WINNER's bytes — never a torn read, never a duplicate compute
+      val waited = Materializer.lookupOrCompute(spark, cacheDir, key,
+        waitMs = 120000L) {
+        computed.incrementAndGet()
+        Seq((1L, "should-not-run")).toDF("id", "v")
+      }
+      assert(waited.select("v").head().getString(0) === "winner")
+      assert(computed.get() === 1, "patient reader must not recompute")
+      assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        child.exitValue() === 0)
+      assert(!java.nio.file.Files.exists(claim), "winner must release its claim")
+
+      // 4. once committed and unclaimed, an age-out sweep reclaims it
+      val s2 = Materializer.sweep(spark, cacheDir, maxAgeMs = 0L)
+      assert(s2.deleted === 1)
+    } finally child.destroyForcibly()
+  }
+
   test("invalidate forces recompute") {
     val cacheDir = Files.createTempDirectory("graft-mat2").toString
     val computeCount = new AtomicInteger(0)
