@@ -73,4 +73,99 @@ object MetricStreams {
       .transformWithState(new HoltProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Carried lag-autocorrelation state per series: the last `lag` values
+    * (ring, oldest first — at most `lag` longs) plus exact integer
+    * co-moments over all (y_t, y_{t−lag}) pairs seen. Bounded per-series
+    * state, the [[HoltState]] contract.
+    */
+  final case class SeasonState(lastHbUs: Long, ring: Seq[Long], n: Long,
+      sx: Long, sy: Long, sxy: Long, sxx: Long, syy: Long)
+
+  /** One emission per arriving point: pair count and Pearson lag
+    * autocorrelation AFTER folding it (None while variance is undefined —
+    * the batch op's NaN→NULL normalization).
+    */
+  final case class SeasonUpdate(series: String, hbUs: Long, nPairs: Long,
+      autocorr: Option[Double])
+
+  /** Streaming twin of [[graft.operators.EventOps.seasonalityStrength]]:
+    * the batch op densifies each series over its [min, max] hour span
+    * (missing hours are genuine zeros for a count metric) and correlates
+    * the series against itself at `lagHours`; here the DENSIFICATION IS
+    * INCREMENTAL — points arrive in hour order per series, and a gap
+    * between the carried last hour and an arriving point folds the
+    * missing hours as zeros before the point itself, so state after any
+    * prefix equals the batch fold over that prefix (two-batch parity in
+    * MetricStreamsSpec, including a gap straddling the batch cut).
+    *
+    * Out-of-order or duplicate hours are DROPPED — an autocorrelation
+    * cannot retro-fill a zero it already folded; lateness belongs to the
+    * upstream watermark that produced the hourly points (same trust
+    * contract as [[holtStream]], tightened because this fold is not
+    * order-insensitive). Gap cost is linear in SPAN hours, the same
+    * bound the batch densify pays.
+    */
+  final class SeasonalityProcessor(lagHours: Int)
+      extends StatefulProcessor[String, MetricPoint, SeasonUpdate] {
+    @transient private var st: ValueState[SeasonState] = _
+    private val HourUs = 3600L * 1000000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeasonState](
+        "season", Encoders.product[SeasonState], TTLConfig.NONE)
+
+    private def step(v: Long, s: SeasonState): SeasonState =
+      if (s.ring.length == lagHours) {
+        val lag = s.ring.head
+        SeasonState(s.lastHbUs, s.ring.tail :+ v, s.n + 1, s.sx + v,
+          s.sy + lag, s.sxy + v * lag, s.sxx + v * v, s.syy + lag * lag)
+      } else s.copy(ring = s.ring :+ v)
+
+    private def corrOf(s: SeasonState): Option[Double] =
+      if (s.n == 0) None
+      else {
+        val n = s.n.toDouble
+        val dx = n * s.sxx - s.sx.toDouble * s.sx
+        val dy = n * s.syy - s.sy.toDouble * s.sy
+        if (dx <= 0d || dy <= 0d) None
+        else Some((n * s.sxy - s.sx.toDouble * s.sy) /
+          math.sqrt(dx) / math.sqrt(dy))
+      }
+
+    override def handleInputRows(key: String, rows: Iterator[MetricPoint],
+        timerValues: TimerValues): Iterator[SeasonUpdate] = {
+      var s = if (st.exists()) st.get()
+        else SeasonState(Long.MinValue, Vector.empty, 0L, 0L, 0L, 0L, 0L, 0L)
+      val out = rows.toArray.sortBy(_.hbUs).flatMap { p =>
+        if (s.lastHbUs != Long.MinValue && p.hbUs <= s.lastHbUs) None
+        else {
+          if (s.lastHbUs != Long.MinValue) {
+            var h = s.lastHbUs + HourUs
+            while (h < p.hbUs) { s = step(0L, s); h += HourUs }
+          }
+          s = step(p.y, s).copy(lastHbUs = p.hbUs)
+          Some(SeasonUpdate(key, p.hbUs, s.n, corrOf(s)))
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Fold a (possibly streaming) frame of `(series, hb, y)` points into
+    * per-series lag autocorrelation updates. Requires the RocksDB state
+    * store provider on a real stream.
+    */
+  def seasonalityStream(points: DataFrame, lagHours: Int = 24): Dataset[SeasonUpdate] = {
+    import points.sparkSession.implicits._
+    points
+      .select(col("series").cast("string").as("series"),
+        expr("unix_micros(cast(hb as timestamp))").as("hbUs"),
+        col("y").cast("long").as("y"))
+      .as[MetricPoint]
+      .groupByKey(_.series)
+      .transformWithState(new SeasonalityProcessor(lagHours), TimeMode.None(),
+        OutputMode.Append())
+  }
 }
