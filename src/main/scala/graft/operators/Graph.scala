@@ -775,20 +775,27 @@ object Graph {
     * formulation), with the same declared `maxHubDegree` cap and exact
     * integer replay.
     *
-    * Scale shape: kCore's bounded peel (checkpointed generations) + two
-    * semi joins restricting the edge list (survivor table is small —
-    * AQE broadcasts it) + RA's capped wedge sum on the REDUCED edge set.
-    * At 10× fixture scale the raw-graph variant's wedge table starts
-    * spilling (~500M rows, 181.7 s soaked); the core restriction is the
-    * 100 TB path (GraphSoak records the pair).
+    * Scale shape: kCore's bounded peel (checkpointed generations), then
+    * RA's capped wedge sum directly on the peel's FINAL edge generation
+    * ([[kCoreAlive]]) — the surviving subgraph the loop already
+    * materialized. Re-deriving it by semi-joining the original edge
+    * list against the survivor nodes (the first-draft shape) re-ran the
+    * whole upstream edge construction — for the co-occurrence graph,
+    * the order-key self-join that dominates the plan — plus two
+    * corpus-scale semi joins, for an identical edge set. At 10× fixture
+    * scale the raw-graph variant's wedge table starts spilling (~500M
+    * rows, 181.7 s soaked); the core restriction is the 100 TB path
+    * (GraphSoak records the pair: core/raw = 0.09 at k=94).
     */
   def linkPredictionCore(edges: DataFrame, k: Int, rounds: Int = 4,
       maxHubDegree: Long = 128L, topK: Int = 100): DataFrame = {
-    val core = kCore(edges, k, rounds).select("node")
-    val sub = edges
-      .join(core.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      .join(core.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-    linkPredictionRA(sub, maxHubDegree, topK)
+    // x<y picks each surviving undirected edge's canonical orientation;
+    // RA re-canonicalizes + distincts internally, which is a no-op
+    // aggregate over an already-unique key set
+    val coreEdges = kCoreAlive(edges, k, rounds, broadcastMaxRows = 5000000L)
+      .where(col("x") < col("y"))
+      .select(col("x").as("src"), col("y").as("dst"))
+    linkPredictionRA(coreEdges, maxHubDegree, topK)
   }
 
   /** Bounded-round k-core peeling: repeatedly delete nodes whose degree
@@ -828,7 +835,22 @@ object Graph {
     * degree quantile (e.g. [[degreeQuantile]]) or domain knowledge.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
-      broadcastMaxRows: Long = 5000000L): DataFrame = {
+      broadcastMaxRows: Long = 5000000L): DataFrame =
+    kCoreAlive(edges, k, rounds, broadcastMaxRows)
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+      .select(col("x").as("node"), col("dg"))
+
+  /** The [[kCore]] peel loop returning the surviving EDGE generation
+    * itself — `(x, y)`, both orientations, checkpoint-backed with its
+    * invalidating release queued. Consumers that need the core SUBGRAPH
+    * (not just the survivor degrees) read this directly instead of
+    * re-deriving it by semi-joining the original edge list against the
+    * node set — for a co-occurrence graph that re-derivation re-runs
+    * the order-key self-join that BUILT the edges, the single most
+    * expensive stage of the composed plan.
+    */
+  private[operators] def kCoreAlive(edges: DataFrame, k: Int, rounds: Int,
+      broadcastMaxRows: Long): DataFrame = {
     import org.apache.spark.sql.graft.CheckpointHandle
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -852,8 +874,7 @@ object Graph {
     val last = alive
     ReleaseRegistry.registerInvalidating("graph.kcore_checkpoint")(
       () => CheckpointHandle.release(last))
-    last.groupBy("x").agg(count(lit(1)).as("dg"))
-      .select(col("x").as("node"), col("dg"))
+    last
   }
 
   /** One [[kCore]] peel round's pruning joins, strategy chosen by the
