@@ -56,6 +56,7 @@ object SparkEntry {
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
     "dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
     "dup_substrings" -> ((s, d) => TextOps.dupSubstrings(Tables.documents(s, d))),
+    "substring_dedup" -> ((s, d) => TextOps.substringDedup(Tables.documents(s, d))),
     "seg_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
     "mix_sources" -> ((s, d) =>
       TextOps.mixSources(Tables.documents(s, d),
@@ -1054,6 +1055,51 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sl >= 8 AND coalesce(dl, 0) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans8
         |FROM ord LEFT JOIN dl USING (p)
         |GROUP BY doc_id""".stripMargin,
+    // substring_dedup: the same suffix/duplen chain, then duplicate-start
+    // election on the exact 8-token prefix (min encoded (doc_id, i) keeps),
+    // 8-token coverage per dropped start, and per-doc reassembly of the
+    // uncovered tokens. MATERIALIZED on every multiply-referenced CTE —
+    // the link_pred_core lesson
+    "substring_dedup" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sfx AS (SELECT doc_id, i,
+        |          LEAST(32, len(toks) - i + 1) AS sl,
+        |          array_to_string(toks[i : i + 31], chr(1)) AS s
+        |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |ord AS MATERIALIZED (SELECT doc_id, i, sl, s,
+        |          lead(s) OVER (ORDER BY s, doc_id, i) AS s2,
+        |          row_number() OVER (ORDER BY s, doc_id, i) AS p
+        |        FROM sfx),
+        |pl AS MATERIALIZED (SELECT p,
+        |         CASE WHEN s = s2 THEN len(string_split(s, chr(1)))
+        |           ELSE list_position(
+        |             list_transform(
+        |               range(1, GREATEST(len(string_split(s, chr(1))),
+        |                                 len(string_split(s2, chr(1)))) + 1),
+        |               j -> coalesce(string_split(s, chr(1))[j] = string_split(s2, chr(1))[j], FALSE)),
+        |             FALSE) - 1 END AS lcp
+        |       FROM ord WHERE s2 IS NOT NULL),
+        |contrib AS (SELECT p, lcp FROM pl UNION ALL SELECT p + 1 AS p, lcp FROM pl),
+        |dl AS (SELECT p, max(lcp) AS dl FROM contrib GROUP BY p),
+        |st AS MATERIALIZED (SELECT o.doc_id, o.i,
+        |         array_to_string(string_split(o.s, chr(1))[1:8], chr(1)) AS gk,
+        |         o.doc_id * 10000000 + o.i AS ek
+        |       FROM ord o JOIN dl USING (p)
+        |       WHERE o.sl >= 8 AND dl.dl >= 8),
+        |f AS (SELECT gk, min(ek) AS fk FROM st GROUP BY gk),
+        |drp AS (SELECT doc_id, i FROM st JOIN f USING (gk) WHERE ek <> fk),
+        |cov AS MATERIALIZED (SELECT DISTINCT doc_id, i + k AS j
+        |       FROM drp CROSS JOIN range(0, 8) r(k)),
+        |tok AS (SELECT doc_id, j, toks[j] AS tk
+        |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j FROM t)),
+        |kept AS (SELECT tok.doc_id, count(*) AS n_kept,
+        |           string_agg(tok.tk, ' ' ORDER BY tok.j) AS clean_text
+        |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+        |         WHERE cov.j IS NULL GROUP BY tok.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin,
     // seg_dedup: C4-style segment dedup + rewrite; first occurrence =
     // smallest (doc_id, position) per 60-bit segment hash, so the window
     // replay is exactly deterministic and the reassembled text is

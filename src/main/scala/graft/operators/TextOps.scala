@@ -526,6 +526,25 @@ object TextOps {
     * so the oracle replays hash-exact.
     */
   def dupSubstrings(docs: DataFrame, w: Int = 32): DataFrame = {
+    val (ranged, duplen) = suffixDuplens(docs, w, "text.dup_substrings")
+    ranged.select("pos", "doc_id", "i", "sl")
+      .join(duplen, Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"),
+        max(coalesce(col("dl"), lit(0L))).as("max_dup_len"),
+        sum(when(col("sl") >= 8 && coalesce(col("dl"), lit(0L)) >= 8, 1L)
+          .otherwise(0L)).as("n_dup_spans8"))
+  }
+
+  /** The shared sorted-suffix core of [[dupSubstrings]] and
+    * [[substringDedup]]: returns (`ranged`, `duplen`) where `ranged` is
+    * the w-truncated suffix table with its dense global sort position
+    * (`pos, doc_id, i, sl, s`) and `duplen` maps each `pos` to the
+    * length of the longest prefix it shares with ANY other suffix
+    * (max token-LCP with its two sort neighbors).
+    */
+  private def suffixDuplens(docs: DataFrame, w: Int,
+      releaseLabel: String): (DataFrame, DataFrame) = {
     val sfx = spreadNarrow(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"),
@@ -535,7 +554,7 @@ object TextOps {
         least(lit(w).cast("long"), col("n") - col("pos")).as("sl"),
         col("col").as("s"))
     val ranged = Relational.positionByRange(sfx,
-      Seq(col("s"), col("doc_id"), col("i")), "text.dup_substrings")
+      Seq(col("s"), col("doc_id"), col("i")), releaseLabel)
     // adjacent pairs via the dense position: (p, p+1); LCP in TOKENS —
     // zip the split suffixes, first mismatch index − 1 (0 = none found =
     // arrays identical = full truncated length). One HOF pass per pair,
@@ -552,14 +571,66 @@ object TextOps {
     // credits both of its endpoints, then a max-by-position rollup
     val contrib = pairLcp.select(col("pos"), col("lcp"))
       .unionAll(pairLcp.select((col("pos") + 1).as("pos"), col("lcp")))
-    val duplen = contrib.groupBy("pos").agg(max("lcp").as("dl"))
-    ranged.select("pos", "doc_id", "i", "sl")
-      .join(duplen, Seq("pos"), "left")
+    (ranged, contrib.groupBy("pos").agg(max("lcp").as("dl")))
+  }
+
+  /** Exact-substring dedup WITH corpus rewrite — the removal step of the
+    * Lee et al. 2022 pipeline on the [[dupSubstrings]] machinery, the
+    * variable-span complement of [[segmentDedup]]'s fixed segmentation:
+    * every position whose `minLen`-token span occurs anywhere else in
+    * the corpus is a duplicate START unless it is the span's FIRST
+    * corpus occurrence (smallest (doc_id, position) over all occurrences
+    * of that exact span — every occurrence lands in the same group by
+    * construction, since each has duplicate-length ≥ `minLen` and the
+    * identical `minLen`-prefix); each non-first start covers its
+    * `minLen` tokens, consecutive duplicate starts union into maximal
+    * duplicated runs, and each document reassembles from its uncovered
+    * tokens. Output: `(doc_id, n_tokens, n_kept, clean_text)` — all
+    * docs present, fully-duplicated docs keep empty text (the
+    * [[segmentDedup]] contract).
+    *
+    * Scale shape: the [[suffixDuplens]] sort (declared w-fold suffix
+    * blowup) + one group-by on the minLen-prefix (distinct-span
+    * cardinality, balanced) + a bounded coverage explode (minLen rows
+    * per dropped start) + the doc_id reassembly shuffle. Nothing
+    * all-pairs; keeper election is a single aggregate, not a window
+    * over the corpus.
+    */
+  def substringDedup(docs: DataFrame, minLen: Int = 8, w: Int = 32): DataFrame = {
+    require(minLen <= w, s"substringDedup: minLen=$minLen must be <= w=$w")
+    val (ranged, duplen) = suffixDuplens(docs, w, "text.substring_dedup")
+    // duplicate starts: full-width minLen span that occurs elsewhere;
+    // group key = the exact minLen-token prefix (substring_index cuts at
+    // the minLen'th separator — sl >= minLen guarantees it exists)
+    val starts = ranged.join(duplen, Seq("pos"))
+      .where(col("sl") >= minLen && col("dl") >= minLen)
+      .select(col("doc_id"), col("i"),
+        substring_index(col("s"), "\u0001", minLen).as("gk"),
+        // encoded election key: i is bounded by the suffix count per doc,
+        // far under the 1e7 radix, so min(key) == min((doc_id, i))
+        (col("doc_id") * 10000000L + col("i")).as("ek"))
+    val firsts = starts.groupBy("gk").agg(min("ek").as("fk"))
+    val dropped = starts.join(firsts, Seq("gk"))
+      .where(col("ek") =!= col("fk"))
+    val cov = dropped
+      .select(col("doc_id"), explode(sequence(col("i"),
+        col("i") + lit(minLen - 1).cast("long"))).as("j"))
+      .distinct()
+    val toks = spreadNarrow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("tk"))
+    val kept = toks.join(cov, Seq("doc_id", "j"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_suffixes"),
-        max(coalesce(col("dl"), lit(0L))).as("max_dup_len"),
-        sum(when(col("sl") >= 8 && coalesce(col("dl"), lit(0L)) >= 8, 1L)
-          .otherwise(0L)).as("n_dup_spans8"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("tk")))),
+          x => x.getField("tk"))).as("clean_text"))
+    docs.select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** C4-style segment-level dedup WITH corpus rewrite (the canonical "drop

@@ -250,6 +250,39 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.dupSubstrings(docs).agg(max($"max_dup_len")).as[Long].head() > 0L)
   }
 
+  test("substringDedup: variable-span rewrite keeps first occurrences, hand-checked") {
+    val d = Seq(
+      (1L, "p1 s1 s2 s3 s4 s5 s6 s7 s8 t1"), // first occurrence of s1..s8
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 t2 t3"), // repeats it -> 8 tokens drop
+      (3L, Seq.fill(10)("r").mkString(" "))   // self-repetition: run collapses
+    ).toDF("doc_id", "text")
+    val got = TextOps.substringDedup(d).as[(Long, Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((10L, 10L, "p1 s1 s2 s3 s4 s5 s6 s7 s8 t1")))
+    assert(got(2L) === ((10L, 2L, "t2 t3")))
+    // doc 3: starts 2 and 3 duplicate start 1's span; coverage 2..10
+    assert(got(3L) === ((10L, 1L, "r")))
+  }
+
+  test("substringDedup corpus invariants: untouched iff no dup span, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.substringDedup(docs).cache()
+    assert(out.count() === docs.count(), "1:1 with the input corpus")
+    assert(out.where($"n_kept" > $"n_tokens").count() === 0)
+    // something must actually deduplicate on this corpus
+    assert(out.where($"n_kept" < $"n_tokens").count() > 0)
+    // a doc with NO >=8-token duplicated span has no flagged start and
+    // must come through byte-identical in token count
+    val noDup = TextOps.dupSubstrings(docs).where($"max_dup_len" < 8)
+      .select("doc_id")
+    val touched = out.join(noDup, "doc_id").where($"n_kept" =!= $"n_tokens")
+    assert(touched.count() === 0)
+    // deterministic under a different input partitioning
+    val b = TextOps.substringDedup(docs.repartition(7))
+    assert(out.except(b).count() === 0 && b.except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("segmentDedup: rewrite keeps each distinct segment exactly once, in order") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextOps.segmentDedup(docs, k = 8).cache()
