@@ -57,6 +57,12 @@ object SparkEntry {
     "dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
     "dup_substrings" -> ((s, d) => TextOps.dupSubstrings(Tables.documents(s, d))),
     "substring_dedup" -> ((s, d) => TextOps.substringDedup(Tables.documents(s, d))),
+    "decontam_substrings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.decontamSubstrings(
+        docs.where(org.apache.spark.sql.functions.col("source") =!= "src0"),
+        docs.where(org.apache.spark.sql.functions.col("source") === "src0"))
+    }),
     "seg_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
     "mix_sources" -> ((s, d) =>
       TextOps.mixSources(Tables.documents(s, d),
@@ -1055,6 +1061,58 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sl >= 8 AND coalesce(dl, 0) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans8
         |FROM ord LEFT JOIN dl USING (p)
         |GROUP BY doc_id""".stripMargin,
+    // decontam_substrings: train+bench suffixes sort together; per train
+    // suffix, LCP to the nearest bench suffix above/below = segmented
+    // cumulative min of adjacent LCPs (segment id = running bench count;
+    // the reverse direction reuses B - seg_up + side instead of a second
+    // global sort). Bench rows contribute NULL so each segment's scan
+    // starts after its opening bench suffix.
+    "decontam_substrings" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id,
+        |          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS side,
+        |          string_split_regex(text, '\s+') AS toks FROM documents),
+        |sfx AS (SELECT doc_id, side, i, LEAST(32, len(toks) - i + 1) AS sl,
+        |          array_to_string(toks[i : i + 31], chr(1)) AS s
+        |        FROM (SELECT doc_id, side, toks,
+        |                unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |b AS (SELECT CAST(sum(side) AS BIGINT) AS nb FROM sfx),
+        |ord AS MATERIALIZED (SELECT doc_id, side, i, sl, s,
+        |          lag(s) OVER w AS sp, lead(s) OVER w AS sn,
+        |          row_number() OVER w AS p,
+        |          CAST(sum(side) OVER (ORDER BY s, side, doc_id, i
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_up
+        |        FROM sfx WINDOW w AS (ORDER BY s, side, doc_id, i)),
+        |g AS MATERIALIZED (SELECT ord.*, b.nb - seg_up + side AS seg_dn,
+        |         CASE WHEN sp IS NULL THEN NULL
+        |              WHEN sp = s THEN len(string_split(sp, chr(1)))
+        |              ELSE list_position(list_transform(
+        |                range(1, GREATEST(len(string_split(sp, chr(1))),
+        |                                  len(string_split(s, chr(1)))) + 1),
+        |                j -> coalesce(string_split(sp, chr(1))[j] = string_split(s, chr(1))[j], FALSE)),
+        |                FALSE) - 1 END AS gp,
+        |         CASE WHEN sn IS NULL THEN NULL
+        |              WHEN sn = s THEN len(string_split(sn, chr(1)))
+        |              ELSE list_position(list_transform(
+        |                range(1, GREATEST(len(string_split(sn, chr(1))),
+        |                                  len(string_split(s, chr(1)))) + 1),
+        |                j -> coalesce(string_split(sn, chr(1))[j] = string_split(s, chr(1))[j], FALSE)),
+        |                FALSE) - 1 END AS g2
+        |       FROM ord CROSS JOIN b),
+        |sc AS (SELECT doc_id, side, sl,
+        |         CASE WHEN seg_up >= 1 THEN coalesce(
+        |           min(CASE WHEN side = 1 THEN NULL ELSE gp END)
+        |             OVER (PARTITION BY seg_up ORDER BY p
+        |                   ROWS UNBOUNDED PRECEDING), 0) ELSE 0 END AS up_m,
+        |         CASE WHEN seg_dn >= 1 THEN coalesce(
+        |           min(CASE WHEN side = 1 THEN NULL ELSE g2 END)
+        |             OVER (PARTITION BY seg_dn ORDER BY p DESC
+        |                   ROWS UNBOUNDED PRECEDING), 0) ELSE 0 END AS dn_m
+        |       FROM g)
+        |SELECT doc_id, count(*) AS n_suffixes,
+        |       CAST(max(GREATEST(up_m, dn_m)) AS BIGINT) AS max_shared_len,
+        |       CAST(sum(CASE WHEN sl >= 8 AND GREATEST(up_m, dn_m) >= 8
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_spans8
+        |FROM sc WHERE side = 0 GROUP BY doc_id""".stripMargin,
     // substring_dedup: the same suffix/duplen chain, then duplicate-start
     // election on the exact 8-token prefix (min encoded (doc_id, i) keeps),
     // 8-token coverage per dropped start, and per-doc reassembly of the

@@ -574,6 +574,102 @@ object TextOps {
     (ranged, contrib.groupBy("pos").agg(max("lcp").as("dl")))
   }
 
+  /** Substring-level benchmark decontamination — the third act of the
+    * sorted-suffix machinery (Lee et al. 2022 used suffix arrays for
+    * exactly this: test-set contamination): for each TRAIN document, the
+    * length of the LONGEST substring it shares with ANY benchmark
+    * document, exact up to block width `w`, plus the count of train
+    * positions whose full 8-token span appears in the benchmark.
+    * [[decontaminate]]'s fixed 3-gram screen says "how many small grams
+    * overlap"; this says "how LONG is the worst verbatim overlap" — the
+    * signal that separates idiom-level collision from a copied answer.
+    *
+    * Method: suffixes of BOTH sides sort together with a side tag; a
+    * train suffix's max-LCP benchmark partner is its nearest benchmark
+    * suffix above or below in sort order, and LCP to it equals the MIN
+    * of adjacent-pair LCPs over the gap (lexicographic prefix algebra).
+    * That min is a SEGMENTED cumulative scan: segment id = global
+    * running count of benchmark rows (the positionByRange two-pass
+    * prefix-sum pattern, applied to the side indicator), and within each
+    * segment a cumulative min over adjacent LCPs — benchmark rows
+    * contribute null so each segment's scan starts exactly after its
+    * opening benchmark suffix. Two directions (nearest bench above /
+    * below), then a per-doc max rollup over train suffixes.
+    *
+    * Scale shape: everything [[dupSubstrings]] pays, plus one
+    * range-repartition of the (pos, side, lcp) table and four windows —
+    * two tiny (per-partition offsets, partition count rows) and two
+    * partitioned by segment id (cardinality ≈ benchmark suffix count —
+    * balanced whenever the benchmark is non-degenerate). No corpus-scale
+    * driver state.
+    */
+  def decontamSubstrings(train: DataFrame, bench: DataFrame, w: Int = 32): DataFrame = {
+    val docs = train.select(col("doc_id"), col("text"), lit(0L).as("side"))
+      .unionByName(bench.select(col("doc_id"), col("text"), lit(1L).as("side")))
+    val sfx = spreadNarrow(docs)
+      .select(col("doc_id"), col("side"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("side"), size(col("toks")).as("n"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks)), i -> concat_ws(char(1), slice(toks, i, $w)))")))
+      .select(col("doc_id"), col("side"), (col("pos") + 1).cast("long").as("i"),
+        least(lit(w).cast("long"), col("n") - col("pos")).as("sl"),
+        col("col").as("s"))
+    val ranged = Relational.positionByRange(sfx,
+      Seq(col("s"), col("side"), col("doc_id"), col("i")), "text.decontam_sub")
+    def lcpOf(a: Column, b: Column): Column =
+      when(a === b, size(split(a, "\\u0001")))
+        .otherwise(array_position(
+          zip_with(split(a, "\\u0001"), split(b, "\\u0001"),
+            (x, y) => coalesce(x === y, lit(false))), false) - 1)
+        .cast("long")
+    // adjacent LCP with the PREDECESSOR, attached to the later row
+    val prv = ranged.select((col("pos") + 1).as("pos"), col("s").as("sp"))
+    val withG = ranged.join(prv, Seq("pos"), "left")
+      .withColumn("g", when(col("sp").isNull, lit(null).cast("long"))
+        .otherwise(lcpOf(col("sp"), col("s"))))
+      .drop("sp")
+    // two-pass global prefix sums of the bench indicator → segment ids
+    val par = ranged.sparkSession.sparkContext.defaultParallelism
+    val rp = withG.repartitionByRange(par, col("pos"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    rp.count()
+    graft.plans.ReleaseRegistry.register("text.decontam_sub_ranged")(
+      () => rp.unpersist(blocking = false))
+    val offs = rp.groupBy("pid").agg(sum("side").as("cnt"))
+      .withColumn("offUp", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offDn", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .select("pid", "offUp", "offDn")
+    val wUp = Window.partitionBy("pid").orderBy("pos")
+    val wDn = Window.partitionBy("pid").orderBy(col("pos").desc)
+    val seg = rp.join(broadcast(offs), "pid")
+      .withColumn("segUp", sum("side").over(wUp) + col("offUp"))
+      .withColumn("segDn", sum("side").over(wDn) + col("offDn"))
+    // g2 = adjacent LCP with the SUCCESSOR (the predecessor-LCP of pos+1)
+    val g2 = withG.select((col("pos") - 1).as("pos"), col("g").as("g2"))
+    val scanned = seg.join(g2, Seq("pos"), "left")
+      .withColumn("up", when(col("segUp") >= 1, min(
+        when(col("side") === 1, lit(null).cast("long")).otherwise(col("g")))
+        .over(Window.partitionBy("segUp").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("down", when(col("segDn") >= 1, min(
+        when(col("side") === 1, lit(null).cast("long")).otherwise(col("g2")))
+        .over(Window.partitionBy("segDn").orderBy(col("pos").desc)
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("shared",
+        greatest(coalesce(col("up"), lit(0L)), coalesce(col("down"), lit(0L))))
+    scanned.where(col("side") === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"),
+        max(col("shared")).as("max_shared_len"),
+        sum(when(col("sl") >= 8 && col("shared") >= 8, 1L).otherwise(0L))
+          .as("n_contam_spans8"))
+  }
+
   /** Exact-substring dedup WITH corpus rewrite — the removal step of the
     * Lee et al. 2022 pipeline on the [[dupSubstrings]] machinery, the
     * variable-span complement of [[segmentDedup]]'s fixed segmentation:

@@ -250,6 +250,46 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.dupSubstrings(docs).agg(max($"max_dup_len")).as[Long].head() > 0L)
   }
 
+  test("decontamSubstrings: longest train-bench shared substring, hand-checked") {
+    val train = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 x1"), // shares a2..a9 (8) with bench
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8"),       // nothing shared
+      (3L, "z1 z2 m1 m2 m3 m4 m5 m6"),       // shares z1 z2 (2) with bench
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),    // shared ONLY with train doc 6
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "b1 a2 a3 a4 a5 a6 a7 a8 a9 b2"),
+      (101L, "z1 z2 yy")
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontamSubstrings(train, bench)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) === ((8L, 1L))) // a2..a9; only position 2 has an 8-wide hit
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(3L) === ((2L, 0L)))
+    // train-train duplication must NOT read as contamination
+    assert(got(5L) === ((0L, 0L)) && got(6L) === ((0L, 0L)))
+    // bench docs never appear in the output
+    assert(!got.contains(100L) && !got.contains(101L))
+  }
+
+  test("decontamSubstrings is consistent with the 3-gram screen on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.where($"source" =!= "src0")
+    val bench = docs.where($"source" === "src0")
+    val sub = TextOps.decontamSubstrings(train, bench)
+    // an 8-token shared span contains shared 3-grams, so every doc with
+    // n_contam_spans8 > 0 must be flagged by the 3-gram decontaminate
+    val flagged3 = TextOps.decontaminate(train, bench, minHits = 1)
+      .select("doc_id")
+    val orphan = sub.where($"n_contam_spans8" > 0)
+      .join(flagged3, Seq("doc_id"), "left_anti")
+    assert(orphan.count() === 0)
+    // and the screen is live: some cross-source sharing exists
+    assert(sub.agg(max($"max_shared_len")).as[Long].head() > 0L)
+  }
+
   test("substringDedup: variable-span rewrite keeps first occurrences, hand-checked") {
     val d = Seq(
       (1L, "p1 s1 s2 s3 s4 s5 s6 s7 s8 t1"), // first occurrence of s1..s8
