@@ -650,7 +650,9 @@ object TextOps {
       .withColumn("segUp", sum("side").over(wUp) + col("offUp"))
       .withColumn("segDn", sum("side").over(wDn) + col("offDn"))
     // g2 = adjacent LCP with the SUCCESSOR (the predecessor-LCP of pos+1)
-    val g2 = withG.select((col("pos") - 1).as("pos"), col("g").as("g2"))
+    // — read from the PERSISTED frame: deriving it from withG would run
+    // every interpreted zip-LCP a second time
+    val g2 = rp.select((col("pos") - 1).as("pos"), col("g").as("g2"))
     val scanned = seg.join(g2, Seq("pos"), "left")
       .withColumn("up", when(col("segUp") >= 1, min(
         when(col("side") === 1, lit(null).cast("long")).otherwise(col("g")))
