@@ -104,10 +104,14 @@ object Bench {
       killer.schedule(new java.util.TimerTask {
         def run(): Unit = { p.destroyForcibly(); () }
       }, timeoutMinutes * 60000L)
-      val out =
-        try new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // keep the watchdog armed through waitFor: a child that closes
+      // stdout but never exits (hung shutdown hook, non-daemon thread)
+      // must not hang the whole bench run on an unbounded wait
+      val exited =
+        try p.waitFor(timeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
         finally killer.cancel()
-      p.waitFor()
+      if (!exited) { p.destroyForcibly(); () }
       medianFromChildOutput(out, name)
     } catch { case _: Throwable => None }
   }

@@ -567,6 +567,21 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.imageQuality(media)
     }),
+    // REAL time-localized audio fingerprinting: every 4th doc carries a
+    // synthesized PCM16 WAV (integer sample formula — see audioFixture)
+    // decoded through javax.sound and fingerprinted via the exact
+    // integer Walsh–Hadamard band-energy hash; docs with doc_id % 8 == 4
+    // carry a one-window-TRIMMED copy of doc_id−4's signal, the offset
+    // duplicate the whole-clip hash can never match. Other docs keep
+    // text payloads → the portable-md5 stub windows. Both paths replay
+    // hash-exact in SQL.
+    "audio_fingerprint" -> ((s, d) =>
+      Multimodal.audioFingerprints(audioFixture(s, d))),
+    // banded matching over the fingerprint windows: the constructed
+    // trimmed duplicates pair with their originals at one consistent
+    // window delta; identical stub payloads pair at delta 0
+    "audio_dup_pairs" -> ((s, d) =>
+      Multimodal.audioDupPairs(audioFixture(s, d))),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -724,6 +739,99 @@ object SparkEntry {
     * [[requirePcDims]] turns that into a loud error at query-build time,
     * and the seed literal below derives from this one constant.
     */
+  /** Synthetic audio corpus for the fingerprint queries: every 4th doc
+    * carries a REAL PCM16 WAV whose samples follow the integer formula
+    * `s(k,t) = ((k+1)·48271 + (t+off+1)·(t+off+3)·163) % 4001 − 2000`
+    * — base docs (doc_id % 8 == 0): k = doc_id, off = 0, 5 + k%3
+    * windows of 64 samples; docs with doc_id % 8 == 4: a one-window
+    * TRIMMED copy of doc_id−4's signal (k = doc_id−4, off = 64). The
+    * quadratic t-term matters: a LINEAR formula mod a prime makes every
+    * doc a cyclic sample-shift of every other, flooding the pair join
+    * with accidental window-aligned matches. Other docs keep raw text
+    * payloads and take the portable-md5 stub path, so the whole corpus
+    * stays hash-replayable.
+    */
+  private def audioFixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wav = udf((id: Long) => {
+      val k = if (id % 8 == 4) id - 4 else id
+      val off = if (id % 8 == 4) 64 else 0
+      val frames = (5 + (k % 3).toInt) * 64 - off
+      Multimodal.MediaCodec.wavPcm16(Array.tabulate(frames)(t =>
+        (((k + 1) * 48271L +
+          (t + off + 1).toLong * (t + off + 3).toLong * 163L) % 4001L
+          - 2000L).toShort))
+    })
+    Multimodal.fromBinary(
+      Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, wav(col("doc_id")))
+          .otherwise(col("text").cast("binary")).as("p")),
+      "doc_id", "p", "audio")
+  }
+
+  /** Shared oracle CTE chain replaying [[audioFixture]] +
+    * [[Multimodal.audioFingerprints]] in pure integer SQL: regenerate
+    * the sample formula, take the Walsh–Hadamard coefficients through
+    * the popcount kernel (`coef(k) = Σ s·(−1)^{bit_count(k AND t)}`),
+    * band energies (16 bands of 4 coefficients), then the
+    * difference-coded 30-bit window hash; stub rows replay the md5
+    * scheme. Ends with `allfp(media_id, is_real, n_windows, win_idx,
+    * fhash)`.
+    */
+  private val audioFpPrefixSql: String =
+    """WITH d2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 8 = 4 THEN doc_id - 4 ELSE doc_id END AS k,
+      |         CASE WHEN doc_id % 8 = 4 THEN 64 ELSE 0 END AS off,
+      |         (5 + (CASE WHEN doc_id % 8 = 4 THEN doc_id - 4 ELSE doc_id END) % 3) * 64
+      |           - CASE WHEN doc_id % 8 = 4 THEN 64 ELSE 0 END AS frames
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |samp AS MATERIALIZED (
+      |  SELECT doc_id, k, off, CAST(unnest(range(0, frames)) AS BIGINT) AS t
+      |  FROM d2),
+      |s2 AS (SELECT doc_id, t,
+      |         ((k+1)*48271 + (t+off+1)*(t+off+3)*163) % 4001 - 2000 AS s
+      |       FROM samp),
+      |coef AS MATERIALIZED (
+      |  SELECT doc_id, t // 64 AS w, kk,
+      |         CAST(sum(s * CASE WHEN bit_count(CAST(t % 64 AS BIGINT) & kk) % 2 = 1
+      |                          THEN -1 ELSE 1 END) AS BIGINT) AS c
+      |  FROM s2 CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS kk) kt
+      |  GROUP BY doc_id, t // 64, kk),
+      |eb AS MATERIALIZED (
+      |  SELECT doc_id, w, kk // 4 AS b, CAST(sum(c * c) AS BIGINT) AS e
+      |  FROM coef GROUP BY 1, 2, 3),
+      |db AS MATERIALIZED (
+      |  SELECT doc_id, w, b,
+      |         e - lead(e) OVER (PARTITION BY doc_id, w ORDER BY b) AS d,
+      |         CASE WHEN e > lead(e) OVER (PARTITION BY doc_id, w ORDER BY b)
+      |              THEN 1 ELSE 0 END AS bi
+      |  FROM eb),
+      |fp0 AS (SELECT doc_id, w, b, bi, d,
+      |          lag(d) OVER (PARTITION BY doc_id, b ORDER BY w) AS pd
+      |        FROM db WHERE b < 15),
+      |realfp AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, TRUE AS is_real, CAST(w AS INT) AS win_idx,
+      |         CAST(sum(CASE WHEN bi = 1 THEN 1::BIGINT << b ELSE 0 END
+      |              + CASE WHEN d > pd THEN 1::BIGINT << (15 + b) ELSE 0 END)
+      |           AS BIGINT) AS fhash
+      |  FROM fp0 WHERE w >= 1
+      |  GROUP BY doc_id, w),
+      |stubfp AS (
+      |  SELECT d.doc_id AS media_id, FALSE AS is_real, CAST(k AS INT) AS win_idx,
+      |         ('0x'||substr(md5(d.text || ':aw' || k),1,15))::BIGINT
+      |           % 1073741824 AS fhash
+      |  FROM documents d CROSS JOIN range(0, 4) t(k)
+      |  WHERE d.doc_id % 4 <> 0),
+      |allfp AS MATERIALIZED (
+      |  SELECT r.media_id, r.is_real,
+      |         CAST(d2.frames // 64 - 1 AS BIGINT) AS n_windows,
+      |         r.win_idx, r.fhash
+      |  FROM realfp r JOIN d2 ON r.media_id = d2.doc_id
+      |  UNION ALL
+      |  SELECT media_id, is_real, CAST(4 AS BIGINT) AS n_windows, win_idx, fhash
+      |  FROM stubfp)""".stripMargin
+
   private val PcDims = 64
   private val PcSeed = math.round(1e6 / math.sqrt(PcDims)) // 125000 for 64
 
@@ -3833,6 +3941,22 @@ object SparkEntry {
         |       FROM documents d CROSS JOIN range(0, 4) t(k)
         |       WHERE d.doc_id % 4 <> 0)
         |SELECT * FROM yr UNION ALL SELECT * FROM st""".stripMargin,
+    // audio_fingerprint: the full integer WHT band-energy replay — see
+    // audioFpPrefixSql
+    "audio_fingerprint" -> (audioFpPrefixSql +
+      "\nSELECT media_id, is_real, n_windows, win_idx, fhash FROM allfp"),
+    // audio_dup_pairs: banded matching replay — same fingerprint chain,
+    // then the bucket-capped self-join grouped by (pair, window delta)
+    "audio_dup_pairs" -> (audioFpPrefixSql +
+      """,
+        |ok AS (SELECT fhash FROM allfp GROUP BY fhash HAVING count(*) <= 1024),
+        |f AS MATERIALIZED (SELECT allfp.media_id, allfp.win_idx, allfp.fhash
+        |                   FROM allfp JOIN ok USING (fhash))
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(b.win_idx - a.win_idx AS INT) AS offset_w,
+        |       CAST(count(*) AS BIGINT) AS n_match
+        |FROM f a JOIN f b ON a.fhash = b.fhash AND a.media_id < b.media_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin),
     // ── sketch-variant bound checks: the sketches themselves (HLL,
     // approx_percentile KLL, xxhash64 simhash/quantize digests) have no
     // DuckDB equivalent, so each Spark query reports a replayable

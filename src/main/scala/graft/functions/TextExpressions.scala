@@ -73,10 +73,115 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Native unigram-LM Viterbi segmentation (Kudo 2018, the SentencePiece
+  * unigram default): split a word into the vocabulary pieces maximizing
+  * the summed piece log-probabilities, with log-probs quantized to
+  * integer MICRO-NATS (`round(ln(p)·10⁶)`) so the argmax — and therefore
+  * the whole EM trainer built on it — replays exactly in an external SQL
+  * engine. Ties on total score break toward the LONGER piece at each DP
+  * cell (the same `ORDER BY score DESC, length(piece) DESC` rule the
+  * oracle's unrolled DP uses), which makes the segmentation a pure
+  * function of (word, vocab) with no float comparisons anywhere.
+  *
+  * The vocab rides the expression as tokenizer-sized literal
+  * configuration (like [[BpeTokenCount]]'s merge table) and evaluation
+  * is `CodegenFallback` over the vocabulary-bounded distinct-word table
+  * — one JVM DP per unique word, never per corpus token. Code points
+  * are full units, so piece lengths agree with SQL `length()`.
+  *
+  * A single character absent from the vocab (impossible when the vocab
+  * was seeded from this corpus — seeding keeps every observed char)
+  * falls back to a large penalty rather than failing, so the DP is
+  * total on any input.
+  */
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_segment"
+
+  private val UnkLp = -100000000L // unreachable-char safety net
+
+  @transient private lazy val scores: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code-point boundaries: offs(k) = char offset of the k-th code point
+    val n = s.codePointCount(0, s.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      offs(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    offs(n) = s.length
+    val best = Array.fill(n + 1)(Long.MinValue)
+    best(0) = 0L
+    val from = new Array[Int](n + 1)
+    val pieceAt = new Array[String](n + 1)
+    var j = 1
+    while (j <= n) {
+      // longest candidate first + strictly-greater update == the
+      // score-then-length tie-break
+      var l = math.min(maxPieceLen, j)
+      while (l >= 1) {
+        val i0 = j - l
+        if (best(i0) != Long.MinValue) {
+          val piece = s.substring(offs(i0), offs(j))
+          val lp = scores.get(piece)
+          val cand =
+            if (lp != null) best(i0) + lp.longValue()
+            else if (l == 1) best(i0) + UnkLp
+            else Long.MinValue
+          if (cand != Long.MinValue && cand > best(j)) {
+            best(j) = cand
+            from(j) = i0
+            pieceAt(j) = piece
+          }
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var p = n
+    while (p > 0) {
+      out += UTF8String.fromString(pieceAt(p))
+      p = from(p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.reverseIterator.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** BPE token count of `word` under `merges` (rank order) — see
     * [[BpeTokenCount]].
     */
   def bpeTokenCount(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(word), merges))
+
+  /** Viterbi unigram segmentation of `word` under an integer micro-nat
+    * piece-score table — see [[UnigramSegment]].
+    */
+  def unigramSegment(word: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Column =
+    ColumnBridge.column(
+      UnigramSegment(ColumnBridge.expression(word), vocab, maxPieceLen))
 }

@@ -164,6 +164,144 @@ object Multimodal {
       } catch { case _: Exception => null }
     }
 
+    /** PCM16 mono WAV encode (RIFF/WAVE, little-endian, one `fmt ` +
+      * one `data` chunk) — the inverse of [[audioFeatures]]'s decode
+      * path, used by fixtures and by pipelines that re-emit normalized
+      * audio. Lossless round trip: `audioFingerprint(wavPcm16(s))` sees
+      * exactly `s`.
+      */
+    def wavPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes(ascii)).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** Time-LOCALIZED audio fingerprint over the REAL PCM decode — the
+      * windowed energy-band hash sequence that lets trimmed/offset/padded
+      * audio duplicates match where [[audioFeatures]]' single whole-clip
+      * vector cannot (its 16 RMS windows stretch with the clip, so any
+      * offset misaligns every cell). The shape is the public chromaprint
+      * recipe (per-window band energies, difference-coded bits), with the
+      * spectral step made EXACTLY integer so an external engine replays
+      * it from raw samples:
+      *
+      *  - the first channel splits into NON-overlapping windows of
+      *    `windowFrames` samples (power of two); windows are the match
+      *    granularity — a duplicate trimmed by a multiple of the window
+      *    matches window-for-window;
+      *  - each window takes an integer Walsh–Hadamard transform
+      *    (`coef(k) = Σ_t s(t)·(−1)^{popcount(k AND t)}` — ±1 kernels,
+      *    no irrational twiddles, exact in 64-bit), and the coefficients
+      *    group into `bands` equal ranges whose energy is `Σ coef²`;
+      *  - window `w ≥ 1` hashes to `2·(bands−1)` bits: bit `b` is the
+      *    intra-window shape `E_b > E_{b+1}`, bit `bands−1+b` the
+      *    temporal delta `(E_b−E_{b+1})(w) > (E_b−E_{b+1})(w−1)` —
+      *    chromaprint's difference coding, strict integer compares.
+      *
+      * Returns one hash per window `w = 1 … nWindows−1` (window 0 seeds
+      * the temporal deltas), an EMPTY sequence for decodable audio
+      * shorter than two windows, and null for payloads the JDK cannot
+      * decode (mp3/ogg/garbage) — callers fall back to
+      * [[stubAudioFingerprint]], keeping the whole stage hash-checkable.
+      */
+    def audioFingerprint(payload: Array[Byte], windowFrames: Int = 64,
+        bands: Int = 16): Seq[Long] = {
+      require(windowFrames > 0 && (windowFrames & (windowFrames - 1)) == 0,
+        s"audioFingerprint: windowFrames=$windowFrames must be a power of two")
+      require(bands > 1 && windowFrames % bands == 0 && 2 * (bands - 1) <= 62,
+        s"audioFingerprint: bands=$bands must divide windowFrames and fit 62 bits")
+      if (!looksLikeAudio(payload)) return null
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return null
+          val bytes = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          val nWin = nFrames / windowFrames
+          if (nWin < 2) return Seq.empty
+          val big = fmt.isBigEndian
+          val dBands = windowFrames / bands
+          val buf = new Array[Long](windowFrames)
+          val e = new Array[Long](bands)
+          val prevD = new Array[Long](bands - 1)
+          val out = new scala.collection.mutable.ArrayBuffer[Long](nWin - 1)
+          var w = 0
+          while (w < nWin) {
+            var t = 0
+            while (t < windowFrames) {
+              val off = (w * windowFrames + t) * frameSize // first channel
+              buf(t) =
+                if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort.toLong
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort.toLong
+              t += 1
+            }
+            // in-place fast WHT, natural (Hadamard) coefficient order
+            var len = 1
+            while (len < windowFrames) {
+              var i = 0
+              while (i < windowFrames) {
+                var j = i
+                while (j < i + len) {
+                  val a = buf(j); val b = buf(j + len)
+                  buf(j) = a + b; buf(j + len) = a - b
+                  j += 1
+                }
+                i += 2 * len
+              }
+              len *= 2
+            }
+            java.util.Arrays.fill(e, 0L)
+            var k = 0
+            while (k < windowFrames) { e(k / dBands) += buf(k) * buf(k); k += 1 }
+            if (w > 0) {
+              var h = 0L
+              var b = 0
+              while (b < bands - 1) {
+                if (e(b) > e(b + 1)) h |= 1L << b
+                if (e(b) - e(b + 1) > prevD(b)) h |= 1L << (bands - 1 + b)
+                b += 1
+              }
+              out += h
+            }
+            var b = 0
+            while (b < bands - 1) { prevD(b) = e(b) - e(b + 1); b += 1 }
+            w += 1
+          }
+          out.toSeq
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+    /** STUB fingerprint windows for payloads [[audioFingerprint]] cannot
+      * decode: window `w` hashes to `md5_60(payload ++ ":aw" ++ w) % 2³⁰`
+      * — the portable md5 scheme (DuckDB:
+      * `('0x'||substr(md5(s || ':aw' || w),1,15))::BIGINT % 1073741824`),
+      * one digest-state clone per window like [[stubFrameLumas]].
+      */
+    def stubAudioFingerprint(payload: Array[Byte], nWindows: Int): Seq[Long] = {
+      val base = java.security.MessageDigest.getInstance("MD5")
+      if (payload != null) base.update(payload)
+      (0 until nWindows).map { w =>
+        val md = base.clone().asInstanceOf[java.security.MessageDigest]
+        md.update((":aw" + w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.functions.PortableMd5.fromDigest(md.digest()) % (1L << 30)
+      }
+    }
+
     /** Real features for decoded images: a 4×4 grid of mean luminance
       * (Rec.601 weights) in [0,1] — a minimal but genuine visual
       * descriptor computed from actual pixels.
@@ -377,19 +515,57 @@ object Multimodal {
         sampleIdx(lumas.length, maxFrames).map(f => (f, lumas(f))))
     }
 
+    /** Walk one complete JPEG starting at SOI offset `soi`: segment
+      * payloads (APPn/COM/DQT/DHT/SOF…) are skipped by their 2-byte
+      * length fields and entropy-coded scan data byte-wise (stuffed
+      * `FF00` and `RSTn` markers pass through), so a nested SOI inside
+      * an EXIF/JFIF thumbnail is never mistaken for a frame boundary.
+      * Returns the offset one past the EOI marker, or -1 for a
+      * malformed/truncated stream.
+      */
+    private def jpegEnd(p: Array[Byte], soi: Int): Int = {
+      var j = soi + 2
+      var inScan = false
+      while (j + 1 < p.length) {
+        if ((p(j) & 0xff) != 0xff) {
+          if (!inScan) return -1 // a segment must start with a marker
+          j += 1
+        } else (p(j + 1) & 0xff) match {
+          case 0x00 | 0xff => j += 2 // stuffed data byte / fill bytes
+          case 0xd9 => return j + 2 // EOI
+          case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RSTn (standalone)
+          case 0x01 => j += 2 // TEM (standalone)
+          case m =>
+            if (j + 3 >= p.length) return -1
+            val len = ((p(j + 2) & 0xff) << 8) | (p(j + 3) & 0xff)
+            if (len < 2) return -1
+            j += 2 + len
+            inScan = m == 0xda // SOS: entropy-coded data follows
+        }
+      }
+      -1
+    }
+
     private def mjpegFrames(p: Array[Byte], maxFrames: Int): (String, Int, Seq[(Int, Long)]) = {
-      // frame boundaries from SOI markers alone — counting must not decode
+      // frame boundaries from a structural marker walk — counting must
+      // not decode, and must not trip on thumbnails nested in APP1
       val sois = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
       var i = 0
-      while (i < p.length) {
-        if (looksLikeJpegSoi(p, i)) { sois += i; i += 2 }
-        i += 1
+      while (i + 1 < p.length) {
+        if (looksLikeJpegSoi(p, i)) {
+          val e = jpegEnd(p, i)
+          if (e < 0) return null // torn/garbage frame → whole payload stubs
+          sois += i
+          ends += e
+          i = e
+        } else i += 1 // tolerate inter-frame padding, never intra-frame
       }
       if (sois.isEmpty) return null
       val n = sois.length
       val samples = sampleIdx(n, maxFrames).map { f =>
         val from = sois(f)
-        val until = if (f + 1 < n) sois(f + 1) else p.length
+        val until = ends(f)
         val img = readImage(java.util.Arrays.copyOfRange(p, from, until))
         if (img == null) return null // one poison frame → whole payload stubs
         var s = 0L
@@ -667,6 +843,91 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Time-localized audio fingerprint stage: one output row per
+    * fingerprint WINDOW per media row ([[MediaCodec.audioFingerprint]] —
+    * windowed Walsh–Hadamard energy-band hashes, chromaprint shape).
+    * Real PCM decodes emit `win_idx = 1 … nWindows−1` (window 0 seeds
+    * the temporal-difference bits); payloads the JDK cannot decode emit
+    * `stubWindows` deterministic md5 pseudo-windows (`win_idx` from 0),
+    * keeping the stage hash-checkable end to end — the same quarantine
+    * contract as [[extractFeatures]].
+    *
+    * Output: `(media_id, is_real, n_windows, win_idx, fhash)`.
+    *
+    * Scale shape: row-local flatMap at the `mapPartitions` codec
+    * boundary (per-partition codec init, payloads never shuffle); output
+    * is ~24 bytes × windows per payload — the index a 100 TB audio
+    * archive stores instead of re-decoding.
+    */
+  def audioFingerprints(media: DataFrame, windowFrames: Int = 64,
+      bands: Int = 16, stubWindows: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_real", BooleanType, nullable = false),
+      StructField("n_windows", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val fp = MediaCodec.audioFingerprint(payload, windowFrames, bands)
+        if (fp != null) fp.zipWithIndex.map { case (h, i) =>
+          Row(id, true, fp.length.toLong, i + 1, h)
+        } else MediaCodec.stubAudioFingerprint(payload, stubWindows)
+          .zipWithIndex.map { case (h, w) =>
+            Row(id, false, stubWindows.toLong, w, h)
+          }
+      }
+    }
+  }
+
+  /** Banded audio-duplicate matching over [[audioFingerprints]] — the
+    * dedup step [[phashDupCounts]] cannot do for audio: because the
+    * fingerprint is a SEQUENCE of per-window hashes, a duplicate that was
+    * trimmed, padded, or offset by whole windows still pairs — its
+    * windows match the original's at one consistent window DELTA, which
+    * a single whole-clip hash can never recover. Two media rows pair
+    * when ≥ `minMatch` of their windows share a hash at the same delta:
+    * `(media_a, media_b, offset_w, n_match)` with `media_a < media_b`.
+    *
+    * Scale shape: the fingerprint frame (no payloads) persists behind a
+    * count barrier so decode runs once; matching is a self-join BLOCKED
+    * on the window hash — the LSH-band shape of
+    * [[graft.operators.Dedup.minhashPairs]], never all-pairs. Degenerate
+    * hashes (digital silence, flat tones — the audio stop-words) would
+    * square their buckets, so buckets over `maxBucket` are dropped
+    * before the join (declared recall trade, same as the text
+    * stop-shingle cap); surviving buckets bound the join at
+    * `maxBucket²/2` pairs each, and the (a, b, delta) count is one
+    * map-side-combinable aggregate.
+    */
+  def audioDupPairs(media: DataFrame, minMatch: Int = 3,
+      windowFrames: Int = 64, bands: Int = 16, stubWindows: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val fp = audioFingerprints(media, windowFrames, bands, stubWindows)
+      .select("media_id", "win_idx", "fhash").persist()
+    fp.count() // barrier: one decode pass; only the tiny hash frame pins
+    graft.plans.ReleaseRegistry.register("multimodal.audio_dup_pairs")(
+      () => fp.unpersist(blocking = false))
+    val ok = fp.groupBy("fhash").agg(count(lit(1)).as("nb"))
+      .where(col("nb") <= maxBucket).select("fhash")
+    val f = fp.join(ok, Seq("fhash")) // AQE broadcasts when small
+    val a = f.select(col("fhash"), col("media_id").as("media_a"),
+      col("win_idx").as("wa"))
+    val b = f.select(col("fhash"), col("media_id").as("media_b"),
+      col("win_idx").as("wb"))
+    a.join(b, Seq("fhash"))
+      .where(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"),
+        (col("wb") - col("wa")).as("offset_w"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
   }
 
   /** Perceptual (average) hash per media row: one bit per feature cell,

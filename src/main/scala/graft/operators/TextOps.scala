@@ -646,22 +646,48 @@ object TextOps {
       .select("pid", "offUp", "offDn")
     val wUp = Window.partitionBy("pid").orderBy("pos")
     val wDn = Window.partitionBy("pid").orderBy(col("pos").desc)
-    val seg = rp.join(broadcast(offs), "pid")
-      .withColumn("segUp", sum("side").over(wUp) + col("offUp"))
-      .withColumn("segDn", sum("side").over(wDn) + col("offDn"))
     // g2 = adjacent LCP with the SUCCESSOR (the predecessor-LCP of pos+1)
     // — read from the PERSISTED frame: deriving it from withG would run
     // every interpreted zip-LCP a second time
     val g2 = rp.select((col("pos") - 1).as("pos"), col("g").as("g2"))
-    val scanned = seg.join(g2, Seq("pos"), "left")
-      .withColumn("up", when(col("segUp") >= 1, min(
+    val base = rp.join(broadcast(offs), "pid")
+      .withColumn("segUp", sum("side").over(wUp) + col("offUp"))
+      .withColumn("segDn", sum("side").over(wDn) + col("offDn"))
+      .join(g2, Seq("pos"), "left")
+      .withColumn("mg",
         when(col("side") === 1, lit(null).cast("long")).otherwise(col("g")))
-        .over(Window.partitionBy("segUp").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, 0))))
-      .withColumn("down", when(col("segDn") >= 1, min(
+      .withColumn("mg2",
         when(col("side") === 1, lit(null).cast("long")).otherwise(col("g2")))
-        .over(Window.partitionBy("segDn").orderBy(col("pos").desc)
-          .rowsBetween(Window.unboundedPreceding, 0))))
+      .select("pos", "doc_id", "side", "sl", "pid", "segUp", "segDn", "mg", "mg2")
+      .persist()
+    base.count()
+    graft.plans.ReleaseRegistry.register("text.decontam_sub_base")(
+      () => base.unpersist(blocking = false))
+    // Segmented cumulative mins run pid-LOCAL (windows partitioned by
+    // (pid, seg) — bounded by the range-partition size even when a
+    // degenerate benchmark makes one segment span the whole corpus) and
+    // prefix-combine across pids via a carry frame of per-(pid, seg)
+    // segment mins: ≤ (#bench suffixes + #partitions) rows, so the
+    // cross-pid windows never see corpus-scale partitions either.
+    val locUp = Window.partitionBy("pid", "segUp").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val locDn = Window.partitionBy("pid", "segDn").orderBy(col("pos").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carryUp = base.groupBy("pid", "segUp").agg(min("mg").as("m"))
+      .withColumn("cup", min("m").over(Window.partitionBy("segUp")
+        .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("pid", "segUp", "cup")
+    val carryDn = base.groupBy("pid", "segDn").agg(min("mg2").as("m"))
+      .withColumn("cdn", min("m").over(Window.partitionBy("segDn")
+        .orderBy(col("pid").desc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select("pid", "segDn", "cdn")
+    val scanned = base
+      .withColumn("lup", min("mg").over(locUp))
+      .withColumn("ldn", min("mg2").over(locDn))
+      .join(carryUp, Seq("pid", "segUp"), "left")
+      .join(carryDn, Seq("pid", "segDn"), "left")
+      .withColumn("up", when(col("segUp") >= 1, least(col("lup"), col("cup"))))
+      .withColumn("down", when(col("segDn") >= 1, least(col("ldn"), col("cdn"))))
       .withColumn("shared",
         greatest(coalesce(col("up"), lit(0L)), coalesce(col("down"), lit(0L))))
     scanned.where(col("side") === 0)
@@ -704,9 +730,10 @@ object TextOps {
       .where(col("sl") >= minLen && col("dl") >= minLen)
       .select(col("doc_id"), col("i"),
         substring_index(col("s"), "\u0001", minLen).as("gk"),
-        // encoded election key: i is bounded by the suffix count per doc,
-        // far under the 1e7 radix, so min(key) == min((doc_id, i))
-        (col("doc_id") * 10000000L + col("i")).as("ek"))
+        // election key: struct min is lexicographic on (doc_id, i) — no
+        // encoded radix, so docs of any length and any doc_id range
+        // elect the true first corpus occurrence (no silent overflow)
+        struct(col("doc_id"), col("i")).as("ek"))
     val firsts = starts.groupBy("gk").agg(min("ek").as("fk"))
     val dropped = starts.join(firsts, Seq("gk"))
       .where(col("ek") =!= col("fk"))

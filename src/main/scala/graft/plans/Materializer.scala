@@ -163,10 +163,16 @@ object Materializer {
       if (committed) spark.read.parquet(target)
       else {
         // don't strand future callers behind a crashed writer's claim —
-        // but a YOUNG claim is a live slow writer: leave it in place
-        if (fs.exists(claim) &&
-            System.currentTimeMillis - fs.getFileStatus(claim).getModificationTime > staleClaimMs)
-          fs.delete(claim, false)
+        // but a YOUNG claim is a live slow writer: leave it in place.
+        // exists/getFileStatus/delete is check-then-act against other
+        // timed-out losers cleaning the same stale claim: losing that
+        // race is fine (the claim is gone either way), so a vanished
+        // file must not fail a caller whose frame is already computed
+        try {
+          if (fs.exists(claim) &&
+              System.currentTimeMillis - fs.getFileStatus(claim).getModificationTime > staleClaimMs)
+            fs.delete(claim, false)
+        } catch { case _: java.io.FileNotFoundException => () }
         compute
       }
     }

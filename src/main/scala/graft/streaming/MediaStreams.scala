@@ -83,4 +83,67 @@ object MediaStreams {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One fingerprint window arrival: media id + window index + its
+    * energy-band hash ([[graft.operators.Multimodal.audioFingerprints]]).
+    */
+  final case class FpRow(mediaId: Long, winIdx: Int, fhash: Long)
+
+  /** One emission: how many prior WINDOWS (any media row) shared this
+    * window's hash — the streaming precursor of
+    * [[graft.operators.Multimodal.audioDupPairs]]' bucket join.
+    */
+  final case class FpDup(mediaId: Long, winIdx: Int, fhash: Long, nDups: Long)
+
+  /** Per-hash window counter — [[PhashBucketCounter]] specialized to
+    * fingerprint windows so the emission keeps `winIdx` (the column the
+    * banded pair-matcher needs for offset-consistent grouping).
+    */
+  final class FpBucketCounter(ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, FpRow, FpDup] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "cnt", Encoders.scalaLong,
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[FpRow],
+        timerValues: TimerValues): Iterator[FpDup] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      val out = rows.map { r =>
+        val d = FpDup(r.mediaId, r.winIdx, key, n)
+        n += 1
+        d
+      }.toArray
+      cnt.update(n)
+      out.iterator
+    }
+  }
+
+  /** Incremental audio-fingerprint duplicate accounting over a GROWING
+    * media archive — the streaming twin of
+    * [[graft.operators.Multimodal.audioDupPairs]]' blocking stage: each
+    * arriving fingerprint WINDOW is emitted once with the count of prior
+    * windows sharing its hash, so a downstream consumer sees exactly the
+    * bucket pressure the batch matcher's self-join would (a window with
+    * `nDups = 0` can never contribute a pair, and a hash bucket's latest
+    * emission is its batch bucket size − 1). The fingerprinting itself
+    * ([[graft.operators.Multimodal.audioFingerprints]]) is row-local, so
+    * it composes onto the streaming frame with no extra state; state is
+    * ONE long per distinct window hash, `ttl`-boundable for endless
+    * archives like the phash and minhash twins.
+    */
+  def incrementalAudioWindowDups(media: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[FpDup] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.audioFingerprints(media)
+      .select(col("media_id").as("mediaId"),
+        col("win_idx").as("winIdx"), col("fhash"))
+      .as[FpRow]
+      .groupByKey(_.fhash)
+      .transformWithState(new FpBucketCounter(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -63,7 +63,13 @@ class BenchGuardSpec extends AnyFunSuite {
 
   test("isolatedRerun spawns a fresh JVM and returns the query's median") {
     // the full automated protocol end-to-end at fixture scale: fresh JVM,
-    // same classpath + module flags, BENCH_ONLY child, median parsed back
+    // same classpath + module flags, BENCH_ONLY child, median parsed back.
+    // Forking a whole child bench JVM is slow and machine-load-sensitive,
+    // so like the soak harnesses it runs only when explicitly asked for
+    // (SPARK_GRAFT_SOAK_BENCH=1) — the pure-parse tests above cover the
+    // protocol's logic deterministically on every run.
+    assume(sys.env.get("SPARK_GRAFT_SOAK_BENCH").contains("1"),
+      "integration fork test: set SPARK_GRAFT_SOAK_BENCH=1 to run")
     val iso = Bench.isolatedRerun("word_count", "/root/testdata/sf0.001", "4")
     assert(iso.isDefined, "child bench run produced no median")
     assert(iso.get > 0.0 && iso.get < 120.0)

@@ -59,4 +59,53 @@ class MediaStreamsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("incremental audio-window dup counts carry fingerprint buckets " +
+    "across batches") {
+    import graft.operators.Multimodal.MediaCodec
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def samples(k: Long, frames: Int, off: Int = 0): Array[Short] =
+        Array.tabulate(frames)(t =>
+          (((k + 1) * 48271L +
+            (t + off + 1).toLong * (t + off + 3).toLong * 163L) % 4001L
+            - 2000L).toShort)
+      val base = samples(1L, 4 * 64)
+      // batch 1: the original + an unrelated signal; batch 2: a
+      // one-window-trimmed re-ingest of the original — its windows must
+      // count against batch-1 state (the cross-batch duplicate case)
+      val b1 = Seq((1L, MediaCodec.wavPcm16(base)),
+        (2L, MediaCodec.wavPcm16(samples(7L, 4 * 64))))
+      val b2 = Seq((3L, MediaCodec.wavPcm16(base.drop(64))))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = operators.Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+      val q = MediaStreams.incrementalAudioWindowDups(media)
+        .writeStream.format("memory").queryName("inc_audio_parity")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val got = spark.table("inc_audio_parity")
+          .as[(Long, Int, Long, Long)].collect().toSeq
+        // 3 + 3 + 2 windows emitted exactly once each
+        assert(got.size === 8, s"one emission per window, got $got")
+        // per hash bucket, arrivals numbered 0,1,…,size-1 across batches
+        got.groupBy(_._3).foreach { case (_, rows) =>
+          assert(rows.map(_._4).sorted === rows.indices.map(_.toLong))
+        }
+        // the trimmed re-ingest (media 3, windows 1..2, matching media
+        // 1's windows 2..3) landed in already-populated buckets
+        val trimmedRows = got.filter(_._1 == 3L)
+        assert(trimmedRows.size === 2 && trimmedRows.forall(_._4 >= 1L),
+          s"cross-batch fingerprint duplicates must see carried state: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

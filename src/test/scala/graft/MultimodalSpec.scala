@@ -381,4 +381,111 @@ class MultimodalSpec extends SparkSpec {
       .map { case (r, d) => if (r * 16 > tot) 1L << d else 0L }.sum
     assert(got === want)
   }
+
+  // deterministic pseudo-audio: quadratic integer formula, |s| <= 2000
+  private def synthSamples(k: Long, frames: Int, off: Int = 0): Array[Short] =
+    Array.tabulate(frames)(t =>
+      (((k + 1) * 48271L +
+        (t + off + 1).toLong * (t + off + 3).toLong * 163L) % 4001L
+        - 2000L).toShort)
+
+  test("audioFingerprint matches a brute-force WHT band-energy replay") {
+    import graft.operators.Multimodal.MediaCodec
+    val samples = synthSamples(3L, 4 * 64)
+    val got = MediaCodec.audioFingerprint(MediaCodec.wavPcm16(samples))
+    assert(got != null && got.length === 3) // windows 1..3
+    // independent replay: coef(k) = sum_t s(t) * (-1)^popcount(k & t)
+    def bandEnergies(w: Int): Array[Long] = {
+      val e = new Array[Long](16)
+      for (k <- 0 until 64) {
+        var c = 0L
+        for (t <- 0 until 64) {
+          val sign = if (java.lang.Long.bitCount((k & t).toLong) % 2 == 1) -1 else 1
+          c += sign * samples(w * 64 + t)
+        }
+        e(k / 4) += c * c
+      }
+      e
+    }
+    val want = (1 until 4).map { w =>
+      val e = bandEnergies(w)
+      val pe = bandEnergies(w - 1)
+      (0 until 15).map { b =>
+        (if (e(b) > e(b + 1)) 1L << b else 0L) |
+          (if (e(b) - e(b + 1) > pe(b) - pe(b + 1)) 1L << (15 + b) else 0L)
+      }.sum
+    }
+    assert(got === want)
+  }
+
+  test("audioDupPairs: a window-trimmed duplicate pairs at one consistent delta") {
+    import graft.operators.Multimodal.MediaCodec
+    // doc 1 = 5 windows; doc 2 = doc 1 trimmed by exactly one window
+    // (the common web-crawl duplicate the whole-clip RMS vector misses);
+    // doc 3 = an unrelated signal
+    val base = synthSamples(1L, 5 * 64)
+    val trimmed = base.drop(64)
+    val other = synthSamples(9L, 5 * 64)
+    val media = Multimodal.fromBinary(
+      Seq((1L, MediaCodec.wavPcm16(base)),
+        (2L, MediaCodec.wavPcm16(trimmed)),
+        (3L, MediaCodec.wavPcm16(other))).toDF("id", "bytes"),
+      "id", "bytes", "audio")
+    val pairs = Multimodal.audioDupPairs(media, minMatch = 3)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // trimmed window w == base window w+1, so every trimmed hash
+    // (win_idx 1..3) matches base win_idx 2..4: delta = -1, 3 matches
+    assert(pairs.contains((1L, 2L, -1, 3L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated signal must not pair: $pairs")
+  }
+
+  test("audioFingerprints: stub path replays the portable md5 contract; " +
+    "short real audio emits no windows") {
+    import graft.operators.Multimodal.MediaCodec
+    val text = "definitely not audio".getBytes("UTF-8")
+    val shortWav = MediaCodec.wavPcm16(synthSamples(5L, 64)) // one window
+    val got = Multimodal.audioFingerprints(Multimodal.fromBinary(
+      Seq((1L, text), (2L, shortWav)).toDF("id", "bytes"),
+      "id", "bytes", "audio"))
+      .as[(Long, Boolean, Long, Int, Long)].collect().toSeq
+    assert(got.forall(_._1 == 1L), "short-but-real audio emits zero rows")
+    assert(got.map(_._4).sorted === Seq(0, 1, 2, 3))
+    val want = (0 until 4).map(w => graft.functions.PortableMd5.hash64(
+      text ++ s":aw$w".getBytes("UTF-8")) % (1L << 30))
+    assert(got.sortBy(_._4).map(_._5) === want)
+    assert(got.forall(r => !r._2 && r._3 == 4L))
+  }
+
+  test("mjpeg marker walk: a thumbnail SOI nested in APP1 is not a frame") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // inject an APP1 (EXIF-style) segment right after SOI whose payload
+    // contains a JPEG SOI triple — the embedded-thumbnail case a raw
+    // byte scan miscounts as an extra frame
+    def withThumb(p: Array[Byte]): Array[Byte] = {
+      val payload = "Exif  ".getBytes("ISO-8859-1") ++
+        Array(0xff, 0xd8, 0xff, 0xe0, 0x01, 0x02).map(_.toByte)
+      val len = payload.length + 2
+      val app1 = Array(0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+      p.take(2) ++ app1 ++ p.drop(2)
+    }
+    val frames = Seq(withThumb(jpeg(10)), jpeg(200), withThumb(jpeg(128)))
+    val p = frames.reduce(_ ++ _)
+    val got = Multimodal.decodeFrames(Multimodal.fromBinary(
+      Seq((1L, p)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, String, Option[Long], Int, Long)].collect()
+    assert(got.map(_._2).toSet === Set("mjpeg"))
+    assert(got.map(_._3).toSet === Set(Some(3L)),
+      s"thumbnail SOIs must not inflate the frame count: ${got.toSeq}")
+    assert(got.map(_._4).sorted.toSeq === Seq(0, 1, 2))
+  }
 }

@@ -304,6 +304,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((10L, 1L, "r")))
   }
 
+  test("substringDedup election survives doc_ids past any radix bound") {
+    // the first-occurrence election is min(struct(doc_id, i)) — no
+    // encoded doc_id·10⁷+i key, so ids that would overflow BIGINT under
+    // the old radix (doc_id ≥ ~9.2e11) still elect correctly, and a
+    // >10M-token document cannot bleed its positions into the next
+    // doc_id's range (structurally impossible: the struct ordering is
+    // lexicographic, never arithmetic)
+    val big = Long.MaxValue / 2 // old encoding: big * 1e7 overflows
+    val d = Seq(
+      (big, "s1 s2 s3 s4 s5 s6 s7 s8 u1 u2"),
+      (big + 1L, "s1 s2 s3 s4 s5 s6 s7 s8 v1 v2")
+    ).toDF("doc_id", "text")
+    val got = TextOps.substringDedup(d).as[(Long, Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    // the smaller doc_id keeps the span; the larger drops it
+    assert(got(big) === ((10L, "s1 s2 s3 s4 s5 s6 s7 s8 u1 u2")))
+    assert(got(big + 1L) === ((2L, "v1 v2")))
+  }
+
+  test("decontamSubstrings: degenerate 1-doc benchmark stays balanced and correct") {
+    // a tiny benchmark against a wide train corpus makes each segment
+    // corpus-scale; the pid-local scan + carry-frame combine must still
+    // give exact answers (the guard the global segment window lacked)
+    val train = (0L until 64L).map { i =>
+      (i, (0 until 12).map(j => s"t${i}_$j").mkString(" ") +
+        (if (i % 16 == 5) " k1 k2 k3 k4 k5 k6 k7 k8 k9" else ""))
+    }.toDF("doc_id", "text").repartition(16)
+    val bench = Seq((999L, "k1 k2 k3 k4 k5 k6 k7 k8 k9")).toDF("doc_id", "text")
+    val got = TextOps.decontamSubstrings(train, bench)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.size === 64)
+    (0L until 64L).foreach { i =>
+      if (i % 16 == 5) assert(got(i) === ((9L, 2L)), s"doc $i: ${got(i)}")
+      else assert(got(i) === ((0L, 0L)), s"doc $i: ${got(i)}")
+    }
+  }
+
   test("substringDedup corpus invariants: untouched iff no dup span, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextOps.substringDedup(docs).cache()
