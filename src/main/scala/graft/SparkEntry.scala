@@ -243,6 +243,13 @@ object SparkEntry {
     // iterated BPE trainer: 8 rounds of heaviest-pair merge over the
     // vocabulary-bounded unique-word table
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
+    // unigram-LM tokenizer (Kudo 2018): integer micro-nat hard-EM —
+    // seed substrings, Viterbi E-step, prune, re-estimate; the oracle
+    // replays both EM rounds via unrolled DP CTEs
+    "unigram_vocab" -> ((s, d) => TextOps.unigramVocab(Tables.documents(s, d))),
+    // per-doc real token counts under the trained unigram vocab (the
+    // applyBpe twin: one Viterbi per UNIQUE word, join back)
+    "unigram_tokens" -> ((s, d) => TextOps.unigramTokens(Tables.documents(s, d))),
     // token_budget_fill with the budget in REAL tokens: the corpus's own
     // 8-merge BPE table encodes every doc row-locally before the fill
     "token_budget_fill_bpe" -> ((s, d) =>
@@ -831,6 +838,96 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT media_id, is_real, CAST(4 AS BIGINT) AS n_windows, win_idx, fhash
       |  FROM stubfp)""".stripMargin
+
+  /** Unrolled Viterbi DP for the unigram oracle: CTEs `{p}0 … {p}L` hold
+    * the best (score, path) per word prefix of length j — each cell
+    * joins the ≤`pl` predecessor cells against the `vocab` piece-score
+    * CTE and keeps rank 1 under `(score DESC, piece length DESC)`, the
+    * exact tie rule of the native [[graft.functions.UnigramSegment]]
+    * (fully deterministic: same score + same length ⇒ identical row).
+    * `{p}fin` collects each word's full-length cell.
+    */
+  private def unigramDpCtes(p: String, vocab: String, srcWords: String,
+      L: Int, pl: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"${p}0 AS (SELECT word, cnt, length(word) AS len,\n" +
+      s"  CAST(0 AS BIGINT) AS sc, CAST([] AS VARCHAR[]) AS path FROM $srcWords),\n")
+    for (j <- 1 to L) {
+      val arms = (math.max(0, j - pl) until j).map(i =>
+        s"SELECT word, cnt, len, sc, path, $i AS i FROM $p$i")
+        .mkString("\n          UNION ALL ")
+      sb.append(
+        s"""$p$j AS MATERIALIZED (
+           |  SELECT word, cnt, len, sc, path FROM (
+           |    SELECT u.word, u.cnt, u.len, u.sc + v.lp AS sc,
+           |           list_append(u.path, v.piece) AS path,
+           |           row_number() OVER (PARTITION BY u.word
+           |             ORDER BY u.sc + v.lp DESC, length(v.piece) DESC) AS rn
+           |    FROM ($arms) u
+           |    JOIN $vocab v ON v.piece = substr(u.word, u.i + 1, $j - u.i)
+           |    WHERE u.len >= $j) WHERE rn = 1),
+           |""".stripMargin)
+    }
+    sb.append((1 to L).map(j => s"SELECT word, cnt, path FROM $p$j WHERE len = $j")
+      .mkString(s"${p}fin AS MATERIALIZED (\n  ", "\n  UNION ALL ", ")"))
+    sb.toString
+  }
+
+  private val UniSeedMulti = 40
+  private val UniKeepMulti = 20
+  private val UniPieceLen = 4
+  private val UniWordLen = 12
+
+  /** Shared oracle CTE chain replaying [[TextOps.unigramVocab]]'s whole
+    * EM run: seed scores → `lp0` → DP pass `a` → usage/prune → `lp1` →
+    * DP pass `b`. Ends with `bfin(word, cnt, path)`, `v1(piece)`,
+    * `u2(piece, usage)`.
+    */
+  private val unigramPrefixSql: String = {
+    val (sm, km, pl, wl) = (UniSeedMulti, UniKeepMulti, UniPieceLen, UniWordLen)
+    s"""WITH toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+      |              FROM documents),
+      |uwc AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      |  WHERE word <> '' AND length(word) <= $wl AND NOT contains(word, chr(1))
+      |  GROUP BY word),
+      |sub1 AS (SELECT cnt, word,
+      |           CAST(unnest(range(1, length(word) + 1)) AS INT) AS i FROM uwc),
+      |sub2 AS (SELECT cnt, word, i,
+      |           CAST(unnest(range(1, 1 + least($pl, length(word) - i + 1))) AS INT) AS l
+      |         FROM sub1),
+      |seeds AS (SELECT substr(word, i, l) AS piece,
+      |            CAST(sum(cnt) AS BIGINT) AS sc FROM sub2 GROUP BY 1),
+      |chars AS MATERIALIZED (SELECT piece, sc FROM seeds WHERE length(piece) = 1),
+      |mseed AS MATERIALIZED (SELECT piece, sc FROM seeds WHERE length(piece) > 1
+      |                       ORDER BY sc DESC, piece LIMIT $sm),
+      |v0 AS (SELECT piece, sc FROM chars UNION ALL SELECT piece, sc FROM mseed),
+      |t0 AS (SELECT CAST(sum(sc) AS BIGINT) AS total FROM v0),
+      |lp0 AS MATERIALIZED (
+      |  SELECT piece, CAST(round(ln(sc::DOUBLE / total) * 1e6) AS BIGINT) AS lp
+      |  FROM v0, t0),
+      |${unigramDpCtes("a", "lp0", "uwc", wl, pl)},
+      |u1 AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+      |    SELECT cnt, unnest(path) AS piece FROM afin) GROUP BY piece),
+      |kept AS (SELECT piece FROM (
+      |  SELECT mseed.piece, coalesce(u1.u, 0) AS u
+      |  FROM mseed LEFT JOIN u1 USING (piece)
+      |  ORDER BY u DESC, piece LIMIT $km)),
+      |v1 AS MATERIALIZED (SELECT piece FROM chars
+      |                    UNION ALL SELECT piece FROM kept),
+      |t1 AS (SELECT CAST(sum(coalesce(u1.u, 0)) AS BIGINT) AS total,
+      |              count(*) AS nv
+      |       FROM v1 LEFT JOIN u1 USING (piece)),
+      |lp1 AS MATERIALIZED (
+      |  SELECT v1.piece, CAST(round(
+      |      ln((coalesce(u1.u, 0) + 1)::DOUBLE / (total + nv)) * 1e6) AS BIGINT) AS lp
+      |  FROM v1 LEFT JOIN u1 USING (piece), t1),
+      |${unigramDpCtes("b", "lp1", "uwc", wl, pl)},
+      |u2 AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+      |    SELECT cnt, unnest(path) AS piece FROM bfin) GROUP BY piece)""".stripMargin
+  }
 
   private val PcDims = 64
   private val PcSeed = math.round(1e6 / math.sqrt(PcDims)) // 125000 for 64
@@ -2720,6 +2817,32 @@ object SparkEntry {
         |FROM r WHERE cum_before < budget_tokens GROUP BY source""".stripMargin,
     // unrolled 8-round BPE training replay (generated: bpeRoundCtes)
     "bpe_merges" -> bpeMergesOracle(8),
+    // unigram_vocab: the full EM replay (seed → lp0 → Viterbi → prune →
+    // lp1 → Viterbi) — see unigramPrefixSql; final scores re-estimated
+    // with add-one smoothing over round-2 usage
+    "unigram_vocab" -> (unigramPrefixSql +
+      """,
+        |t2 AS (SELECT CAST(coalesce(sum(usage), 0) AS BIGINT) AS total FROM u2),
+        |nv1 AS (SELECT count(*) AS nv FROM v1)
+        |SELECT v1.piece AS piece, CAST(coalesce(u2.usage, 0) AS BIGINT) AS usage,
+        |  CAST(round(ln((coalesce(u2.usage, 0) + 1)::DOUBLE / (t2.total + nv1.nv))
+        |    * 1e6) AS BIGINT) AS lp
+        |FROM v1 LEFT JOIN u2 USING (piece), t2, nv1""".stripMargin),
+    // unigram_tokens: per-doc sum of round-2 Viterbi path lengths over
+    // the same trained vocab (docs with no countable words keep 0)
+    "unigram_tokens" -> (unigramPrefixSql +
+      s""",
+        |w2 AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' AND length(word) <= $UniWordLen
+        |    AND NOT contains(word, chr(1))),
+        |wt AS (SELECT word, CAST(len(path) AS BIGINT) AS wtok FROM bfin)
+        |SELECT d.doc_id, CAST(coalesce(sum(x.wtok), 0) AS BIGINT) AS uni_tok
+        |FROM documents d LEFT JOIN (
+        |  SELECT w2.doc_id, wt.wtok FROM w2 JOIN wt USING (word)) x
+        |  ON d.doc_id = x.doc_id
+        |GROUP BY d.doc_id""".stripMargin),
     // the same 8 winners applied to every document word (nested
     // list_reduce folds), then the integer greedy fill
     "token_budget_fill_bpe" -> tokenBudgetFillBpeOracle(8),

@@ -1766,6 +1766,134 @@ object TextOps {
         sum("bpe_tok").as("tokens_kept"))
   }
 
+  /** Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece unigram
+    * default — T5-style pipelines train this where GPT-style train BPE):
+    * a fixed-round hard-EM over the unique-word table with every
+    * probability quantized to integer MICRO-NATS (`round(ln(p)·10⁶)`),
+    * so segmentation argmaxes are integer comparisons and an external
+    * SQL engine replays the WHOLE training run — seeding, both EM
+    * rounds, and the prune — from the raw corpus:
+    *
+    *  1. SEED: every substring of length ≤ `maxPieceLen` of every word,
+    *     scored by summed word frequency; the vocab is ALL single chars
+    *     (coverage guarantee) + the top `seedMulti` multi-char pieces by
+    *     (score desc, piece binary asc); `lp⁰ = round(ln(sc/Σsc)·10⁶)`.
+    *  2. E-STEP (round 1): Viterbi-segment each unique word under `lp⁰`
+    *     ([[graft.functions.UnigramSegment]] — ties break toward the
+    *     longer piece, the oracle's `ORDER BY score DESC, length DESC`);
+    *     usage(piece) = Σ word-freq · uses.
+    *  3. PRUNE + M-STEP: keep chars + top `keepMulti` multi-char pieces
+    *     by (usage desc, piece asc); re-estimate with add-one smoothing
+    *     `lp¹ = round(ln((usage+1)/(total+|V|))·10⁶)` (smoothing keeps
+    *     never-used survivors finite, Kudo's ε floor).
+    *  4. E-STEP (round 2) under `lp¹` yields the published usage table
+    *     and the final piece scores.
+    *
+    * Output: `(piece, usage, lp)` — the artifact a unigram tokenizer
+    * ships, every column integer.
+    *
+    * Scale shape: the corpus-scale work is [[wordCount]]'s one
+    * map-side-combined shuffle (persisted once behind a count barrier,
+    * released via the registry); everything after runs on the
+    * vocabulary-bounded unique-word table — one substring explode and
+    * two native Viterbi projections (one JVM DP per UNIQUE word, the
+    * [[applyBpe]] distinct-word discipline). Driver state is the vocab
+    * itself: alphabet + `seedMulti` rows, the [[bpeMerges]] bound. Both
+    * top-K cuts run as Spark TakeOrdered (binary string order, the
+    * cross-engine tie contract), never a driver sort.
+    */
+  def unigramVocab(docs: DataFrame, seedMulti: Int = 40, keepMulti: Int = 20,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (lp1, wc) = unigramEm(docs, seedMulti, keepMulti, maxPieceLen, maxWordLen)
+    val u2 = wc.select(col("cnt"), explode(
+      graft.functions.TextFunctions.unigramSegment(col("word"), lp1, maxPieceLen))
+      .as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("usage"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total2 = u2.values.sum
+    val denom = (total2 + lp1.size).toDouble
+    lp1.map { case (p, _) =>
+      val usage = u2.getOrElse(p, 0L)
+      (p, usage, math.round(math.log((usage + 1) / denom) * 1e6))
+    }.toDF("piece", "usage", "lp")
+  }
+
+  /** Unigram-encode every document against the trained vocab and return
+    * per-document REAL token counts `(doc_id, uni_tok)` — the unigram
+    * twin of [[applyBpe]], same distinct-word fold discipline: the
+    * corpus explodes to narrow (doc, word) rows, the vocabulary-bounded
+    * distinct-word table Viterbi-segments ONCE per unique word, and the
+    * counts join back for a per-doc sum. Words longer than `maxWordLen`
+    * or carrying the internal sentinel are excluded from counting
+    * (mirroring the trainer's filter — the oracle replays the same
+    * exclusion); docs with no countable words keep a 0 row via the
+    * outer explode.
+    */
+  def unigramTokens(docs: DataFrame, seedMulti: Int = 40, keepMulti: Int = 20,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val (lp1, _) = unigramEm(docs, seedMulti, keepMulti, maxPieceLen, maxWordLen)
+    val words = docs.select(col("doc_id"),
+      explode_outer(filter(split(col("text"), "\\s+"),
+        x => x =!= "" && !x.contains(BpeSep) && length(x) <= maxWordLen))
+        .as("word"))
+    val wtok = words.select("word").where(col("word").isNotNull).distinct()
+      .select(col("word"), size(graft.functions.TextFunctions.unigramSegment(
+        col("word"), lp1, maxPieceLen)).cast("long").as("wtok"))
+    words.join(wtok, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wtok"), lit(0L))).as("uni_tok"))
+  }
+
+  /** The shared seed + round-1 EM + prune of [[unigramVocab]] /
+    * [[unigramTokens]]: returns the pruned vocab with its round-1
+    * smoothed micro-nat scores `lp¹` (tokenizer-sized, rides plans as
+    * literals) and the persisted filtered word-count frame.
+    */
+  private[graft] def unigramEm(docs: DataFrame, seedMulti: Int, keepMulti: Int,
+      maxPieceLen: Int, maxWordLen: Int): (Seq[(String, Long)], DataFrame) = {
+    val wc = wordCount(docs)
+      .where(length(col("word")) <= maxWordLen && !col("word").contains(BpeSep))
+      .persist()
+    wc.count()
+    graft.plans.ReleaseRegistry.register("text.unigram_wc")(
+      () => wc.unpersist(blocking = false))
+    val seeds = wc.select(col("cnt"), explode(expr(
+      s"flatten(transform(sequence(1, length(word)), i -> " +
+        s"transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), " +
+        s"j -> substring(word, i, j - i + 1))))")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("sc"))
+    val charSeeds = seeds.where(length(col("piece")) === 1)
+    val multiSeeds = seeds.where(length(col("piece")) > 1)
+      .orderBy(col("sc").desc, col("piece")).limit(seedMulti)
+    // ONE action collects the whole seed vocab: alphabet + seedMulti rows
+    val seed0 = charSeeds.unionAll(multiSeeds).collect()
+    val total0 = seed0.map(_.getLong(1)).sum.toDouble
+    val lp0 = seed0.toSeq.map(r =>
+      r.getString(0) -> math.round(math.log(r.getLong(1) / total0) * 1e6))
+    val u1p = wc.select(col("cnt"), explode(
+      graft.functions.TextFunctions.unigramSegment(col("word"), lp0, maxPieceLen))
+      .as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("u"))
+      .persist() // two consumers: the usage map and the prune top-K
+    val u1 = u1p.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptMulti = multiSeeds.select("piece")
+      .join(u1p, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("u"), lit(0L)).as("u"))
+      .orderBy(col("u").desc, col("piece")).limit(keepMulti)
+      .collect().map(_.getString(0))
+    u1p.unpersist(blocking = false)
+    val chars = seed0.map(_.getString(0))
+      .filter(p => p.codePointCount(0, p.length) == 1)
+    val v1 = (chars ++ keptMulti).toSeq
+    val total1 = v1.map(u1.getOrElse(_, 0L)).sum
+    val denom1 = (total1 + v1.size).toDouble
+    val lp1 = v1.map(p =>
+      p -> math.round(math.log((u1.getOrElse(p, 0L) + 1) / denom1) * 1e6))
+    (lp1, wc)
+  }
+
   /** Token-budget mixture realization at DOCUMENT granularity: each
     * source gets a token budget (`budgetPct`% of its own token mass),
     * and docs fill it greedily in (n_chars desc, doc_id) order — longest

@@ -930,6 +930,94 @@ class TextOpsSpec extends SparkSpec {
     assert(got === words.map(reference))
   }
 
+  test("unigramSegment property sweep: 300 random words match the " +
+    "exhaustive-enumeration reference under the score/length tie rule") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "abc"
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    // a vocab with deliberate score collisions so ties actually exercise
+    // the longest-piece rule (several pieces share micro-nat scores)
+    val vocab: Seq[(String, Long)] = Seq(
+      "a" -> -1000000L, "b" -> -1200000L, "c" -> -1200000L,
+      "ab" -> -2200000L, "bc" -> -2400000L, "ca" -> -2200000L,
+      "abc" -> -3400000L, "bca" -> -3400000L, "aa" -> -2000000L,
+      "aaa" -> -3000000L, "abca" -> -4400000L)
+    val scores = vocab.toMap
+    // independent reference: enumerate EVERY segmentation, keep max
+    // total score, break ties by the reversed piece-length sequence
+    // (lexicographically greatest) — the path-level equivalent of the
+    // DP's per-cell longest-piece rule
+    def segmentations(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val (h, t) = w.splitAt(l)
+        if (scores.contains(h) || l == 1)
+          segmentations(t).map(h :: _)
+        else Seq.empty
+      }
+    def score(seg: List[String]): Long =
+      seg.map(p => scores.getOrElse(p, -100000000L)).sum
+    import scala.math.Ordering.Implicits.seqOrdering
+    def best(w: String): List[String] =
+      segmentations(w).maxBy(seg => (score(seg), seg.reverse.map(_.length)))
+    val words = Seq.fill(300)(randWord())
+    val got = words.toDF("w")
+      .select(graft.functions.TextFunctions.unigramSegment($"w", vocab, 4).as("p"))
+      .as[Seq[String]].collect().toSeq
+    words.zip(got).foreach { case (w, g) =>
+      assert(g.mkString === w, s"segmentation must tile the word: $w -> $g")
+      assert(g.toList === best(w), s"word $w: native $g vs reference ${best(w)}")
+    }
+  }
+
+  test("unigramVocab: EM on a tiny corpus learns the repeated piece, " +
+    "hand-checked invariants") {
+    val d = Seq(
+      (1L, "abab abab abab cd"),
+      (2L, "abab cd cd"),
+      (3L, "ab xy")
+    ).toDF("doc_id", "text")
+    val vocab = TextOps.unigramVocab(d, seedMulti = 8, keepMulti = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    val byPiece = vocab.map(r => r._1 -> r).toMap
+    // every observed char survives the prune
+    Seq("a", "b", "c", "d", "x", "y").foreach(c =>
+      assert(byPiece.contains(c), s"char $c missing from $vocab"))
+    // the dominant substring is in the vocab and carries real usage
+    assert(byPiece.contains("abab") || byPiece.contains("ab"),
+      s"the repeated piece must survive: $vocab")
+    assert(vocab.map(_._2).sum > 0, "round-2 usage must be live")
+    // scores are negative micro-nats, higher usage => higher (less
+    // negative) score under the shared smoothing denominator
+    assert(vocab.forall(_._3 < 0))
+    val sorted = vocab.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo._2 == hi._2 || lo._3 < hi._3)
+      case _ => ()
+    }
+  }
+
+  test("unigramTokens: per-doc Viterbi counts, dominant piece compresses") {
+    val d = Seq(
+      (1L, "abab abab"), // 'abab'/'ab' learned -> far fewer than 8 chars
+      (2L, ""),          // no words -> 0
+      (3L, "abab zz")
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramTokens(d, seedMulti = 8, keepMulti = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(got(2L) === 0L)
+    assert(got(1L) <= 4L, s"learned pieces must compress: $got") // <= 2 per word
+    assert(got(3L) >= got(1L) / 2 + 1, s"zz costs at least its chars: $got")
+    // determinism under a different input partitioning
+    val again = TextOps.unigramTokens(d.repartition(5), seedMulti = 8, keepMulti = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(again === got)
+  }
+
   test("tokenBudgetFillBpe keeps the greedy prefix under a real-token budget") {
     val d = Seq(
       (1L, "s", 30L, "aaab aaab aaab aaab"), // longest first
