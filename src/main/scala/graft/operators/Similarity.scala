@@ -999,6 +999,62 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/corpus")
   }
 
+  /** Incremental IVF maintenance — what a GROWING corpus does between
+    * full rebuilds: assign a NEW slice of vectors to the persisted
+    * index's EXISTING cells (nearest stored centroid, no retrain) and
+    * append the assigned rows to the cid-partitioned corpus, so
+    * [[ivfTopKIndexed]] immediately serves the enlarged index with the
+    * same partition-pruned probe reads. Returns the post-append
+    * [[ivfCellDrift]] staleness table — the signal that decides when
+    * append-debt warrants a [[buildIvfIndex]] retrain (AnnSoak proves
+    * append-then-query recall stays within a declared gap of a full
+    * rebuild at 10×).
+    *
+    * Scale shape: one broadcast of the tiny centroid table against the
+    * NEW slice only (never the existing corpus), one argmax aggregate,
+    * one partitioned append — cost ∝ slice size, not index size. The
+    * drift probe reads only per-cell aggregates of the corpus (one
+    * map-side-combined pass, no payload shuffle).
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVectors: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    prepared(newVectors)
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", dot(col("v"), col("c")))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("cs"), col("cid"))).getField("cid").as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/corpus")
+    ivfCellDrift(spark, indexDir)
+  }
+
+  /** Cell-drift staleness probe for a persisted IVF index: per cell, the
+    * angular gap between the STORED centroid (what probes route by) and
+    * the CURRENT mean of the vectors assigned to it (what the cell now
+    * contains) — `drift_micro = round((1 − cos(centroid, mean))·10⁶)`,
+    * plus the cell's population. Appends shift cell means away from the
+    * trained centroids; when drift crosses an operator's threshold the
+    * index has absorbed enough append-debt to retrain. One aggregate
+    * over the corpus + a broadcast join with the centroid table.
+    */
+  def ivfCellDrift(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    corpus.groupBy("cid")
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("cid"), col("n_vectors"),
+        transform(col("s"), x => x / col("n_vectors")).as("m"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("cid"), col("n_vectors"),
+        round((lit(1.0) - cosSim(dot(col("c"), col("m")),
+          sqrt(dot(col("c"), col("c"))), sqrt(dot(col("m"), col("m"))))) * 1e6)
+          .cast("long").as("drift_micro"))
+  }
+
   /** Top-k over a persisted [[buildIvfIndex]] index: score the query
     * against the (tiny) centroid table, then scan ONLY the probed cell
     * partitions of the corpus — the cid filter is a partition filter, so

@@ -1443,18 +1443,24 @@ object TextOps {
     * count on `doc_id` (which partial aggregation collapses first).
     */
   def decontaminate(train: DataFrame, bench: DataFrame, minHits: Int = 1): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"))
-        .as("gram"))
-    val benchGrams = grams(bench).select("gram").distinct()
-    grams(train)
+    val benchGrams = triGrams(bench).select("gram").distinct()
+    triGrams(train)
       .join(broadcast(benchGrams), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contam_grams"))
       .where(col("n_contam_grams") >= minHits)
   }
+
+  /** Per-document DISTINCT word 3-grams — the shared screen unit of
+    * [[decontaminate]] and its streaming twin
+    * ([[graft.streaming.TextStreams.streamingDecontaminate]]); sharing
+    * the construction keeps the two screens' semantics from drifting.
+    */
+  private[graft] def triGrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    .where(size(col("toks")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"))
+      .as("gram"))
 
   /** Reference "Aggregation" app: per-column numeric aggregates over a
     * table (`doc/CourseReport'14/report.tex` §Applications: "aggregates

@@ -82,4 +82,55 @@ object TextStreams {
       .transformWithState(new ShardHeavyHitters(k), TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One contamination emission: an arriving train document + how many
+    * of its distinct 3-grams hit the static benchmark.
+    */
+  final case class ContamHit(docId: Long, nContamGrams: Long)
+
+  /** Per-document gram counter for [[streamingDecontaminate]]: a train
+    * document is ONE streaming row, so every benchmark-matched gram of a
+    * doc arrives inside the doc's own micro-batch — the keyed processor
+    * only re-groups the join output per batch and carries NO state (a
+    * re-ingested doc_id in a later batch is audited independently, the
+    * screen's per-arrival contract, pinned in TextStreamsSpec).
+    */
+  final class DocContamCounter(minHits: Int)
+      extends StatefulProcessor[Long, ContamHit, ContamHit] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[ContamHit],
+        timerValues: TimerValues): Iterator[ContamHit] = {
+      var n = 0L
+      rows.foreach(_ => n += 1L)
+      if (n >= minHits) Iterator.single(ContamHit(key, n))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming benchmark decontamination — the stream-static twin of
+    * [[graft.operators.TextOps.decontaminate]]: train documents ARRIVE
+    * (ingest is a stream at 100 TB; the benchmark is a fixed, tiny,
+    * versioned artifact), each arriving doc's distinct 3-grams
+    * ([[graft.operators.TextOps.triGrams]] — the SAME construction as
+    * the batch screen) inner-join the broadcast static benchmark gram
+    * table, and per-doc hit counts ≥ `minHits` emit exactly once, in
+    * the arrival batch. The join is stream-static (stateless, Append
+    * legal); the only keyed step is the per-batch regroup, so state is
+    * ZERO whatever the corpus size — the cheapest possible screen shape:
+    * no watermark, no carried bucket, nothing to expire.
+    */
+  def streamingDecontaminate(trainDocs: DataFrame, bench: DataFrame,
+      minHits: Int = 1): Dataset[ContamHit] = {
+    import trainDocs.sparkSession.implicits._
+    val benchGrams =
+      graft.operators.TextOps.triGrams(bench).select("gram").distinct()
+    graft.operators.TextOps.triGrams(trainDocs)
+      .join(broadcast(benchGrams), "gram")
+      .select(col("doc_id").as("docId"), lit(1L).as("nContamGrams"))
+      .as[ContamHit]
+      .groupByKey(_.docId)
+      .transformWithState(new DocContamCounter(minHits), TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -20,6 +20,11 @@ import graft.operators.{Dedup, Similarity}
   *  - `ivf nProbe=1/2/4/8/16` at nList=64: wall must scale with the
   *    probed fraction (candidates ∝ nProbe/nList) and recall@k must
   *    rise monotonically toward 1 — the probe-count scaling contract;
+  *  - `ivf_append`: an index trained WITHOUT the last copy absorbs it
+  *    via [[Similarity.ivfAppend]] (existing cells, no retrain); its
+  *    indexed recall must stay within a declared gap
+  *    (SPARK_GRAFT_ANN_APPEND_GAP, default 0.05) of a full rebuild, and
+  *    the cell-drift staleness table is reported;
   *  - `pq` (full-scan ADC) vs `ivf_pq` (cell-pruned ADC): the pruned
   *    composition must cost less than the full ADC scan;
   *  - `lsh_pairs`: all-pairs mining at minSim=0.99, recall measured
@@ -106,6 +111,36 @@ object AnnSoak {
       println(f"SOAK|ivf_recall|nprobe=$nProbe|recall@10=$r%.4f|wall/bf=${w / bfWall}%.2f")
       approx.unpersist(blocking = false)
     }
+
+    // Incremental append leg: an index trained on copies 0..(n-2) absorbs
+    // the final copy via ivfAppend (assignment to EXISTING cells, no
+    // centroid retrain); its indexed recall must stay within the declared
+    // gap of a same-corpus full rebuild, else appends are silently
+    // blinding the probes and the staleness metric lies
+    val appendGap = sys.env.getOrElse("SPARK_GRAFT_ANN_APPEND_GAP", "0.05").toDouble
+    val idxFull = s"$tmp/ivf_full"
+    val idxApp = s"$tmp/ivf_app"
+    Similarity.buildIvfIndex(corpus, idxFull, nList = 64)
+    Similarity.buildIvfIndex(
+      corpus.where(col("vec_id") < (copies - 1).toLong * off), idxApp, nList = 64)
+    val drift = Similarity.ivfAppend(spark, idxApp,
+      corpus.where(col("vec_id") >= (copies - 1).toLong * off))
+    val driftRow = drift.agg(max("drift_micro"), avg("drift_micro"))
+      .as[(Long, Double)].head()
+    println(f"SOAK|ivf_append_drift|max=${driftRow._1}|mean=${driftRow._2}%.1f micro")
+    val (fullW, fullRes) = timed("ivf_indexed_full_rebuild")(
+      Similarity.ivfTopKIndexed(spark, idxFull, queries, nProbe = 4, k = 10))
+    val recallFull = recallOf(fullRes)
+    fullRes.unpersist(blocking = false)
+    val (appW, appRes) = timed("ivf_indexed_appended")(
+      Similarity.ivfTopKIndexed(spark, idxApp, queries, nProbe = 4, k = 10))
+    val recallApp = recallOf(appRes)
+    appRes.unpersist(blocking = false)
+    println(f"SOAK|ivf_append_recall|full=$recallFull%.4f|appended=$recallApp%.4f" +
+      f"|wall append/full=${appW / fullW}%.2f")
+    require(recallApp >= recallFull - appendGap,
+      f"IVF APPEND REGRESSION: appended-index recall $recallApp%.4f more than " +
+        f"$appendGap below full-rebuild recall $recallFull%.4f")
 
     val (pqWall, pqRes) = timed("pq_fullscan_top10")(
       Similarity.pqTopK(corpus, queries, k = 10))

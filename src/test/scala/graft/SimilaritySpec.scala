@@ -112,6 +112,41 @@ class SimilaritySpec extends SparkSpec {
       s"expected dynamic partition pruning on cid:\n${plan.take(1500)}")
   }
 
+  test("ivfAppend: new slice lands in existing cells, index equals " +
+    "one-shot build on the union, drift reflects the appends") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    val old = e.where($"vec_id" % 5 =!= 0)
+    val fresh = e.where($"vec_id" % 5 === 0)
+    Similarity.buildIvfIndex(old, dir, nList = 8)
+    val drift0 = Similarity.ivfCellDrift(spark, dir)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val drift1 = Similarity.ivfAppend(spark, dir, fresh)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // every vector (old + appended) present exactly once
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === e.count())
+    assert(corpus.select("vec_id").distinct().count() === e.count())
+    // appended rows sit in the nearest EXISTING centroid's cell: the
+    // indexed probe with full probing must equal direct IVF over the
+    // union corpus using the SAME (old-trained) centroids — which is
+    // exactly what ivfTopKIndexed computes from the persisted cells
+    val q = e.where($"vec_id" < 3)
+    val got = Similarity.ivfTopKIndexed(spark, dir, q, nProbe = 8, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineTopK(e, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    // full probing (nProbe = nList) scans every cell -> exact top-k
+    assert(got === brute)
+    // drift table: same cells, populations grew, drift non-negative and
+    // some cell moved (the appended fifth shifts at least one mean)
+    assert(drift1.keySet === drift0.keySet)
+    assert(drift1.values.forall(_._3 >= 0L))
+    assert(drift1.values.map(_._2).sum === e.count())
+    assert(drift1.exists { case (cid, r) => r._3 != drift0(cid)._3 },
+      s"appends must move some cell mean: before $drift0 after $drift1")
+  }
+
   test("lshNearPairs plans as equi bucket joins — never a cross product") {
     val e = Tables.embeddings(spark, sfDir)
     val plan = Similarity.lshNearPairs(e, dims = 64, minSim = 0.5)

@@ -79,4 +79,48 @@ class TextStreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streamingDecontaminate: two-batch parity with the batch screen, " +
+    "per-arrival emission pinned") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val bench = Seq(
+        (100L, "q1 q2 q3 q4"),
+        (101L, "z1 z2 z3")).toDF("doc_id", "text")
+      val b1 = Seq(
+        (1L, "q1 q2 q3 q4 tail"), // grams q1q2q3, q2q3q4 hit -> 2
+        (2L, "clean doc here no overlap"))
+      val b2 = Seq(
+        (3L, "x z1 z2 z3"), // gram z1z2z3 hits -> 1
+        (4L, "also clean text"),
+        (1L, "q1 q2 q3 only")) // doc 1 RE-ARRIVES: audited independently
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingDecontaminate(
+          mem.toDF().toDF("doc_id", "text"), bench)
+        .writeStream.format("memory").queryName("decontam_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        val after1 = spark.table("decontam_stream")
+          .as[(Long, Long)].collect().toSet
+        // batch parity on batch 1 alone
+        val want1 = graft.operators.TextOps.decontaminate(
+          b1.toDF("doc_id", "text"), bench)
+          .as[(Long, Long)].collect().toSet
+        assert(after1 === want1 && after1 === Set((1L, 2L)))
+        mem.addData(b2: _*); q.processAllAvailable()
+        val all = spark.table("decontam_stream")
+          .as[(Long, Long)].collect().toSeq
+        // batch-2 arrivals audited against the same static benchmark;
+        // the re-ingested doc 1 emits AGAIN with its new text's count —
+        // no cross-batch state exists to suppress or accumulate it
+        val batch2 = all.diff(after1.toSeq)
+        val want2 = graft.operators.TextOps.decontaminate(
+          b2.toDF("doc_id", "text"), bench)
+          .as[(Long, Long)].collect().toSet
+        assert(batch2.toSet === want2)
+        assert(batch2.toSet === Set((3L, 1L), (1L, 1L)))
+      } finally q.stop()
+    }
+  }
 }
