@@ -2487,12 +2487,27 @@ object SparkEntry {
         |  SELECT doc_id, doc_id FROM ex
         |  UNION
         |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
-        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node)
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node),
+        |spx AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    ('0x'||substr(md5(array_to_string(
+        |      (string_split_regex(t, '\s+'))[i:i+7], ' ')),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(string_split_regex(t, '\s+')) - 7, 0) + 1)) AS i
+        |        FROM ex) s),
+        |spdup AS (SELECT doc_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, i) > 1
+        |         THEN 1 ELSE 0 END AS d
+        |  FROM spx),
+        |spstat AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(d) AS BIGINT) AS n_dup FROM spdup GROUP BY doc_id)
         |SELECT e.doc_id, e.n_tokens,
         |  CASE WHEN substr(md5(e.doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
         |       WHEN substr(md5(e.doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM ex e JOIN labels l ON e.doc_id = l.doc_id AND l.doc_id = l.cluster""".stripMargin,
+        |FROM ex e JOIN labels l ON e.doc_id = l.doc_id AND l.doc_id = l.cluster
+        |LEFT JOIN spstat sp ON e.doc_id = sp.doc_id
+        |WHERE coalesce(sp.n_dup * 100 <= 50 * sp.n_spans, TRUE)""".stripMargin,
     // the hash-dependent ops use the portable 60-bit md5 hash
     // (Dedup.portableHash64), so DuckDB replays them exactly:
     "simhash" -> simhashOracle,

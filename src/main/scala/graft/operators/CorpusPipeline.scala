@@ -63,8 +63,93 @@ object CorpusPipeline {
     survivors.select(col("doc_id"), col("n_tokens"),
       TextOps.splitExpr(col("doc_id")).as("split"))
 
+  /** Stage 4 (exact dedup) as a reusable unit: smallest doc_id per
+    * normalized-content hash via a min_by hash-aggregation (map-side
+    * partial collapse, no per-partition sort). Shared by [[curate]] and
+    * the incremental seeding path, which must reproduce the SAME
+    * survivor set to seed the span sidecar.
+    */
+  private[operators] def exactDedup(langed: DataFrame): DataFrame =
+    langed
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min_by(struct(langed.columns.map(col).toIndexedSeq: _*),
+        col("doc_id")).as("_r"))
+      .select(col("_r.*"))
+
+  /** Span-level PRIOR-duplication stats for the substring gate: a
+    * k-token span occurrence `(doc, i)` of `docs` is prior-duplicated
+    * iff an earlier occurrence exists — `(doc', i') < (doc, i)`
+    * lexicographically among `docs`' own spans, or its hash appears in
+    * `priorHashes` (the spans of every PREVIOUSLY considered doc — the
+    * incremental sidecar). Returns `(doc_id, n_spans, n_dup)`; docs
+    * shorter than k tokens are absent (callers keep them — no
+    * evidence).
+    *
+    * Width-k spans are EXACT for the gate's predicate: a duplicated
+    * substring of length ≥ k exists at a position iff that position's
+    * k-span duplicates (the fixed-width reduction of the sorted-suffix
+    * machinery in [[TextOps.dupSubstrings]]). That reduction is what
+    * makes the gate incrementally maintainable by CONTENT-ADDRESSED
+    * span hashes — an appended slice joins the persisted hash set
+    * instead of re-sorting the whole corpus's suffixes, and
+    * first-occurrence election within the slice plus hash membership
+    * against the sidecar reproduces the full-corpus election exactly
+    * (older doc_ids are smaller under the append-only contract).
+    *
+    * Scale shape: one narrow (doc, i, hash) shuffle for the election
+    * (the [[TextOps.duplicatedSpans]] shape), one hash-equi join
+    * against the sidecar (AQE broadcasts a small benchmark-era sidecar,
+    * degrades to SMJ at archive scale), one per-doc rollup.
+    */
+  private[operators] def spanDupStats(docs: DataFrame, k: Int,
+      priorHashes: Option[DataFrame]): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
+          s"struct(i AS i, concat_ws(' ', slice(toks, i, $k)) AS g))")).as("e"))
+      .select(col("doc_id"), col("e.i").cast("long").as("i"),
+        Dedup.portableHash64(col("e.g")).as("h"))
+    val firsts = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+    val flagged = spans.join(firsts, Seq("h"))
+      .withColumn("_later", struct(col("doc_id"), col("i")) =!= col("f"))
+    val withPrior = priorHashes match {
+      case Some(p) => flagged.join(
+        p.select(col("h")).distinct().withColumn("_prior", lit(true)),
+        Seq("h"), "left")
+      case None => flagged.withColumn("_prior", lit(false))
+    }
+    withPrior.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("_later") || coalesce(col("_prior"), lit(false)), 1L)
+        .otherwise(0L)).as("n_dup"))
+  }
+
+  /** Distinct k-span hashes of `docs` — the `_seensp` sidecar unit. */
+  private[operators] def spanHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
+          s"concat_ws(' ', slice(toks, i, $k)))")).as("g"))
+      .select(Dedup.portableHash64(col("g")).as("h")).distinct()
+
+  /** The substring gate: drop survivors whose prior-duplicated span
+    * fraction exceeds `maxDupPct`% — integer compare
+    * (`n_dup·100 > maxDupPct·n_spans`), docs with no stats kept.
+    */
+  private def spanGate(survivors: DataFrame, stats: DataFrame,
+      maxDupPct: Int): DataFrame =
+    survivors.join(stats, Seq("doc_id"), "left")
+      .where(coalesce(
+        col("n_dup") * 100 <= lit(maxDupPct.toLong) * col("n_spans"),
+        lit(true)))
+      .drop("n_spans", "n_dup")
+
   def curate(docs: DataFrame, minTokens: Int = 5, keepLang: String = "en",
-      jaccard: Double = 0.8): DataFrame = {
+      jaccard: Double = 0.8, spanK: Int = 8, maxDupPct: Int = 50): DataFrame = {
     val langed = gated(docs, minTokens, keepLang)
     // 4. exact dedup: keep the smallest doc_id per normalized-content
     //    hash, as a min_by hash-aggregation — duplicates collapse in the
@@ -77,11 +162,7 @@ object CorpusPipeline {
     //    prefix (measured 2.6x slower end-to-end at sf0.1). persist, not
     //    localCheckpoint, for the same AQE reason as
     //    Dedup.resolveClusters; blocks stay subject to LRU eviction.
-    val exactKeep = langed
-      .groupBy(md5(col("text")).as("_h"))
-      .agg(min_by(struct(langed.columns.map(col).toIndexedSeq: _*), col("doc_id")).as("_r"))
-      .select(col("_r.*"))
-      .persist()
+    val exactKeep = exactDedup(langed).persist()
     // intermediates release in the finally — without it a failed near-dup
     // stage leaks one corpus-scale pinned cache per retry in a long-lived
     // session
@@ -107,11 +188,19 @@ object CorpusPipeline {
       val survivors = exactKeep.join(
         resolved.where(!col("keep")).select(col("doc_id").as("rd")),
         col("doc_id") === col("rd"), "left_anti")
-      // 6. deterministic split assignment. The persisted result is the
+      // 6. substring gate (Lee et al.'s dedup signal as a quality gate):
+      //    drop survivors whose prior-duplicated k-span fraction exceeds
+      //    maxDupPct% — election over the EXACT-dedup survivor spans
+      //    (pre near-dup), so the incremental path can reproduce it from
+      //    the content-addressed span sidecar
+      val stats = spanDupStats(
+        exactKeep.select(col("doc_id"), col("text")), spanK, None)
+      val subGated = spanGate(survivors, stats, maxDupPct)
+      // 7. deterministic split assignment. The persisted result is the
       // ONE frame this pipeline leaves pinned — queue its release so
       // repeated invocations in a long-lived session don't strand one
       // result cache each (the caller may still unpersist sooner)
-      val out = withSplit(survivors).persist()
+      val out = withSplit(subGated).persist()
       out.count()
       graft.plans.ReleaseRegistry.register("corpus.curate_result")(
         () => out.unpersist(blocking = false))
@@ -143,11 +232,17 @@ object CorpusPipeline {
     *
     * Alongside each result the cache stores a `_seen` sidecar (every
     * doc_id considered, survivors AND losers) so the appended slice is an
-    * anti-join away, and a `_seenh` sidecar (the content hash of every
+    * anti-join away, a `_seenh` sidecar (the content hash of every
     * GATED doc ever considered, survivors AND losers) so an appended
     * exact copy of a previously dropped document is still recognized as
     * a duplicate — without it, a copy of a dropped doc would re-enter
-    * whenever it isn't near any survivor. A per-(params, corpus) pointer
+    * whenever it isn't near any survivor — and a `_seensp` sidecar (the
+    * CONTENT-ADDRESSED k-span hashes of every exact-dedup survivor ever
+    * considered) so the SUBSTRING GATE replays incrementally: an
+    * appended slice elects first occurrences within itself and joins
+    * the persisted hashes instead of re-sorting the whole corpus's
+    * suffixes — append-equals-full-recompute for the gate, pinned in
+    * CorpusPipelineSpec. A per-(params, corpus) pointer
     * file links the latest snapshot. At 100 TB this turns re-curation of
     * a growing corpus from O(corpus) into O(append + survivors).
     *
@@ -158,11 +253,13 @@ object CorpusPipeline {
     */
   def curateIncremental(spark: org.apache.spark.sql.SparkSession,
       docsDir: String, cacheDir: String, minTokens: Int = 5,
-      keepLang: String = "en", jaccard: Double = 0.8): DataFrame = {
+      keepLang: String = "en", jaccard: Double = 0.8, spanK: Int = 8,
+      maxDupPct: Int = 50): DataFrame = {
     import graft.plans.Materializer
     import org.apache.hadoop.fs.Path
     val params = Map("minTokens" -> minTokens.toString,
-      "keepLang" -> keepLang, "jaccard" -> jaccard.toString)
+      "keepLang" -> keepLang, "jaccard" -> jaccard.toString,
+      "spanK" -> spanK.toString, "maxDupPct" -> maxDupPct.toString)
     val fp = Materializer.fingerprint(
       spark, Materializer.CacheKey("corpus_curate", params, Seq(docsDir)))
     val fs = new Path(cacheDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -193,7 +290,7 @@ object CorpusPipeline {
     // the winner's _SUCCESS and serves the committed copy, or serves its
     // own frame UNCACHED on timeout
     def commitState(result: DataFrame, allIds: DataFrame,
-        gatedHashes: DataFrame): DataFrame = {
+        gatedHashes: DataFrame, spanHs: DataFrame): DataFrame = {
       val claim = new Path(s"$target._claim")
       if (Materializer.tryClaim(fs, claim)) {
         try {
@@ -201,6 +298,7 @@ object CorpusPipeline {
             result.write.mode("overwrite").parquet(target)
             allIds.select("doc_id").write.mode("overwrite").parquet(s"${target}_seen")
             gatedHashes.write.mode("overwrite").parquet(s"${target}_seenh")
+            spanHs.write.mode("overwrite").parquet(s"${target}_seensp")
             val out = fs.create(pointer, true)
             try out.write(fp.getBytes("UTF-8")) finally out.close()
           }
@@ -219,11 +317,13 @@ object CorpusPipeline {
     val docs = spark.read.parquet(docsDir)
     readPointer().filter(prev =>
       complete(s"$cacheDir/$prev") && complete(s"$cacheDir/${prev}_seen") &&
-        complete(s"$cacheDir/${prev}_seenh")) match {
+        complete(s"$cacheDir/${prev}_seenh") &&
+        complete(s"$cacheDir/${prev}_seensp")) match {
       case Some(prevFp) =>
         val prev = spark.read.parquet(s"$cacheDir/$prevFp")
         val seen = spark.read.parquet(s"$cacheDir/${prevFp}_seen")
         val seenH = spark.read.parquet(s"$cacheDir/${prevFp}_seenh")
+        val seenSp = spark.read.parquet(s"$cacheDir/${prevFp}_seensp")
         val appended = docs.join(seen, Seq("doc_id"), "left_anti")
         // gates touch ONLY the appended slice; survivor texts re-derive
         // from the current input (immutable under the append-only contract)
@@ -260,24 +360,39 @@ object CorpusPipeline {
           releaseLabels = release
           val newSurvivors = newExact.join(
             resolved.where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-          val result = prev.unionByName(withSplit(newSurvivors))
+          // substring gate on the appended slice: election within the
+          // slice's exact survivors + membership in the persisted span
+          // sidecar — reproduces the full-corpus election exactly (new
+          // ids are larger, so "earlier occurrence" ⟺ in-slice earlier
+          // OR hash ever seen)
+          val spStats = spanDupStats(
+            newExact.select(col("doc_id"), col("text")), spanK, Some(seenSp))
+          val gatedSurvivors = spanGate(newSurvivors, spStats, maxDupPct)
+          val result = prev.unionByName(withSplit(gatedSurvivors))
           val allSeenH = seenH
             .unionByName(gatedNew.select(md5(col("text")).as("_h")))
             .distinct()
-          commitState(result, docs.select("doc_id"), allSeenH)
+          val allSeenSp = seenSp
+            .unionByName(spanHashes(newExact.select(col("doc_id"), col("text")), spanK))
+            .distinct()
+          commitState(result, docs.select("doc_id"), allSeenH, allSeenSp)
         } finally {
           prevGated.unpersist(blocking = false)
           newExact.unpersist(blocking = false)
           releaseLabels()
         }
       case None =>
-        val full = curate(docs, minTokens, keepLang, jaccard)
+        val full = curate(docs, minTokens, keepLang, jaccard, spanK, maxDupPct)
         try {
-          // one extra gating pass to seed the seen-hash sidecar — paid
-          // once, on the full run that is already O(corpus)
-          val allSeenH = gated(docs, minTokens, keepLang)
-            .select(md5(col("text")).as("_h")).distinct()
-          commitState(full, docs.select("doc_id"), allSeenH)
+          // one extra gating pass to seed the seen-hash + span sidecars —
+          // paid once, on the full run that is already O(corpus); the
+          // span sidecar covers the EXACT-dedup survivors (the gate's
+          // election domain), droppees included
+          val g = gated(docs, minTokens, keepLang)
+          val allSeenH = g.select(md5(col("text")).as("_h")).distinct()
+          val allSeenSp = spanHashes(
+            exactDedup(g).select(col("doc_id"), col("text")), spanK)
+          commitState(full, docs.select("doc_id"), allSeenH, allSeenSp)
         } finally full.unpersist(blocking = false)
     }
   }

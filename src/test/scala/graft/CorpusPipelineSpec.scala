@@ -135,6 +135,42 @@ class CorpusPipelineSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("substring gate: over-duplicated survivor dropped in full curate, " +
+    "and an appended span-plagiarist equals full recompute via the sidecar") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_span").toString
+    val (docsDir, cacheDir) = (s"$base/docs", s"$base/cache")
+    // doc 1: the span source. doc 2: >50% of its 8-spans copy doc 1
+    // (distinct text, so exact/near-dup gates pass at jaccard 0.9) ->
+    // the substring gate must drop it even in the FULL pipeline
+    val src = "the quick brown fox jumps over one lazy dog and then runs far away home"
+    val plag = "totally original opener before the quick brown fox jumps over one lazy dog and then runs far"
+    val clean = "a completely different essay about the sea and ships and the wind and stars of night skies"
+    Seq((1L, src, "x"), (2L, plag, "x"), (3L, clean, "x"))
+      .toDF("doc_id", "text", "source").write.parquet(docsDir)
+    val first = CorpusPipeline.curateIncremental(
+      spark, docsDir, cacheDir, minTokens = 3, jaccard = 0.9)
+    val firstIds = first.select("doc_id").as[Long].collect().toSet
+    assert(firstIds === Set(1L, 3L),
+      s"span plagiarist must fall to the substring gate: $firstIds")
+    // append another plagiarist copying doc 1's spans: its spans are in
+    // the _seensp sidecar, so the INCREMENTAL gate must drop it exactly
+    // like a full recompute would
+    // 4 fresh tokens + 13 copied -> 6 of 10 spans duplicated (60% > 50%)
+    val plag2 = "fresh words lead in the quick brown fox jumps over one lazy dog and then runs far"
+    Seq((10L, plag2, "x"), (11L, "short unrelated new text entirely its own words here", "x"))
+      .toDF("doc_id", "text", "source").write.mode("append").parquet(docsDir)
+    val second = CorpusPipeline.curateIncremental(
+      spark, docsDir, cacheDir, minTokens = 3, jaccard = 0.9)
+    val secondIds = second.select("doc_id").as[Long].collect().toSet
+    val full = CorpusPipeline.curate(
+      spark.read.parquet(docsDir), minTokens = 3, jaccard = 0.9)
+    val fullIds = full.select("doc_id").as[Long].collect().toSet
+    full.unpersist()
+    assert(secondIds === fullIds,
+      s"append must equal full recompute through the gate: inc $secondIds vs full $fullIds")
+    assert(!secondIds.contains(10L) && secondIds.contains(11L))
+  }
+
   test("curateIncremental: two corpora sharing one cacheDir stay isolated") {
     val base = java.nio.file.Files.createTempDirectory("graft_inc_iso").toString
     val cacheDir = s"$base/cache"
