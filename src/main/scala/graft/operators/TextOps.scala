@@ -647,13 +647,27 @@ object TextOps {
     val wUp = Window.partitionBy("pid").orderBy("pos")
     val wDn = Window.partitionBy("pid").orderBy(col("pos").desc)
     // g2 = adjacent LCP with the SUCCESSOR (the predecessor-LCP of pos+1)
-    // — read from the PERSISTED frame: deriving it from withG would run
-    // every interpreted zip-LCP a second time
-    val g2 = rp.select((col("pos") - 1).as("pos"), col("g").as("g2"))
+    // — read from the PERSISTED frame (deriving it from withG would run
+    // every interpreted zip-LCP a second time), but NOT via a
+    // corpus-scale self-join on pos (two exchanges + sorts of rp):
+    // positions are DENSE and rp is range-partitioned by pos with
+    // monotone partition ids, so lead(g) over the SAME (pid, pos) sort
+    // the segment sums already pay covers every row except each
+    // partition's last, and those read their successor from a
+    // #partitions-row boundary lookup (the row at each pid's maxPos+1,
+    // found by a broadcast semi-probe — empty-partition-safe because it
+    // keys on POSITION, not on pid adjacency).
+    val lastPos = rp.groupBy("pid").agg(max("pos").as("mp"))
+    val bnd = rp.join(
+      broadcast(lastPos.select((col("mp") + 1).as("pos"), col("pid").as("bpid"))),
+      Seq("pos"))
+      .select(col("bpid").as("pid"), col("g").as("g_bnd"))
     val base = rp.join(broadcast(offs), "pid")
       .withColumn("segUp", sum("side").over(wUp) + col("offUp"))
       .withColumn("segDn", sum("side").over(wDn) + col("offDn"))
-      .join(g2, Seq("pos"), "left")
+      .withColumn("g2", lead("g", 1).over(wUp))
+      .join(broadcast(bnd), Seq("pid"), "left")
+      .withColumn("g2", coalesce(col("g2"), col("g_bnd")))
       .withColumn("mg",
         when(col("side") === 1, lit(null).cast("long")).otherwise(col("g")))
       .withColumn("mg2",
