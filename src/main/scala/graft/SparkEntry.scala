@@ -177,6 +177,14 @@ object SparkEntry {
       Similarity.annRecall(e,
         e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    // MMR diversified re-rank: greedy λ·relevance − (1−λ)·max-sim-to-
+    // selected over the top-12 pool, all-integer scores — the oracle
+    // replays every greedy round unrolled
+    "mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e,
+        e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
+    }),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cos_near_pairs" -> ((s, d) => Similarity.cosNearPairs(Tables.embeddings(s, d))),
     // the scale path for all-pairs similarity: multi-table LSH buckets
@@ -927,6 +935,65 @@ object SparkEntry {
       |u2 AS MATERIALIZED (
       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
       |    SELECT cnt, unnest(path) AS piece FROM bfin) GROUP BY piece)""".stripMargin
+  }
+
+  /** Oracle replay of [[Similarity.mmrRerank]]: brute cosine pool, then
+    * each greedy round unrolled — round j scores the not-yet-selected
+    * pool rows by `λ·sq − (100−λ)·max(sim to selected)` and keeps rank 1
+    * per query (ties on nbr_id). All integers after the shared
+    * 4dp-cosine quantization.
+    */
+  private def mmrOracle(k: Int, pool: Int, lpct: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |bs AS (SELECT query_id, n.vec_id AS nbr_id,
+        |         CASE WHEN qn * nrm = 0 THEN -1.0
+        |              ELSE round(list_dot_product(qv, v) / (qn * nrm), 4) END AS sim
+        |       FROM q CROSS JOIN n WHERE n.vec_id <> query_id),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, nbr_id, CAST(round(sim * 10000) AS BIGINT) AS sq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY sim DESC, nbr_id) AS rnk FROM bs) t
+        |  WHERE rnk <= $pool),
+        |cc AS MATERIALIZED (
+        |  SELECT x.query_id, x.nbr_id AS a, y.nbr_id AS b,
+        |    CAST(round((CASE WHEN na.nrm * nb.nrm = 0 THEN -1.0
+        |      ELSE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) END)
+        |      * 10000) AS BIGINT) AS s
+        |  FROM cand x JOIN cand y
+        |    ON x.query_id = y.query_id AND x.nbr_id <> y.nbr_id
+        |  JOIN n na ON na.vec_id = x.nbr_id
+        |  JOIN n nb ON nb.vec_id = y.nbr_id),
+        |s1 AS (SELECT query_id, nbr_id, CAST(1 AS INT) AS mmr_rank,
+        |         CAST($lpct * sq AS BIGINT) AS score_scaled FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sq DESC, nbr_id) AS rn FROM cand) t WHERE rn = 1),
+        |a1 AS MATERIALIZED (SELECT query_id, nbr_id FROM s1),
+        |""".stripMargin)
+    for (j <- 2 to k) {
+      sb.append(
+        s"""r$j AS (SELECT c.query_id, c.nbr_id, c.sq, CAST(max(cc.s) AS BIGINT) AS ms
+           |  FROM cand c
+           |  JOIN cc ON cc.query_id = c.query_id AND cc.a = c.nbr_id
+           |  JOIN a${j - 1} s ON s.query_id = cc.query_id AND s.nbr_id = cc.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM a${j - 1} z
+           |    WHERE z.query_id = c.query_id AND z.nbr_id = c.nbr_id)
+           |  GROUP BY 1, 2, 3),
+           |s$j AS (SELECT query_id, nbr_id, CAST($j AS INT) AS mmr_rank,
+           |          CAST($lpct * sq - ${100 - lpct} * ms AS BIGINT) AS score_scaled FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $lpct * sq - ${100 - lpct} * ms DESC, nbr_id) AS rn
+           |  FROM r$j) t WHERE rn = 1),
+           |a$j AS MATERIALIZED (SELECT query_id, nbr_id FROM a${j - 1}
+           |  UNION ALL SELECT query_id, nbr_id FROM s$j),
+           |""".stripMargin)
+    }
+    sb.append("fin AS (" +
+      (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ") + ")\n")
+    sb.append("SELECT query_id, nbr_id, mmr_rank, score_scaled FROM fin")
+    sb.toString
   }
 
   private val PcDims = 64
@@ -2570,6 +2637,7 @@ object SparkEntry {
     // replays centroid build + assignment + probing exactly:
     // ann_recall: replay BOTH retrieval methods (the brute-force chain from
     // cosine_topk and the IVF chain from ivf_topk) and roll up hits per query
+    "mmr_rerank" -> mmrOracle(5, 12, 70),
     "ann_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

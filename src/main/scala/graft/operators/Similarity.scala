@@ -92,6 +92,80 @@ object Similarity {
   def cosineTopKPrefix(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
     cosineTopK(embeddings, embeddings.where(col("vec_id") < nQueries), k)
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998 — the standard RAG re-rank that keeps near-duplicate passages
+    * from crowding a result list): per query, greedily select `k` of the
+    * top-`pool` relevance candidates, each step maximizing
+    * `λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)`. All comparisons
+    * run on INTEGER scores (4dp-rounded cosines scaled to 1e4,
+    * λ as an integer percent), ties break on nbr_id — engine-replayable
+    * end to end. Output: `(query_id, nbr_id, mmr_rank, score_scaled)`
+    * where `score_scaled = lambdaPct·sq − (100−lambdaPct)·maxSel`
+    * (maxSel = 0 for the pure-relevance first pick).
+    *
+    * Scale shape: the corpus-scale work is [[cosineTopK]]'s one scored
+    * pass; everything after runs on pool-bounded frames — the pairwise
+    * leg is pool² rows per query (pool is a re-rank constant, 12), and
+    * each of the k−1 greedy rounds is a hash-equi join + argmax over
+    * those frames, distributed by query_id (a million queries fan out,
+    * nothing collects). Lineage depth is the constant k.
+    */
+  def mmrRerank(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      pool: Int = 12, lambdaPct: Int = 70,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && pool >= k, s"mmrRerank: need pool=$pool >= k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "mmrRerank: lambdaPct in [0,100]")
+    val cand0 = cosineTopK(embeddings, queries, pool, excludeSelf)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("sim") * 10000).cast("long").as("sq"))
+    val p = prepared(embeddings)
+      .select(col("vec_id").as("nbr_id"), col("v"), col("nrm"))
+    val cand = cand0.join(p, Seq("nbr_id"))
+      .select("query_id", "nbr_id", "sq", "v", "nrm").persist()
+    cand.count() // barrier: one corpus scoring pass feeds all rounds
+    graft.plans.ReleaseRegistry.register("similarity.mmr_cand")(
+      () => cand.unpersist(blocking = false))
+    val x = cand.select(col("query_id"), col("nbr_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = cand.select(col("query_id"), col("nbr_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cc = x.join(y, Seq("query_id")).where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosSim(dot(col("va"), col("vb")), col("na"), col("nb")) * 10000)
+          .cast("long").as("s"))
+      .persist()
+    cc.count()
+    graft.plans.ReleaseRegistry.register("similarity.mmr_cc")(
+      () => cc.unpersist(blocking = false))
+    val slim = cand.select("query_id", "nbr_id", "sq")
+    var sel = slim
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sq").desc, col("nbr_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("nbr_id"), lit(1).as("mmr_rank"),
+        (lit(lambdaPct.toLong) * col("sq")).as("score_scaled"))
+    for (j <- 2 to k) {
+      val picked = sel.select(col("query_id"), col("nbr_id"))
+      val scored = slim
+        .join(picked, Seq("query_id", "nbr_id"), "left_anti")
+        .join(cc.join(picked.select(col("query_id"), col("nbr_id").as("b")),
+          Seq("query_id", "b"))
+          .select(col("query_id"), col("a").as("nbr_id"), col("s")),
+          Seq("query_id", "nbr_id"))
+        .groupBy("query_id", "nbr_id", "sq").agg(max("s").as("ms"))
+        .withColumn("score_scaled",
+          lit(lambdaPct.toLong) * col("sq") - lit(100L - lambdaPct) * col("ms"))
+      val next = scored
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_scaled").desc, col("nbr_id"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("nbr_id"), lit(j).as("mmr_rank"),
+          col("score_scaled"))
+      sel = sel.unionByName(next)
+    }
+    sel
+  }
+
   /** Int8 quantization for embedding storage: symmetric max-abs scaling to
     * [-127, 127] bytes — 4× smaller at rest than float32, 8× smaller than
     * the double compute form; the per-vector scale restores approximate

@@ -1,0 +1,144 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal soak — the media twin of [[AnnSoak]]/[[DedupSoak]]: a
+  * constructed audio corpus where ground truth is known by build, at two
+  * scales, measuring the fingerprint family end to end:
+  *
+  *  - `nBase` base signals (quadratic integer formula, 8 fingerprint
+  *    windows each) × `copies` variants, where variant c is the base
+  *    signal TRIMMED by c whole windows — the offset-duplicate family
+  *    shape of a web crawl; every within-family pair is a known true
+  *    duplicate with a known window delta. A matching volume of text
+  *    payloads rides along on the md5 stub path (the mixed-corpus case).
+  *  - `audio_fingerprints`: decode + WHT hash throughput over the corpus;
+  *  - `audio_dup_pairs`: banded matching wall + RECALL against the
+  *    constructed truth (pair (c₁,c₂) of one family is expected iff the
+  *    trimmed copy still has ≥ minMatch matchable windows) and the
+  *    false-pair count across families (quadratic-formula signals never
+  *    collide — a nonzero count means the hash lost discrimination);
+  *  - the 1× → 10× wall ratio must stay sub-quadratic.
+  *
+  * Regression guard: recall and false-pair floors are `require`d
+  * (override via SPARK_GRAFT_MEDIA_RECALL_FLOOR) — a banding or hash
+  * regression fails the soak loudly. Results belong in tools/PLANS.md.
+  *
+  * Usage: `[SPARK_GRAFT_MEDIA_BASES=400] [SPARK_GRAFT_SOAK_COPIES=5]
+  * sbt "runMain graft.tools.MediaSoak"`.
+  */
+object MediaSoak {
+  private val NW = 8 // fingerprint windows per base signal
+
+  /** Variant `trim` of family `fam` = the base signal with `trim` whole
+    * windows cut from the front. Samples are md5-derived (NOT the
+    * arithmetic fixture formula: linear-congruential constants make
+    * some family pairs near-identical signals — genuine near-dups, but
+    * this soak needs constructed truth with ZERO cross-family matches).
+    */
+  private def wavFor(fam: Long, trim: Int): Array[Byte] = {
+    val frames = NW * 64 - trim * 64
+    val off = trim * 64
+    Multimodal.MediaCodec.wavPcm16(Array.tabulate(frames)(t =>
+      (graft.functions.PortableMd5.hash64(
+        s"ms:$fam:${t + off}".getBytes("UTF-8")) % 4001L - 2000L).toShort))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val bases = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BASES", "400").toInt
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "5").toInt
+    val recallFloor =
+      sys.env.getOrElse("SPARK_GRAFT_MEDIA_RECALL_FLOOR", "0.98").toDouble
+    val minMatch = 3
+    val spark = graft.GraftSession.local("graft-media-soak")
+    import spark.implicits._
+
+    val taskMs = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskMs.add(t.taskMetrics.executorRunTime)
+    })
+
+    def timed(name: String)(f: => DataFrame): (Double, DataFrame) = {
+      taskMs.reset()
+      val t0 = System.nanoTime()
+      val out = f.persist()
+      val n = out.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.plans.ReleaseRegistry.drain()
+      println(f"SOAK|$name|rows=$n|wall=$wall%.2f s|task=${taskMs.sum() / 1000.0}%.1f s")
+      (wall, out)
+    }
+
+    val wav = udf((fam: Long, trim: Int) => wavFor(fam, trim))
+
+    def corpus(nBase: Int): DataFrame = {
+      val fams = spark.range(nBase).toDF("fam")
+        .crossJoin(spark.range(copies).toDF("c"))
+        .select((col("fam") * 100 + col("c")).as("media_id"),
+          wav(col("fam"), col("c").cast("int")).as("p"))
+      val stubs = spark.range(nBase).toDF("i")
+        .select((col("i") + 10000000L).as("media_id"),
+          concat(lit("not audio payload "), col("i").cast("string"))
+            .cast("binary").as("p"))
+      Multimodal.fromBinary(fams.unionByName(stubs), "media_id", "p", "audio")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    // expected true pairs per family: (c1 < c2) matches iff the more-
+    // trimmed copy keeps >= minMatch hashes: NW - c2 - 1 >= minMatch
+    def expectedPairs(nBase: Int): Long = {
+      var perFam = 0L
+      for (c1 <- 0 until copies; c2 <- c1 + 1 until copies)
+        if (NW - c2 - 1 >= minMatch) perFam += 1
+      nBase.toLong * perFam
+    }
+
+    def leg(name: String, nBase: Int): Double = {
+      val media = corpus(nBase).persist()
+      media.count()
+      val (fpWall, fp) = timed(s"${name}_fingerprints")(
+        Multimodal.audioFingerprints(media))
+      fp.unpersist(blocking = false)
+      val (dpWall, pairs) = timed(s"${name}_dup_pairs")(
+        Multimodal.audioDupPairs(media, minMatch = minMatch))
+      val famPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L)
+        .persist()
+      val sameFam = expr("(media_a div 100) = (media_b div 100)")
+      val truePairs = famPairs
+        .where(sameFam && col("offset_w") ===
+          (col("media_a") % 100 - col("media_b") % 100).cast("int"))
+        .count()
+      val falsePairs = famPairs.where(!sameFam).count()
+      famPairs.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      media.unpersist(blocking = false)
+      val expected = expectedPairs(nBase)
+      val recall = truePairs.toDouble / expected
+      println(f"SOAK|${name}_recall|true=$truePairs/$expected|recall=$recall%.4f" +
+        f"|cross_family_pairs=$falsePairs")
+      require(recall >= recallFloor,
+        f"MEDIA RECALL REGRESSION: $name recall $recall%.4f < floor $recallFloor")
+      require(falsePairs == 0,
+        s"MEDIA DISCRIMINATION REGRESSION: $falsePairs cross-family pairs")
+      dpWall
+    }
+
+    // untimed warmup
+    Multimodal.audioFingerprints(corpus(8)).count()
+    graft.plans.ReleaseRegistry.drain()
+
+    val w1 = leg("media_1x", bases)
+    val w10 = leg("media_10x", bases * 10)
+    println(f"SOAK|growth|pairs_wall_10x/1x=${w10 / w1}%.2f (10x rows; " +
+      "sub-quadratic expected)")
+    spark.stop()
+  }
+}

@@ -112,6 +112,41 @@ class SimilaritySpec extends SparkSpec {
       s"expected dynamic partition pruning on cid:\n${plan.take(1500)}")
   }
 
+  test("mmrRerank: near-duplicate of the top hit is demoted below a " +
+    "diverse candidate; ranks are a greedy permutation") {
+    // query 0 along +x; candidates: 1 and 2 nearly identical high-sim
+    // (sim to query 0.9999 vs 0.9998), 3 diverse mid-sim. Pure relevance
+    // would return (1, 2, 3); MMR must pick 1, then DEMOTE 2 (its
+    // max-sim-to-selected ≈ 1 wipes the diversity term) in favor of 3.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(1f, 0.012f, 0f, 0f)),
+      (3L, Array(0.8f, 0f, 0.6f, 0f)),
+      (4L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, vecs.where($"vec_id" === 0L),
+      k = 3, pool = 4, lambdaPct = 50)
+      .orderBy("mmr_rank")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(got.map(_._3) === Seq(1, 2, 3), s"ranks must be 1..k: $got")
+    assert(got.head._2 === 1L, s"first pick is pure relevance: $got")
+    // round 2 at λ=50: the near-dup scores 50·9999 − 50·10000 = −50,
+    // the diverse vec 3 scores 50·8000 − 50·8000 = 0 → demotion
+    assert(got(1)._2 === 3L,
+      s"the near-duplicate of the selected top hit must be demoted: $got")
+    assert(got(2)._2 === 2L)
+    // scores are the declared integer formula
+    assert(got.head._4 === 50L * 10000L, s"rank-1 score = λ·sq: $got")
+    assert(got(1)._4 === 0L && got(2)._4 === -50L, s"greedy scores: $got")
+    // determinism under repartition
+    val again = Similarity.mmrRerank(vecs.repartition(3),
+      vecs.where($"vec_id" === 0L), k = 3, pool = 4, lambdaPct = 50)
+      .orderBy("mmr_rank").as[(Long, Long, Int, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(again === got)
+  }
+
   test("ivfAppend: new slice lands in existing cells, index equals " +
     "one-shot build on the union, drift reflects the appends") {
     val e = Tables.embeddings(spark, sfDir)
