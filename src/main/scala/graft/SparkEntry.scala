@@ -597,6 +597,10 @@ object SparkEntry {
     // window delta; identical stub payloads pair at delta 0
     "audio_dup_pairs" -> ((s, d) =>
       Multimodal.audioDupPairs(audioFixture(s, d))),
+    // real-decode clipping/silence/peak screen on the same fixture —
+    // exact integer thresholds, md5 pseudo-stats on the stub path
+    "audio_quality" -> ((s, d) =>
+      Multimodal.audioQuality(audioFixture(s, d))),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -793,7 +797,10 @@ object SparkEntry {
     * scheme. Ends with `allfp(media_id, is_real, n_windows, win_idx,
     * fhash)`.
     */
-  private val audioFpPrefixSql: String =
+  /** The [[audioFixture]] sample replay: `d2(doc_id, k, off, frames)` +
+    * `s2(doc_id, t, s)` — shared by the fingerprint and quality oracles.
+    */
+  private val audioSampleCtes: String =
     """WITH d2 AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 8 = 4 THEN doc_id - 4 ELSE doc_id END AS k,
@@ -806,7 +813,11 @@ object SparkEntry {
       |  FROM d2),
       |s2 AS (SELECT doc_id, t,
       |         ((k+1)*48271 + (t+off+1)*(t+off+3)*163) % 4001 - 2000 AS s
-      |       FROM samp),
+      |       FROM samp)""".stripMargin
+
+  private val audioFpPrefixSql: String = audioSampleCtes +
+    """,
+      |
       |coef AS MATERIALIZED (
       |  SELECT doc_id, t // 64 AS w, kk,
       |         CAST(sum(s * CASE WHEN bit_count(CAST(t % 64 AS BIGINT) & kk) % 2 = 1
@@ -4151,6 +4162,35 @@ object SparkEntry {
     // audioFpPrefixSql
     "audio_fingerprint" -> (audioFpPrefixSql +
       "\nSELECT media_id, is_real, n_windows, win_idx, fhash FROM allfp"),
+    // audio_quality: exact integer thresholds over the sample formula
+    // (|s| never reaches the 32734 clip threshold and windows are never
+    // under the 640000 silence energy on this fixture — but every count
+    // and the peak replay exactly); stub rows replay ':aq<d>' md5
+    "audio_quality" -> (audioSampleCtes +
+      """,
+        |qr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        |         CAST(sum(CASE WHEN abs(s) >= 32734 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_clipped
+        |       FROM s2 GROUP BY doc_id),
+        |we AS (SELECT doc_id, t // 64 AS w, sum(s * s) AS e
+        |       FROM s2 GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(sum(CASE WHEN e < 640000 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_silent_windows
+        |       FROM we GROUP BY doc_id),
+        |realq AS (SELECT qr.doc_id AS media_id, TRUE AS is_real, qr.n_samples,
+        |            qr.peak_abs, qr.n_clipped, ws.n_windows, ws.n_silent_windows
+        |          FROM qr JOIN ws ON qr.doc_id = ws.doc_id),
+        |stubq AS (SELECT doc_id AS media_id, FALSE AS is_real,
+        |    ('0x'||substr(md5(text || ':aq0'),1,15))::BIGINT % 1000003 AS n_samples,
+        |    ('0x'||substr(md5(text || ':aq1'),1,15))::BIGINT % 1000003 AS peak_abs,
+        |    ('0x'||substr(md5(text || ':aq2'),1,15))::BIGINT % 1000003 AS n_clipped,
+        |    ('0x'||substr(md5(text || ':aq3'),1,15))::BIGINT % 1000003 AS n_windows,
+        |    ('0x'||substr(md5(text || ':aq4'),1,15))::BIGINT % 1000003
+        |      AS n_silent_windows
+        |  FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT * FROM realq UNION ALL SELECT * FROM stubq""".stripMargin),
     // audio_dup_pairs: banded matching replay — same fingerprint chain,
     // then the bucket-capped self-join grouped by (pair, window delta)
     "audio_dup_pairs" -> (audioFpPrefixSql +

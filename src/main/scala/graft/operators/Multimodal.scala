@@ -286,6 +286,64 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => null }
     }
 
+    /** Sample threshold for clipping detection: |s| ≥ 32734
+      * (≈ 0.999 · full scale) counts as clipped.
+      */
+    val ClipThresh = 32734L
+
+    /** Per-window silence threshold: a 64-sample window with energy
+      * `Σ s² < 64 · 100²` (RMS under ~0.3% of full scale) is silent.
+      */
+    val SilenceEnergy = 64L * 100L * 100L
+
+    /** Real audio-quality stats from the PCM decode — the screen a
+      * pipeline runs before spending fingerprint/transcription compute
+      * on dead air and clipped captures. Returns
+      * `[n_samples, peak_abs, n_clipped, n_windows, n_silent_windows]`
+      * over the first channel (full 64-sample windows only), or null
+      * for payloads the JDK cannot decode. Exact integer thresholds
+      * ([[ClipThresh]], [[SilenceEnergy]]) so any engine replays the
+      * counts from raw samples.
+      */
+    def audioQualityStats(payload: Array[Byte]): Array[Long] = {
+      if (!looksLikeAudio(payload)) return null
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return null
+          val bytes = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) return null
+          val big = fmt.isBigEndian
+          var peak = 0L
+          var clipped = 0L
+          var silent = 0L
+          var winE = 0L
+          var f = 0
+          while (f < nFrames) {
+            val off = f * frameSize
+            val s =
+              if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort.toLong
+              else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (a >= ClipThresh) clipped += 1
+            winE += s * s
+            if (f % 64 == 63) {
+              if (winE < SilenceEnergy) silent += 1
+              winE = 0L
+            }
+            f += 1
+          }
+          Array(nFrames.toLong, peak, clipped, nFrames.toLong / 64L, silent)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+
     /** STUB fingerprint windows for payloads [[audioFingerprint]] cannot
       * decode: window `w` hashes to `md5_60(payload ++ ":aw" ++ w) % 2³⁰`
       * — the portable md5 scheme (DuckDB:
@@ -883,6 +941,50 @@ object Multimodal {
           .zipWithIndex.map { case (h, w) =>
             Row(id, false, stubWindows.toLong, w, h)
           }
+      }
+    }
+  }
+
+  /** Audio-quality screen over the REAL PCM decode
+    * ([[MediaCodec.audioQualityStats]]): per media row the sample count,
+    * peak amplitude, clipped-sample count, full-window count, and
+    * silent-window count — all exact integers under declared thresholds,
+    * the cheap gate a pipeline runs before fingerprinting or
+    * transcribing dead air and clipped captures (the audio analog of
+    * [[imageQuality]]'s flat-frame screen). Undecodable payloads emit
+    * deterministic md5 pseudo-stats (`md5_60(payload ++ ":aq" ++ d) %
+    * 1000003`, the [[MediaCodec.stubFeatures]] scheme), so the stage
+    * stays hash-checkable end to end. Row-local at the mapPartitions
+    * codec boundary — no shuffle, no state.
+    */
+  def audioQuality(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_real", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = false),
+      StructField("n_silent_windows", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val st = MediaCodec.audioQualityStats(payload)
+        if (st != null) Row(id, true, st(0), st(1), st(2), st(3), st(4))
+        else {
+          val base = java.security.MessageDigest.getInstance("MD5")
+          if (payload != null) base.update(payload)
+          val v = (0 until 5).map { d =>
+            val md = base.clone().asInstanceOf[java.security.MessageDigest]
+            md.update((":aq" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            graft.functions.PortableMd5.fromDigest(md.digest()) % 1000003L
+          }
+          Row(id, false, v(0), v(1), v(2), v(3), v(4))
+        }
       }
     }
   }

@@ -121,6 +121,89 @@ object MediaStreams {
     }
   }
 
+  /** One stored fingerprint window inside a hash bucket. */
+  final case class FpWin(mediaId: Long, winIdx: Int)
+
+  /** One window-level match event: two media rows shared `fhash` at
+    * windows (wa, wb). Consumers aggregate by (mediaA, mediaB, wb−wa)
+    * and threshold the count — exactly the grouping
+    * [[graft.operators.Multimodal.audioDupPairs]] applies to its
+    * bucket join (parity-pinned in MediaStreamsSpec).
+    */
+  final case class WinMatch(mediaA: Long, wa: Int, mediaB: Long, wb: Int,
+      fhash: Long)
+
+  /** Per-hash-bucket matcher holding every window seen so far — the
+    * audio twin of [[DedupStreams.BandBucketDedup]]: each arriving
+    * window emits one match event against every stored window of a
+    * DIFFERENT media row (plus earlier arrivals of its own batch), then
+    * joins the state; each unordered window pair is considered exactly
+    * once over the stream's lifetime, and the emission is a pure
+    * function of the two windows, so the union of events over any
+    * arrival order equals the batch bucket join on the union corpus.
+    * Buckets cap at `maxBucket` stored windows by ARRIVAL order (a
+    * prefix approximation of the batch stop-hash drop, which discards
+    * overfull buckets entirely — the one declared divergence); `ttl`
+    * bounds state to the trailing window for endless archives.
+    */
+  final class FpBucketMatcher(maxBucket: Int,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, FpRow, WinMatch] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[FpWin] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[FpWin](
+        "seen", Encoders.product[FpWin],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[FpRow],
+        timerValues: TimerValues): Iterator[WinMatch] = {
+      val prior = seen.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[WinMatch]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[FpWin]
+      var size = prior.length
+      rows.foreach { r =>
+        if (size < maxBucket) {
+          val w = FpWin(r.mediaId, r.winIdx)
+          def consider(o: FpWin): Unit = if (o.mediaId != w.mediaId) {
+            val (p, q) = if (o.mediaId < w.mediaId) (o, w) else (w, o)
+            out += WinMatch(p.mediaId, p.winIdx, q.mediaId, q.winIdx, key)
+          }
+          prior.foreach(consider)
+          kept.foreach(consider)
+          kept += w
+          size += 1
+        }
+      }
+      kept.foreach(seen.appendValue)
+      out.iterator
+    }
+  }
+
+  /** Incremental audio-duplicate PAIR discovery over a growing archive —
+    * the full streaming twin of
+    * [[graft.operators.Multimodal.audioDupPairs]]' blocking join (where
+    * [[incrementalAudioWindowDups]] only counts bucket pressure): new
+    * media fingerprint row-locally, each window verifies against its
+    * hash bucket's history, and every window-level match emits exactly
+    * once. Downstream (or the consumer), `groupBy(mediaA, mediaB,
+    * wb−wa) having count ≥ minMatch` reproduces the batch pair table on
+    * the union corpus. State per bucket = its window list, the same
+    * Σbucket² amortization as the streaming MinHash index.
+    */
+  def incrementalAudioMatches(media: DataFrame, maxBucket: Int = 1024,
+      ttl: Option[java.time.Duration] = None): Dataset[WinMatch] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.audioFingerprints(media)
+      .select(col("media_id").as("mediaId"),
+        col("win_idx").as("winIdx"), col("fhash"))
+      .as[FpRow]
+      .groupByKey(_.fhash)
+      .transformWithState(new FpBucketMatcher(maxBucket, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Incremental audio-fingerprint duplicate accounting over a GROWING
     * media archive — the streaming twin of
     * [[graft.operators.Multimodal.audioDupPairs]]' blocking stage: each

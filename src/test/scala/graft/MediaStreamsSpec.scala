@@ -60,6 +60,57 @@ class MediaStreamsSpec extends SparkSpec {
     }
   }
 
+  test("incremental audio matches across batches aggregate to the batch " +
+    "dup-pair table on the union") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodec
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def samples(k: Long, frames: Int, off: Int = 0): Array[Short] =
+        Array.tabulate(frames)(t =>
+          (graft.functions.PortableMd5.hash64(
+            s"am:$k:${t + off}".getBytes("UTF-8")) % 4001L - 2000L).toShort)
+      val base = samples(1L, 6 * 64)
+      // batch 1: original + unrelated; batch 2: a one-window-trimmed
+      // duplicate whose matches must verify against batch-1 STATE
+      val b1 = Seq((1L, MediaCodec.wavPcm16(base)),
+        (2L, MediaCodec.wavPcm16(samples(9L, 6 * 64))))
+      val b2 = Seq((3L, MediaCodec.wavPcm16(base.drop(64))))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+      val q = MediaStreams.incrementalAudioMatches(media)
+        .writeStream.format("memory").queryName("inc_audio_matches")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        // consumer-side pair aggregation over ALL emitted match events
+        val got = spark.table("inc_audio_matches")
+          .groupBy(col("mediaA").as("media_a"), col("mediaB").as("media_b"),
+            (col("wb") - col("wa")).cast("int").as("offset_w"))
+          .agg(count(lit(1)).as("n_match"))
+          .where(col("n_match") >= 3)
+          .as[(Long, Long, Int, Long)].collect().toSet
+        val union = Multimodal.fromBinary(
+          (b1 ++ b2).toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+        val want = Multimodal.audioDupPairs(union, minMatch = 3)
+          .as[(Long, Long, Int, Long)].collect().toSet
+        graft.plans.ReleaseRegistry.drain()
+        assert(got === want, s"stream $got vs batch $want")
+        // and the constructed cross-batch duplicate is in there
+        assert(got.exists(p => p._1 == 1L && p._2 == 3L),
+          s"trimmed re-ingest must pair with the batch-1 original: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incremental audio-window dup counts carry fingerprint buckets " +
     "across batches") {
     import graft.operators.Multimodal.MediaCodec

@@ -457,6 +457,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(r => !r._2 && r._3 == 4L))
   }
 
+  test("audioQuality: silence windows and clipped samples counted exactly; " +
+    "stub path replays the md5 pseudo-stats") {
+    import graft.operators.Multimodal.MediaCodec
+    // 3 windows: loud (|s|=1000), SILENT (|s|=50 -> E = 64*2500 < 640000),
+    // clipped (alternating ±32767) + a 10-sample ragged tail (no window)
+    val samples = (Array.fill(64)(1000) ++ Array.fill(64)(50) ++
+      Array.tabulate(64)(i => if (i % 2 == 0) 32767 else -32767) ++
+      Array.fill(10)(7)).map(_.toShort)
+    val text = "not audio".getBytes("UTF-8")
+    val got = Multimodal.audioQuality(Multimodal.fromBinary(
+      Seq((1L, MediaCodec.wavPcm16(samples)), (2L, text))
+        .toDF("id", "bytes"), "id", "bytes", "audio"))
+      .as[(Long, Boolean, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val real = got(1L)
+    assert(real._2 === true)
+    assert(real._3 === 202L, s"n_samples: $real")
+    assert(real._4 === 32767L, s"peak: $real")
+    assert(real._5 === 64L, s"clipped count: $real")
+    assert(real._6 === 3L && real._7 === 1L,
+      s"3 full windows, 1 silent: $real")
+    val stub = got(2L)
+    assert(stub._2 === false)
+    val want = (0 until 5).map(d => graft.functions.PortableMd5.hash64(
+      text ++ s":aq$d".getBytes("UTF-8")) % 1000003L)
+    assert(Seq(stub._3, stub._4, stub._5, stub._6, stub._7) === want)
+  }
+
   test("mjpeg marker walk: a thumbnail SOI nested in APP1 is not a frame") {
     def jpeg(gray: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(8, 8,
