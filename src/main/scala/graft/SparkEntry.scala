@@ -258,6 +258,9 @@ object SparkEntry {
     // per-doc real token counts under the trained unigram vocab (the
     // applyBpe twin: one Viterbi per UNIQUE word, join back)
     "unigram_tokens" -> ((s, d) => TextOps.unigramTokens(Tables.documents(s, d))),
+    // pieces-per-word / chars-per-piece by language under the SAME
+    // trained vocab — integer ppm with truncating div
+    "unigram_fertility" -> ((s, d) => TextOps.unigramFertility(Tables.documents(s, d))),
     // token_budget_fill with the budget in REAL tokens: the corpus's own
     // 8-merge BPE table encodes every doc row-locally before the fill
     "token_budget_fill_bpe" -> ((s, d) =>
@@ -2922,6 +2925,23 @@ object SparkEntry {
         |  CAST(round(ln((coalesce(u2.usage, 0) + 1)::DOUBLE / (t2.total + nv1.nv))
         |    * 1e6) AS BIGINT) AS lp
         |FROM v1 LEFT JOIN u2 USING (piece), t2, nv1""".stripMargin),
+    // unigram_fertility: language rollup of the round-2 Viterbi path
+    // lengths — ppm ratios with truncating div on both engines
+    "unigram_fertility" -> (unigramPrefixSql +
+      s""",
+        |wl AS (SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' AND length(word) <= $UniWordLen
+        |    AND NOT contains(word, chr(1))),
+        |wt AS (SELECT word, CAST(len(path) AS BIGINT) AS wtok FROM bfin)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(wt.wtok) AS BIGINT) AS n_pieces,
+        |  CAST(sum(wt.wtok) * 1000000 // count(*) AS BIGINT) AS fert_ppm,
+        |  CAST(sum(length(wl.word)) * 1000000 // sum(wt.wtok) AS BIGINT)
+        |    AS chars_per_piece_ppm
+        |FROM wl JOIN wt USING (word)
+        |GROUP BY lang""".stripMargin),
     // unigram_tokens: per-doc sum of round-2 Viterbi path lengths over
     // the same trained vocab (docs with no countable words keep 0)
     "unigram_tokens" -> (unigramPrefixSql +

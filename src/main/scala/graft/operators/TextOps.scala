@@ -1866,6 +1866,36 @@ object TextOps {
       .agg(sum(coalesce(col("wtok"), lit(0L))).as("uni_tok"))
   }
 
+  /** Trained-tokenizer fertility by language — pieces-per-word and
+    * chars-per-piece under the corpus's own [[unigramVocab]] (where
+    * [[langFertility]] profiles the fixed regex tokenizer): the numbers
+    * a multilingual pipeline reads to see which languages the learned
+    * vocab serves poorly (high fertility = over-segmentation). Integer
+    * ppm ratios with truncating div, so the report replays exactly.
+    * Scale shape: [[unigramTokens]]' distinct-word discipline with a
+    * |languages|-row rollup.
+    */
+  def unigramFertility(docs: DataFrame, seedMulti: Int = 40,
+      keepMulti: Int = 20, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val (lp1, _) = unigramEm(docs, seedMulti, keepMulti, maxPieceLen, maxWordLen)
+    val words = docs.select(col("lang"),
+      explode(filter(split(col("text"), "\\s+"),
+        x => x =!= "" && !x.contains(BpeSep) && length(x) <= maxWordLen))
+        .as("word"))
+    val wtok = words.select("word").distinct()
+      .select(col("word"), size(graft.functions.TextFunctions.unigramSegment(
+        col("word"), lp1, maxPieceLen)).cast("long").as("wtok"))
+    words.join(wtok, Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("wtok").as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div n_words").as("fert_ppm"),
+        expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
+  }
+
   /** The shared seed + round-1 EM + prune of [[unigramVocab]] /
     * [[unigramTokens]]: returns the pruned vocab with its round-1
     * smoothed micro-nat scores `lp¹` (tokenizer-sized, rides plans as

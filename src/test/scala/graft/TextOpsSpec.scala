@@ -1018,6 +1018,37 @@ class TextOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("unigramFertility: language rollup consistent with per-doc counts; " +
+    "over-segmented language reads higher fertility") {
+    val d = Seq(
+      (1L, "abab abab abab abab", "en"),
+      (2L, "abab abab", "en"),
+      (3L, "xqw zjy vkp", "xx"), // rare words: pruned out at keepMulti=1
+      (4L, "xqw zjy", "xx")
+    ).toDF("doc_id", "text", "lang")
+    // keepMulti=1: only the dominant piece ('abab') survives the prune,
+    // so the rare-char language segments to single chars
+    val fert = TextOps.unigramFertility(d, seedMulti = 8, keepMulti = 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(fert.keySet === Set("en", "xx"))
+    // ppm identities hold exactly
+    fert.values.foreach { r =>
+      assert(r._4 === r._3 * 1000000L / r._2, s"fert identity: $r")
+      assert(r._3 >= r._2, s"at least one piece per word: $r")
+    }
+    // 'abab' compresses under the learned vocab; the rare-char language
+    // falls back to near-char segmentation -> strictly higher fertility
+    assert(fert("xx")._4 > fert("en")._4, s"fertility order: $fert")
+    // rollup equals the per-doc token sums per language
+    val tok = TextOps.unigramTokens(d, seedMulti = 8, keepMulti = 1)
+      .as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(fert("en")._3 === tok(1L) + tok(2L))
+    assert(fert("xx")._3 === tok(3L) + tok(4L))
+  }
+
   test("tokenBudgetFillBpe keeps the greedy prefix under a real-token budget") {
     val d = Seq(
       (1L, "s", 30L, "aaab aaab aaab aaab"), // longest first
