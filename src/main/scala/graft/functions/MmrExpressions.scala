@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native greedy MMR selection over ONE query's candidate pool — the
+  * row-local core of [[graft.operators.Similarity.mmrRerank]]: given the
+  * pool `(nbr_id, sq)` (relevance in integer 1e4 units) and the pool's
+  * pairwise sims `(a, b, s)`, select `k` candidates, each step maximizing
+  * `lambdaPct·sq − (100−lambdaPct)·max(sim to selected)`, ties on the
+  * smaller nbr_id. Returns `array<struct<nbr_id, mmr_rank,
+  * score_scaled>>` in selection order.
+  *
+  * Why an expression and not k DataFrame rounds: the pool is a re-rank
+  * constant (~12), so the greedy loop is trivial CPU — but as
+  * distributed rounds it cost ~30 shuffling stages of 96-row frames
+  * whose SCHEDULING dominated wall time 4:1 (profiled at sf0.1:
+  * 15.7 s wall, 4.2 s task). Row-local per query, the whole re-rank is
+  * one constant-stage pass, distributed by query id.
+  */
+case class MmrSelect(cands: Expression, pairs: Expression, k: Int,
+    lambdaPct: Int) extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = cands
+  override def right: Expression = pairs
+  override def prettyName: String = "graft_mmr_select"
+
+  private val outStruct = StructType(Seq(
+    StructField("nbr_id", LongType, nullable = false),
+    StructField("mmr_rank", IntegerType, nullable = false),
+    StructField("score_scaled", LongType, nullable = false)))
+
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (cands.dataType, pairs.dataType) match {
+    case (ArrayType(_: StructType, _), ArrayType(_: StructType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of structs, got $other")
+  }
+
+  override def nullSafeEval(candsAny: Any, pairsAny: Any): Any = {
+    val ca = candsAny.asInstanceOf[ArrayData]
+    val pa = pairsAny.asInstanceOf[ArrayData]
+    val n = ca.numElements()
+    val ids = new Array[Long](n)
+    val sq = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ca.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      sq(i) = r.getLong(1)
+      i += 1
+    }
+    val sim = new java.util.HashMap[Long, Long](pa.numElements() * 2)
+    // pool ids fit the map key as (indexOfA << 32) | indexOfB after an
+    // id → local-index remap (pool ≤ ~dozens)
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    i = 0
+    while (i < pa.numElements()) {
+      val r = pa.getStruct(i, 3)
+      val a = idx.get(r.getLong(0))
+      val b = idx.get(r.getLong(1))
+      if (a != null && b != null) {
+        sim.put((a.longValue() << 32) | (b.longValue() & 0xffffffffL), r.getLong(2))
+        sim.put((b.longValue() << 32) | (a.longValue() & 0xffffffffL), r.getLong(2))
+      }
+      i += 1
+    }
+    val selected = new Array[Boolean](n)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(k, n))
+    var rank = 1
+    while (rank <= k && rank <= n) {
+      var bestI = -1
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < n) {
+        if (!selected(c)) {
+          var ms = Long.MinValue
+          var s = 0
+          while (s < n) {
+            if (selected(s)) {
+              val v = sim.get((c.toLong << 32) | (s.toLong & 0xffffffffL))
+              val sv = if (v == null) Long.MinValue else v.longValue()
+              if (sv > ms) ms = sv
+            }
+            s += 1
+          }
+          // a candidate with no sim entry to ANY selected member is
+          // skipped in rounds >= 2 — the inner-join semantics of the
+          // pairwise leg (cannot occur when `pairs` covers the pool)
+          if (rank == 1 || ms != Long.MinValue) {
+            val score =
+              if (rank == 1) lambdaPct.toLong * sq(c)
+              else lambdaPct.toLong * sq(c) - (100L - lambdaPct) * ms
+            if (score > bestScore ||
+              (score == bestScore && bestI >= 0 && ids(c) < ids(bestI))) {
+              bestScore = score
+              bestI = c
+            }
+          }
+        }
+        c += 1
+      }
+      if (bestI < 0) return new GenericArrayData(out.toArray)
+      selected(bestI) = true
+      out += new GenericInternalRow(
+        Array[Any](ids(bestI), rank, bestScore))
+      rank += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(cands = newLeft, pairs = newRight)
+}
+
+object MmrFunctions {
+  /** Greedy MMR selection over a per-query candidate pool — see
+    * [[MmrSelect]].
+    */
+  def mmrSelect(cands: Column, pairs: Column, k: Int, lambdaPct: Int): Column =
+    ColumnBridge.column(MmrSelect(
+      ColumnBridge.expression(cands), ColumnBridge.expression(pairs), k, lambdaPct))
+}

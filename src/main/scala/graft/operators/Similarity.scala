@@ -106,9 +106,14 @@ object Similarity {
     * Scale shape: the corpus-scale work is [[cosineTopK]]'s one scored
     * pass; everything after runs on pool-bounded frames — the pairwise
     * leg is pool² rows per query (pool is a re-rank constant, 12), and
-    * each of the k−1 greedy rounds is a hash-equi join + argmax over
-    * those frames, distributed by query_id (a million queries fan out,
-    * nothing collects). Lineage depth is the constant k.
+    * the greedy selection itself is ROW-LOCAL per query: the pool and
+    * its pairwise sims roll up into per-query arrays and one native
+    * expression ([[graft.functions.MmrSelect]]) runs all k steps — a
+    * million queries fan out with a CONSTANT number of stages, nothing
+    * collects. (The first cut ran k−1 distributed rounds instead;
+    * profiling showed 30 tiny stages whose scheduling dominated wall
+    * 4:1 — re-rank loops over re-rank-constant pools belong inside a
+    * row, not across stages.)
     */
   def mmrRerank(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       pool: Int = 12, lambdaPct: Int = 70,
@@ -133,37 +138,18 @@ object Similarity {
       .select(col("query_id"), col("a"), col("b"),
         round(cosSim(dot(col("va"), col("vb")), col("na"), col("nb")) * 10000)
           .cast("long").as("s"))
-      .persist()
-    cc.count()
-    graft.plans.ReleaseRegistry.register("similarity.mmr_cc")(
-      () => cc.unpersist(blocking = false))
-    val slim = cand.select("query_id", "nbr_id", "sq")
-    var sel = slim
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sq").desc, col("nbr_id"))))
-      .where(col("rn") === 1)
-      .select(col("query_id"), col("nbr_id"), lit(1).as("mmr_rank"),
-        (lit(lambdaPct.toLong) * col("sq")).as("score_scaled"))
-    for (j <- 2 to k) {
-      val picked = sel.select(col("query_id"), col("nbr_id"))
-      val scored = slim
-        .join(picked, Seq("query_id", "nbr_id"), "left_anti")
-        .join(cc.join(picked.select(col("query_id"), col("nbr_id").as("b")),
-          Seq("query_id", "b"))
-          .select(col("query_id"), col("a").as("nbr_id"), col("s")),
-          Seq("query_id", "nbr_id"))
-        .groupBy("query_id", "nbr_id", "sq").agg(max("s").as("ms"))
-        .withColumn("score_scaled",
-          lit(lambdaPct.toLong) * col("sq") - lit(100L - lambdaPct) * col("ms"))
-      val next = scored
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("score_scaled").desc, col("nbr_id"))))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("nbr_id"), lit(j).as("mmr_rank"),
-          col("score_scaled"))
-      sel = sel.unionByName(next)
-    }
-    sel
+    val candsArr = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("nbr_id"), col("sq"))).as("cands"))
+    val ccArr = cc.groupBy("query_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("s"))).as("pairs"))
+    val emptyPairs = expr(
+      "cast(array() as array<struct<a:bigint,b:bigint,s:bigint>>)")
+    candsArr.join(ccArr, Seq("query_id"), "left") // 1-candidate pools: no pairs
+      .select(col("query_id"), explode(graft.functions.MmrFunctions.mmrSelect(
+        col("cands"), coalesce(col("pairs"), emptyPairs), k, lambdaPct)).as("e"))
+      .select(col("query_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.mmr_rank").as("mmr_rank"),
+        col("e.score_scaled").as("score_scaled"))
   }
 
   /** Int8 quantization for embedding storage: symmetric max-abs scaling to
