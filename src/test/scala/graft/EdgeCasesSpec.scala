@@ -145,4 +145,52 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Multimodal.phashDupCounts(emptyMedia).count() === 0)
     graft.plans.ReleaseRegistry.drain()
   }
+
+  test("round-13 ops on empty and degenerate inputs") {
+    import graft.operators.{Multimodal, Similarity}
+    // unigram trainer on an empty corpus: empty vocab, no exceptions
+    // from the seed collects or the log of an empty total
+    assert(TextOps.unigramVocab(emptyDocs).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(TextOps.unigramTokens(emptyDocs).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    // whitespace-only doc keeps a zero row through the encode
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    val t = TextOps.unigramTokens(blank).as[(Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(t === Seq((1L, 0L)))
+    // single-char corpus: the vocab is exactly that char
+    val one = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val v = TextOps.unigramVocab(one).as[(String, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(v.map(_._1) === Seq("a") && v.head._2 === 3L)
+    // audio family on empty media and on a sub-window real WAV
+    val emptyMedia = Multimodal.fromBinary(
+      Seq.empty[(Long, Array[Byte])].toDF("id", "bytes"), "id", "bytes", "audio")
+    assert(Multimodal.audioFingerprints(emptyMedia).count() === 0)
+    assert(Multimodal.audioDupPairs(emptyMedia).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Multimodal.audioQuality(emptyMedia).count() === 0)
+    val shortWav = Multimodal.MediaCodec.wavPcm16(Array.tabulate(10)(_.toShort))
+    val m1 = Multimodal.fromBinary(Seq((1L, shortWav)).toDF("id", "b"),
+      "id", "b", "audio")
+    // decodable but < 1 window: zero fingerprint rows, but quality
+    // still reports the real (windowless) sample stats
+    assert(Multimodal.audioFingerprints(m1).count() === 0)
+    val q = Multimodal.audioQuality(m1)
+      .as[(Long, Boolean, Long, Long, Long, Long, Long)].collect().head
+    assert(q._2 && q._3 === 10L && q._6 === 0L && q._7 === 0L)
+    // MMR: empty corpus and a pool of one both behave
+    val emptyEmb2 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.mmrRerank(emptyEmb2, emptyEmb2).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    val two = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(two, two.where($"vec_id" === 0L),
+      k = 3, pool = 3)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    // only one candidate exists (self excluded): one rank-1 row
+    assert(sel === Seq((0L, 1L, 1, 70L * 0L)))
+  }
 }
