@@ -100,6 +100,7 @@ object Bench {
       // blocks until stdout EOF, so a hung child must be killed for the
       // read to return at all. stderr is inherited — no pipe-buffer
       // deadlock on the captured stream.
+      val deadline = System.nanoTime() + timeoutMinutes * 60000L * 1000000L
       val killer = new java.util.Timer("bench-isolated-watchdog", true)
       killer.schedule(new java.util.TimerTask {
         def run(): Unit = { p.destroyForcibly(); () }
@@ -107,9 +108,13 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       // keep the watchdog armed through waitFor: a child that closes
       // stdout but never exits (hung shutdown hook, non-daemon thread)
-      // must not hang the whole bench run on an unbounded wait
+      // must not hang the whole bench run on an unbounded wait. The wait
+      // budget is the REMAINDER of the original deadline, not a fresh
+      // window — a child that streams output until killed at T must not
+      // hold the bench for ~2x the declared timeout
       val exited =
-        try p.waitFor(timeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+        try p.waitFor(math.max(1L, (deadline - System.nanoTime()) / 1000000L),
+          java.util.concurrent.TimeUnit.MILLISECONDS)
         finally killer.cancel()
       if (!exited) { p.destroyForcibly(); () }
       medianFromChildOutput(out, name)

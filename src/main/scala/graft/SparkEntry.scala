@@ -206,6 +206,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.where(org.apache.spark.sql.functions.col("vec_id") < 8))
     }),
+    // IVF staleness probe, integer-exact: centroid DIRECTIONS as micro-unit
+    // BIGINT sums over the deterministic vec_id % 16 seed groups, max-cosine
+    // assignment, per-cell integer sums, drift from one double cosine over
+    // exact integers — the oracle replays assignment AND drift bit-for-bit
+    "ivf_cell_drift" -> ((s, d) =>
+      Similarity.ivfCellDriftExact(Tables.embeddings(s, d))),
     // deterministic Lloyd k-means: seed = vec_id % k per-dim means, two
     // reassign+refine rounds, empty clusters keep their previous centroid
     // — every step exact, so the oracle replays the full iteration
@@ -2691,6 +2697,46 @@ object SparkEntry {
         |FROM exact x LEFT JOIN approx a
         |  ON x.query_id = a.query_id AND x.nbr_id = a.nbr_id
         |GROUP BY 1""".stripMargin,
+    // ivf_cell_drift: quantize once to micro-units, BIGINT sums throughout,
+    // assignment ties -> larger cid (max(struct(cs, cid))); the one double
+    // expression (the cosine) has a pinned operation order in both engines
+    "ivf_cell_drift" ->
+      """WITH vq AS (SELECT vec_id, list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+        |            FROM embeddings),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(unnest(range(0, len(v))) AS INT) AS i,
+        |         unnest(v) AS x
+        |  FROM vq),
+        |cdir AS MATERIALIZED (
+        |  SELECT CAST(vec_id % 16 AS INT) AS cid, i, CAST(sum(x) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |ccx AS MATERIALIZED (
+        |  SELECT cid, CAST(sum(c * c) AS BIGINT) AS cc FROM cdir GROUP BY 1),
+        |vv AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS vv FROM e GROUP BY 1),
+        |dt AS (SELECT e.vec_id, cdir.cid, CAST(sum(e.x * cdir.c) AS BIGINT) AS d
+        |       FROM e JOIN cdir ON cdir.i = e.i GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT dt.vec_id, dt.cid, row_number() OVER (PARTITION BY dt.vec_id
+        |      ORDER BY CAST(dt.d AS DOUBLE) /
+        |        (sqrt(CAST(ccx.cc AS DOUBLE)) * sqrt(CAST(vv.vv AS DOUBLE))) DESC,
+        |        dt.cid DESC) AS rn
+        |    FROM dt JOIN ccx USING (cid) JOIN vv USING (vec_id)) t
+        |  WHERE rn = 1),
+        |ms AS (SELECT a.cid, e.i, CAST(sum(e.x) AS BIGINT) AS m
+        |       FROM e JOIN asg a USING (vec_id) GROUP BY 1, 2),
+        |nv AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM asg GROUP BY 1),
+        |dd AS (SELECT ms.cid, CAST(sum(cdir.c * ms.m) AS BIGINT) AS dm,
+        |              CAST(sum(ms.m * ms.m) AS BIGINT) AS mm,
+        |              CAST(sum(cdir.c * cdir.c) AS BIGINT) AS cc
+        |       FROM ms JOIN cdir ON cdir.cid = ms.cid AND cdir.i = ms.i
+        |       GROUP BY 1)
+        |SELECT dd.cid, nv.n_vectors,
+        |       CAST(round((1.0 - CAST(dm AS DOUBLE) /
+        |         (sqrt(CAST(cc AS DOUBLE)) * sqrt(CAST(mm AS DOUBLE)))) * 1e6)
+        |         AS BIGINT) AS drift_micro
+        |FROM dd JOIN nv USING (cid)""".stripMargin,
     "ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

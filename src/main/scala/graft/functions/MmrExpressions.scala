@@ -94,18 +94,28 @@ case class MmrSelect(cands: Expression, pairs: Expression, k: Int,
             }
             s += 1
           }
-          // a candidate with no sim entry to ANY selected member is
-          // skipped in rounds >= 2 — the inner-join semantics of the
-          // pairwise leg (cannot occur when `pairs` covers the pool)
-          if (rank == 1 || ms != Long.MinValue) {
-            val score =
-              if (rank == 1) lambdaPct.toLong * sq(c)
-              else lambdaPct.toLong * sq(c) - (100L - lambdaPct) * ms
-            if (score > bestScore ||
-              (score == bestScore && bestI >= 0 && ids(c) < ids(bestI))) {
-              bestScore = score
-              bestI = c
-            }
+          // a candidate with no sim entry to ANY selected member takes
+          // penalty 0 in rounds >= 2 — a SPARSE pairs input (sims joined
+          // only above a threshold) marks its missing pairs "not
+          // similar", so the most diverse candidates must be favored,
+          // never dropped; dense inputs (mmrRerank always builds one)
+          // never hit this branch
+          if (ms == Long.MinValue) ms = 0L
+          val score =
+            if (rank == 1) lambdaPct.toLong * sq(c)
+            else lambdaPct.toLong * sq(c) - (100L - lambdaPct) * ms
+          // ties: at rank 1, larger relevance first (makes the first
+          // pick pure relevance even at lambdaPct = 0, where every
+          // score is 0 — for lambdaPct >= 1 it's a no-op since
+          // score = λ·sq), then the smaller nbr_id; rounds >= 2 tie on
+          // nbr_id alone, matching the oracle's `score DESC, nbr_id`
+          val tieWins = bestI >= 0 && (
+            if (rank == 1)
+              sq(c) > sq(bestI) || (sq(c) == sq(bestI) && ids(c) < ids(bestI))
+            else ids(c) < ids(bestI))
+          if (score > bestScore || (score == bestScore && tieWins)) {
+            bestScore = score
+            bestI = c
           }
         }
         c += 1

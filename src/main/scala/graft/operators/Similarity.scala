@@ -1075,6 +1075,16 @@ object Similarity {
     * one partitioned append — cost ∝ slice size, not index size. The
     * drift probe reads only per-cell aggregates of the corpus (one
     * map-side-combined pass, no payload shuffle).
+    *
+    * CONTRACT — append-once, disjoint ids: the slice's `vec_id`s must be
+    * disjoint from the stored corpus (and from any concurrently appended
+    * slice). The append is blind by design — deduplicating against the
+    * index would read the whole corpus and break the cost-∝-slice
+    * contract — so re-appending a slice (e.g. a retry after a partial
+    * failure) silently duplicates vectors, skewing top-k results and
+    * drift statistics. Callers that cannot guarantee exactly-once must
+    * anti-join the slice against `read.parquet(s"$indexDir/corpus")
+    * .select("vec_id")` first, or retry by rebuilding.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVectors: DataFrame): DataFrame = {
@@ -1092,27 +1102,95 @@ object Similarity {
 
   /** Cell-drift staleness probe for a persisted IVF index: per cell, the
     * angular gap between the STORED centroid (what probes route by) and
-    * the CURRENT mean of the vectors assigned to it (what the cell now
-    * contains) — `drift_micro = round((1 − cos(centroid, mean))·10⁶)`,
-    * plus the cell's population. Appends shift cell means away from the
-    * trained centroids; when drift crosses an operator's threshold the
-    * index has absorbed enough append-debt to retrain. One aggregate
-    * over the corpus + a broadcast join with the centroid table.
+    * the CURRENT content of the cell — `drift_micro =
+    * round((1 − cos(centroid, cell_sum))·10⁶)`, plus the cell's
+    * population. Cosine is scale-invariant, so the cell SUM stands in for
+    * the mean with no division at all. Appends shift cell directions away
+    * from the trained centroids; when drift crosses an operator's
+    * threshold the index has absorbed enough append-debt to retrain.
+    *
+    * Exactness: every input quantizes to integer micro-units ONCE
+    * (`round(x·10⁶)` per element — the [[topPrincipalComponent]] scheme),
+    * all corpus-scale sums then run in BIGINT (order-free), and the final
+    * cosine is a single double expression over those exact integers —
+    * identical IEEE values in any engine, so `drift_micro` replays
+    * bit-exactly (oracle query `ivf_cell_drift` checks the in-memory
+    * twin [[ivfCellDriftExact]]). One aggregate over the corpus + a
+    * broadcast join with the tiny centroid table; at ≳10⁹ rows per cell
+    * the squared sums approach BIGINT capacity — move the products to
+    * decimal(38,0) first if that regime is real (the [[pcVarianceShare]]
+    * note).
     */
   def ivfCellDrift(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cdir = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), posexplode(
+        expr("transform(c, x -> cast(round(x * 1e6) as bigint))"))
+        .as(Seq("i", "c")))
     val corpus = spark.read.parquet(s"$indexDir/corpus")
-    corpus.groupBy("cid")
-      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
-        count(lit(1)).as("n_vectors"))
+    val nVec = corpus.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val cellSum = corpus
+      .select(col("cid"), posexplode(
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+        .as(Seq("i", "x")))
+      .groupBy("cid", "i").agg(sum("x").as("m"))
+    driftTable(cellSum, nVec, cdir)
+  }
+
+  /** Shared drift kernel: `(cid, n_vectors, drift_micro)` from the
+    * per-cell integer sum frame `(cid, i, m)`, populations, and the
+    * integer centroid directions `(cid, i, c)`. All dots/norms are exact
+    * BIGINT sums; the cosine is one double expression with a pinned
+    * operation order.
+    */
+  private def driftTable(cellSum: DataFrame, nVec: DataFrame,
+      cdir: DataFrame): DataFrame =
+    cellSum.join(broadcast(cdir), Seq("cid", "i"))
+      .groupBy("cid")
+      .agg(sum(col("c") * col("m")).as("dm"),
+        sum(col("m") * col("m")).as("mm"),
+        sum(col("c") * col("c")).as("cc"))
+      .join(nVec, Seq("cid"))
       .select(col("cid"), col("n_vectors"),
-        transform(col("s"), x => x / col("n_vectors")).as("m"))
-      .join(broadcast(cents), Seq("cid"))
-      .select(col("cid"), col("n_vectors"),
-        round((lit(1.0) - cosSim(dot(col("c"), col("m")),
-          sqrt(dot(col("c"), col("c"))), sqrt(dot(col("m"), col("m"))))) * 1e6)
-          .cast("long").as("drift_micro"))
+        round((lit(1.0) - col("dm").cast("double") /
+          (sqrt(col("cc").cast("double")) * sqrt(col("mm").cast("double"))))
+          * 1e6).cast("long").as("drift_micro"))
+
+  /** In-memory, oracle-checked twin of [[ivfCellDrift]]: seed the
+    * centroid DIRECTIONS as integer sums over the deterministic
+    * `vec_id % nList` groups (the [[buildIvfIndex]] seeding — a sum is a
+    * positive scalar multiple of the mean, and cosine assignment is
+    * scale-invariant, so no division ever happens), assign every vector
+    * to its max-cosine cell (ties → larger cid, matching
+    * `max(struct(cs, cid))`), then report each cell's population and
+    * drift. Drift is non-zero even without appends — the ASSIGNED cell
+    * content differs from the seed group the centroid was trained on —
+    * which is exactly the staleness signal the probe measures.
+    *
+    * Scale shape: one quantize-and-explode pass, a broadcast of the
+    * nList×dims centroid frame against the exploded corpus (|V|·dims·
+    * nList intermediate rows, map-side combined), one argmax aggregate,
+    * one per-cell sum. No driver state, no window over the corpus.
+    */
+  def ivfCellDriftExact(embeddings: DataFrame, nList: Int = 16): DataFrame = {
+    val e = embeddings.select(col("vec_id"), posexplode(
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6) as bigint))"))
+      .as(Seq("i", "x")))
+    val cdir = e.groupBy((col("vec_id") % nList).cast("int").as("cid"), col("i"))
+      .agg(sum("x").as("c"))
+    val cc = cdir.groupBy("cid").agg(sum(col("c") * col("c")).as("cc"))
+    val vv = e.groupBy("vec_id").agg(sum(col("x") * col("x")).as("vv"))
+    val assigned = e.join(broadcast(cdir), Seq("i"))
+      .groupBy("vec_id", "cid").agg(sum(col("x") * col("c")).as("d"))
+      .join(broadcast(cc), Seq("cid")).join(vv, Seq("vec_id"))
+      .withColumn("cs", col("d").cast("double") /
+        (sqrt(col("cc").cast("double")) * sqrt(col("vv").cast("double"))))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), col("cid"))).getField("cid").as("cid"))
+    val nVec = assigned.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val cellSum = e.join(assigned, Seq("vec_id"))
+      .groupBy("cid", "i").agg(sum("x").as("m"))
+    driftTable(cellSum, nVec, cdir)
   }
 
   /** Top-k over a persisted [[buildIvfIndex]] index: score the query

@@ -1902,7 +1902,8 @@ object TextOps {
     * literals) and the persisted filtered word-count frame.
     */
   private[graft] def unigramEm(docs: DataFrame, seedMulti: Int, keepMulti: Int,
-      maxPieceLen: Int, maxWordLen: Int): (Seq[(String, Long)], DataFrame) = {
+      maxPieceLen: Int, maxWordLen: Int,
+      maxAlphabet: Int = 2000000): (Seq[(String, Long)], DataFrame) = {
     val wc = wordCount(docs)
       .where(length(col("word")) <= maxWordLen && !col("word").contains(BpeSep))
       .persist()
@@ -1914,11 +1915,22 @@ object TextOps {
         s"transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), " +
         s"j -> substring(word, i, j - i + 1))))")).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("sc"))
+    // the alphabet collect is bounded by distinct codepoints in the
+    // corpus (≲1.1M for all of Unicode) — declare that driver-memory
+    // contract explicitly: the limit caps what ever reaches the driver,
+    // and the require fails LOUD, not with a driver OOM, if a corrupt
+    // corpus (binary mis-read as text) floods past the bound
     val charSeeds = seeds.where(length(col("piece")) === 1)
+      .limit(maxAlphabet + 1)
     val multiSeeds = seeds.where(length(col("piece")) > 1)
       .orderBy(col("sc").desc, col("piece")).limit(seedMulti)
     // ONE action collects the whole seed vocab: alphabet + seedMulti rows
     val seed0 = charSeeds.unionAll(multiSeeds).collect()
+    require(seed0.count { r =>
+      val p = r.getString(0); p.codePointCount(0, p.length) == 1
+    } <= maxAlphabet,
+      s"unigramEm: over $maxAlphabet single-char seed pieces — the " +
+        "corpus does not look like text (declared alphabet bound exceeded)")
     val total0 = seed0.map(_.getLong(1)).sum.toDouble
     val lp0 = seed0.toSeq.map(r =>
       r.getString(0) -> math.round(math.log(r.getLong(1) / total0) * 1e6))

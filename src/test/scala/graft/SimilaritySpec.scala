@@ -147,6 +147,51 @@ class SimilaritySpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("ivfCellDriftExact: integer-exact drift table — full coverage, " +
+    "bounded drift, deterministic under repartition") {
+    val e = Tables.embeddings(spark, sfDir)
+    val got = Similarity.ivfCellDriftExact(e, nList = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // every vector assigned to exactly one cell; cells are the seed range
+    assert(got.map(_._2).sum === e.count())
+    assert(got.forall(r => r._1 >= 0 && r._1 < 8))
+    // 1 − cos ∈ [0, 2] in micro-units (tiny negative impossible: the
+    // integer Cauchy–Schwarz bound caps the cosine at 1)
+    assert(got.forall(r => r._3 >= 0L && r._3 <= 2000000L), s"drift: $got")
+    // the assigned cells differ from the seed groups, so SOME drift is
+    // non-zero — the staleness signal the probe exists to measure
+    assert(got.exists(_._3 > 0L), s"all-zero drift is degenerate: $got")
+    val again = Similarity.ivfCellDriftExact(e.repartition(7), nList = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("mmrSelect: lambdaPct = 0 still picks pure relevance first; a " +
+    "sparse-pairs candidate with no sim to the selected set is favored, " +
+    "not dropped") {
+    import org.apache.spark.sql.functions._
+    // pool: id 10 most relevant, 11 next, 12 least; pairs cover ONLY
+    // (10, 11) at high sim — 12 has no entry to anything
+    val df = Seq(1).toDF("one").select(
+      expr("array(named_struct('nbr_id', 10L, 'sq', 9000L), " +
+        "named_struct('nbr_id', 11L, 'sq', 8000L), " +
+        "named_struct('nbr_id', 12L, 'sq', 1000L))").as("cands"),
+      expr("array(named_struct('a', 10L, 'b', 11L, 's', 9999L))").as("pairs"))
+    // λ = 0: rank 1 must be the max-sq candidate (10), not min nbr_id
+    val z = df.select(graft.functions.MmrFunctions.mmrSelect(
+      col("cands"), col("pairs"), k = 1, lambdaPct = 0))
+      .as[Seq[(Long, Int, Long)]].head
+    assert(z.head._1 === 10L, s"rank-1 at λ=0 must be pure relevance: $z")
+    // λ = 50, k = 2: candidate 11 scores 50·8000 − 50·9999 < 0; the
+    // no-pair candidate 12 takes penalty 0 → 50·1000 > 0 and must WIN
+    // round 2 (the most diverse candidate), never be skipped
+    val s = df.select(graft.functions.MmrFunctions.mmrSelect(
+      col("cands"), col("pairs"), k = 2, lambdaPct = 50))
+      .as[Seq[(Long, Int, Long)]].head
+    assert(s.map(_._1) === Seq(10L, 12L), s"sparse pairs → penalty 0: $s")
+    assert(s(1)._3 === 50L * 1000L)
+  }
+
   test("ivfAppend: new slice lands in existing cells, index equals " +
     "one-shot build on the union, drift reflects the appends") {
     val e = Tables.embeddings(spark, sfDir)

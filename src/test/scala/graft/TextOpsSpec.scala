@@ -971,6 +971,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramEm: alphabet guard fails LOUD when distinct single-char " +
+    "seeds exceed the declared driver-memory bound") {
+    val d = Seq((1L, "abcdef gh")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.unigramEm(d, seedMulti = 4, keepMulti = 2,
+        maxPieceLen = 4, maxWordLen = 12, maxAlphabet = 3)
+    }
+    graft.plans.ReleaseRegistry.drain()
+    assert(ex.getMessage.contains("alphabet bound"), ex.getMessage)
+    // at the real default the same corpus trains fine
+    val (lp, wc) = TextOps.unigramEm(d, seedMulti = 4, keepMulti = 2,
+      maxPieceLen = 4, maxWordLen = 12)
+    graft.plans.ReleaseRegistry.drain()
+    assert(lp.nonEmpty && wc.columns.contains("word"))
+  }
+
   test("unigramVocab: EM on a tiny corpus learns the repeated piece, " +
     "hand-checked invariants") {
     val d = Seq(
