@@ -610,6 +610,20 @@ object SparkEntry {
     // exact integer thresholds, md5 pseudo-stats on the stub path
     "audio_quality" -> ((s, d) =>
       Multimodal.audioQuality(audioFixture(s, d))),
+    // REAL temporal video fingerprinting: every 4th doc carries a
+    // synthesized Y4M container (three-seed integer pixel formula — see
+    // videoFixture) whose frames each get an exact-integer 16-cell aHash;
+    // docs with doc_id % 8 == 4 carry a one-frame-TRIMMED copy of
+    // doc_id−4's container — the re-cut duplicate a whole-media hash can
+    // never match. Text payloads → portable-md5 stub frame hashes. Both
+    // paths replay hash-exact in SQL
+    "video_fingerprint" -> ((s, d) =>
+      Multimodal.videoFingerprints(videoFixture(s, d))),
+    // banded matching over the per-frame hashes: the constructed trimmed
+    // duplicates pair with their originals at one consistent frame delta;
+    // identical stub payloads pair at delta 0
+    "video_dup_pairs" -> ((s, d) =>
+      Multimodal.videoDupPairs(videoFixture(s, d))),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -796,6 +810,102 @@ object SparkEntry {
           .otherwise(col("text").cast("binary")).as("p")),
       "doc_id", "p", "audio")
   }
+
+  /** Synthetic video corpus for the temporal-fingerprint queries: every
+    * 4th doc carries a REAL Y4M container (8×4 Cmono, `4 + k%3` frames)
+    * whose pixel bytes follow an ASCII-safe integer formula — chars
+    * 48..111, byte value `48 + (s1·(i+1) + s2·(i+1)·(i+3) +
+    * s3·(F+1)·(i+2) + 13·F) mod 64` with three per-doc md5 seeds
+    * `s_j = md5_60("vsj:" ++ k) % 1000003`, so the payload is
+    * byte-exactly rebuildable in SQL. THREE independent seeds matter: a
+    * formula linear in one seed makes any two docs with seeds congruent
+    * mod 64 byte-identical (P ≈ 1/64 per pair — dozens of accidental
+    * full duplicates); requiring all three to collide (1/64³) makes
+    * accidental frame matches vanishing. Docs with doc_id % 8 == 4 carry
+    * a one-frame-TRIMMED copy of doc_id−4's container (frames 1..nf−1,
+    * same seeds) — the re-cut duplicate a whole-media hash can never
+    * match. Other docs keep raw text payloads → the portable-md5 stub
+    * frame hashes.
+    */
+  private def videoFixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val alphabet = (48 until 112).map(_.toChar).mkString
+    def seed(tag: String) =
+      graft.operators.Dedup.portableHash64(
+        concat(lit(tag + ":"), col("k"))) % 1000003L
+    def lumaChar(f: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
+      val m = (col("s1") * (i + 1) + col("s2") * (i + 1) * (i + 3) +
+        col("s3") * (f + 1) * (i + 2) + f * 13) % 64
+      lit(alphabet).substr((m + 1).cast("int"), lit(1))
+    }
+    val frameStr = (f: org.apache.spark.sql.Column) => concat(lit("FRAME\n"),
+      array_join(transform(sequence(lit(0), lit(31)), i => lumaChar(f, i)), ""))
+    val withSeeds = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 8 === 4, col("doc_id") - 4)
+          .otherwise(col("doc_id")).as("k"),
+        when(col("doc_id") % 8 === 4, lit(1)).otherwise(lit(0)).as("trim"))
+      .withColumn("nf", (lit(4) + col("k") % 3).cast("int"))
+      .withColumn("s1", seed("vs1"))
+      .withColumn("s2", seed("vs2"))
+      .withColumn("s3", seed("vs3"))
+    val y4m = concat(lit("YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n"),
+      array_join(transform(
+        sequence(col("trim"), col("nf") - 1), frameStr), ""))
+    Multimodal.fromBinary(
+      withSeeds.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, y4m).otherwise(col("text")).as("p")),
+      "doc_id", "p", "video")
+  }
+
+  /** Shared oracle CTE chain replaying [[videoFixture]] +
+    * [[Multimodal.videoFingerprints]] in pure integer SQL: regenerate
+    * the pixel formula (never parse binary), cell sums over 2-byte
+    * bands, aHash bits by the cross-multiplied `cs·16 > tot` compare,
+    * stub rows by the md5 scheme. Ends with
+    * `allvf(media_id, is_real, n_frames, frame_idx, fhash)`.
+    */
+  private val videoFpPrefixSql: String =
+    """WITH vd AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 8 = 4 THEN doc_id - 4 ELSE doc_id END AS k,
+      |         CASE WHEN doc_id % 8 = 4 THEN 1 ELSE 0 END AS trim
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |vs AS MATERIALIZED (
+      |  SELECT doc_id, k, trim, 4 + k % 3 AS nf,
+      |         ('0x'||substr(md5('vs1:' || k),1,15))::BIGINT % 1000003 AS s1,
+      |         ('0x'||substr(md5('vs2:' || k),1,15))::BIGINT % 1000003 AS s2,
+      |         ('0x'||substr(md5('vs3:' || k),1,15))::BIGINT % 1000003 AS s3
+      |  FROM vd),
+      |vfr AS (SELECT doc_id, trim, nf, s1, s2, s3,
+      |          CAST(unnest(range(trim, nf)) AS BIGINT) AS fabs FROM vs),
+      |vpx AS (SELECT doc_id, trim, nf, fabs, s1, s2, s3,
+      |          CAST(unnest(range(0, 32)) AS BIGINT) AS i FROM vfr),
+      |vcell AS MATERIALIZED (
+      |  SELECT doc_id, trim, nf, fabs, i // 2 AS c,
+      |         CAST(sum(48 + (s1*(i+1) + s2*(i+1)*(i+3)
+      |           + s3*(fabs+1)*(i+2) + fabs*13) % 64) AS BIGINT) AS cs
+      |  FROM vpx GROUP BY 1, 2, 3, 4, 5),
+      |vtot AS (SELECT doc_id, fabs, CAST(sum(cs) AS BIGINT) AS tot
+      |         FROM vcell GROUP BY 1, 2),
+      |realvf AS MATERIALIZED (
+      |  SELECT vcell.doc_id AS media_id, TRUE AS is_real,
+      |         CAST(min(nf) - min(trim) AS BIGINT) AS n_frames,
+      |         CAST(vcell.fabs - min(trim) AS INT) AS frame_idx,
+      |         CAST(sum(CASE WHEN cs * 16 > tot THEN 1::BIGINT << c ELSE 0 END)
+      |           AS BIGINT) AS fhash
+      |  FROM vcell JOIN vtot ON vtot.doc_id = vcell.doc_id
+      |    AND vtot.fabs = vcell.fabs
+      |  GROUP BY vcell.doc_id, vcell.fabs),
+      |stubvf AS (
+      |  SELECT d.doc_id AS media_id, FALSE AS is_real,
+      |         CAST(4 AS BIGINT) AS n_frames, CAST(f AS INT) AS frame_idx,
+      |         ('0x'||substr(md5(d.text || ':vh' || f),1,15))::BIGINT
+      |           % 65536 AS fhash
+      |  FROM documents d CROSS JOIN range(0, 4) t(f)
+      |  WHERE d.doc_id % 4 <> 0),
+      |allvf AS MATERIALIZED (
+      |  SELECT * FROM realvf UNION ALL SELECT * FROM stubvf)""".stripMargin
 
   /** Shared oracle CTE chain replaying [[audioFixture]] +
     * [[Multimodal.audioFingerprints]] in pure integer SQL: regenerate
@@ -4268,6 +4378,22 @@ object SparkEntry {
         |       CAST(b.win_idx - a.win_idx AS INT) AS offset_w,
         |       CAST(count(*) AS BIGINT) AS n_match
         |FROM f a JOIN f b ON a.fhash = b.fhash AND a.media_id < b.media_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin),
+    // video_fingerprint: the per-frame integer aHash replay from the pixel
+    // FORMULA (never binary parsing) — see videoFpPrefixSql
+    "video_fingerprint" -> (videoFpPrefixSql +
+      "\nSELECT media_id, is_real, n_frames, frame_idx, fhash FROM allvf"),
+    // video_dup_pairs: banded matching replay — same fingerprint chain,
+    // then the bucket-capped self-join grouped by (pair, frame delta)
+    "video_dup_pairs" -> (videoFpPrefixSql +
+      """,
+        |okh AS (SELECT fhash FROM allvf GROUP BY fhash HAVING count(*) <= 1024),
+        |ff AS MATERIALIZED (SELECT allvf.media_id, allvf.frame_idx, allvf.fhash
+        |                    FROM allvf JOIN okh USING (fhash))
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(b.frame_idx - a.frame_idx AS INT) AS offset_f,
+        |       CAST(count(*) AS BIGINT) AS n_match
+        |FROM ff a JOIN ff b ON a.fhash = b.fhash AND a.media_id < b.media_id
         |GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin),
     // ── sketch-variant bound checks: the sketches themselves (HLL,
     // approx_percentile KLL, xxhash64 simhash/quantize digests) have no

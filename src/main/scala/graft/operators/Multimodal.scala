@@ -660,6 +660,164 @@ object Multimodal {
       }
     }
 
+    /** Shared aHash bit rule over unequal cells, all-integer: bit `c` is
+      * set iff the cell's luminance EXCEEDS its pro-rata share of the
+      * frame total — `cellSum·nPix > total·cellCnt`, cross-multiplied so
+      * no division (and no float mean) can flip a borderline bit between
+      * engines. With equal cells this reduces to the textbook
+      * `cellSum·cells > total` average-hash compare.
+      */
+    private def aHashBits(cellSum: Array[Long], cellCnt: Array[Long],
+        nPix: Long): Long = {
+      var total = 0L
+      var c = 0
+      while (c < cellSum.length) { total += cellSum(c); c += 1 }
+      var h = 0L
+      c = 0
+      while (c < cellSum.length) {
+        if (cellSum(c) * nPix > total * cellCnt(c)) h |= 1L << c
+        c += 1
+      }
+      h
+    }
+
+    /** REAL per-frame aHash sequence for the containers this JDK decodes
+      * — the temporal fingerprint [[videoFrames]]' single mean-luma
+      * samples cannot provide. EVERY frame (no sampling: a fingerprint
+      * is a sequence) yields one `cells`-bit spatial average-hash over
+      * contiguous luma bands (cell of pixel `p` = `p·cells div nPix` —
+      * row bands in row-major order), bits by the exact integer
+      * [[aHashBits]] rule:
+      *
+      *  - Y4M: cell sums are raw Y-plane byte sums — structural parse,
+      *    zero decode cost beyond reading the plane;
+      *  - MJPEG: every frame decodes via `javax.imageio`, per-pixel luma
+      *    in Rec.601 integer weights (299/587/114 — the scale cancels in
+      *    the cross-multiplied compare).
+      *
+      * Returns `(container, nFrames, hashes)` or null for anything else
+      * (compressed video, garbage) — callers fall back to
+      * [[stubVideoHashes]], the [[decode]] quarantine contract.
+      */
+    def videoFrameHashes(payload: Array[Byte], cells: Int = 16): (String, Int, Seq[Long]) =
+      try {
+        if (looksLikeY4m(payload)) y4mFrameHashes(payload, cells)
+        else if (looksLikeJpegSoi(payload, 0)) mjpegFrameHashes(payload, cells)
+        else null
+      } catch { case scala.util.control.NonFatal(_) => null }
+
+    private def y4mFrameHashes(p: Array[Byte], cells: Int): (String, Int, Seq[Long]) = {
+      var i = 0
+      while (i < p.length && p(i) != '\n') i += 1
+      if (i >= p.length) return null
+      val header = new String(p, 0, i, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var w = 0
+      var h = 0
+      var cs = "420"
+      header.split(" ").drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.tail.toInt
+          case 'H' => h = t.tail.toInt
+          case 'C' => cs = t.tail
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0) return null
+      val ySize = w * h
+      if (ySize < cells) return null // degenerate: fewer pixels than cells
+      val frameSize =
+        if (cs.startsWith("mono")) ySize
+        else if (cs.startsWith("444")) ySize * 3
+        else if (cs.startsWith("422")) ySize * 2
+        else ySize * 3 / 2 // 420 family
+      val cellSum = new Array[Long](cells)
+      val cellCnt = new Array[Long](cells)
+      var j = 0
+      while (j < ySize) { cellCnt(j * cells / ySize) += 1; j += 1 }
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = i + 1
+      var ok = true
+      while (ok && pos < p.length) {
+        val lineStart = pos
+        while (pos < p.length && p(pos) != '\n') pos += 1
+        val line = new String(p, lineStart,
+          math.min(5, pos - lineStart), java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (pos >= p.length || !line.startsWith("FRAME") ||
+          pos + 1 + frameSize > p.length) ok = false // truncated/garbage tail
+        else {
+          pos += 1
+          java.util.Arrays.fill(cellSum, 0L)
+          j = 0
+          while (j < ySize) {
+            cellSum(j * cells / ySize) += p(pos + j) & 0xff
+            j += 1
+          }
+          hashes += aHashBits(cellSum, cellCnt, ySize.toLong)
+          pos += frameSize
+        }
+      }
+      if (hashes.isEmpty) null else ("y4m", hashes.length, hashes.toSeq)
+    }
+
+    private def mjpegFrameHashes(p: Array[Byte], cells: Int): (String, Int, Seq[Long]) = {
+      val sois = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + 1 < p.length) {
+        if (looksLikeJpegSoi(p, i)) {
+          val e = jpegEnd(p, i)
+          if (e < 0) return null
+          sois += i
+          ends += e
+          i = e
+        } else i += 1
+      }
+      if (sois.isEmpty) return null
+      val hashes = new Array[Long](sois.length)
+      var f = 0
+      while (f < sois.length) {
+        val img = readImage(java.util.Arrays.copyOfRange(p, sois(f), ends(f)))
+        if (img == null) return null // one poison frame → whole payload stubs
+        val nPix = img.getWidth.toLong * img.getHeight
+        if (nPix < cells) return null
+        val cellSum = new Array[Long](cells)
+        val cellCnt = new Array[Long](cells)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            val c = ((y.toLong * img.getWidth + x) * cells / nPix).toInt
+            cellSum(c) += luma
+            cellCnt(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        hashes(f) = aHashBits(cellSum, cellCnt, nPix)
+        f += 1
+      }
+      ("mjpeg", sois.length, hashes.toSeq)
+    }
+
+    /** STUB pseudo-frame hashes for payloads [[videoFrameHashes]] cannot
+      * decode: frame `f` is `md5_60bit(payload ++ ":vh" ++ f) % 65536`
+      * (DuckDB: `('0x'||substr(md5(s || ':vh' || f),1,15))::BIGINT %
+      * 65536`) — the hash space of a 16-cell aHash, one digest-state
+      * clone per frame like [[stubFrameLumas]].
+      */
+    def stubVideoHashes(payload: Array[Byte], nFrames: Int): Seq[Long] = {
+      val base = java.security.MessageDigest.getInstance("MD5")
+      if (payload != null) base.update(payload)
+      (0 until nFrames).map { f =>
+        val md = base.clone().asInstanceOf[java.security.MessageDigest]
+        md.update((":vh" + f).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.functions.PortableMd5.fromDigest(md.digest()) % 65536L
+      }
+    }
+
     /** Header-level duration probe for COMPRESSED formats this environment
       * cannot decode — routing metadata without a codec: an mp3/mp4
       * payload headed for a codec-equipped cluster can still be
@@ -1028,6 +1186,93 @@ object Multimodal {
       .where(col("media_a") < col("media_b"))
       .groupBy(col("media_a"), col("media_b"),
         (col("wb") - col("wa")).as("offset_w"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
+  }
+
+  /** Time-localized VIDEO fingerprint stage — the temporal complement of
+    * [[perceptualHash]]'s one whole-media hash: one output row per FRAME
+    * per media row ([[MediaCodec.videoFrameHashes]] — a `cells`-bit
+    * spatial average-hash per frame over the real y4m/MJPEG decode,
+    * integer cross-multiplied bits). A trimmed or re-cut duplicate — the
+    * common crawl case a single whole-clip hash can never match — keeps
+    * its per-frame hashes intact, so it pairs with the original at one
+    * consistent frame DELTA ([[videoDupPairs]]). Payloads without a
+    * decodable container emit `stubFrames` deterministic md5
+    * pseudo-hashes ([[MediaCodec.stubVideoHashes]]), keeping the stage
+    * hash-checkable end to end — the [[extractFeatures]] quarantine
+    * contract.
+    *
+    * Output: `(media_id, is_real, n_frames, frame_idx, fhash)`.
+    *
+    * Scale shape: row-local flatMap at the `mapPartitions` codec boundary
+    * (per-partition codec init, payloads never shuffle); output is
+    * ~24 bytes × frames per payload — the index a 100 TB video archive
+    * stores instead of re-decoding.
+    */
+  def videoFingerprints(media: DataFrame, cells: Int = 16,
+      stubFrames: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_real", BooleanType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val v = MediaCodec.videoFrameHashes(payload, cells)
+        if (v != null) {
+          val (_, nFrames, hashes) = v
+          hashes.zipWithIndex.map { case (h, f) =>
+            Row(id, true, nFrames.toLong, f, h)
+          }
+        } else MediaCodec.stubVideoHashes(payload, stubFrames).zipWithIndex.map {
+          case (h, f) => Row(id, false, stubFrames.toLong, f, h)
+        }
+      }
+    }
+  }
+
+  /** Banded video-duplicate matching over [[videoFingerprints]] — the
+    * [[audioDupPairs]] shape on the frame decode: two media rows pair
+    * when ≥ `minMatch` of their frames share an aHash at the same frame
+    * delta, `(media_a, media_b, offset_f, n_match)` with
+    * `media_a < media_b` — which is exactly how a trimmed/re-cut clip
+    * matches its original while the whole-media [[phashDupCounts]] hash
+    * misses it.
+    *
+    * Scale shape: the fingerprint frame (no payloads) persists behind a
+    * count barrier so decode runs once; matching is a self-join BLOCKED
+    * on the frame hash. Degenerate hashes (black frames, test cards —
+    * the video stop-words) would square their buckets, so buckets over
+    * `maxBucket` are dropped before the join (declared recall trade,
+    * same as the text stop-shingle cap); surviving buckets bound the
+    * join at `maxBucket²/2` pairs each, and the (a, b, delta) count is
+    * one map-side-combinable aggregate.
+    */
+  def videoDupPairs(media: DataFrame, minMatch: Int = 3, cells: Int = 16,
+      stubFrames: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val fp = videoFingerprints(media, cells, stubFrames)
+      .select("media_id", "frame_idx", "fhash").persist()
+    fp.count() // barrier: one decode pass; only the tiny hash frame pins
+    graft.plans.ReleaseRegistry.register("multimodal.video_dup_pairs")(
+      () => fp.unpersist(blocking = false))
+    val ok = fp.groupBy("fhash").agg(count(lit(1)).as("nb"))
+      .where(col("nb") <= maxBucket).select("fhash")
+    val f = fp.join(ok, Seq("fhash")) // AQE broadcasts when small
+    val a = f.select(col("fhash"), col("media_id").as("media_a"),
+      col("frame_idx").as("fa"))
+    val b = f.select(col("fhash"), col("media_id").as("media_b"),
+      col("frame_idx").as("fb"))
+    a.join(b, Seq("fhash"))
+      .where(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"),
+        (col("fb") - col("fa")).as("offset_f"))
       .agg(count(lit(1)).as("n_match"))
       .where(col("n_match") >= minMatch)
   }

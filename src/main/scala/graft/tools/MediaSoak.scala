@@ -30,11 +30,18 @@ import graft.operators.Multimodal
   * (override via SPARK_GRAFT_MEDIA_RECALL_FLOOR) — a banding or hash
   * regression fails the soak loudly. Results belong in tools/PLANS.md.
   *
+  * Round 14 adds the VIDEO leg — the same family construction on the
+  * frame decode: `nBase` base y4m clips (8 frames of md5-digest pixel
+  * bytes) × `copies` variants trimmed by whole FRAMES, measured through
+  * [[Multimodal.videoFingerprints]] / [[Multimodal.videoDupPairs]] with
+  * the same recall/false-pair floors and growth ratio.
+  *
   * Usage: `[SPARK_GRAFT_MEDIA_BASES=400] [SPARK_GRAFT_SOAK_COPIES=5]
   * sbt "runMain graft.tools.MediaSoak"`.
   */
 object MediaSoak {
   private val NW = 8 // fingerprint windows per base signal
+  private val NF = 8 // frames per base video clip
 
   /** Variant `trim` of family `fam` = the base signal with `trim` whole
     * windows cut from the front. Samples are md5-derived (NOT the
@@ -48,6 +55,23 @@ object MediaSoak {
     Multimodal.MediaCodec.wavPcm16(Array.tabulate(frames)(t =>
       (graft.functions.PortableMd5.hash64(
         s"ms:$fam:${t + off}".getBytes("UTF-8")) % 4001L - 2000L).toShort))
+  }
+
+  /** Variant `trim` of video family `fam` = the base 8-frame y4m clip
+    * (8×4 Cmono; frame pixels are md5 DIGEST bytes keyed by
+    * (fam, absolute frame) — distinct across families by construction,
+    * so any cross-family pair the matcher reports is a hash-
+    * discrimination failure) with `trim` whole frames cut from the
+    * front.
+    */
+  private def y4mFor(fam: Long, trim: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = (trim until NF).toArray.flatMap { f =>
+      "FRAME\n".getBytes("ISO-8859-1") ++
+        md.digest(s"mv:$fam:$f:0".getBytes("UTF-8")) ++
+        md.digest(s"mv:$fam:$f:1".getBytes("UTF-8"))
+    }
+    "YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++ frames
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,13 +155,74 @@ object MediaSoak {
       dpWall
     }
 
+    val y4mUdf = udf((fam: Long, trim: Int) => y4mFor(fam, trim))
+
+    def vcorpus(nBase: Int): DataFrame = {
+      val fams = spark.range(nBase).toDF("fam")
+        .crossJoin(spark.range(copies).toDF("c"))
+        .select((col("fam") * 100 + col("c")).as("media_id"),
+          y4mUdf(col("fam"), col("c").cast("int")).as("p"))
+      val stubs = spark.range(nBase).toDF("i")
+        .select((col("i") + 10000000L).as("media_id"),
+          concat(lit("not video payload "), col("i").cast("string"))
+            .cast("binary").as("p"))
+      Multimodal.fromBinary(fams.unionByName(stubs), "media_id", "p", "video")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    // video truth: copy c keeps frames c..NF−1, so pair (c1 < c2)
+    // matches at delta c1 − c2 with NF − c2 shared frames (no window-0
+    // seed loss — every frame hashes)
+    def videoExpectedPairs(nBase: Int): Long = {
+      var perFam = 0L
+      for (c1 <- 0 until copies; c2 <- c1 + 1 until copies)
+        if (NF - c2 >= minMatch) perFam += 1
+      nBase.toLong * perFam
+    }
+
+    def vleg(name: String, nBase: Int): Double = {
+      val media = vcorpus(nBase).persist()
+      media.count()
+      val (_, fp) = timed(s"${name}_fingerprints")(
+        Multimodal.videoFingerprints(media))
+      fp.unpersist(blocking = false)
+      val (dpWall, pairs) = timed(s"${name}_dup_pairs")(
+        Multimodal.videoDupPairs(media, minMatch = minMatch))
+      val famPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L)
+        .persist()
+      val sameFam = expr("(media_a div 100) = (media_b div 100)")
+      val truePairs = famPairs
+        .where(sameFam && col("offset_f") ===
+          (col("media_a") % 100 - col("media_b") % 100).cast("int"))
+        .count()
+      val falsePairs = famPairs.where(!sameFam).count()
+      famPairs.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      media.unpersist(blocking = false)
+      val expected = videoExpectedPairs(nBase)
+      val recall = truePairs.toDouble / expected
+      println(f"SOAK|${name}_recall|true=$truePairs/$expected|recall=$recall%.4f" +
+        f"|cross_family_pairs=$falsePairs")
+      require(recall >= recallFloor,
+        f"MEDIA RECALL REGRESSION: $name recall $recall%.4f < floor $recallFloor")
+      require(falsePairs == 0,
+        s"MEDIA DISCRIMINATION REGRESSION: $falsePairs cross-family pairs")
+      dpWall
+    }
+
     // untimed warmup
     Multimodal.audioFingerprints(corpus(8)).count()
+    Multimodal.videoFingerprints(vcorpus(8)).count()
     graft.plans.ReleaseRegistry.drain()
 
     val w1 = leg("media_1x", bases)
     val w10 = leg("media_10x", bases * 10)
     println(f"SOAK|growth|pairs_wall_10x/1x=${w10 / w1}%.2f (10x rows; " +
+      "sub-quadratic expected)")
+    val v1 = vleg("video_1x", bases)
+    val v10 = vleg("video_10x", bases * 10)
+    println(f"SOAK|video_growth|pairs_wall_10x/1x=${v10 / v1}%.2f (10x rows; " +
       "sub-quadratic expected)")
     spark.stop()
   }

@@ -485,6 +485,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq(stub._3, stub._4, stub._5, stub._6, stub._7) === want)
   }
 
+  // 8x4 Cmono y4m builder for the temporal-fingerprint tests: one byte
+  // function per (frame, pixel), all frames complete
+  private def y4m(frames: Seq[Int => Int]): Array[Byte] =
+    "YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => "FRAME\n".getBytes("ISO-8859-1") ++
+        (0 until 32).map(i => f(i).toByte)).toArray
+
+  test("videoFingerprints: per-frame aHash bits match the hand-computed " +
+    "integer rule; stub path replays the portable md5 contract") {
+    // frame: bright first half (cells 0..7), dark second half → the
+    // exact cross-multiplied compare sets exactly the low 8 bits
+    val half = (i: Int) => if (i < 16) 200 else 10
+    val p = y4m(Seq(half))
+    val text = "definitely not video".getBytes("UTF-8")
+    val got = Multimodal.videoFingerprints(Multimodal.fromBinary(
+      Seq((1L, p), (2L, text)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, Boolean, Long, Int, Long)].collect().toSeq
+    val real = got.filter(_._1 == 1L)
+    assert(real === Seq((1L, true, 1L, 0, 255L)), s"got $real")
+    val stub = got.filter(_._1 == 2L).sortBy(_._4)
+    val want = (0 until 4).map(f => graft.functions.PortableMd5.hash64(
+      text ++ s":vh$f".getBytes("UTF-8")) % 65536L)
+    assert(stub.map(_._5) === want)
+    assert(stub.forall(r => !r._2 && r._3 == 4L))
+  }
+
+  test("videoDupPairs: a frame-trimmed duplicate pairs at one consistent " +
+    "delta; unrelated clips do not pair") {
+    // 5 distinct frames; the trimmed copy drops frame 0 — its frame j
+    // equals the base's frame j+1, so hashes match at delta −1
+    def pix(f: Int)(i: Int): Int = (f * 37 + i * i * 7 + f * i * 3) % 251
+    val baseFrames = (0 until 5).map(f => pix(f) _)
+    val base = y4m(baseFrames)
+    val trimmed = y4m(baseFrames.drop(1))
+    val other = y4m((0 until 5).map(f => pix(f + 11) _))
+    val pairs = Multimodal.videoDupPairs(Multimodal.fromBinary(
+      Seq((1L, base), (2L, trimmed), (3L, other)).toDF("id", "bytes"),
+      "id", "bytes", "video"), minMatch = 3)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(pairs.contains((1L, 2L, -1, 4L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip must not pair: $pairs")
+  }
+
+  test("videoFrameHashes: mjpeg decodes EVERY frame — identical frames " +
+    "hash equal, a contrasting frame differs") {
+    import graft.operators.Multimodal.MediaCodec
+    def jpeg(topGray: Int, bottomGray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = if (y < 4) topGray else bottomGray
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val a = jpeg(220, 20)
+    val b = jpeg(20, 220) // inverted bands → complementary hash bits
+    val got = MediaCodec.videoFrameHashes(a ++ a ++ b, cells = 16)
+    assert(got != null)
+    val (container, n, hashes) = got
+    assert(container === "mjpeg" && n === 3 && hashes.length === 3)
+    assert(hashes(0) === hashes(1), s"identical frames must collide: $hashes")
+    assert(hashes(0) !== hashes(2), s"contrasting frame must differ: $hashes")
+    // top-bright 8x8 over 16 cells = pixels 0..31 bright → low 8 bits
+    assert(hashes(0) === 255L, s"hand-computed band hash: $hashes")
+  }
+
   test("mjpeg marker walk: a thumbnail SOI nested in APP1 is not a frame") {
     def jpeg(gray: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(8, 8,
