@@ -267,6 +267,11 @@ object SparkEntry {
     // pieces-per-word / chars-per-piece by language under the SAME
     // trained vocab — integer ppm with truncating div
     "unigram_fertility" -> ((s, d) => TextOps.unigramFertility(Tables.documents(s, d))),
+    // WordPiece-rule greedy longest-match encoding over the SAME trained
+    // vocab — the tokenizer surface's third leg (BPE / unigram Viterbi /
+    // greedy longest-match); score-free, so the encode replays as pure
+    // string matching
+    "wordpiece_tokens" -> ((s, d) => TextOps.wordpieceTokens(Tables.documents(s, d))),
     // token_budget_fill with the budget in REAL tokens: the corpus's own
     // 8-merge BPE table encodes every doc row-locally before the fill
     "token_budget_fill_bpe" -> ((s, d) =>
@@ -1008,6 +1013,46 @@ object SparkEntry {
     }
     sb.append((1 to L).map(j => s"SELECT word, cnt, path FROM $p$j WHERE len = $j")
       .mkString(s"${p}fin AS MATERIALIZED (\n  ", "\n  UNION ALL ", ")"))
+    sb.toString
+  }
+
+  /** Unrolled greedy longest-match chain for the WordPiece oracle: CTEs
+    * `{p}0 … {p}L` hold (word, len, pos, ntok) — characters consumed and
+    * tokens emitted so far. Each step advances every in-progress word by
+    * its LONGEST matching `vocab` piece at `pos` (a join on
+    * piece = substr(word, pos+1, length(piece)), then max(length)); a
+    * word with NO match at `pos` collapses to `ntok = 1` — canonical
+    * WordPiece [UNK] semantics, matching the native
+    * [[graft.functions.WordPieceSegment]]. Every advance consumes ≥ 1
+    * character, so `L = maxWordLen` steps suffice; `{p}fin` is the
+    * finished (word, ntok) table.
+    */
+  private def wordpieceCtes(p: String, vocab: String, srcWords: String,
+      L: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"${p}0 AS (SELECT word, length(word) AS len,\n" +
+      s"  CAST(0 AS INT) AS pos, CAST(0 AS BIGINT) AS ntok FROM $srcWords),\n")
+    for (j <- 1 to L) {
+      sb.append(
+        s"""$p$j AS MATERIALIZED (
+           |  SELECT word, len, pos, ntok FROM $p${j - 1} WHERE pos >= len
+           |  UNION ALL
+           |  SELECT u.word, u.len,
+           |         CAST(u.pos + max(length(v.piece)) AS INT) AS pos,
+           |         u.ntok + 1 AS ntok
+           |  FROM $p${j - 1} u JOIN $vocab v
+           |    ON v.piece = substr(u.word, u.pos + 1, length(v.piece))
+           |  WHERE u.pos < u.len
+           |  GROUP BY u.word, u.len, u.pos, u.ntok
+           |  UNION ALL
+           |  SELECT u.word, u.len, u.len AS pos, CAST(1 AS BIGINT) AS ntok
+           |  FROM $p${j - 1} u
+           |  WHERE u.pos < u.len AND NOT EXISTS (
+           |    SELECT 1 FROM $vocab v
+           |    WHERE v.piece = substr(u.word, u.pos + 1, length(v.piece)))),
+           |""".stripMargin)
+    }
+    sb.append(s"${p}fin AS MATERIALIZED (SELECT word, ntok FROM $p$L)")
     sb.toString
   }
 
@@ -3111,6 +3156,24 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(sum(x.wtok), 0) AS BIGINT) AS uni_tok
         |FROM documents d LEFT JOIN (
         |  SELECT w2.doc_id, wt.wtok FROM w2 JOIN wt USING (word)) x
+        |  ON d.doc_id = x.doc_id
+        |GROUP BY d.doc_id""".stripMargin),
+    // wordpiece_tokens: greedy longest-match encode over the SAME
+    // trained v1 vocab (unigramPrefixSql), unrolled one CTE per
+    // character position — see wordpieceCtes; per-doc sums mirror
+    // unigram_tokens
+    "wordpiece_tokens" -> (unigramPrefixSql +
+      s""",
+        |${wordpieceCtes("g", "v1", "uwc", UniWordLen)},
+        |w3 AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' AND length(word) <= $UniWordLen
+        |    AND NOT contains(word, chr(1))),
+        |gt AS (SELECT word, CAST(ntok AS BIGINT) AS wtok FROM gfin)
+        |SELECT d.doc_id, CAST(coalesce(sum(x.wtok), 0) AS BIGINT) AS wp_tok
+        |FROM documents d LEFT JOIN (
+        |  SELECT w3.doc_id, gt.wtok FROM w3 JOIN gt USING (word)) x
         |  ON d.doc_id = x.doc_id
         |GROUP BY d.doc_id""".stripMargin),
     // the same 8 winners applied to every document word (nested

@@ -170,6 +170,84 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
     copy(child = newChild)
 }
 
+/** Native greedy longest-match-first segmentation (the WordPiece
+  * inference rule — Devlin et al. 2019, the tokenizer shape
+  * BERT/T5-lineage pipelines run at encode time): at each position take
+  * the LONGEST vocabulary piece that prefixes the remainder; if no piece
+  * (not even a single character) matches, the WHOLE word collapses to
+  * one `[UNK]` token — canonical WordPiece failure semantics. No scores
+  * anywhere, so the segmentation is a pure function of (word, vocab
+  * set) and an external SQL engine replays it with an unrolled
+  * advance-by-longest-match chain (at most one step per character).
+  *
+  * Contrast with [[UnigramSegment]]: same vocab, different rule —
+  * greedy local longest-match vs global Viterbi argmax. Both ride the
+  * vocabulary-bounded distinct-word table as `CodegenFallback`
+  * expressions with the vocab as tokenizer-sized literal configuration.
+  * Code points are full units, so piece lengths agree with SQL
+  * `length()`.
+  */
+case class WordPieceSegment(child: Expression, vocab: Seq[String],
+    maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_segment"
+
+  @transient private lazy val pieces: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code-point boundaries, as in [[UnigramSegment]]
+    val n = s.codePointCount(0, s.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      offs(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    offs(n) = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var p = 0
+    while (p < n) {
+      var l = math.min(maxPieceLen, n - p)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand = s.substring(offs(p), offs(p + l))
+        if (pieces.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit == null)
+        // canonical WordPiece: any unmatched position voids the whole
+        // word — one [UNK], never a partial segmentation
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](UTF8String.fromString(WordPieceSegment.Unk)))
+      out += UTF8String.fromString(hit)
+      p += l
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordPieceSegment {
+  val Unk = "[UNK]"
+}
+
 object TextFunctions {
   /** BPE token count of `word` under `merges` (rank order) — see
     * [[BpeTokenCount]].
@@ -184,4 +262,12 @@ object TextFunctions {
       maxPieceLen: Int = 4): Column =
     ColumnBridge.column(
       UnigramSegment(ColumnBridge.expression(word), vocab, maxPieceLen))
+
+  /** Greedy longest-match-first (WordPiece-rule) segmentation of `word`
+    * under a vocabulary set — see [[WordPieceSegment]].
+    */
+  def wordpieceSegment(word: Column, vocab: Seq[String],
+      maxPieceLen: Int = 4): Column =
+    ColumnBridge.column(
+      WordPieceSegment(ColumnBridge.expression(word), vocab, maxPieceLen))
 }

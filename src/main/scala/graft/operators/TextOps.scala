@@ -1866,6 +1866,48 @@ object TextOps {
       .agg(sum(coalesce(col("wtok"), lit(0L))).as("uni_tok"))
   }
 
+  /** WordPiece-rule encoding — the tokenizer surface's third leg next to
+    * BPE ([[applyBpe]]) and unigram Viterbi ([[unigramTokens]]): greedy
+    * longest-match-first segmentation (Devlin et al. 2019's inference
+    * rule) of every document against the corpus's own unigram-trained
+    * vocabulary, returning per-document REAL token counts
+    * `(doc_id, wp_tok)`. A word with an unmatchable position collapses
+    * to one `[UNK]` token (canonical WordPiece; untriggerable when the
+    * vocab was seeded from this corpus, since seeding keeps every
+    * observed char — the spec constructs the failure explicitly).
+    *
+    * Training is [[unigramEm]]'s seed → EM → prune (shared, so the
+    * shipped vocab is identical across all three encoders); encoding is
+    * score-free greedy matching, so the whole run — training AND
+    * encoding — replays in an external SQL engine as integer/string
+    * comparisons with no float anywhere in the encode path.
+    *
+    * Scale shape: [[unigramTokens]]' distinct-word discipline verbatim —
+    * the corpus explodes to narrow (doc, word) rows, the
+    * vocabulary-bounded distinct-word table greedy-segments ONCE per
+    * unique word (native [[graft.functions.WordPieceSegment]], one JVM
+    * scan per word), and counts join back for a per-doc sum. Words
+    * longer than `maxWordLen` or carrying the internal sentinel are
+    * excluded (the trainer's own filter); docs with no countable words
+    * keep a 0 row via the outer explode.
+    */
+  def wordpieceTokens(docs: DataFrame, seedMulti: Int = 40,
+      keepMulti: Int = 20, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val (lp1, _) = unigramEm(docs, seedMulti, keepMulti, maxPieceLen, maxWordLen)
+    val vocab = lp1.map(_._1)
+    val words = docs.select(col("doc_id"),
+      explode_outer(filter(split(col("text"), "\\s+"),
+        x => x =!= "" && !x.contains(BpeSep) && length(x) <= maxWordLen))
+        .as("word"))
+    val wtok = words.select("word").where(col("word").isNotNull).distinct()
+      .select(col("word"), size(graft.functions.TextFunctions.wordpieceSegment(
+        col("word"), vocab, maxPieceLen)).cast("long").as("wtok"))
+    words.join(wtok, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wtok"), lit(0L))).as("wp_tok"))
+  }
+
   /** Trained-tokenizer fertility by language — pieces-per-word and
     * chars-per-piece under the corpus's own [[unigramVocab]] (where
     * [[langFertility]] profiles the fixed regex tokenizer): the numbers

@@ -971,6 +971,80 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceSegment property sweep: 300 random words match the " +
+    "independent greedy longest-match reference, incl. [UNK] collapse") {
+    val rnd = new scala.util.Random(44)
+    // 'd' appears in words but never in the vocab — so some words
+    // exercise the whole-word [UNK] collapse, not just the happy path
+    val alphabet = "abcd"
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(4))).mkString
+    val vocab = Seq("a", "b", "c", "ab", "bc", "ca", "abc", "bca", "abca")
+    val vset = vocab.toSet
+    def reference(w: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = 0
+      while (p < w.length) {
+        val l = (math.min(4, w.length - p) to 1 by -1)
+          .find(l => vset.contains(w.substring(p, p + l)))
+        l match {
+          case Some(n) => out += w.substring(p, p + n); p += n
+          case None => return List("[UNK]")
+        }
+      }
+      out.toList
+    }
+    val words = Seq.fill(300)(randWord())
+    val got = words.toDF("w")
+      .select(graft.functions.TextFunctions.wordpieceSegment($"w", vocab, 4).as("p"))
+      .as[Seq[String]].collect().toSeq
+    words.zip(got).foreach { case (w, g) =>
+      assert(g.toList === reference(w), s"word $w: native $g vs reference")
+      if (!w.contains('d'))
+        assert(g.mkString === w, s"segmentation must tile the word: $w -> $g")
+    }
+  }
+
+  test("wordpieceSegment: greedy longest-match rule differs from Viterbi " +
+    "where greed is suboptimal, and supplementary-plane chars count as one") {
+    // vocab where greedy 'ab' + UNKless single chars beats nothing, but
+    // Viterbi would pick a|bc (higher total score) — greedy must take ab|c
+    val vocab = Seq("a", "b", "c", "ab", "bc")
+    val got = Seq("abc").toDF("w")
+      .select(graft.functions.TextFunctions.wordpieceSegment($"w", vocab, 4).as("p"))
+      .as[Seq[String]].head()
+    assert(got === Seq("ab", "c"))
+    // one astral code point = one unit: a 2-surrogate char in the vocab
+    // matches as a single-length piece
+    val astral = new String(Character.toChars(0x1F600))
+    val got2 = Seq(astral + "a").toDF("w")
+      .select(graft.functions.TextFunctions.wordpieceSegment(
+        $"w", Seq(astral, "a"), 4).as("p"))
+      .as[Seq[String]].head()
+    assert(got2 === Seq(astral, "a"))
+  }
+
+  test("wordpieceTokens: per-doc greedy counts on a tiny corpus, " +
+    "hand-checked against the trained vocab") {
+    val d = Seq(
+      (1L, "abab abab abab cd"),
+      (2L, "abab cd cd"),
+      (3L, "ab xy")
+    ).toDF("doc_id", "text")
+    val got = TextOps.wordpieceTokens(d, seedMulti = 8, keepMulti = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    // the trained vocab keeps every observed char, so no [UNK]; counts
+    // are positive and bounded by char counts
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.forall(_ >= 1))
+    assert(got(1L) <= 14 && got(2L) <= 8 && got(3L) <= 4)
+    // doc 3 ("ab" + "xy"): 'ab' merges iff trained vocab kept the piece;
+    // either way xy segments as two chars unless 'xy' was kept — the
+    // count is between 2 (both merged) and 4 (all chars)
+    assert(got(3L) >= 2 && got(3L) <= 4)
+  }
+
   test("unigramEm: alphabet guard fails LOUD when distinct single-char " +
     "seeds exceed the declared driver-memory bound") {
     val d = Seq((1L, "abcdef gh")).toDF("doc_id", "text")
