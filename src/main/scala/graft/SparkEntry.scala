@@ -81,6 +81,11 @@ object SparkEntry {
     }),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // TRAINED language-ID (Cavnar–Trenkle 1994 rank profiles): profiles
+    // built from the labeled training split, integer out-of-place rank
+    // distance classifies held-out docs from raw text alone
+    "ct_lang_profiles" -> ((s, d) => TextOps.ctLangProfiles(Tables.documents(s, d))),
+    "ct_lang_id" -> ((s, d) => TextOps.ctLangId(Tables.documents(s, d))),
     // ── LLM-pipeline: dedup ──
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
@@ -1056,6 +1061,35 @@ object SparkEntry {
     sb.toString
   }
 
+  private val CtTopN = 50
+  private val CtMaxN = 3
+  private val CtHoldoutMod = 5
+
+  /** Shared oracle CTE chain for the Cavnar–Trenkle lang-ID family: the
+    * per-word character n-gram explode `g2(doc_id, lang, gram)` (lengths
+    * 1..[[CtMaxN]]) and the trained rank-profile table
+    * `prof(lang, gram, rnk, n_occ)` — top [[CtTopN]] grams per language
+    * from the training split, ranked by (count desc, gram asc).
+    */
+  private val ctGramPrefixSql: String =
+    s"""WITH wt AS (SELECT doc_id, lang, word FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split_regex(text, '\\s+')) AS word
+      |    FROM documents) t WHERE word <> ''),
+      |g1 AS (SELECT doc_id, lang, word,
+      |         CAST(unnest(range(1, least($CtMaxN, length(word)) + 1)) AS INT) AS n
+      |       FROM wt),
+      |g2 AS (SELECT doc_id, lang, substr(word, CAST(i AS INT), n) AS gram
+      |       FROM (SELECT *, unnest(range(1, length(word) - n + 2)) AS i
+      |             FROM g1) t),
+      |prof AS MATERIALIZED (SELECT lang, gram, rnk, CAST(n_occ AS BIGINT) AS n_occ FROM (
+      |    SELECT lang, gram, count(*) AS n_occ,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY count(*) DESC, gram) AS rnk
+      |    FROM g2 WHERE doc_id % $CtHoldoutMod <> 0
+      |    GROUP BY lang, gram) t
+      |  WHERE rnk <= $CtTopN)""".stripMargin
+
   private val UniSeedMulti = 40
   private val UniKeepMulti = 20
   private val UniPieceLen = 4
@@ -1682,6 +1716,34 @@ object SparkEntry {
         |SELECT doc_id, lang AS true_lang, lang_code AS pred_lang,
         |       CAST(lang_code = lang AS INT) AS correct
         |FROM ranked WHERE rn = 1""".stripMargin,
+    // trained lang-ID: rank profiles from the train split (doc_id%5!=0),
+    // top-50 grams by (count desc, gram) per language
+    "ct_lang_profiles" -> (ctGramPrefixSql +
+      """
+        |SELECT lang, gram, CAST(rnk AS INT) AS rnk, n_occ FROM prof""".stripMargin),
+    // held-out docs (doc_id%5=0) classified by integer out-of-place rank
+    // distance to each language profile; missing gram pays penalty 50
+    "ct_lang_id" -> (ctGramPrefixSql +
+      s""",
+        |dprof AS (SELECT doc_id, gram, rnk FROM (
+        |    SELECT doc_id, gram,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY count(*) DESC, gram) AS rnk
+        |    FROM g2 WHERE doc_id % $CtHoldoutMod = 0
+        |    GROUP BY doc_id, gram) t
+        |  WHERE rnk <= $CtTopN),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |dist AS (SELECT d.doc_id, l.lang,
+        |    CAST(sum(coalesce(abs(d.rnk - p.rnk), $CtTopN)) AS BIGINT) AS dist
+        |  FROM dprof d CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY 1, 2),
+        |pick AS (SELECT doc_id, lang AS pred_lang, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY dist, lang) AS rn FROM dist) t WHERE rn = 1)
+        |SELECT t.doc_id, t.lang AS true_lang, pick.pred_lang, pick.dist
+        |FROM (SELECT doc_id, lang FROM documents WHERE doc_id % $CtHoldoutMod = 0) t
+        |JOIN pick USING (doc_id)""".stripMargin),
     "dedup_resolve" ->
       """WITH RECURSIVE
         |s AS (

@@ -229,6 +229,86 @@ object TextOps {
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
   }
 
+  /** Character n-grams (lengths 1..`maxN`) of every word of every doc —
+    * the shared explode under the Cavnar–Trenkle language-ID family.
+    * One row-local flatten; no shuffle.
+    */
+  private def ctGrams(docs: DataFrame, maxN: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"flatten(transform(sequence(1, least($maxN, length(word))), n -> " +
+          "transform(sequence(1, length(word) - n + 1), " +
+          "i -> substring(word, i, n))))")).as("gram"))
+
+  /** TRAINED language-ID, profile-building half (Cavnar–Trenkle 1994's
+    * n-gram rank profiles — the classic trained lang-ID shape, where
+    * [[langId]] is a fixed marker heuristic): per language, the top
+    * `topN` character n-grams (lengths 1..`maxN`) of the TRAINING split
+    * (`doc_id % holdoutMod != 0`, labeled by the fixture's `lang`),
+    * ranked by (count desc, gram asc). Returns
+    * `(lang, gram, rnk, n_occ)` — the |langs|·topN-row artifact a
+    * deployed classifier ships; every column integer/string so the
+    * whole build replays exactly.
+    *
+    * Scale shape: the corpus-scale work is ONE map-side-combined
+    * (lang, gram) hash aggregate over the row-local n-gram explode;
+    * the rank window partitions by language over the aggregated frame
+    * (per-partition state = one language's gram counts, vocabulary-
+    * bounded). Output is classifier-sized.
+    */
+  def ctLangProfiles(docs: DataFrame, topN: Int = 50, maxN: Int = 3,
+      holdoutMod: Int = 5): DataFrame =
+    ctGrams(docs.where(col("doc_id") % holdoutMod =!= 0), maxN)
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_occ").desc, col("gram"))))
+      .where(col("rnk") <= topN)
+      .select(col("lang"), col("gram"), col("rnk"), col("n_occ"))
+
+  /** TRAINED language-ID, classification half: each HELD-OUT document
+    * (`doc_id % holdoutMod == 0`) builds its own top-`topN` n-gram rank
+    * profile and is assigned the language minimizing the integer
+    * out-of-place distance `Σ |doc_rank − lang_rank|` (a doc gram
+    * absent from a language's profile pays the maximum penalty `topN`
+    * — Cavnar–Trenkle's out-of-place measure). Ties break on language
+    * ascending. Returns `(doc_id, true_lang, pred_lang, dist)` — the
+    * fixture label rides along as ground truth, but the PREDICTION
+    * derives from raw text alone, making the per-language curation
+    * family self-contained on unlabeled corpora.
+    *
+    * Scale shape: doc profiles are one (doc, gram) aggregate + a
+    * per-document rank window (per-partition state = one doc's grams);
+    * the distance join is doc-top-N rows × a BROADCAST of the
+    * classifier-sized profile table (|langs|·topN rows) and the tiny
+    * language list — never corpus × corpus. The argmin is one
+    * `min(struct(dist, lang))` aggregate. All integer.
+    */
+  def ctLangId(docs: DataFrame, topN: Int = 50, maxN: Int = 3,
+      holdoutMod: Int = 5): DataFrame = {
+    val prof = ctLangProfiles(docs, topN, maxN, holdoutMod)
+      .select(col("lang"), col("gram"), col("rnk").as("prnk"))
+    val langs = prof.select("lang").distinct()
+    val dprof = ctGrams(docs.where(col("doc_id") % holdoutMod === 0), maxN)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))))
+      .where(col("drank") <= topN)
+    val dist = dprof
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("lang", "gram"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("drank") - col("prnk")).cast("long"),
+        lit(topN.toLong))).as("dist"))
+    val pick = dist.groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"),
+        col("m.dist").as("dist"))
+    docs.where(col("doc_id") % holdoutMod === 0)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pick, Seq("doc_id"))
+  }
+
   /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))
     * with df = documents containing the word. Three hash-aggregations; the
     * vocab-sized word→df join is left UNHINTED (same convention as

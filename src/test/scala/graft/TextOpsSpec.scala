@@ -971,6 +971,55 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ctLangId: trained rank profiles classify held-out docs of a " +
+    "corpus with real per-language character signal") {
+    // three "languages" with disjoint character inventories; doc_id % 5
+    // == 0 rows are held out and must be recovered from text alone
+    def mk(lang: String, words: Seq[String], ids: Seq[Long]) =
+      ids.map(i => (i, words.mkString(" "), lang))
+    val rows =
+      mk("aa", Seq("alpha", "appla", "lapa", "apal"), Seq(0L, 1L, 2L, 5L, 10L)) ++
+      mk("bb", Seq("bribo", "obrib", "ribbo", "borb"), Seq(15L, 3L, 4L, 6L, 20L)) ++
+      mk("cc", Seq("cocci", "icoc", "ccio", "occi"), Seq(25L, 7L, 8L, 9L, 30L))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = TextOps.ctLangId(d, topN = 20)
+      .as[(Long, String, String, Long)].collect()
+    // held-out ids: 0,5,10 (aa), 15,20 (bb), 25,30 (cc)
+    assert(got.length === 7)
+    got.foreach { case (id, t, p, dist) =>
+      assert(p === t, s"doc $id: predicted $p, true $t (dist $dist)")
+      assert(dist >= 0)
+    }
+    // profiles: one rank chain per language, ranks contiguous from 1,
+    // counts non-increasing along the rank order
+    val prof = TextOps.ctLangProfiles(d, topN = 20)
+      .as[(String, String, Int, Long)].collect()
+    prof.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("ctLangId: out-of-place penalty and lang-ascending tie-break are " +
+    "exact on a hand-computed two-language case") {
+    // train docs make profiles diverge on one gram; the held-out doc's
+    // grams overlap both profiles equally -> equal distance -> tie must
+    // break toward the ascending language name
+    val d = Seq(
+      (1L, "xy", "l1"), (2L, "xy", "l2"), // identical training text
+      (0L, "xy", "l9")                    // held out; true label ignored
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.ctLangId(d, topN = 10)
+      .as[(Long, String, String, Long)].collect()
+    assert(got.length === 1)
+    val (id, t, p, dist) = got.head
+    assert(id === 0L && t === "l9")
+    assert(p === "l1", s"tie must break to the ascending lang, got $p")
+    assert(dist === 0L, "identical profiles => zero out-of-place distance")
+  }
+
   test("wordpieceSegment property sweep: 300 random words match the " +
     "independent greedy longest-match reference, incl. [UNK] collapse") {
     val rnd = new scala.util.Random(44)
