@@ -86,6 +86,11 @@ object SparkEntry {
     // distance classifies held-out docs from raw text alone
     "ct_lang_profiles" -> ((s, d) => TextOps.ctLangProfiles(Tables.documents(s, d))),
     "ct_lang_id" -> ((s, d) => TextOps.ctLangId(Tables.documents(s, d))),
+    // trainable quality classifier (fastText shape, Joulin et al. 2016):
+    // integer-count multinomial NB over hashed word unigrams, trained on
+    // curated-tier provenance labels; micro-nat weights and logits
+    "nb_quality_train" -> ((s, d) => TextOps.nbQualityTrain(Tables.documents(s, d))),
+    "nb_quality_score" -> ((s, d) => TextOps.nbQualityScore(Tables.documents(s, d))),
     // ── LLM-pipeline: dedup ──
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
@@ -1065,6 +1070,43 @@ object SparkEntry {
   private val CtMaxN = 3
   private val CtHoldoutMod = 5
 
+  private val NbBuckets = 256
+  private val NbHoldoutMod = 5
+
+  /** Shared oracle CTE chain for the NB quality family: hashed-unigram
+    * per-class token counts over the training split and the full
+    * [[NbBuckets]]-row smoothed weight table
+    * `w(bucket, n_pos, n_neg, lp_pos, lp_neg, llr)` — the exact replay
+    * of [[TextOps.nbQualityTrain]] (portable md5-60 bucket hash, add-one
+    * smoothing, micro-nat quantization).
+    */
+  private val nbPrefixSql: String =
+    s"""WITH tok AS (SELECT curated, word FROM (
+      |    SELECT CAST(substr(source, 4) AS INT) < 10 AS curated,
+      |      unnest(string_split_regex(text, '\\s+')) AS word
+      |    FROM documents WHERE doc_id % $NbHoldoutMod <> 0) t
+      |  WHERE word <> ''),
+      |bt AS (SELECT curated,
+      |         ('0x'||substr(md5(word),1,15))::BIGINT % $NbBuckets AS bucket
+      |       FROM tok),
+      |cnt AS (SELECT bucket,
+      |          CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |          CAST(sum(CASE WHEN curated THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |        FROM bt GROUP BY bucket),
+      |tot AS (SELECT CAST(coalesce(sum(n_pos), 0) AS BIGINT) AS tot_pos,
+      |               CAST(coalesce(sum(n_neg), 0) AS BIGINT) AS tot_neg
+      |        FROM cnt),
+      |w AS MATERIALIZED (
+      |  SELECT r.b AS bucket,
+      |         coalesce(cnt.n_pos, 0) AS n_pos,
+      |         coalesce(cnt.n_neg, 0) AS n_neg,
+      |         CAST(round(ln((coalesce(cnt.n_pos, 0) + 1)::DOUBLE
+      |           / (tot_pos + $NbBuckets)) * 1e6) AS BIGINT) AS lp_pos,
+      |         CAST(round(ln((coalesce(cnt.n_neg, 0) + 1)::DOUBLE
+      |           / (tot_neg + $NbBuckets)) * 1e6) AS BIGINT) AS lp_neg
+      |  FROM range(0, $NbBuckets) r(b) LEFT JOIN cnt ON cnt.bucket = r.b,
+      |       tot)""".stripMargin
+
   /** Shared oracle CTE chain for the Cavnar–Trenkle lang-ID family: the
     * per-word character n-gram explode `g2(doc_id, lang, gram)` (lengths
     * 1..[[CtMaxN]]) and the trained rank-profile table
@@ -1744,6 +1786,39 @@ object SparkEntry {
         |SELECT t.doc_id, t.lang AS true_lang, pick.pred_lang, pick.dist
         |FROM (SELECT doc_id, lang FROM documents WHERE doc_id % $CtHoldoutMod = 0) t
         |JOIN pick USING (doc_id)""".stripMargin),
+    // NB quality classifier, training replay: the full smoothed
+    // micro-nat weight table (see nbPrefixSql)
+    "nb_quality_train" -> (nbPrefixSql +
+      """
+        |SELECT bucket, n_pos, n_neg, lp_pos, lp_neg FROM w""".stripMargin),
+    // NB quality scoring: per-doc logit = trained doc-count prior +
+    // Σ token-count·(lp_pos − lp_neg); tokenless docs keep the prior
+    "nb_quality_score" -> (nbPrefixSql +
+      s""",
+        |prior AS (SELECT CAST(round(ln(
+        |    sum(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |        THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+        |          THEN 1 ELSE 0 END)) * 1e6) AS BIGINT) AS prior_micro
+        |  FROM documents WHERE doc_id % $NbHoldoutMod <> 0),
+        |dtok AS (SELECT doc_id, source, word FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t WHERE word <> ''),
+        |db AS (SELECT doc_id, source,
+        |         ('0x'||substr(md5(word),1,15))::BIGINT % $NbBuckets AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM dtok GROUP BY 1, 2, 3),
+        |ds AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+        |         CAST(sum(c * (w.lp_pos - w.lp_neg)) AS BIGINT) AS s
+        |       FROM db JOIN w USING (bucket) GROUP BY 1, 2)
+        |SELECT d.doc_id, d.source,
+        |  CAST(coalesce(ds.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(prior_micro + coalesce(ds.s, 0) AS BIGINT) AS logit_micro,
+        |  (prior_micro + coalesce(ds.s, 0)) >= 0 AS pred_pos
+        |FROM (SELECT doc_id, source FROM documents) d
+        |LEFT JOIN ds ON d.doc_id = ds.doc_id AND d.source = ds.source
+        |CROSS JOIN prior""".stripMargin),
     "dedup_resolve" ->
       """WITH RECURSIVE
         |s AS (

@@ -722,6 +722,31 @@ object Dedup {
         (col("doc_id") === col("survivor_id")).as("keep"))
   }
 
+  /** [[survivorsByQuality]] with the policy column supplied by a SCORE
+    * frame `(doc_id, score)` instead of `n_chars` — the slot the trained
+    * quality classifier fills: pass
+    * [[graft.operators.TextOps.nbQualityScore]]'s `logit_micro` and each
+    * near-dup family keeps its highest-quality member (ties break to the
+    * smallest doc_id). Same single argmax aggregate as the length
+    * policy; docs missing from `scores` are treated as
+    * lowest-quality (Long.MinValue) rather than silently dropped from
+    * their family.
+    */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val labeled = resolveClusters(docs, pairs)
+      .join(scores.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
+    val surv = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"))
+      .where(col("n_docs") >= 2)
+      .select(col("cluster"), (-col("m.nid")).as("survivor_id"))
+    labeled.join(surv, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep"))
+  }
+
   /** Source×source near-duplicate overlap matrix: roll the (not
     * source-blocked) MinHash near-dup pairs up to ordered source pairs —
     * how many near-dup pairs cross each source boundary, and how strong

@@ -309,6 +309,103 @@ object TextOps {
       .join(pick, Seq("doc_id"))
   }
 
+  /** The NB family's label and feature plumbing: "curated" = the
+    * provenance tier every CCNet/GPT-3-style pipeline labels from (here
+    * the fixture's first ten sources stand in for the curated tier);
+    * features are word unigrams hashed into `buckets` buckets with the
+    * portable md5-60 (fastText's hashing-trick shape, Joulin et al.
+    * 2016). Pure integers end to end, so training AND scoring replay
+    * exactly in an external engine.
+    */
+  private def nbBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr("cast(substring(source, 4) as int) < 10").as("curated"),
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
+      .withColumn("bucket",
+        pmod(graft.functions.Md5Hash64(col("word")), lit(buckets.toLong)))
+
+  /** Trainable corpus-quality classifier, training half: an
+    * integer-count multinomial Naive Bayes over hashed word-unigram
+    * features (the supervised quality-scorer step of CCNet-style
+    * pipelines, fastText shape) trained on the labeled split
+    * (`doc_id % holdoutMod != 0`; label = curated-tier provenance).
+    * Returns the full `buckets`-row weight table
+    * `(bucket, n_pos, n_neg, lp_pos, lp_neg)`: per-class token counts
+    * and add-one-smoothed log-likelihoods in integer micro-nats
+    * (`round(ln((c+1)/(total+B))·10⁶)` — the established quantization,
+    * so the artifact replays bit-exactly).
+    *
+    * Scale shape: ONE map-side-combined (bucket, class) hash aggregate
+    * over the row-local hash projection — corpus-scale work is a single
+    * shuffle of ≤ `buckets` keys; the weight table itself is
+    * classifier-sized (`buckets` rows, emitted for ALL buckets via a
+    * range frame so the scorer's join is total).
+    */
+  def nbQualityTrain(docs: DataFrame, buckets: Int = 256,
+      holdoutMod: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val counts = nbBuckets(docs.where(col("doc_id") % holdoutMod =!= 0), buckets)
+      .groupBy("bucket")
+      .agg(sum(when(col("curated"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("curated"), 0L).otherwise(1L)).as("n_neg"))
+    val totals = counts.agg(sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        round(log((col("n_pos") + 1).cast("double") /
+          (col("tot_pos") + buckets)) * 1e6).cast("long").as("lp_pos"),
+        round(log((col("n_neg") + 1).cast("double") /
+          (col("tot_neg") + buckets)) * 1e6).cast("long").as("lp_neg"))
+  }
+
+  /** Trainable corpus-quality classifier, scoring half: every document
+    * (train and held-out — a curation pipeline scores the whole corpus)
+    * gets the integer micro-nat logit
+    * `prior + Σ_tokens (lp_pos(bucket) − lp_neg(bucket))` where the
+    * prior is the trained log-odds of the curated class over TRAINING
+    * DOCUMENT counts. Returns
+    * `(doc_id, source, n_tok, logit_micro, pred_pos)`; the logit is the
+    * scalar quality signal [[graft.operators.Dedup.survivorsByScore]]
+    * slots into survivor election, and `pred_pos = logit ≥ 0` is the
+    * keep/drop screen. Docs with no tokens keep the bare prior via the
+    * outer explode.
+    *
+    * Scale shape: the corpus-scale work is one (doc, bucket) aggregate
+    * (map-side combined; values bounded by doc length) followed by a
+    * BROADCAST join with the `buckets`-row weight table and a per-doc
+    * sum — no corpus×corpus anywhere; the prior is a single-row
+    * broadcast.
+    */
+  def nbQualityScore(docs: DataFrame, buckets: Int = 256,
+      holdoutMod: Int = 5): DataFrame = {
+    val w = nbQualityTrain(docs, buckets, holdoutMod)
+      .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
+    val prior = docs.where(col("doc_id") % holdoutMod =!= 0)
+      .agg(round(log(
+        sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)"))
+          .cast("double") /
+        sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)"))
+          .cast("double")) * 1e6).cast("long").as("prior_micro"))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      explode_outer(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
+      .withColumn("bucket",
+        when(col("word").isNotNull,
+          pmod(graft.functions.Md5Hash64(col("word")), lit(buckets.toLong))))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(col("word")).as("c"))
+      .join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum("c").as("n_tok"),
+        sum(coalesce(col("c") * col("llr"), lit(0L))).as("s"))
+    perDoc.crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("prior_micro") + col("s")).as("logit_micro"),
+        (col("prior_micro") + col("s") >= 0L).as("pred_pos"))
+  }
+
   /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))
     * with df = documents containing the word. Three hash-aggregations; the
     * vocab-sized word→df join is left UNHINTED (same convention as

@@ -234,6 +234,25 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 6L, false), (6L, 5L, 6L, true)))
   }
 
+  test("survivorsByScore: highest classifier score survives; unscored " +
+    "docs lose to any scored member") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), // family {1,2,3}
+      (5L, "c"), (6L, "c")) // family {5,6}: 6 has no score row
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val scores = Seq(
+      (1L, -500000L), (2L, 1200000L), (3L, 1200000L), // 2/3 tie -> min id
+      (5L, -9000000L)) // 6 missing -> Long.MinValue, 5 survives
+      .toDF("doc_id", "score")
+    val got = Dedup.survivorsByScore(docs, pairs, scores)
+      .select("doc_id", "cluster", "survivor_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
+  }
+
   test("crossSourceDupMatrix: pairs roll up to ordered source cells") {
     val docs = Seq(
       (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s1"))

@@ -971,6 +971,49 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("nbQualityScore: NB trained on provenance labels separates " +
+    "held-out docs when the tiers have distinct vocabularies") {
+    // curated tier (src0..src9) speaks 'good' words, raw tier 'spam'
+    // words; held-out docs (doc_id % 5 == 0) must score by text alone
+    val rows = (0L until 40L).map { i =>
+      val curated = i % 2 == 0
+      val src = if (curated) s"src${i % 10 / 2}" else s"src1${i % 10 / 2}"
+      val text = if (curated) "insight rigor clarity depth insight"
+                 else "clickbait spam noise filler spam"
+      (i, text, src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = TextOps.nbQualityScore(d, buckets = 64)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(got.length === 40)
+    got.foreach { case (id, src, nTok, logit, pred) =>
+      val curated = id % 2 == 0
+      assert(nTok === 5)
+      assert(pred === curated && (logit >= 0) === curated,
+        s"doc $id ($src): logit $logit, pred $pred, want curated=$curated")
+    }
+  }
+
+  test("nbQualityTrain: weight table is total (all buckets), counts and " +
+    "micro-nat smoothing hand-check") {
+    val d = Seq(
+      (1L, "aa aa bb", "src0"),   // curated train: aa x2, bb x1
+      (2L, "cc", "src15"),        // raw train: cc x1
+      (0L, "zz", "src0")          // held out — must not affect counts
+    ).toDF("doc_id", "text", "source")
+    val B = 16
+    val w = TextOps.nbQualityTrain(d, buckets = B)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(w.length === B)
+    assert(w.map(_._1).sorted.toSeq === (0L until B.toLong))
+    assert(w.map(_._2).sum === 3L && w.map(_._3).sum === 1L)
+    // every lp matches round(ln((c+1)/(tot+B))·1e6) exactly
+    w.foreach { case (_, np, nn, lpPos, lpNeg) =>
+      assert(lpPos === math.round(math.log((np + 1).toDouble / (3 + B)) * 1e6))
+      assert(lpNeg === math.round(math.log((nn + 1).toDouble / (1 + B)) * 1e6))
+    }
+  }
+
   test("ctLangId: trained rank profiles classify held-out docs of a " +
     "corpus with real per-language character signal") {
     // three "languages" with disjoint character inventories; doc_id % 5
