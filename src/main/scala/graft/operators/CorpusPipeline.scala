@@ -127,8 +127,11 @@ object CorpusPipeline {
         .otherwise(0L)).as("n_dup"))
   }
 
-  /** Distinct k-span hashes of `docs` — the `_seensp` sidecar unit. */
-  private[operators] def spanHashes(docs: DataFrame, k: Int): DataFrame =
+  /** Distinct k-span hashes of `docs` — the `_seensp` sidecar unit,
+    * also the static side of
+    * [[graft.streaming.TextStreams.streamingSpanGate]].
+    */
+  def spanHashes(docs: DataFrame, k: Int): DataFrame =
     docs.select(split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
       .select(explode(expr(

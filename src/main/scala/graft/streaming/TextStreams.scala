@@ -133,4 +133,76 @@ object TextStreams {
       .transformWithState(new DocContamCounter(minHits), TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One span-gate emission: an arriving document's span audit against
+    * the seen-span sidecar — total k-spans, prior-duplicated spans, and
+    * the gate verdict (`keep = nDup·100 ≤ maxDupPct·nSpans`, the exact
+    * integer compare of the batch gate).
+    */
+  final case class SpanAudit(docId: Long, nSpans: Long, nDup: Long,
+      keep: Boolean)
+
+  /** Per-document span counter for [[streamingSpanGate]] — the
+    * [[DocContamCounter]] shape: a document is ONE streaming row, so all
+    * of its span-flag rows arrive inside its own micro-batch; the keyed
+    * processor re-groups the join output per batch and carries NO state
+    * (a re-ingested doc_id is audited independently per arrival).
+    */
+  final class SpanGateAuditor(maxDupPct: Int)
+      extends StatefulProcessor[Long, (Long, Boolean), SpanAudit] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Boolean)],
+        timerValues: TimerValues): Iterator[SpanAudit] = {
+      var n = 0L
+      var nd = 0L
+      rows.foreach { case (_, dup) => n += 1L; if (dup) nd += 1L }
+      Iterator.single(SpanAudit(key, n, nd,
+        nd * 100L <= maxDupPct.toLong * n))
+    }
+  }
+
+  /** Streaming twin of the curation substring gate
+    * ([[graft.operators.CorpusPipeline]]'s span election): arriving
+    * documents audit their k-token span hashes against the STATIC
+    * seen-span sidecar (`_seensp`, one `h` column —
+    * [[graft.operators.CorpusPipeline.spanHashes]] builds it; the
+    * incremental curation path maintains it between runs), emitting each
+    * doc's prior-duplication stats and gate verdict in its arrival
+    * batch. The join is stream-static (stateless, Append legal) with
+    * the sidecar broadcast exactly like the batch gate under AQE at
+    * benchmark scale; the only keyed step is the per-batch regroup, so
+    * state is ZERO whatever the corpus size — the
+    * [[streamingDecontaminate]] shape on span hashes instead of
+    * 3-grams.
+    *
+    * Intra-stream NOVEL duplication (two fresh docs sharing a span) is
+    * deliberately out of scope here, exactly as in the batch split: the
+    * sidecar-maintenance step (batch-incremental, which also elects
+    * within the new slice) owns that half; this gate screens arrivals
+    * against everything already seen. Docs with fewer than `spanK`
+    * tokens carry no spans and pass unaudited (the batch gate keeps
+    * docs with no stats).
+    */
+  def streamingSpanGate(docs: DataFrame, seenSpans: DataFrame,
+      spanK: Int = 8, maxDupPct: Int = 50): Dataset[SpanAudit] = {
+    import docs.sparkSession.implicits._
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= spanK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${spanK - 1}), i -> " +
+          s"concat_ws(' ', slice(toks, i, $spanK)))")).as("g"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.portableHash64(col("g")).as("h"))
+    val prior = seenSpans.select(col("h")).distinct()
+      .withColumn("_prior", lit(true))
+    spans.join(broadcast(prior), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_prior"), lit(false)).as("dup"))
+      .as[(Long, Boolean)]
+      .groupByKey(_._1)
+      .transformWithState(new SpanGateAuditor(maxDupPct), TimeMode.None(),
+        OutputMode.Append())
+  }
 }

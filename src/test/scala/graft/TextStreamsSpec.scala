@@ -80,6 +80,44 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingSpanGate: arrivals audit against the static seen-span " +
+    "sidecar; two-batch parity with the hand-computed batch gate") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val k = 3
+      // seen corpus: spans of "s1..s5" (3 spans) and "t1..t3" (1 span)
+      val seenDocs = Seq(
+        (100L, "s1 s2 s3 s4 s5"),
+        (101L, "t1 t2 t3")).toDF("doc_id", "text")
+      val seen = operators.CorpusPipeline.spanHashes(seenDocs, k)
+      val b1 = Seq(
+        (1L, "s1 s2 s3 s4 x"), // spans: s1s2s3✓ s2s3s4✓ s3s4x ✗ -> 2/3 dup
+        (2L, "a b c d"), // 2 spans, 0 dup -> keep
+        (3L, "x y")) // < k tokens: no spans, passes unaudited
+      val b2 = Seq(
+        (4L, "t1 t2 t3"), // 1/1 dup -> 100% > 50% -> drop
+        (1L, "a b c")) // doc 1 re-arrives clean: audited independently
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingSpanGate(
+          mem.toDF().toDF("doc_id", "text"), seen, spanK = k, maxDupPct = 50)
+        .writeStream.format("memory").queryName("span_gate_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        val after1 = spark.table("span_gate_stream")
+          .as[(Long, Long, Long, Boolean)].collect().toSet
+        // 2/3 dup: 2*100 > 50*3 -> drop; doc 3 emits nothing
+        assert(after1 === Set((1L, 3L, 2L, false), (2L, 2L, 0L, true)))
+        mem.addData(b2: _*); q.processAllAvailable()
+        val all = spark.table("span_gate_stream")
+          .as[(Long, Long, Long, Boolean)].collect().toSeq
+        val batch2 = all.diff(after1.toSeq).toSet
+        // re-ingested doc 1 audited on its NEW text only (no carried state)
+        assert(batch2 === Set((4L, 1L, 1L, false), (1L, 1L, 0L, true)))
+      } finally q.stop()
+    }
+  }
+
   test("streamingDecontaminate: two-batch parity with the batch screen, " +
     "per-arrival emission pinned") {
     withRocksDb {
