@@ -91,6 +91,16 @@ object SparkEntry {
     // curated-tier provenance labels; micro-nat weights and logits
     "nb_quality_train" -> ((s, d) => TextOps.nbQualityTrain(Tables.documents(s, d))),
     "nb_quality_score" -> ((s, d) => TextOps.nbQualityScore(Tables.documents(s, d))),
+    // classifier-driven survivor election: near-dup families keep the
+    // member with the highest NB quality logit (ties → smallest id) —
+    // the trained-quality policy slotted into the dedup argmax
+    "nb_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.survivorsByScore(docs, Dedup.ngramJaccardPairs(docs),
+        TextOps.nbQualityScore(docs)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("logit_micro").as("score")))
+    }),
     // ── LLM-pipeline: dedup ──
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
@@ -1076,12 +1086,14 @@ object SparkEntry {
   /** Shared oracle CTE chain for the NB quality family: hashed-unigram
     * per-class token counts over the training split and the full
     * [[NbBuckets]]-row smoothed weight table
-    * `w(bucket, n_pos, n_neg, lp_pos, lp_neg, llr)` — the exact replay
-    * of [[TextOps.nbQualityTrain]] (portable md5-60 bucket hash, add-one
-    * smoothing, micro-nat quantization).
+    * `w(bucket, n_pos, n_neg, lp_pos, lp_neg)` — the exact replay of
+    * [[TextOps.nbQualityTrain]] (portable md5-60 bucket hash, add-one
+    * smoothing, micro-nat quantization). The body is separate from the
+    * `WITH` keyword so `nb_survivors` can prepend `WITH RECURSIVE`.
     */
-  private val nbPrefixSql: String =
-    s"""WITH tok AS (SELECT curated, word FROM (
+  private val nbPrefixSql: String = "WITH " + nbPrefixBody
+  private lazy val nbPrefixBody: String =
+    s"""tok AS (SELECT curated, word FROM (
       |    SELECT CAST(substr(source, 4) AS INT) < 10 AS curated,
       |      unnest(string_split_regex(text, '\\s+')) AS word
       |    FROM documents WHERE doc_id % $NbHoldoutMod <> 0) t
@@ -1819,6 +1831,64 @@ object SparkEntry {
         |FROM (SELECT doc_id, source FROM documents) d
         |LEFT JOIN ds ON d.doc_id = ds.doc_id AND d.source = ds.source
         |CROSS JOIN prior""".stripMargin),
+    // NB-logit survivor election: the dedup_survivors resolve chain with
+    // the length policy swapped for the trained quality logit (max score,
+    // ties to min doc_id) — prepends WITH RECURSIVE so the NB weight
+    // CTEs and the walk compose in one statement
+    "nb_survivors" -> ("WITH RECURSIVE " + nbPrefixBody +
+      s""",
+        |prior AS (SELECT CAST(round(ln(
+        |    sum(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |        THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+        |          THEN 1 ELSE 0 END)) * 1e6) AS BIGINT) AS prior_micro
+        |  FROM documents WHERE doc_id % $NbHoldoutMod <> 0),
+        |dtok AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t WHERE word <> ''),
+        |db AS (SELECT doc_id,
+        |         ('0x'||substr(md5(word),1,15))::BIGINT % $NbBuckets AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM dtok GROUP BY 1, 2),
+        |ds AS (SELECT doc_id,
+        |         CAST(sum(c * (w.lp_pos - w.lp_neg)) AS BIGINT) AS s
+        |       FROM db JOIN w USING (bucket) GROUP BY 1),
+        |logit AS (SELECT d.doc_id,
+        |    CAST(prior_micro + coalesce(ds.s, 0) AS BIGINT) AS score
+        |  FROM (SELECT doc_id FROM documents) d
+        |  LEFT JOIN ds USING (doc_id) CROSS JOIN prior),
+        |sh0 AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split_regex(text, '\\s+'))[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, source, sh, len(sh) AS n FROM sh0),
+        |prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE
+        |        / (x.n + y.n - len(list_intersect(x.sh, y.sh))) AS j
+        |    FROM t2 x JOIN t2 y ON x.source = y.source AND x.doc_id < y.doc_id) p
+        |  WHERE j >= 0.8),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, wk.label FROM edges e JOIN walk wk ON e.b = wk.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster
+        |           FROM walk GROUP BY node),
+        |fam AS (SELECT cluster FROM labels GROUP BY cluster HAVING count(*) >= 2),
+        |j AS (SELECT l.doc_id, l.cluster, lg.score
+        |      FROM labels l JOIN fam USING (cluster)
+        |      JOIN logit lg ON lg.doc_id = l.doc_id),
+        |mx AS (SELECT cluster, max(score) AS mc FROM j GROUP BY cluster),
+        |surv AS (SELECT j.cluster, min(j.doc_id) AS survivor_id
+        |         FROM j JOIN mx ON j.cluster = mx.cluster AND j.score = mx.mc
+        |         GROUP BY j.cluster)
+        |SELECT j.doc_id, j.cluster, sv.survivor_id,
+        |       j.doc_id = sv.survivor_id AS keep
+        |FROM j JOIN surv sv USING (cluster)""".stripMargin),
     "dedup_resolve" ->
       """WITH RECURSIVE
         |s AS (

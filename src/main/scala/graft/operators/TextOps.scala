@@ -379,16 +379,30 @@ object TextOps {
     * sum — no corpus×corpus anywhere; the prior is a single-row
     * broadcast.
     */
-  def nbQualityScore(docs: DataFrame, buckets: Int = 256,
-      holdoutMod: Int = 5): DataFrame = {
-    val w = nbQualityTrain(docs, buckets, holdoutMod)
-      .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
-    val prior = docs.where(col("doc_id") % holdoutMod =!= 0)
+  /** The trained class prior `round(ln(nPosDocs/nNegDocs)·10⁶)` over the
+    * TRAINING split, as a single-row frame (broadcast into the batch
+    * scorer's plan).
+    */
+  private def nbPriorFrame(docs: DataFrame, holdoutMod: Int): DataFrame =
+    docs.where(col("doc_id") % holdoutMod =!= 0)
       .agg(round(log(
         sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)"))
           .cast("double") /
         sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)"))
           .cast("double")) * 1e6).cast("long").as("prior_micro"))
+
+  /** [[nbPriorFrame]] as a scalar — the deploy-time constant the
+    * streaming twin ([[graft.streaming.TextStreams.streamingQualityScore]])
+    * bakes into its query. One single-row probe.
+    */
+  def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5): Long =
+    nbPriorFrame(docs, holdoutMod).head().getLong(0)
+
+  def nbQualityScore(docs: DataFrame, buckets: Int = 256,
+      holdoutMod: Int = 5): DataFrame = {
+    val w = nbQualityTrain(docs, buckets, holdoutMod)
+      .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
+    val prior = nbPriorFrame(docs, holdoutMod)
     val perDoc = docs.select(col("doc_id"), col("source"),
       explode_outer(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
       .withColumn("bucket",

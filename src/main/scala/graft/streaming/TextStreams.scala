@@ -184,6 +184,64 @@ object TextStreams {
     * tokens carry no spans and pass unaudited (the batch gate keeps
     * docs with no stats).
     */
+  /** One quality emission: an arriving document's token count, NB logit
+    * (integer micro-nats) and keep verdict under a TRAINED weight table.
+    */
+  final case class QualityScore(docId: Long, nTok: Long, logitMicro: Long,
+      predPos: Boolean)
+
+  /** Per-document scorer for [[streamingQualityScore]] — the per-batch
+    * regroup shape ([[DocContamCounter]]): sums the arriving doc's
+    * token-weighted log-likelihood ratios and adds the trained prior.
+    * Rows are `(docId, tokenFlag, llr)`; a tokenless doc arrives as one
+    * `(docId, 0, 0)` row and scores the bare prior, the batch scorer's
+    * outer-explode contract.
+    */
+  final class DocQualityScorer(priorMicro: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), QualityScore] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[QualityScore] = {
+      var n = 0L
+      var s = 0L
+      rows.foreach { case (_, tk, llr) => n += tk; s += llr }
+      val logit = priorMicro + s
+      Iterator.single(QualityScore(key, n, logit, logit >= 0L))
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.TextOps.nbQualityScore]]:
+    * arriving documents are scored against a STATIC trained NB weight
+    * table ([[graft.operators.TextOps.nbQualityTrain]]'s output — the
+    * deployed-classifier artifact) and the trained prior, emitting each
+    * doc's integer micro-nat logit and keep verdict in its arrival
+    * batch. Stream-static broadcast join on the `buckets`-row weight
+    * table (stateless, Append legal); the only keyed step is the
+    * per-batch regroup, so state is ZERO — the ingest-side quality
+    * screen every curation stream runs in front of the batch pipeline.
+    */
+  def streamingQualityScore(docs: DataFrame, weights: DataFrame,
+      priorMicro: Long, buckets: Int = 256): Dataset[QualityScore] = {
+    import docs.sparkSession.implicits._
+    val w = weights.select(col("bucket"),
+      (col("lp_pos") - col("lp_neg")).as("llr"))
+    docs
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .as("word"))
+      .withColumn("bucket", when(col("word").isNotNull,
+        pmod(graft.functions.Md5Hash64(col("word")), lit(buckets.toLong))))
+      .join(broadcast(w), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        when(col("word").isNotNull, 1L).otherwise(0L).as("tk"),
+        coalesce(when(col("word").isNotNull, col("llr")), lit(0L)).as("llr"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DocQualityScorer(priorMicro), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   def streamingSpanGate(docs: DataFrame, seenSpans: DataFrame,
       spanK: Int = 8, maxDupPct: Int = 50): Dataset[SpanAudit] = {
     import docs.sparkSession.implicits._

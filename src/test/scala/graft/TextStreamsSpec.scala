@@ -118,6 +118,56 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingQualityScore: two-batch logit parity with the batch NB " +
+    "scorer under the same trained weights, incl. the tokenless doc") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // training corpus: curated tier speaks distinct words
+      val corpus = (0L until 20L).map { i =>
+        val curated = i % 2 == 0
+        (i, if (curated) "alpha beta gamma" else "junk junk filler",
+          if (curated) "src1" else "src11")
+      }.toDF("doc_id", "text", "source")
+      val B = 64
+      val weights = operators.TextOps.nbQualityTrain(corpus, buckets = B)
+      val prior = operators.TextOps.nbPriorMicro(corpus)
+      // batch reference over the docs the stream will carry
+      val arrivals = Seq(
+        (100L, "alpha beta gamma alpha", "srcX"),
+        (101L, "junk filler", "srcX"),
+        (102L, " ", "srcX"), // tokenless: bare prior
+        (103L, "alpha junk", "srcX"))
+      // batch scorer needs the TRAIN corpus present to refit; instead
+      // score arrivals against the SAME weights by reusing its formula
+      val wmap = weights.as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._4 - r._5)).toMap
+      val want = arrivals.map { case (id, text, _) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        // hash64 is non-negative (60-bit), so plain % == pmod
+        val s = toks.map(t => wmap(
+          graft.functions.PortableMd5.hash64(t.getBytes("UTF-8")) % B)).sum
+        (id, toks.length.toLong, prior + s, prior + s >= 0)
+      }.toSet
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingQualityScore(
+          mem.toDF().toDF("doc_id", "text"), weights, prior, buckets = B)
+        .writeStream.format("memory").queryName("nb_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(arrivals.take(2).map(a => (a._1, a._2)): _*)
+        q.processAllAvailable()
+        mem.addData(arrivals.drop(2).map(a => (a._1, a._2)): _*)
+        q.processAllAvailable()
+        val got = spark.table("nb_stream")
+          .as[(Long, Long, Long, Boolean)].collect().toSet
+        assert(got === want)
+        // separation sanity: curated-vocab arrival kept, junk dropped
+        val byId = got.map(r => r._1 -> r._4).toMap
+        assert(byId(100L) && !byId(101L))
+      } finally q.stop()
+    }
+  }
+
   test("streamingDecontaminate: two-batch parity with the batch screen, " +
     "per-arrival emission pinned") {
     withRocksDb {
