@@ -348,7 +348,12 @@ object TextOps {
       .groupBy("bucket")
       .agg(sum(when(col("curated"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("curated"), 0L).otherwise(1L)).as("n_neg"))
-    val totals = counts.agg(sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"))
+    // coalesce: an empty/one-sided training split yields a well-defined
+    // all-smoothing table (ln(1/B)), not NULL weights — the oracle's
+    // coalesce(sum, 0) twin
+    val totals = counts.agg(
+      coalesce(sum("n_pos"), lit(0L)).as("tot_pos"),
+      coalesce(sum("n_neg"), lit(0L)).as("tot_neg"))
     spark.range(buckets).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
@@ -391,15 +396,38 @@ object TextOps {
         sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)"))
           .cast("double")) * 1e6).cast("long").as("prior_micro"))
 
+  /** The class prior is defined only when the training split carries
+    * BOTH classes — fail LOUD (the house degenerate-input contract)
+    * instead of shipping an infinite/NaN prior cast to a legal-looking
+    * long that no other engine would reproduce. One two-column probe
+    * over the doc projection.
+    */
+  private def nbRequireBothClasses(docs: DataFrame, holdoutMod: Int): Unit = {
+    val r = docs.where(col("doc_id") % holdoutMod =!= 0)
+      .agg(
+        sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)")),
+        sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)")))
+      .head()
+    val np = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nn = if (r.isNullAt(1)) 0L else r.getLong(1)
+    require(np > 0 && nn > 0,
+      s"nbQuality: training split must contain both curated and raw " +
+        s"documents (got $np curated / $nn raw) — class prior undefined")
+  }
+
   /** [[nbPriorFrame]] as a scalar — the deploy-time constant the
     * streaming twin ([[graft.streaming.TextStreams.streamingQualityScore]])
-    * bakes into its query. One single-row probe.
+    * bakes into its query. One single-row probe; fails loud on a
+    * single-class training split.
     */
-  def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5): Long =
+  def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5): Long = {
+    nbRequireBothClasses(docs, holdoutMod)
     nbPriorFrame(docs, holdoutMod).head().getLong(0)
+  }
 
   def nbQualityScore(docs: DataFrame, buckets: Int = 256,
       holdoutMod: Int = 5): DataFrame = {
+    nbRequireBothClasses(docs, holdoutMod)
     val w = nbQualityTrain(docs, buckets, holdoutMod)
       .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
     val prior = nbPriorFrame(docs, holdoutMod)

@@ -193,4 +193,44 @@ class EdgeCasesSpec extends SparkSpec {
     // only one candidate exists (self excluded): one rank-1 row
     assert(sel === Seq((0L, 1L, 1, 70L * 0L)))
   }
+
+  test("round-14 ops on empty and degenerate inputs") {
+    val emptyDocs3 = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    // NB trainer on an empty corpus: the FULL bucket table with pure
+    // smoothing weights (ln(1/B)), never NULL weights
+    val w = TextOps.nbQualityTrain(emptyDocs3, buckets = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(w.length === 8 && w.forall(r => r._2 === 0L && r._3 === 0L))
+    val lnInvB = math.round(math.log(1.0 / 8) * 1e6)
+    assert(w.forall(r => r._4 === lnInvB && r._5 === lnInvB))
+    // scorer/prior on a single-class training split: LOUD failure, not
+    // an infinite prior cast to a legal-looking long
+    val oneClass = Seq((1L, "a b", "src0"), (2L, "c", "src1"))
+      .toDF("doc_id", "text", "source")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.nbQualityScore(oneClass)
+    }
+    assert(ex.getMessage.contains("class prior undefined"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.nbPriorMicro(oneClass)
+    }
+    // trained lang-ID: empty corpus and a corpus whose every doc is
+    // held out (no training rows) both yield empty frames, no throw
+    val emptyLang = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(TextOps.ctLangProfiles(emptyLang).count() === 0)
+    assert(TextOps.ctLangId(emptyLang).count() === 0)
+    val allHeldOut = Seq((0L, "a b c", "xx"), (5L, "d e f", "yy"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextOps.ctLangId(allHeldOut).count() === 0)
+    // wordpiece encode: empty corpus empty; whitespace-only doc keeps a
+    // zero row (the unigram twin's contract)
+    assert(TextOps.wordpieceTokens(emptyDocs).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    val blank2 = Seq((1L, "   ")).toDF("doc_id", "text")
+    val wp = TextOps.wordpieceTokens(blank2).as[(Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(wp === Seq((1L, 0L)))
+  }
 }
