@@ -51,6 +51,9 @@ object SparkEntry {
     // decontamination — the remaining standard LLM corpus-filtering trio
     "rep_signals" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
     "lm_perplexity" -> ((s, d) => TextOps.lmPerplexity(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram perplexity (d = 3/4 → exact integer
+    // ratios) — the KenLM-shaped quality gate next to the add-one baseline
+    "kn_perplexity" -> ((s, d) => TextOps.knPerplexity(Tables.documents(s, d))),
     // domain-mixing pair: per-source KL from the corpus distribution, and
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
@@ -1541,6 +1544,32 @@ object SparkEntry {
         |          FROM bg LEFT JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0 AS bits_per_token
+        |FROM terms GROUP BY doc_id""".stripMargin,
+    // interpolated KN bigram replay: exact integer numerator/denominator
+    // (d = 3/4 cleared by the x4 scaling), one double division + log2
+    "kn_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS l1 FROM big GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS r2 FROM big GROUP BY w2),
+        |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS tt,
+        |              (SELECT CAST(count(DISTINCT word) AS BIGINT)
+        |               FROM (SELECT unnest(toks) AS word FROM t)) AS vs),
+        |terms AS (SELECT bg.doc_id,
+        |            CAST(round(log2(
+        |              (greatest(4 * coalesce(big.c12, 0) - 3, 0) * (tt + vs)
+        |               + 3 * ctx.l1 * (coalesce(cont.r2, 0) + 1))
+        |              / (4 * ctx.c1 * (tt + vs))::DOUBLE) * -1e6, 0)
+        |              AS BIGINT) AS it
+        |          FROM bg LEFT JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        |          LEFT JOIN cont USING (w2) CROSS JOIN tv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0
+        |         AS kn_bits_per_token
         |FROM terms GROUP BY doc_id""".stripMargin,
     "source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word

@@ -1664,6 +1664,66 @@ object TextOps {
         .as("bits_per_token"))
   }
 
+  /** Per-document cross-entropy under an interpolated Kneser–Ney bigram
+    * LM (Kneser & Ney 1995; the smoothing the CCNet-style KenLM quality
+    * gate actually ships, where [[lmPerplexity]] is the add-one
+    * baseline): with absolute discount `d = 3/4`,
+    * `p(w2|w1) = max(c12−d, 0)/c1 + (d·L1/c1)·p_cont(w2)` where `L1` is
+    * w1's continuation-type count and `p_cont(w2) ∝ N1+(·w2)` — the
+    * continuation distribution add-one smoothed (`(r2+1)/(T+V)`) so the
+    * probability stays total on reference-corpus scoring. The choice
+    * `d = 3/4` makes every probability an exact integer ratio:
+    * `p = [max(4c12−3, 0)·(T+V) + 3·L1·(r2+1)] / [4·c1·(T+V)]`, so the
+    * per-occurrence micro-bit terms — ONE double division of two exact
+    * BIGINTs, then `round(log2·−10⁶)` — replay bit-identically on any
+    * engine ([[ivfCellDrift]]'s exactness scheme). At ≳10⁹-token
+    * contexts the integer denominator approaches BIGINT capacity — move
+    * the products to decimal(38,0) first in that regime (the
+    * [[graft.operators.Similarity.pcVarianceShare]] note).
+    *
+    * Unknown-context bigrams drop via the inner context join — scoring
+    * only what the model can ground, the [[lmPerplexity]] contract.
+    *
+    * Scale shape: identical to [[lmPerplexity]] — one shared bigram
+    * explode feeds the bigram table; context counts (c1, L1) re-sum ITS
+    * partials in one aggregate; the continuation table is another
+    * resummation of the same exchange; only the single-row (T, V) frame
+    * is hint-broadcast, the LM tables join un-hinted (AQE broadcasts
+    * when small, degrades to shuffle joins at web vocabularies).
+    */
+  def knPerplexity(docs: DataFrame): DataFrame = knPerplexity(docs, docs)
+
+  /** [[knPerplexity]] scoring `docs` under a model trained on a separate
+    * `lmCorpus` — the held-out / reference-corpus / stream-static shape.
+    */
+  def knPerplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
+    val corpusBg = bigrams(lmCorpus)
+    val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context totals AND continuation-type counts in ONE aggregate over
+    // the bigram table's partials (the lmPerplexity reuse discipline)
+    val ctx = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val tv = big.agg(count(lit(1)).as("tt")).crossJoin(
+      lmCorpus.select(explode(split(col("text"), "\\s+")).as("word"))
+        .agg(count_distinct(col("word")).as("vs")))
+    val terms = bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"), expr(
+        """cast(round(log2(
+          |  (greatest(4 * coalesce(c12, 0L) - 3, 0L) * (tt + vs)
+          |   + 3 * l1 * (coalesce(r2, 0L) + 1))
+          |  / cast(4 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint)"""
+          .stripMargin).as("it"))
+    terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
+        .as("kn_bits_per_token"))
+  }
+
   /** Benchmark decontamination: for each training document, count the
     * DISTINCT word 3-grams it shares with any document of the benchmark
     * set. Docs whose overlap reaches `minHits` are contamination suspects

@@ -971,6 +971,43 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("knPerplexity: hand-computed interpolated KN probabilities on a " +
+    "tiny corpus; discounting and continuation smoothing exact") {
+    // corpus bigrams: (a,b) x2, (b,a) x1, (a,c) x1  [doc1: a b a b; wait —
+    // "a b a c": (a,b),(b,a),(a,c); doc2: "a b": (a,b)]
+    val d = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    // tables: big={(a,b):2,(b,a):1,(a,c):1}; ctx: a->(c1=3,l1=2),
+    // b->(c1=1,l1=1); cont: b->r2=1, a->r2=1, c->r2=1; T=3, V=3, T+V=6
+    def p(c12: Long, c1: Long, l1: Long, r2: Long): Double =
+      (math.max(4 * c12 - 3, 0) * 6 + 3.0 * l1 * (r2 + 1)) / (4.0 * c1 * 6)
+    def bits(ps: Seq[Double]): Double = {
+      val micro = ps.map(x => math.round(math.log(x) / math.log(2) * -1e6))
+      math.round(micro.sum / (micro.length * 100.0)) / 10000.0
+    }
+    val want1 = bits(Seq(
+      p(2, 3, 2, 1), // a->b
+      p(1, 1, 1, 1), // b->a
+      p(1, 3, 2, 1))) // a->c
+    val want2 = bits(Seq(p(2, 3, 2, 1)))
+    val got = TextOps.knPerplexity(d)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 === 3L && got(2L)._1 === 1L)
+    assert(got(1L)._2 === want1, s"doc1: ${got(1L)} vs $want1")
+    assert(got(2L)._2 === want2, s"doc2: ${got(2L)} vs $want2")
+    // reference-corpus shape: unknown-context bigrams drop (grounding
+    // contract); unseen w2 scores through the smoothed continuation
+    val ref = Seq((9L, "a b a c")).toDF("doc_id", "text")
+    val scored = TextOps.knPerplexity(
+      Seq((5L, "a z q")).toDF("doc_id", "text"), ref)
+      .as[(Long, Long, Double)].collect()
+    // bigrams of doc 5: (a,z) grounded (a known), (z,q) dropped
+    assert(scored.length === 1 && scored.head._2 === 1L)
+    // ref corpus is doc 9 ALONE: ctx a -> (c1=2, l1=2); c12=0, r2(z)=0
+    val wantUnseen = bits(Seq(p(0, 2, 2, 0)))
+    assert(scored.head._3 === wantUnseen)
+  }
+
   test("nbQualityScore: NB trained on provenance labels separates " +
     "held-out docs when the tiers have distinct vocabularies") {
     // curated tier (src0..src9) speaks 'good' words, raw tier 'spam'
