@@ -184,6 +184,82 @@ object TextStreams {
     * tokens carry no spans and pass unaudited (the batch gate keeps
     * docs with no stats).
     */
+  /** One language-ID emission: an arriving document's predicted language
+    * under the static trained rank profiles, with its out-of-place
+    * distance.
+    */
+  final case class LangTag(docId: Long, predLang: String, dist: Long)
+
+  /** Per-document classifier for [[streamingLangId]]: rows are the
+    * arriving doc's raw gram instances; the per-batch regroup counts
+    * them, ranks top-`topN` by (count desc, gram asc) — the batch
+    * window's exact rule — and scores the integer out-of-place distance
+    * against the baked-in profile maps, argmin ties lang-ascending.
+    * The profile table rides the processor as classifier-sized literal
+    * configuration (|langs|·topN entries — the deployed artifact, like
+    * the quality twin's prior). No carried state.
+    */
+  final class DocLangClassifier(profiles: Map[String, Map[String, Int]],
+      topN: Int) extends StatefulProcessor[Long, (Long, String), LangTag] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[LangTag] = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { case (_, g) =>
+        counts.update(g, counts.getOrElse(g, 0L) + 1L)
+      }
+      if (counts.isEmpty || profiles.isEmpty) Iterator.empty
+      else {
+        val ranked = counts.toArray
+          .sortBy { case (g, c) => (-c, g) }.take(topN)
+          .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+        val (lang, dist) = profiles.map { case (l, prof) =>
+          l -> ranked.map { case (g, dr) =>
+            prof.get(g).map(pr => math.abs(dr - pr).toLong)
+              .getOrElse(topN.toLong)
+          }.sum
+        }.minBy { case (l, d) => (d, l) }
+        Iterator.single(LangTag(key, lang, dist))
+      }
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.TextOps.ctLangId]]'s
+    * classification half: arriving documents are tagged against the
+    * STATIC trained rank profiles
+    * ([[graft.operators.TextOps.ctLangProfiles]]'s output — collected
+    * once at query build, |langs|·topN rows, the deployed-classifier
+    * artifact) by the same integer out-of-place distance with the same
+    * (count desc, gram asc) doc-rank rule and lang-ascending ties. One
+    * row-local gram explode, then a single keyed per-batch regroup —
+    * zero joins on the stream, zero carried state: the ingest-side
+    * language tagger in front of the per-language batch pipeline. Docs
+    * with no grams emit nothing (the batch operator's exclusion).
+    */
+  def streamingLangId(docs: DataFrame, profiles: DataFrame,
+      topN: Int = 50, maxN: Int = 3): Dataset[LangTag] = {
+    import docs.sparkSession.implicits._
+    val pmap: Map[String, Map[String, Int]] = profiles
+      .select(col("lang"), col("gram"), col("rnk").cast("int"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap
+      }
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
+      .select(col("doc_id"), explode(expr(
+        s"flatten(transform(sequence(1, least($maxN, length(word))), n -> " +
+          "transform(sequence(1, length(word) - n + 1), " +
+          "i -> substring(word, i, n))))")).as("gram"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DocLangClassifier(pmap, topN), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** One quality emission: an arriving document's token count, NB logit
     * (integer micro-nats) and keep verdict under a TRAINED weight table.
     */

@@ -118,6 +118,42 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingLangId: arrivals tag against static trained profiles " +
+    "with exact (pred, dist) parity vs the batch classifier") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // three languages with disjoint character inventories; every doc
+      // that the BATCH op holds out (doc_id % 5 == 0) streams in here
+      def mk(lang: String, text: String, ids: Seq[Long]) =
+        ids.map(i => (i, text, lang))
+      val rows =
+        mk("aa", "alpha appla lapa", Seq(0L, 1L, 2L, 5L, 10L)) ++
+        mk("bb", "bribo obrib ribbo", Seq(15L, 3L, 4L, 6L, 20L)) ++
+        mk("cc", "cocci icoc ccio", Seq(25L, 7L, 8L, 9L, 30L))
+      val corpus = rows.toDF("doc_id", "text", "lang")
+      val profiles = operators.TextOps.ctLangProfiles(corpus, topN = 20)
+      val want = operators.TextOps.ctLangId(corpus, topN = 20)
+        .as[(Long, String, String, Long)].collect()
+        .map(r => (r._1, r._3, r._4)).toSet
+      val heldOut = rows.filter(_._1 % 5 == 0).map(r => (r._1, r._2))
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingLangId(
+          mem.toDF().toDF("doc_id", "text"), profiles, topN = 20)
+        .writeStream.format("memory").queryName("lang_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(heldOut.take(3): _*); q.processAllAvailable()
+        mem.addData(heldOut.drop(3): _*); q.processAllAvailable()
+        val got = spark.table("lang_stream")
+          .as[(Long, String, Long)].collect().toSet
+        assert(got === want)
+        // a gramless arrival emits nothing
+        mem.addData((99L, "   ")); q.processAllAvailable()
+        assert(spark.table("lang_stream").count() === want.size)
+      } finally q.stop()
+    }
+  }
+
   test("streamingQualityScore: two-batch logit parity with the batch NB " +
     "scorer under the same trained weights, incl. the tokenless doc") {
     withRocksDb {
