@@ -89,6 +89,9 @@ object SparkEntry {
     // distance classifies held-out docs from raw text alone
     "ct_lang_profiles" -> ((s, d) => TextOps.ctLangProfiles(Tables.documents(s, d))),
     "ct_lang_id" -> ((s, d) => TextOps.ctLangId(Tables.documents(s, d))),
+    // trained-tokenizer fertility keyed on the PREDICTED language — the
+    // per-language report with no metadata trusted (unlabeled-corpus path)
+    "ct_lang_fertility" -> ((s, d) => TextOps.ctLangFertility(Tables.documents(s, d))),
     // trainable quality classifier (fastText shape, Joulin et al. 2016):
     // integer-count multinomial NB over hashed word unigrams, trained on
     // curated-tier provenance labels; micro-nat weights and logits
@@ -1083,6 +1086,28 @@ object SparkEntry {
   private val CtMaxN = 3
   private val CtHoldoutMod = 5
 
+  /** The CT classification CTEs (held-out doc profiles → out-of-place
+    * distances → argmin `pick(doc_id, pred_lang, dist)`), shared by
+    * `ct_lang_id` and `ct_lang_fertility`.
+    */
+  private lazy val ctPickBody: String =
+    s"""dprof AS (SELECT doc_id, gram, rnk FROM (
+      |    SELECT doc_id, gram,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY count(*) DESC, gram) AS rnk
+      |    FROM g2 WHERE doc_id % $CtHoldoutMod = 0
+      |    GROUP BY doc_id, gram) t
+      |  WHERE rnk <= $CtTopN),
+      |langs AS (SELECT DISTINCT lang FROM prof),
+      |dist AS (SELECT d.doc_id, l.lang,
+      |    CAST(sum(coalesce(abs(d.rnk - p.rnk), $CtTopN)) AS BIGINT) AS dist
+      |  FROM dprof d CROSS JOIN langs l
+      |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+      |  GROUP BY 1, 2),
+      |pick AS (SELECT doc_id, lang AS pred_lang, dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY dist, lang) AS rn FROM dist) t WHERE rn = 1)""".stripMargin
+
   private val NbBuckets = 256
   private val NbHoldoutMod = 5
 
@@ -1126,10 +1151,13 @@ object SparkEntry {
     * per-word character n-gram explode `g2(doc_id, lang, gram)` (lengths
     * 1..[[CtMaxN]]) and the trained rank-profile table
     * `prof(lang, gram, rnk, n_occ)` — top [[CtTopN]] grams per language
-    * from the training split, ranked by (count desc, gram asc).
+    * from the training split, ranked by (count desc, gram asc). The body
+    * is separate from the `WITH` keyword so `ct_lang_fertility` can
+    * append it to the unigram chain.
     */
-  private val ctGramPrefixSql: String =
-    s"""WITH wt AS (SELECT doc_id, lang, word FROM (
+  private val ctGramPrefixSql: String = "WITH " + ctGramBody
+  private lazy val ctGramBody: String =
+    s"""wt AS (SELECT doc_id, lang, word FROM (
       |    SELECT doc_id, lang,
       |      unnest(string_split_regex(text, '\\s+')) AS word
       |    FROM documents) t WHERE word <> ''),
@@ -1806,27 +1834,31 @@ object SparkEntry {
         |SELECT lang, gram, CAST(rnk AS INT) AS rnk, n_occ FROM prof""".stripMargin),
     // held-out docs (doc_id%5=0) classified by integer out-of-place rank
     // distance to each language profile; missing gram pays penalty 50
-    "ct_lang_id" -> (ctGramPrefixSql +
-      s""",
-        |dprof AS (SELECT doc_id, gram, rnk FROM (
-        |    SELECT doc_id, gram,
-        |      row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY count(*) DESC, gram) AS rnk
-        |    FROM g2 WHERE doc_id % $CtHoldoutMod = 0
-        |    GROUP BY doc_id, gram) t
-        |  WHERE rnk <= $CtTopN),
-        |langs AS (SELECT DISTINCT lang FROM prof),
-        |dist AS (SELECT d.doc_id, l.lang,
-        |    CAST(sum(coalesce(abs(d.rnk - p.rnk), $CtTopN)) AS BIGINT) AS dist
-        |  FROM dprof d CROSS JOIN langs l
-        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
-        |  GROUP BY 1, 2),
-        |pick AS (SELECT doc_id, lang AS pred_lang, dist FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY dist, lang) AS rn FROM dist) t WHERE rn = 1)
+    "ct_lang_id" -> (ctGramPrefixSql + ",\n" + ctPickBody +
+      s"""
         |SELECT t.doc_id, t.lang AS true_lang, pick.pred_lang, pick.dist
         |FROM (SELECT doc_id, lang FROM documents WHERE doc_id % $CtHoldoutMod = 0) t
         |JOIN pick USING (doc_id)""".stripMargin),
+    // trained-tokenizer fertility grouped by PREDICTED language — the
+    // fertility report self-contained on unlabeled corpora: the unigram
+    // chain trains the vocab, the CT chain predicts held-out languages,
+    // and the rollup keys on the prediction
+    "ct_lang_fertility" -> (unigramPrefixSql + ",\n" + ctGramBody + ",\n" +
+      ctPickBody +
+      s""",
+        |wl AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents WHERE doc_id % $CtHoldoutMod = 0) t
+        |  WHERE word <> '' AND length(word) <= $UniWordLen
+        |    AND NOT contains(word, chr(1))),
+        |wtk AS (SELECT word, CAST(len(path) AS BIGINT) AS wtok FROM bfin)
+        |SELECT pick.pred_lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(wtk.wtok) AS BIGINT) AS n_pieces,
+        |  CAST(sum(wtk.wtok) * 1000000 // count(*) AS BIGINT) AS fert_ppm,
+        |  CAST(sum(length(wl.word)) * 1000000 // sum(wtk.wtok) AS BIGINT)
+        |    AS chars_per_piece_ppm
+        |FROM wl JOIN wtk USING (word) JOIN pick USING (doc_id)
+        |GROUP BY pick.pred_lang""".stripMargin),
     // NB quality classifier, training replay: the full smoothed
     // micro-nat weight table (see nbPrefixSql)
     "nb_quality_train" -> (nbPrefixSql +

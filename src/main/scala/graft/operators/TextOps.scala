@@ -2217,6 +2217,41 @@ object TextOps {
         expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
   }
 
+  /** [[unigramFertility]] keyed on the PREDICTED language
+    * ([[ctLangId]]'s out-of-place classification) instead of the fixture
+    * label — the fertility report a pipeline can produce on a fully
+    * UNLABELED corpus: trained tokenizer + trained language tagger, no
+    * metadata trusted. Covers the held-out split (the docs the tagger
+    * classifies); rollup is |languages|-bounded, all-integer ppm.
+    *
+    * Scale shape: [[unigramTokens]]' distinct-word Viterbi fold over the
+    * held-out words, one doc_id equi-join against the per-doc prediction
+    * frame (corpus-partitioned, AQE-planned), the |langs| rollup.
+    */
+  def ctLangFertility(docs: DataFrame, topN: Int = 50, maxN: Int = 3,
+      holdoutMod: Int = 5, seedMulti: Int = 40, keepMulti: Int = 20,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val pred = ctLangId(docs, topN, maxN, holdoutMod)
+      .select(col("doc_id"), col("pred_lang"))
+    val (lp1, _) = unigramEm(docs, seedMulti, keepMulti, maxPieceLen, maxWordLen)
+    val words = docs.where(col("doc_id") % holdoutMod === 0)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"),
+          x => x =!= "" && !x.contains(BpeSep) && length(x) <= maxWordLen))
+          .as("word"))
+    val wtok = words.select("word").distinct()
+      .select(col("word"), size(graft.functions.TextFunctions.unigramSegment(
+        col("word"), lp1, maxPieceLen)).cast("long").as("wtok"))
+    words.join(wtok, Seq("word")).join(pred, Seq("doc_id"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum("wtok").as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("pred_lang"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div n_words").as("fert_ppm"),
+        expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
+  }
+
   /** The shared seed + round-1 EM + prune of [[unigramVocab]] /
     * [[unigramTokens]]: returns the pruned vocab with its round-1
     * smoothed micro-nat scores `lp¹` (tokenizer-sized, rides plans as

@@ -1082,6 +1082,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ctLangFertility: rollup keys on the PREDICTED language and its " +
+    "integer ratios match the labeled fertility on a separable corpus") {
+    def mk(lang: String, words: Seq[String], ids: Seq[Long]) =
+      ids.map(i => (i, words.mkString(" "), lang))
+    val rows =
+      mk("aa", Seq("alpha", "appla", "lapa"), Seq(0L, 1L, 2L, 5L, 10L)) ++
+      mk("bb", Seq("bribo", "obrib", "ribbo"), Seq(15L, 3L, 4L, 6L, 20L))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = TextOps.ctLangFertility(d, topN = 20)
+      .as[(String, Long, Long, Long, Long)].collect()
+    graft.plans.ReleaseRegistry.drain()
+    // predictions are perfect on the separable corpus (ctLangId spec),
+    // so the predicted-keyed rollup covers exactly the held-out docs of
+    // each language: aa -> 3 docs x 3 words, bb -> 2 docs x 3 words
+    val byLang = got.map(r => r._1 -> r).toMap
+    assert(got.length === 2)
+    assert(byLang("aa")._2 === 9L && byLang("bb")._2 === 6L)
+    got.foreach { case (_, nw, np, fert, cpp) =>
+      assert(fert === np * 1000000L / nw)
+      assert(np >= nw && cpp > 0)
+    }
+  }
+
   test("ctLangId: out-of-place penalty and lang-ascending tie-break are " +
     "exact on a hand-computed two-language case") {
     // train docs make profiles diverge on one gram; the held-out doc's
