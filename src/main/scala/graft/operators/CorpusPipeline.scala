@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the canonical LLM training-data pipeline as
@@ -101,16 +101,25 @@ object CorpusPipeline {
     * against the sidecar (AQE broadcasts a small benchmark-era sidecar,
     * degrades to SMJ at archive scale), one per-doc rollup.
     */
+  /** The k-token span strings of a token-array column — the SINGLE
+    * definition of the gate's span tokenization, shared by the election
+    * ([[spanDupStats]]), the `_seensp` sidecar ([[spanHashes]]) and the
+    * streaming twin ([[graft.streaming.TextStreams.streamingSpanGate]]),
+    * so the three can never silently diverge.
+    */
+  private[graft] def spanStrings(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
   private[operators] def spanDupStats(docs: DataFrame, k: Int,
       priorHashes: Option[DataFrame]): DataFrame = {
     val spans = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
-          s"struct(i AS i, concat_ws(' ', slice(toks, i, $k)) AS g))")).as("e"))
-      .select(col("doc_id"), col("e.i").cast("long").as("i"),
-        Dedup.portableHash64(col("e.g")).as("h"))
+      .select(col("doc_id"),
+        posexplode(spanStrings(col("toks"), k)).as(Seq("p", "g")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
+        Dedup.portableHash64(col("g")).as("h"))
     val firsts = spans.groupBy("h")
       .agg(min(struct(col("doc_id"), col("i"))).as("f"))
     val flagged = spans.join(firsts, Seq("h"))
@@ -134,9 +143,7 @@ object CorpusPipeline {
   def spanHashes(docs: DataFrame, k: Int): DataFrame =
     docs.select(split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
-      .select(explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
-          s"concat_ws(' ', slice(toks, i, $k)))")).as("g"))
+      .select(explode(spanStrings(col("toks"), k)).as("g"))
       .select(Dedup.portableHash64(col("g")).as("h")).distinct()
 
   /** The substring gate: drop survivors whose prior-duplicated span

@@ -708,19 +708,12 @@ object Dedup {
     * sort. Output is restricted to multi-doc families (singleton docs
     * trivially survive), so it is bounded by the duplicate count.
     */
-  def survivorsByQuality(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labeled = resolveClusters(docs, pairs)
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    val surv = labeled.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        // lexicographic struct max = argmax(n_chars, then smallest id)
-        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
-      .where(col("n_docs") >= 2)
-      .select(col("cluster"), (-col("m.nid")).as("survivor_id"))
-    labeled.join(surv, Seq("cluster"))
-      .select(col("doc_id"), col("cluster"), col("survivor_id"),
-        (col("doc_id") === col("survivor_id")).as("keep"))
-  }
+  def survivorsByQuality(docs: DataFrame, pairs: DataFrame): DataFrame =
+    // one election implementation: the length policy is the score policy
+    // with n_chars as the score (every doc carries n_chars, so the
+    // missing-score fallback never fires)
+    survivorsByScore(docs, pairs,
+      docs.select(col("doc_id"), col("n_chars").as("score")))
 
   /** [[survivorsByQuality]] with the policy column supplied by a SCORE
     * frame `(doc_id, score)` instead of `n_chars` — the slot the trained

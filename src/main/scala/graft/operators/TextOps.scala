@@ -229,6 +229,17 @@ object TextOps {
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
   }
 
+  /** All character n-grams (lengths 1..`maxN`) of a word column — the
+    * SINGLE definition of the Cavnar–Trenkle gram tokenization, shared
+    * by the batch family and the streaming tagger
+    * ([[graft.streaming.TextStreams.streamingLangId]]) so the deployed
+    * profiles and the arrival-side profiles can never silently diverge.
+    */
+  private[graft] def ctCharGrams(word: Column, maxN: Int): Column =
+    flatten(transform(sequence(lit(1), least(lit(maxN), length(word))),
+      n => transform(sequence(lit(1), length(word) - n + 1),
+        i => word.substr(i, n))))
+
   /** Character n-grams (lengths 1..`maxN`) of every word of every doc —
     * the shared explode under the Cavnar–Trenkle language-ID family.
     * One row-local flatten; no shuffle.
@@ -236,10 +247,8 @@ object TextOps {
   private def ctGrams(docs: DataFrame, maxN: Int): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"flatten(transform(sequence(1, least($maxN, length(word))), n -> " +
-          "transform(sequence(1, length(word) - n + 1), " +
-          "i -> substring(word, i, n))))")).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        explode(ctCharGrams(col("word"), maxN)).as("gram"))
 
   /** TRAINED language-ID, profile-building half (Cavnar–Trenkle 1994's
     * n-gram rank profiles — the classic trained lang-ID shape, where
@@ -381,28 +390,20 @@ object TextOps {
     * Scale shape: the corpus-scale work is one (doc, bucket) aggregate
     * (map-side combined; values bounded by doc length) followed by a
     * BROADCAST join with the `buckets`-row weight table and a per-doc
-    * sum — no corpus×corpus anywhere; the prior is a single-row
-    * broadcast.
+    * sum — no corpus×corpus anywhere; the prior folds in as a LITERAL
+    * (probed once by [[nbPriorMicro]], whose guard pass doubles as the
+    * prior computation — no redundant training-split scan).
     */
-  /** The trained class prior `round(ln(nPosDocs/nNegDocs)·10⁶)` over the
-    * TRAINING split, as a single-row frame (broadcast into the batch
-    * scorer's plan).
+  /** Per-class TRAINING-split document counts, guarded: the class prior
+    * is defined only when the split carries BOTH classes — fail LOUD
+    * (the house degenerate-input contract) instead of shipping an
+    * infinite/NaN prior cast to a legal-looking long that no other
+    * engine would reproduce. ONE two-column probe over the doc
+    * projection; the returned counts feed the prior directly so no
+    * second training-split scan is ever paid.
     */
-  private def nbPriorFrame(docs: DataFrame, holdoutMod: Int): DataFrame =
-    docs.where(col("doc_id") % holdoutMod =!= 0)
-      .agg(round(log(
-        sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)"))
-          .cast("double") /
-        sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)"))
-          .cast("double")) * 1e6).cast("long").as("prior_micro"))
-
-  /** The class prior is defined only when the training split carries
-    * BOTH classes — fail LOUD (the house degenerate-input contract)
-    * instead of shipping an infinite/NaN prior cast to a legal-looking
-    * long that no other engine would reproduce. One two-column probe
-    * over the doc projection.
-    */
-  private def nbRequireBothClasses(docs: DataFrame, holdoutMod: Int): Unit = {
+  private def nbTrainClassCounts(docs: DataFrame,
+      holdoutMod: Int): (Long, Long) = {
     val r = docs.where(col("doc_id") % holdoutMod =!= 0)
       .agg(
         sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)")),
@@ -413,24 +414,32 @@ object TextOps {
     require(np > 0 && nn > 0,
       s"nbQuality: training split must contain both curated and raw " +
         s"documents (got $np curated / $nn raw) — class prior undefined")
+    (np, nn)
   }
 
-  /** [[nbPriorFrame]] as a scalar — the deploy-time constant the
-    * streaming twin ([[graft.streaming.TextStreams.streamingQualityScore]])
-    * bakes into its query. One single-row probe; fails loud on a
-    * single-class training split.
+  /** The trained class prior `round(ln(nPosDocs/nNegDocs)·10⁶)` as a
+    * scalar — the deploy-time constant the scorer folds in as a literal
+    * and the streaming twin
+    * ([[graft.streaming.TextStreams.streamingQualityScore]]) bakes into
+    * its query. One probe over the doc projection; the quantization
+    * runs through the SAME Catalyst round/log expressions as every
+    * plan-side micro-nat (over the probed counts as literals), so the
+    * value is identical to the former aggregate-side computation. Fails
+    * loud on a single-class training split.
     */
   def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5): Long = {
-    nbRequireBothClasses(docs, holdoutMod)
-    nbPriorFrame(docs, holdoutMod).head().getLong(0)
+    val (np, nn) = nbTrainClassCounts(docs, holdoutMod)
+    docs.sparkSession.range(1)
+      .select(round(log(lit(np).cast("double") / lit(nn).cast("double"))
+        * 1e6).cast("long").as("prior_micro"))
+      .head().getLong(0)
   }
 
   def nbQualityScore(docs: DataFrame, buckets: Int = 256,
       holdoutMod: Int = 5): DataFrame = {
-    nbRequireBothClasses(docs, holdoutMod)
+    val priorMicro = nbPriorMicro(docs, holdoutMod)
     val w = nbQualityTrain(docs, buckets, holdoutMod)
       .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
-    val prior = nbPriorFrame(docs, holdoutMod)
     val perDoc = docs.select(col("doc_id"), col("source"),
       explode_outer(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
       .withColumn("bucket",
@@ -442,10 +451,9 @@ object TextOps {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum("c").as("n_tok"),
         sum(coalesce(col("c") * col("llr"), lit(0L))).as("s"))
-    perDoc.crossJoin(broadcast(prior))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        (col("prior_micro") + col("s")).as("logit_micro"),
-        (col("prior_micro") + col("s") >= 0L).as("pred_pos"))
+    perDoc.select(col("doc_id"), col("source"), col("n_tok"),
+      (lit(priorMicro) + col("s")).as("logit_micro"),
+      (lit(priorMicro) + col("s") >= 0L).as("pred_pos"))
   }
 
   /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))

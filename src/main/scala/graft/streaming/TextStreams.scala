@@ -190,14 +190,40 @@ object TextStreams {
     */
   final case class LangTag(docId: Long, predLang: String, dist: Long)
 
+  /** UTF-8 binary string order — the collation of Spark's UTF8String
+    * windows and the DuckDB oracle. JVM `String.compareTo` is UTF-16
+    * code-UNIT order, which ranks supplementary-plane characters
+    * (surrogate pairs, 0xD800-0xDFFF units) BELOW BMP chars ≥ U+E000;
+    * code-point comparison restores the byte order without
+    * materializing UTF-8 byte arrays per comparison.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[graft] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Compare(a, b)
+
   /** Per-document classifier for [[streamingLangId]]: rows are the
     * arriving doc's raw gram instances; the per-batch regroup counts
-    * them, ranks top-`topN` by (count desc, gram asc) — the batch
-    * window's exact rule — and scores the integer out-of-place distance
-    * against the baked-in profile maps, argmin ties lang-ascending.
-    * The profile table rides the processor as classifier-sized literal
-    * configuration (|langs|·topN entries — the deployed artifact, like
-    * the quality twin's prior). No carried state.
+    * them, ranks top-`topN` by (count desc, gram asc-in-UTF-8-binary
+    * order) — the batch window's exact rule INCLUDING its collation
+    * ([[utf8Compare]]; JVM string order would diverge on
+    * supplementary-plane grams) — and scores the integer out-of-place
+    * distance against the baked-in profile maps, argmin ties
+    * lang-ascending under the same collation. The profile table rides
+    * the processor as classifier-sized literal configuration
+    * (|langs|·topN entries — the deployed artifact, like the quality
+    * twin's prior). No carried state.
     */
   final class DocLangClassifier(profiles: Map[String, Map[String, Int]],
       topN: Int) extends StatefulProcessor[Long, (Long, String), LangTag] {
@@ -212,14 +238,16 @@ object TextStreams {
       if (counts.isEmpty || profiles.isEmpty) Iterator.empty
       else {
         val ranked = counts.toArray
-          .sortBy { case (g, c) => (-c, g) }.take(topN)
+          .sortBy { case (g, c) => (-c, g) }(
+            Ordering.Tuple2(Ordering.Long, Utf8Ordering)).take(topN)
           .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
         val (lang, dist) = profiles.map { case (l, prof) =>
           l -> ranked.map { case (g, dr) =>
             prof.get(g).map(pr => math.abs(dr - pr).toLong)
               .getOrElse(topN.toLong)
           }.sum
-        }.minBy { case (l, d) => (d, l) }
+        }.minBy { case (l, d) => (d, l) }(
+          Ordering.Tuple2(Ordering.Long, Utf8Ordering))
         Iterator.single(LangTag(key, lang, dist))
       }
     }
@@ -250,10 +278,8 @@ object TextStreams {
     docs
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
-      .select(col("doc_id"), explode(expr(
-        s"flatten(transform(sequence(1, least($maxN, length(word))), n -> " +
-          "transform(sequence(1, length(word) - n + 1), " +
-          "i -> substring(word, i, n))))")).as("gram"))
+      .select(col("doc_id"), explode(
+        graft.operators.TextOps.ctCharGrams(col("word"), maxN)).as("gram"))
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new DocLangClassifier(pmap, topN), TimeMode.None(),
@@ -324,9 +350,8 @@ object TextStreams {
     val spans = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= spanK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${spanK - 1}), i -> " +
-          s"concat_ws(' ', slice(toks, i, $spanK)))")).as("g"))
+      .select(col("doc_id"), explode(
+        graft.operators.CorpusPipeline.spanStrings(col("toks"), spanK)).as("g"))
       .select(col("doc_id"),
         graft.operators.Dedup.portableHash64(col("g")).as("h"))
     val prior = seenSpans.select(col("h")).distinct()

@@ -118,6 +118,20 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("utf8Compare orders supplementary-plane strings like UTF-8 bytes, " +
+    "where JVM String order diverges") {
+    val bmpHigh = "" // private-use BMP char, one UTF-16 unit
+    val astral = new String(Character.toChars(0x1F600)) // surrogate pair
+    // UTF-8/code-point order: U+E000 < U+1F600; JVM compareTo says the
+    // opposite (high surrogate 0xD83D < 0xE000)
+    assert(TextStreams.utf8Compare(bmpHigh, astral) < 0)
+    assert(bmpHigh.compareTo(astral) > 0, "JVM order must differ for this " +
+      "pair or the regression this pins is vacuous")
+    assert(TextStreams.utf8Compare("ab", "ab") === 0)
+    assert(TextStreams.utf8Compare("ab", "abc") < 0)
+    assert(TextStreams.utf8Compare("b", "a") > 0)
+  }
+
   test("streamingLangId: arrivals tag against static trained profiles " +
     "with exact (pred, dist) parity vs the batch classifier") {
     withRocksDb {
