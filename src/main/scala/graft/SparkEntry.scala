@@ -1732,12 +1732,18 @@ object SparkEntry {
         |contrib AS (SELECT p, lcp FROM pl UNION ALL SELECT p + 1 AS p, lcp FROM pl),
         |dl AS (SELECT p, max(lcp) AS dl FROM contrib GROUP BY p),
         |st AS MATERIALIZED (SELECT o.doc_id, o.i,
-        |         array_to_string(string_split(o.s, chr(1))[1:8], chr(1)) AS gk,
-        |         o.doc_id * 10000000 + o.i AS ek
+        |         array_to_string(string_split(o.s, chr(1))[1:8], chr(1)) AS gk
         |       FROM ord o JOIN dl USING (p)
         |       WHERE o.sl >= 8 AND dl.dl >= 8),
-        |f AS (SELECT gk, min(ek) AS fk FROM st GROUP BY gk),
-        |drp AS (SELECT doc_id, i FROM st JOIN f USING (gk) WHERE ek <> fk),
+        |-- first-occurrence election on the COMPOSITE (doc_id, i) — the
+        |-- exact twin of the Spark side's min(struct(doc_id, i))
+        |-- (TextOps.dupSubstrings): the former doc_id*1e7+i radix overflows
+        |-- the i component on any document over 10M tokens and the two
+        |-- sides would elect different keepers
+        |el AS (SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY gk ORDER BY doc_id, i) AS rn
+        |       FROM st),
+        |drp AS (SELECT doc_id, i FROM el WHERE rn <> 1),
         |cov AS MATERIALIZED (SELECT DISTINCT doc_id, i + k AS j
         |       FROM drp CROSS JOIN range(0, 8) r(k)),
         |tok AS (SELECT doc_id, j, toks[j] AS tk

@@ -190,6 +190,17 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
 case class WordPieceSegment(child: Expression, vocab: Seq[String],
     maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
 
+  // fail LOUD on vocab pieces the matcher could never reach: the greedy
+  // longest-match scan caps candidate length at maxPieceLen, so a longer
+  // piece would silently never match here while an external replay that
+  // joins on pieces of any length WOULD — a latent cross-engine
+  // divergence if the public API is ever fed an external vocab (the
+  // unigram-trained vocab caps pieces at UniPieceLen, well under).
+  require(vocab.forall(v => v.codePointCount(0, v.length) <= maxPieceLen),
+    s"WordPieceSegment: vocab contains pieces longer than maxPieceLen=" +
+      s"$maxPieceLen code points, which the greedy matcher can never " +
+      "match — raise maxPieceLen or filter the vocab explicitly")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -106,10 +106,19 @@ object CorpusPipeline {
     * ([[spanDupStats]]), the `_seensp` sidecar ([[spanHashes]]) and the
     * streaming twin ([[graft.streaming.TextStreams.streamingSpanGate]]),
     * so the three can never silently diverge.
+    *
+    * Safe standalone: arrays shorter than k yield an EMPTY span list.
+    * Without the guard, `sequence(1, size-(k-1))` with size < k generates
+    * a DESCENDING [1, 0, …] (Spark's sequence default step flips sign),
+    * and the 0 index crashes `slice` at runtime — all original call
+    * sites happened to pre-filter `size >= k`, but a shared helper must
+    * not rely on that.
     */
   private[graft] def spanStrings(toks: Column, k: Int): Column =
-    transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
 
   private[operators] def spanDupStats(docs: DataFrame, k: Int,
       priorHashes: Option[DataFrame]): DataFrame = {

@@ -723,12 +723,16 @@ object Dedup {
     * smallest doc_id). Same single argmax aggregate as the length
     * policy; docs missing from `scores` are treated as
     * lowest-quality (Long.MinValue) rather than silently dropped from
-    * their family.
+    * their family, and duplicate doc_id rows in `scores` collapse to
+    * their MAX score before the join — a raw left join would fan each
+    * duplicated doc into multiple labeled rows, inflating `n_docs` and
+    * emitting duplicate output rows.
     */
   def survivorsByScore(docs: DataFrame, pairs: DataFrame,
       scores: DataFrame): DataFrame = {
+    val uniq = scores.groupBy(col("doc_id")).agg(max(col("score")).as("score"))
     val labeled = resolveClusters(docs, pairs)
-      .join(scores.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
       .withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
     val surv = labeled.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),

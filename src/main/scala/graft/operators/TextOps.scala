@@ -1685,8 +1685,10 @@ object TextOps {
     * per-occurrence micro-bit terms — ONE double division of two exact
     * BIGINTs, then `round(log2·−10⁶)` — replay bit-identically on any
     * engine ([[ivfCellDrift]]'s exactness scheme). At ≳10⁹-token
-    * contexts the integer denominator approaches BIGINT capacity — move
-    * the products to decimal(38,0) first in that regime (the
+    * contexts the integer denominator approaches BIGINT capacity — the
+    * per-term expression raise_errors BEFORE wraparound (guard:
+    * 8·c1·(tt+vs) must fit a long); in that regime move the products to
+    * decimal(38,0) first (the
     * [[graft.operators.Similarity.pcVarianceShare]] note).
     *
     * Unknown-context bigrams drop via the inner context join — scoring
@@ -1720,11 +1722,22 @@ object TextOps {
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(tv))
+      // overflow guard, FAIL LOUD: numerator ≤ 7·c1·(tt+vs) (c12 ≤ c1,
+      // l1 ≤ c1, r2+1 ≤ tt+vs) and denominator = 4·c1·(tt+vs), so both
+      // stay in BIGINT iff 8·c1·(tt+vs) does. The per-row integer compare
+      // costs nothing in codegen and turns the silent wraparound the
+      // ≳10⁹-token regime would hit into an explicit error naming the
+      // decimal(38,0) escape hatch.
       .select(col("doc_id"), expr(
-        """cast(round(log2(
-          |  (greatest(4 * coalesce(c12, 0L) - 3, 0L) * (tt + vs)
-          |   + 3 * l1 * (coalesce(r2, 0L) + 1))
-          |  / cast(4 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint)"""
+        """if(c1 > 9223372036854775807 div (8 * (tt + vs)),
+          |   cast(raise_error(concat(
+          |     'knPerplexity: bigint overflow risk (c1=', cast(c1 as string),
+          |     ', tt+vs=', cast(tt + vs as string),
+          |     ') - move the products to decimal(38,0)')) as bigint),
+          |   cast(round(log2(
+          |     (greatest(4 * coalesce(c12, 0L) - 3, 0L) * (tt + vs)
+          |      + 3 * l1 * (coalesce(r2, 0L) + 1))
+          |     / cast(4 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
           .stripMargin).as("it"))
     terms.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),

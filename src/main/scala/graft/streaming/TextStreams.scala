@@ -183,6 +183,16 @@ object TextStreams {
     * against everything already seen. Docs with fewer than `spanK`
     * tokens carry no spans and pass unaudited (the batch gate keeps
     * docs with no stats).
+    *
+    * ONE-ARRIVAL-PER-BATCH contract (shared with [[DocContamCounter]]):
+    * a document is assumed to arrive as ONE streaming row, so all its
+    * span-flag rows land in its own micro-batch and the per-batch
+    * regroup yields exactly one audit. Two arrivals of the SAME doc_id
+    * inside one micro-batch merge into a single audit (span counts
+    * summed across both texts), while cross-batch re-arrivals are
+    * audited independently — re-ingest semantics depend on batch
+    * boundaries. Pipelines that re-ingest and need per-arrival audits
+    * within a batch must key rows by (doc_id, arrival) upstream.
     */
   /** One language-ID emission: an arriving document's predicted language
     * under the static trained rank profiles, with its out-of-place

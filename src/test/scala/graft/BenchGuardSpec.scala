@@ -61,6 +61,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert((j \ "dead" \ "isolated") === JNull)
   }
 
+  test("window ratio = median drift of sub-second control rows") {
+    val prev = Map("c1" -> 0.2, "c2" -> 0.5, "c3" -> 0.8, "big" -> 5.0)
+    // controls drift 1.5x/1.6x/1.7x; the ≥1 s row's 3x inflation is NOT a
+    // control and must not feed the ratio
+    val now = Seq("c1" -> 0.3, "c2" -> 0.8, "c3" -> 1.36, "big" -> 15.0)
+    assert(Bench.windowRatio(now, prev) === 1.6)
+    // no usable controls -> neutral 1.0 (plain 2x bar)
+    assert(Bench.windowRatio(Seq("big" -> 15.0), prev) === 1.0)
+    assert(Bench.windowRatio(Seq("c1" -> Double.NaN), prev) === 1.0)
+  }
+
+  test("contended-window isolation cannot self-confirm (normalized bar)") {
+    // r14 shape: committed 5.67 s, suite 17.0 s, isolated-in-window
+    // 15.7 s. Controls drifted ~1.6x -> bar 3.2x; 15.7/5.67 = 2.77 < 3.2
+    // -> noise, matching the judge's fresh-window adjudication (4.13 s).
+    val regs = Seq("substring_dedup" -> (17.0, 5.67))
+    val json = Bench.regressionsJson(regs, Map("substring_dedup" -> 15.7), bar = 3.2)
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    assert((j \ "substring_dedup" \ "verdict") === JString("noise"))
+    // the same isolated median under the UN-normalized bar read confirmed
+    val j2 = org.json4s.jackson.JsonMethods.parse(
+      Bench.regressionsJson(regs, Map("substring_dedup" -> 15.7)))
+    assert((j2 \ "substring_dedup" \ "verdict") === JString("confirmed"))
+  }
+
   test("isolatedRerun spawns a fresh JVM and returns the query's median") {
     // the full automated protocol end-to-end at fixture scale: fresh JVM,
     // same classpath + module flags, BENCH_ONLY child, median parsed back.
