@@ -587,6 +587,18 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.phashDupCounts(media)
     }),
+    // Hamming-banded image NEAR-dup pairs over the same one-decode-pass
+    // phash: 4 bands of 4 bits (pigeonhole-exact recall for hamming <= 3),
+    // bucket-capped band join, integer popcount verify — the pairs the
+    // exact-equality media_phash provably misses (a 1-2-bit flip = a
+    // re-encoded/resized crawl duplicate)
+    "phash_near_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      Multimodal.phashNearPairs(media)
+    }),
     // REAL video frame sampling on a mixed corpus: every 4th doc carries a
     // synthesized Y4M container (8x4 Cmono, 2-4 frames, pixel bytes from
     // an ASCII-safe arithmetic pattern — chars 48..111, so the payload is
@@ -4609,6 +4621,30 @@ object SparkEntry {
         |SELECT media_id, phash,
         |  CAST(count(*) OVER (PARTITION BY phash) - 1 AS BIGINT) AS n_dups
         |FROM p""".stripMargin,
+    // phash_near_pairs: same stub phash replay, then the FULL banded
+    // near-dup protocol — 4-bit band buckets, the maxBucket=1024 cap,
+    // same-band candidates, popcount verify at hamming <= 3 (replaying
+    // the cap keeps the twin exact even if a fixture bucket ever
+    // degenerates past the cap)
+    "phash_near_pairs" ->
+      """WITH r AS (SELECT d.doc_id AS media_id, g.i AS i,
+        |    ('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g),
+        |t AS (SELECT media_id, CAST(sum(rv) AS BIGINT) AS tot FROM r GROUP BY media_id),
+        |p AS (SELECT r.media_id,
+        |    CAST(sum(CASE WHEN rv * 16 > tot THEN (1::BIGINT << CAST(i AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM r JOIN t USING (media_id) GROUP BY r.media_id),
+        |b AS (SELECT media_id, phash, j, (phash >> CAST(4 * j AS INT)) & 15 AS bh
+        |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
+        |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
+        |       WHERE nb <= 1024),
+        |f AS (SELECT b.media_id, b.phash, b.j, b.bh FROM b JOIN ok USING (j, bh)),
+        |cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+        |           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM f x JOIN f y USING (j, bh)
+        |         WHERE x.media_id < y.media_id)
+        |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     // media_quality: same stub residues, n·Σr²−(Σr)² scaled variance +
     // truncating mean + zero-variance flat flag, all integer-exact
     "media_quality" ->

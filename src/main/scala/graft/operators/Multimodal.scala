@@ -1291,9 +1291,9 @@ object Multimodal {
     * Scale shape: row-local on top of [[extractFeatures]]' mapPartitions
     * boundary — no shuffle, no driver state. The hash is the
     * blocking key for media dedup: equal hashes = perceptually
-    * identical at grid resolution; for near-dup (hamming ≤ t) banding,
-    * reuse the text-simhash machinery
-    * ([[graft.operators.Dedup.simhashPairs]] — same band-join shape).
+    * identical at grid resolution; near-dup (hamming ≤ t) pairing is
+    * [[phashNearPairs]] — the text-simhash band-join
+    * ([[graft.operators.Dedup.simhashPairs]]) on this fingerprint.
     */
   def perceptualHash(media: DataFrame): DataFrame =
     extractFeatures(media)
@@ -1357,6 +1357,64 @@ object Multimodal {
     val counts = ph.groupBy("phash").agg(count(lit(1)).as("nb"))
     ph.join(counts, "phash") // AQE broadcasts the bucket table when small
       .select(col("media_id"), col("phash"), (col("nb") - 1L).as("n_dups"))
+  }
+
+  /** Hamming-banded image NEAR-duplicate pairs — the last cell of the
+    * media dedup matrix: [[phashDupCounts]] pairs only on EXACT hash
+    * equality, but the dominant crawl duplicate (a re-encoded, resized,
+    * or slightly-cropped image) flips one or two of the 16 aHash bits
+    * and never matches there. This is [[graft.operators.Dedup.simhashPairs]]'
+    * band-join shape on the [[perceptualHash]] fingerprint: the 16-bit
+    * hash splits into `bands` equal chunks and rows sharing ANY band's
+    * bits are candidates — by pigeonhole a pair with hamming < bands
+    * must agree on some band, so recall is EXACT for
+    * `maxHamming ≤ bands − 1`; candidates verify with the codegen'd
+    * integer popcount `bit_count(xor)`. Output
+    * `(media_a, media_b, hamming)` with `media_a < media_b`.
+    *
+    * Scale shape: ONE decode pass (the 16-byte hash frame persists
+    * behind a count barrier; payloads never join), then a self-join
+    * BLOCKED on (band, band-bits) — Σbucket², never n². A 16-bit code
+    * has only 2¹⁶ values, so at archive scale buckets grow linearly
+    * with the corpus: `maxBucket` drops overfull buckets before the
+    * join (the declared recall trade of [[videoDupPairs]]'s frame-hash
+    * cap — degenerate hashes are the flat/solid images that pair
+    * uselessly anyway), bounding the join at `maxBucket²/2` per
+    * surviving bucket. For a finer code, feed a wider feature grid
+    * through [[perceptualHash]] — the banding math only needs
+    * `bands | nBits`.
+    */
+  def phashNearPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val nBits = 16 // perceptualHash packs one bit per 4x4 feature cell
+    require(bands > maxHamming,
+      "bands must exceed maxHamming for exact recall")
+    require(nBits % bands == 0, "bands must divide the 16 phash bits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val ph = perceptualHash(media).persist()
+    ph.count() // barrier: one decode pass; only the tiny hash frame pins
+    graft.plans.ReleaseRegistry.register("multimodal.phash_near_pairs")(
+      () => ph.unpersist(blocking = false))
+    val bandStructs = (0 until bands).map(j =>
+      struct(lit(j).as("band"),
+        shiftright(col("phash"), j * r).bitwiseAND(lit(mask)).as("bh")))
+    val banded = ph
+      .select(col("media_id"), col("phash"),
+        explode(array(bandStructs: _*)).as("e"))
+      .select(col("media_id"), col("phash"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+    val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
+      .where(col("nb") <= maxBucket).select("band", "bh")
+    val f = banded.join(ok, Seq("band", "bh")) // AQE broadcasts when small
+    f.as("x").join(f.as("y"), Seq("band", "bh"))
+      .where(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        graft.operators.Dedup.hammingDist(col("x.phash"), col("y.phash"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Resize stage shape for images: rewrites the payload through the

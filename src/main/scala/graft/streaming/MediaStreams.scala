@@ -229,4 +229,60 @@ object MediaStreams {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Incremental VIDEO-duplicate PAIR discovery over a growing archive —
+    * the streaming twin of
+    * [[graft.operators.Multimodal.videoDupPairs]]' blocking join and the
+    * video leg of [[incrementalAudioMatches]]: arriving media decode
+    * row-locally to per-FRAME aHashes
+    * ([[graft.operators.Multimodal.videoFingerprints]] — real y4m/MJPEG
+    * frames, md5 stubs for undecodable payloads), each frame verifies
+    * against its hash bucket's history, and every frame-level match
+    * emits exactly once. Downstream, `groupBy(mediaA, mediaB, wb−wa)
+    * having count ≥ minMatch` reproduces the batch pair table on the
+    * union corpus — the `wa`/`wb` fields carry FRAME indices here, so
+    * the consistent delta is the trim offset of a re-cut clip. State per
+    * bucket = its stored frame list capped at `maxBucket` (arrival-order
+    * prefix of the batch degenerate-frame drop — black frames and test
+    * cards are the video stop-words), the same Σbucket² amortization as
+    * the audio matcher; `ttl` bounds state to the trailing window for
+    * endless archives.
+    */
+  def incrementalVideoMatches(media: DataFrame, maxBucket: Int = 1024,
+      ttl: Option[java.time.Duration] = None): Dataset[WinMatch] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.videoFingerprints(media)
+      .select(col("media_id").as("mediaId"),
+        col("frame_idx").as("winIdx"), col("fhash"))
+      .as[FpRow]
+      .groupByKey(_.fhash)
+      .transformWithState(new FpBucketMatcher(maxBucket, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Incremental video frame-hash duplicate accounting over a GROWING
+    * archive — [[incrementalAudioWindowDups]] verbatim on
+    * (frame_idx, fhash) state: each arriving FRAME is emitted once with
+    * the count of prior frames (any media row) sharing its aHash, so a
+    * downstream consumer sees exactly the bucket pressure the batch
+    * matcher's self-join would (a frame with `nDups = 0` can never
+    * contribute a pair; a bucket's latest emission is its batch bucket
+    * size − 1). The fingerprinting is row-local at the codec boundary,
+    * composing onto the streaming frame with no extra state; state is
+    * ONE long per distinct frame hash, `ttl`-boundable. The `winIdx`
+    * field of the emission carries the frame index.
+    */
+  def incrementalVideoFrameDups(media: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[FpDup] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.videoFingerprints(media)
+      .select(col("media_id").as("mediaId"),
+        col("frame_idx").as("winIdx"), col("fhash"))
+      .as[FpRow]
+      .groupByKey(_.fhash)
+      .transformWithState(new FpBucketCounter(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
 }

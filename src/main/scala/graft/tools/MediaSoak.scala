@@ -74,6 +74,30 @@ object MediaSoak {
     "YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++ frames
   }
 
+  /** Variant of image family `fam` with the dark grid cells in `flips`
+    * flipped bright — a REAL 64×64 PNG whose 4×4-cell aHash is the
+    * family's 16-bit base mask (md5-derived; bit 0 forced bright, bits
+    * 1-2 forced dark as flip targets) xor the flip bits. Copy c flips
+    * bits 1..c, so within-family pair (c1 < c2) sits at hamming
+    * c2 − c1 ∈ {1, 2} — the re-encoded/slightly-edited crawl-duplicate
+    * shape [[Multimodal.phashNearPairs]] exists for and exact-equality
+    * phash matching provably misses.
+    */
+  private def pngFor(fam: Long, copy: Int): Array[Byte] = {
+    val base = (graft.functions.PortableMd5.hash64(
+      s"mi:$fam".getBytes("UTF-8")).toInt & 0xffff | 1) & ~0x6
+    val mask = base | (if (copy >= 1) 2 else 0) | (if (copy >= 2) 4 else 0)
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val cell = (y / 16) * 4 + (x / 16)
+      img.setRGB(x, y, if ((mask & (1 << cell)) != 0) 0xffffff else 0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val bases = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BASES", "400").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "5").toInt
@@ -211,9 +235,77 @@ object MediaSoak {
       dpWall
     }
 
+    val pngUdf = udf((fam: Long, copy: Int) => pngFor(fam, copy))
+
+    // image corpus: nBase families x 3 copies (hamming 1/1/2 within a
+    // family by PNG construction) + nBase text stubs on the md5 path —
+    // the mixed-corpus case, like the audio/video legs
+    def icorpus(nBase: Int): DataFrame = {
+      val fams = spark.range(nBase).toDF("fam")
+        .crossJoin(spark.range(3).toDF("c"))
+        .select((col("fam") * 100 + col("c")).as("media_id"),
+          pngUdf(col("fam"), col("c").cast("int")).as("p"))
+      val stubs = spark.range(nBase).toDF("i")
+        .select((col("i") + 10000000L).as("media_id"),
+          concat(lit("not image payload "), col("i").cast("string"))
+            .cast("binary").as("p"))
+      Multimodal.fromBinary(fams.unionByName(stubs), "media_id", "p", "image")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    /** Image near-dup leg. A 16-bit code has 2¹⁶ values, so band buckets
+      * grow LINEARLY with the corpus and true near pairs (cross-family
+      * included — genuine hamming ≤ 3 collisions of the coarse code, not
+      * errors) grow ~quadratically: the honest floors here are (1)
+      * within-family recall (pigeonhole-exact while no shared band
+      * bucket overflows — maxBucket is raised to keep the 10× leg
+      * uncapped; the cap itself is unit-spec'd) and (2) EXACTNESS: the
+      * banded output must equal the brute-force hamming join, checked
+      * against a driver-side popcount sweep of the collected hash frame
+      * (16 bytes/row — bounded). Wall is reported per OUTPUT PAIR, the
+      * quantity that scales.
+      */
+    def ileg(name: String, nBase: Int): Double = {
+      val media = icorpus(nBase).persist()
+      media.count()
+      val hashes = Multimodal.perceptualHash(media)
+        .select(col("media_id"), col("phash"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var brute = 0L
+      var i = 0
+      while (i < hashes.length) {
+        var j = i + 1
+        while (j < hashes.length) {
+          if (java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= 3)
+            brute += 1
+          j += 1
+        }
+        i += 1
+      }
+      val (dpWall, pairs) = timed(s"${name}_near_pairs")(
+        Multimodal.phashNearPairs(media, maxBucket = 1 << 20))
+      val got = pairs.count()
+      val famPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L &&
+          expr("(media_a div 100) = (media_b div 100)"))
+        .count()
+      pairs.unpersist(blocking = false)
+      media.unpersist(blocking = false)
+      val expected = nBase.toLong * 3 // C(3,2) per family, all hamming <= 2
+      val recall = famPairs.toDouble / expected
+      println(f"SOAK|${name}_recall|family=$famPairs/$expected" +
+        f"|recall=$recall%.4f|pairs=$got|brute=$brute")
+      require(recall >= recallFloor,
+        f"IMAGE RECALL REGRESSION: $name recall $recall%.4f < floor $recallFloor")
+      require(got == brute,
+        s"IMAGE EXACTNESS REGRESSION: banded $got pairs != brute-force $brute")
+      dpWall / math.max(got, 1L)
+    }
+
     // untimed warmup
     Multimodal.audioFingerprints(corpus(8)).count()
     Multimodal.videoFingerprints(vcorpus(8)).count()
+    Multimodal.phashNearPairs(icorpus(8)).count()
     graft.plans.ReleaseRegistry.drain()
 
     val w1 = leg("media_1x", bases)
@@ -224,6 +316,13 @@ object MediaSoak {
     val v10 = vleg("video_10x", bases * 10)
     println(f"SOAK|video_growth|pairs_wall_10x/1x=${v10 / v1}%.2f (10x rows; " +
       "sub-quadratic expected)")
+    val i1 = ileg("image_1x", bases)
+    val i10 = ileg("image_10x", bases * 10)
+    println(f"SOAK|image_growth|wall_per_pair_10x/1x=${i10 / i1}%.2f " +
+      "(output pairs grow ~quadratically with a 16-bit code; per-pair " +
+      "cost must not degrade)")
+    require(i10 <= i1 * 3.0,
+      f"IMAGE THROUGHPUT REGRESSION: per-pair wall grew ${i10 / i1}%.2fx at 10x")
     spark.stop()
   }
 }

@@ -111,6 +111,106 @@ class MediaStreamsSpec extends SparkSpec {
     }
   }
 
+  test("incremental video matches across batches aggregate to the batch " +
+    "dup-pair table on the union") {
+    import graft.operators.Multimodal
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // y4m clips (8x4 Cmono, md5-digest pixel bytes keyed by (fam,
+      // absolute frame) — the MediaSoak construction): distinct across
+      // families, and trimming whole frames keeps the per-frame hashes
+      def y4m(fam: Long, frames: Int, trim: Int = 0): Array[Byte] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val body = (trim until frames).toArray.flatMap { f =>
+          "FRAME\n".getBytes("ISO-8859-1") ++
+            md.digest(s"sv:$fam:$f:0".getBytes("UTF-8")) ++
+            md.digest(s"sv:$fam:$f:1".getBytes("UTF-8"))
+        }
+        "YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++ body
+      }
+      // batch 1: original (4 frames) + unrelated clip; batch 2: a
+      // one-frame-trimmed RE-CUT of the original — its matches must
+      // verify against batch-1 STATE (3 shared frames >= minMatch 3)
+      val b1 = Seq((1L, y4m(1L, 4)), (2L, y4m(9L, 4)))
+      val b2 = Seq((3L, y4m(1L, 4, trim = 1)))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "video")
+      val q = MediaStreams.incrementalVideoMatches(media)
+        .writeStream.format("memory").queryName("inc_video_matches")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        // consumer-side pair aggregation over ALL emitted match events —
+        // exactly the grouping videoDupPairs applies to its bucket join
+        val got = spark.table("inc_video_matches")
+          .groupBy(col("mediaA").as("media_a"), col("mediaB").as("media_b"),
+            (col("wb") - col("wa")).cast("int").as("offset_f"))
+          .agg(count(lit(1)).as("n_match"))
+          .where(col("n_match") >= 3)
+          .as[(Long, Long, Int, Long)].collect().toSet
+        val union = Multimodal.fromBinary(
+          (b1 ++ b2).toDF("doc_id", "payload"), "doc_id", "payload", "video")
+        val want = Multimodal.videoDupPairs(union, minMatch = 3)
+          .as[(Long, Long, Int, Long)].collect().toSet
+        graft.plans.ReleaseRegistry.drain()
+        assert(got === want, s"stream $got vs batch $want")
+        // and the constructed cross-batch re-cut is in there, at the
+        // consistent frame delta -1
+        assert(got.exists(p => p._1 == 1L && p._2 == 3L && p._3 == -1),
+          s"trimmed re-ingest must pair with the batch-1 original: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("incremental video frame-dup counts carry buckets across batches " +
+    "(stub and real paths)") {
+    import graft.operators.Multimodal
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // text payloads take the md5 stub-frame path (4 pseudo-frames each);
+      // batch 2 re-ingests a batch-1 payload byte-identically — its four
+      // frame hashes must count against carried batch-1 state
+      val b1 = Seq((1L, "video payload alpha".getBytes("UTF-8")),
+        (2L, "video payload beta".getBytes("UTF-8")))
+      val b2 = Seq((3L, "video payload alpha".getBytes("UTF-8")))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "video")
+      val q = MediaStreams.incrementalVideoFrameDups(media)
+        .writeStream.format("memory").queryName("inc_video_parity")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val got = spark.table("inc_video_parity")
+          .as[(Long, Int, Long, Long)].collect().toSeq
+        assert(got.size === 12, s"one emission per stub frame, got $got")
+        // per hash bucket, arrivals numbered 0,1,…,size-1 across batches
+        got.groupBy(_._3).foreach { case (_, rows) =>
+          assert(rows.map(_._4).sorted === rows.indices.map(_.toLong))
+        }
+        // the re-ingested payload's frames all landed in populated buckets
+        val copyRows = got.filter(_._1 == 3L)
+        assert(copyRows.size === 4 && copyRows.forall(_._4 >= 1L),
+          s"cross-batch frame duplicates must see carried state: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incremental audio-window dup counts carry fingerprint buckets " +
     "across batches") {
     import graft.operators.Multimodal.MediaCodec

@@ -350,6 +350,64 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("phashNearPairs: 1-2-bit flipped real images pair where " +
+    "phashDupCounts provably misses them") {
+    // base: left half bright -> grid cells {2,3} of each row bright, 8
+    // bits set. nearOne flips ONE dark grid cell (top-left 16x16 block)
+    // to bright; nearTwo flips two. The re-encoded/slightly-edited crawl
+    // duplicate shape: hamming 1 and 2 off the base. far = all bits
+    // inverted (hamming 8+, never a candidate at maxHamming 3).
+    def img(flips: Set[Int]): Array[Byte] = pngBytes(64, 64) { (x, y) =>
+      val cell = (y / 16) * 4 + (x / 16)
+      val bright = (x >= 32) ^ flips.contains(cell)
+      if (bright) 0xffffff else 0x000000
+    }
+    val df = Seq(
+      (1L, img(Set.empty)), (2L, img(Set(0))), (3L, img(Set(0, 4))),
+      (4L, pngBytes(64, 64)((x, _) => if (x < 32) 0xffffff else 0x000000)))
+      .toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    // the exact-equality operator sees four distinct hashes: zero dups
+    val exact = Multimodal.phashDupCounts(media)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(exact === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val near = Multimodal.phashNearPairs(media)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2) at hamming 1, (1,3) at 2, (2,3) at 1; the mirrored image
+    // pairs with nothing (hamming 8/7/6 > 3)
+    assert(near === Map((1L, 2L) -> 1L, (1L, 3L) -> 2L, (2L, 3L) -> 1L))
+  }
+
+  test("phashNearPairs: band-join output equals the brute-force " +
+    "hamming join on the stub path") {
+    val df = (0 until 100).map(i =>
+      (i.toLong, s"stub-payload-$i".getBytes("UTF-8"))).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    val hashes = Multimodal.perceptualHash(media)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.phashNearPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    // the 16-bit stub codes over 100 payloads land some near pairs by
+    // construction (deterministic md5) — the equality above is not
+    // vacuous
+    assert(brute.nonEmpty)
+  }
+
+  test("phashNearPairs: maxBucket drops degenerate buckets (flat-image " +
+    "stop-hash cap)") {
+    val same = pngBytes(32, 32)((x, _) => if (x < 16) 0 else 0xffffff)
+    val df = (1L to 5L).map(i => (i, same)).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    assert(Multimodal.phashNearPairs(media).count() === 10L) // C(5,2), hamming 0
+    assert(Multimodal.phashNearPairs(media, maxBucket = 4).count() === 0L)
+  }
+
   test("imageQuality: flat real frame flags is_flat, contrast frame does not") {
     val flat = pngBytes(32, 32)((_, _) => 0x808080)
     val contrast = pngBytes(32, 32)((x, _) => if (x < 16) 0 else 0xffffff)
