@@ -250,6 +250,15 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(ctCharGrams(col("word"), maxN)).as("gram"))
 
+  /** [[ctGrams]] without the training label — the doc-side explode of
+    * the classification half ([[ctClassifyWith]]), usable on corpora
+    * that carry no `lang` column at all.
+    */
+  private def ctDocGrams(docs: DataFrame, maxN: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
+      .select(col("doc_id"), explode(ctCharGrams(col("word"), maxN)).as("gram"))
+
   /** TRAINED language-ID, profile-building half (Cavnar–Trenkle 1994's
     * n-gram rank profiles — the classic trained lang-ID shape, where
     * [[langId]] is a fixed marker heuristic): per language, the top
@@ -295,10 +304,29 @@ object TextOps {
     */
   def ctLangId(docs: DataFrame, topN: Int = 50, maxN: Int = 3,
       holdoutMod: Int = 5): DataFrame = {
-    val prof = ctLangProfiles(docs, topN, maxN, holdoutMod)
-      .select(col("lang"), col("gram"), col("rnk").as("prnk"))
+    val pick = ctClassifyWith(docs.where(col("doc_id") % holdoutMod === 0),
+      ctLangProfiles(docs, topN, maxN, holdoutMod), topN, maxN)
+    docs.where(col("doc_id") % holdoutMod === 0)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pick, Seq("doc_id"))
+  }
+
+  /** [[ctLangId]]'s classification half against a SUPPLIED profile
+    * table — the deploy shape: `profiles` is a trained rank-profile
+    * artifact ([[ctLangProfiles]]' output, fresh or
+    * [[loadCtProfiles]]-reloaded) and `docs` any corpus with
+    * (doc_id, text); no label column is required and every document is
+    * classified. Returns `(doc_id, pred_lang, dist)`; same integer
+    * out-of-place distance, same (count desc, gram asc) doc-rank rule,
+    * same lang-ascending ties. Scale shape unchanged: one (doc, gram)
+    * aggregate + a per-document rank window, then doc-top-N rows × a
+    * BROADCAST of the classifier-sized profile table — never corpus².
+    */
+  def ctClassifyWith(docs: DataFrame, profiles: DataFrame, topN: Int = 50,
+      maxN: Int = 3): DataFrame = {
+    val prof = profiles.select(col("lang"), col("gram"), col("rnk").as("prnk"))
     val langs = prof.select("lang").distinct()
-    val dprof = ctGrams(docs.where(col("doc_id") % holdoutMod === 0), maxN)
+    val dprof = ctDocGrams(docs, maxN)
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .withColumn("drank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))))
@@ -309,26 +337,66 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(sum(coalesce(abs(col("drank") - col("prnk")).cast("long"),
         lit(topN.toLong))).as("dist"))
-    val pick = dist.groupBy("doc_id")
+    dist.groupBy("doc_id")
       .agg(min(struct(col("dist"), col("lang"))).as("m"))
       .select(col("doc_id"), col("m.lang").as("pred_lang"),
         col("m.dist").as("dist"))
-    docs.where(col("doc_id") % holdoutMod === 0)
-      .select(col("doc_id"), col("lang").as("true_lang"))
-      .join(pick, Seq("doc_id"))
   }
 
-  /** The NB family's label and feature plumbing: "curated" = the
-    * provenance tier every CCNet/GPT-3-style pipeline labels from (here
-    * the fixture's first ten sources stand in for the curated tier);
-    * features are word unigrams hashed into `buckets` buckets with the
-    * portable md5-60 (fastText's hashing-trick shape, Joulin et al.
-    * 2016). Pure integers end to end, so training AND scoring replay
-    * exactly in an external engine.
+  /** Persist the trained Cavnar–Trenkle rank profiles — the
+    * train-once/store/score-many deploy shape
+    * ([[graft.operators.Similarity.buildIvfIndex]], [[saveNbModel]]):
+    * the |langs|·topN profile table as parquet plus a one-row sidecar
+    * carrying (top_n, max_n), the two hyper-parameters a classifier
+    * must match at scoring time (a scorer exploding different gram
+    * lengths or ranking a different prefix would silently disagree
+    * with the training tokenization). Batch re-scoring goes through
+    * [[ctClassifyWith]], streaming tagging through
+    * [[graft.streaming.TextStreams.streamingLangId]], both fed by
+    * [[loadCtProfiles]].
     */
-  private def nbBuckets(docs: DataFrame, buckets: Int): DataFrame =
+  def saveCtProfiles(docs: DataFrame, modelDir: String, topN: Int = 50,
+      maxN: Int = 3, holdoutMod: Int = 5): Unit = {
+    ctLangProfiles(docs, topN, maxN, holdoutMod)
+      .write.mode("overwrite").parquet(s"$modelDir/profiles")
+    docs.sparkSession.range(1)
+      .select(lit(topN).as("top_n"), lit(maxN).as("max_n"))
+      .write.mode("overwrite").parquet(s"$modelDir/meta")
+  }
+
+  /** Load a [[saveCtProfiles]] artifact: (profile table, topN, maxN).
+    * All integers and strings, so the reloaded classifier predicts
+    * BIT-identically to the in-session one (round-trip pinned in
+    * TextOpsSpec).
+    */
+  def loadCtProfiles(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, Int, Int) = {
+    val m = spark.read.parquet(s"$modelDir/meta").head()
+    (spark.read.parquet(s"$modelDir/profiles"),
+      m.getAs[Int]("top_n"), m.getAs[Int]("max_n"))
+  }
+
+  /** The NB family's DEFAULT label: "curated" = the provenance tier
+    * every CCNet/GPT-3-style pipeline labels from (here the fixture's
+    * first ten sources stand in for the curated tier). Every NB entry
+    * point takes `labelCol: Column` with this as the default — a real
+    * pipeline labels from arbitrary provenance (a human-rated sample, a
+    * heuristic screen, an upstream classifier), and the label is the
+    * ONE part of the family that is policy, not algorithm. Rows where
+    * the label evaluates NULL count toward neither class (the
+    * three-valued-logic behavior of the original provenance expression).
+    */
+  def nbCuratedLabel: Column = expr("cast(substring(source, 4) as int) < 10")
+
+  /** The NB family's feature plumbing: features are word unigrams hashed
+    * into `buckets` buckets with the portable md5-60 (fastText's
+    * hashing-trick shape, Joulin et al. 2016). Pure integers end to end,
+    * so training AND scoring replay exactly in an external engine.
+    */
+  private def nbBuckets(docs: DataFrame, buckets: Int,
+      labelCol: Column): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      expr("cast(substring(source, 4) as int) < 10").as("curated"),
+      labelCol.as("curated"),
       explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
       .withColumn("bucket",
         pmod(graft.functions.Md5Hash64(col("word")), lit(buckets.toLong)))
@@ -351,9 +419,10 @@ object TextOps {
     * range frame so the scorer's join is total).
     */
   def nbQualityTrain(docs: DataFrame, buckets: Int = 256,
-      holdoutMod: Int = 5): DataFrame = {
+      holdoutMod: Int = 5, labelCol: Column = nbCuratedLabel): DataFrame = {
     val spark = docs.sparkSession
-    val counts = nbBuckets(docs.where(col("doc_id") % holdoutMod =!= 0), buckets)
+    val counts = nbBuckets(docs.where(col("doc_id") % holdoutMod =!= 0),
+      buckets, labelCol)
       .groupBy("bucket")
       .agg(sum(when(col("curated"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("curated"), 0L).otherwise(1L)).as("n_neg"))
@@ -402,12 +471,12 @@ object TextOps {
     * projection; the returned counts feed the prior directly so no
     * second training-split scan is ever paid.
     */
-  private def nbTrainClassCounts(docs: DataFrame,
-      holdoutMod: Int): (Long, Long) = {
+  private def nbTrainClassCounts(docs: DataFrame, holdoutMod: Int,
+      labelCol: Column): (Long, Long) = {
     val r = docs.where(col("doc_id") % holdoutMod =!= 0)
       .agg(
-        sum(expr("cast(cast(substring(source, 4) as int) < 10 as long)")),
-        sum(expr("cast(cast(substring(source, 4) as int) >= 10 as long)")))
+        sum(labelCol.cast("long")),
+        sum((!labelCol).cast("long")))
       .head()
     val np = if (r.isNullAt(0)) 0L else r.getLong(0)
     val nn = if (r.isNullAt(1)) 0L else r.getLong(1)
@@ -427,8 +496,9 @@ object TextOps {
     * value is identical to the former aggregate-side computation. Fails
     * loud on a single-class training split.
     */
-  def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5): Long = {
-    val (np, nn) = nbTrainClassCounts(docs, holdoutMod)
+  def nbPriorMicro(docs: DataFrame, holdoutMod: Int = 5,
+      labelCol: Column = nbCuratedLabel): Long = {
+    val (np, nn) = nbTrainClassCounts(docs, holdoutMod, labelCol)
     docs.sparkSession.range(1)
       .select(round(log(lit(np).cast("double") / lit(nn).cast("double"))
         * 1e6).cast("long").as("prior_micro"))
@@ -436,9 +506,23 @@ object TextOps {
   }
 
   def nbQualityScore(docs: DataFrame, buckets: Int = 256,
-      holdoutMod: Int = 5): DataFrame = {
-    val priorMicro = nbPriorMicro(docs, holdoutMod)
-    val w = nbQualityTrain(docs, buckets, holdoutMod)
+      holdoutMod: Int = 5, labelCol: Column = nbCuratedLabel): DataFrame =
+    nbScoreWith(docs, nbQualityTrain(docs, buckets, holdoutMod, labelCol),
+      nbPriorMicro(docs, holdoutMod, labelCol), buckets)
+
+  /** [[nbQualityScore]]'s scoring half against a SUPPLIED artifact — the
+    * deploy shape: `weights` is a trained weight table
+    * ([[nbQualityTrain]]'s output, fresh or [[loadNbModel]]-reloaded)
+    * and `priorMicro` the trained class prior. Scoring many corpora
+    * against one stored model pays training once, exactly like
+    * [[graft.operators.Similarity.ivfTopKIndexed]] against a built
+    * index; the streaming twin
+    * ([[graft.streaming.TextStreams.streamingQualityScore]]) consumes
+    * the same two artifacts.
+    */
+  def nbScoreWith(docs: DataFrame, weights: DataFrame, priorMicro: Long,
+      buckets: Int = 256): DataFrame = {
+    val w = weights
       .select(col("bucket"), (col("lp_pos") - col("lp_neg")).as("llr"))
     val perDoc = docs.select(col("doc_id"), col("source"),
       explode_outer(filter(split(col("text"), "\\s+"), x => x =!= "")).as("word"))
@@ -454,6 +538,40 @@ object TextOps {
     perDoc.select(col("doc_id"), col("source"), col("n_tok"),
       (lit(priorMicro) + col("s")).as("logit_micro"),
       (lit(priorMicro) + col("s") >= 0L).as("pred_pos"))
+  }
+
+  /** Persist the trained NB quality classifier — the train-once/store/
+    * score-many deploy shape [[graft.operators.Similarity.buildIvfIndex]]
+    * established for ANN: the `buckets`-row weight table as parquet plus
+    * a one-row sidecar carrying the trained prior and the bucket count
+    * (the two scalars a scorer needs; storing them WITH the weights
+    * keeps the artifact self-describing — a scorer hashing into a
+    * different bucket count would read garbage weights silently).
+    * Training cost is paid once; batch re-scoring goes through
+    * [[nbScoreWith]] and streaming ingest screens through
+    * [[graft.streaming.TextStreams.streamingQualityScore]], both fed by
+    * [[loadNbModel]].
+    */
+  def saveNbModel(docs: DataFrame, modelDir: String, buckets: Int = 256,
+      holdoutMod: Int = 5, labelCol: Column = nbCuratedLabel): Unit = {
+    val prior = nbPriorMicro(docs, holdoutMod, labelCol)
+    nbQualityTrain(docs, buckets, holdoutMod, labelCol)
+      .write.mode("overwrite").parquet(s"$modelDir/weights")
+    docs.sparkSession.range(1)
+      .select(lit(prior).as("prior_micro"), lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$modelDir/prior")
+  }
+
+  /** Load a [[saveNbModel]] artifact: (weight table, prior_micro,
+    * buckets). The weights are pure integers, so the reloaded model
+    * scores BIT-identically to the in-session one (round-trip pinned in
+    * TextOpsSpec).
+    */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, Long, Int) = {
+    val p = spark.read.parquet(s"$modelDir/prior").head()
+    (spark.read.parquet(s"$modelDir/weights"),
+      p.getAs[Long]("prior_micro"), p.getAs[Int]("buckets"))
   }
 
   /** TF-IDF per (doc, word): tf = in-doc occurrences, idf = ln((N+1)/(df+1))

@@ -1051,6 +1051,81 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("nbQuality family trains on a caller-supplied label column " +
+    "(non-source provenance)") {
+    // label = doc parity, NOT the source prefix: the even docs speak the
+    // curated vocabulary while EVERY source name is unparseable by the
+    // default provenance label — a real pipeline labeling from an
+    // upstream classifier / human-rated sample, not fixture naming
+    val rows = (0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) "insight rigor clarity depth insight"
+                 else "clickbait spam noise filler spam"
+      (i, text, "srcX")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val lbl = col("doc_id") % 2 === 0
+    val got = TextOps.nbQualityScore(d, buckets = 64, labelCol = lbl)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(got.length === 40)
+    got.foreach { case (id, _, _, logit, pred) =>
+      val want = id % 2 == 0
+      assert(pred === want && (logit >= 0) === want,
+        s"doc $id: logit $logit, pred $pred, want $want")
+    }
+    // the DEFAULT label is degenerate on this corpus (every source
+    // unparseable -> null label -> zero docs in both classes): the
+    // loud-prior contract must fire, not ship a garbage prior
+    intercept[IllegalArgumentException](TextOps.nbPriorMicro(d))
+  }
+
+  test("saveNbModel/loadNbModel: reloaded artifact scores bit-identically " +
+    "(train once, score many)") {
+    val rows = (0L until 40L).map { i =>
+      val curated = i % 2 == 0
+      val src = if (curated) s"src${i % 10 / 2}" else s"src1${i % 10 / 2}"
+      val text = if (curated) "insight rigor clarity depth insight"
+                 else "clickbait spam noise filler spam"
+      (i, text, src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    TextOps.saveNbModel(d, dir, buckets = 64)
+    val (w, prior, b) = TextOps.loadNbModel(spark, dir)
+    assert(b === 64)
+    assert(prior === TextOps.nbPriorMicro(d))
+    val fresh = TextOps.nbQualityScore(d, buckets = 64)
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val loaded = TextOps.nbScoreWith(d, w, prior, b)
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(loaded === fresh)
+  }
+
+  test("saveCtProfiles/loadCtProfiles: reloaded profiles classify " +
+    "identically, and ctClassifyWith needs no label column") {
+    def mk(lang: String, words: Seq[String], ids: Seq[Long]) =
+      ids.map(i => (i, words.mkString(" "), lang))
+    val rows =
+      mk("aa", Seq("alpha", "appla", "lapa", "apal"), Seq(0L, 1L, 2L, 5L, 10L)) ++
+      mk("bb", Seq("bribo", "obrib", "ribbo", "borb"), Seq(15L, 3L, 4L, 6L, 20L)) ++
+      mk("cc", Seq("cocci", "icoc", "ccio", "occi"), Seq(25L, 7L, 8L, 9L, 30L))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("ctmodel").toString
+    TextOps.saveCtProfiles(d, dir, topN = 20)
+    val (prof, topN, maxN) = TextOps.loadCtProfiles(spark, dir)
+    assert(topN === 20 && maxN === 3)
+    val fresh = TextOps.ctLangId(d, topN = 20)
+      .select("doc_id", "pred_lang", "dist")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // classification from the stored artifact, over a frame carrying NO
+    // lang column at all — the unlabeled-corpus deploy shape
+    val loaded = TextOps.ctClassifyWith(
+      d.where(col("doc_id") % 5 === 0).select("doc_id", "text"),
+      prof, topN, maxN)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(loaded === fresh)
+  }
+
   test("ctLangId: trained rank profiles classify held-out docs of a " +
     "corpus with real per-language character signal") {
     // three "languages" with disjoint character inventories; doc_id % 5
