@@ -54,6 +54,7 @@ object SparkEntry {
     // interpolated Kneser-Ney bigram perplexity (d = 3/4 → exact integer
     // ratios) — the KenLM-shaped quality gate next to the add-one baseline
     "kn_perplexity" -> ((s, d) => TextOps.knPerplexity(Tables.documents(s, d))),
+    "kn3_perplexity" -> ((s, d) => TextOps.kn3Perplexity(Tables.documents(s, d))),
     // domain-mixing pair: per-source KL from the corpus distribution, and
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
@@ -1610,6 +1611,48 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0
         |         AS kn_bits_per_token
+        |FROM terms GROUP BY doc_id""".stripMargin,
+    // interpolated trigram KN replay: the bigram chain above plus the
+    // trigram/context tables; one exact integer numerator/denominator per
+    // scored trigram (d = 3/4 cleared by the x4/x16 scaling), one double
+    // division + log2 — unknown contexts drop via the inner ctx3 join
+    "kn3_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+        |ctx2 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |                CAST(count(*) AS BIGINT) AS l1 FROM big GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS r2 FROM big GROUP BY w2),
+        |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS tt,
+        |              (SELECT CAST(count(DISTINCT word) AS BIGINT)
+        |               FROM (SELECT unnest(toks) AS word FROM t)) AS vs),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+        |             FROM t WHERE len(toks) >= 3)),
+        |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        |        FROM tg GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |                CAST(count(*) AS BIGINT) AS l12 FROM tri GROUP BY 1, 2),
+        |terms AS (SELECT tg.doc_id,
+        |            CAST(round(log2(
+        |              (greatest(4 * coalesce(tri.c123, 0) - 3, 0)
+        |                 * (4 * ctx2.c1 * (tt + vs))
+        |               + 3 * ctx3.l12
+        |                 * (greatest(4 * coalesce(b2.c2, 0) - 3, 0) * (tt + vs)
+        |                    + 3 * ctx2.l1 * (coalesce(cont.r2, 0) + 1)))
+        |              / (16 * ctx3.c12 * ctx2.c1 * (tt + vs))::DOUBLE) * -1e6, 0)
+        |              AS BIGINT) AS it
+        |          FROM tg LEFT JOIN tri USING (w1, w2, w3)
+        |          JOIN ctx3 USING (w1, w2)
+        |          LEFT JOIN big b2 ON b2.w1 = tg.w2 AND b2.w2 = tg.w3
+        |          JOIN ctx2 ON ctx2.w1 = tg.w2
+        |          LEFT JOIN cont ON cont.w2 = tg.w3
+        |          CROSS JOIN tv)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0
+        |         AS kn3_bits_per_token
         |FROM terms GROUP BY doc_id""".stripMargin,
     "source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word

@@ -1863,6 +1863,108 @@ object TextOps {
         .as("kn_bits_per_token"))
   }
 
+  /** Positional word trigrams of every document — [[bigrams]] one order
+    * up, the shared explode under the trigram LM.
+    */
+  private[operators] def trigrams(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    .where(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      expr("slice(toks, 1, size(toks) - 2)").as("h1"),
+      expr("slice(toks, 2, size(toks) - 2)").as("h2"),
+      expr("slice(toks, 3, size(toks) - 2)").as("h3"))
+    .select(col("doc_id"),
+      explode(arrays_zip(col("h1"), col("h2"), col("h3"))).as("e"))
+    .select(col("doc_id"), col("e.h1").as("w1"), col("e.h2").as("w2"),
+      col("e.h3").as("w3"))
+    .where(col("w1").isNotNull && col("w2").isNotNull && col("w3").isNotNull)
+
+  /** Per-document cross-entropy under an interpolated TRIGRAM Kneser–Ney
+    * LM — [[knPerplexity]] extended one order with the same exact
+    * integer-ratio discipline (the KenLM production default is order 5;
+    * 3 is the standard next step, and the bigram→trigram perplexity GAP
+    * is itself a quality signal — formulaic spam looks fluent to a
+    * bigram model and improbable to a trigram one, see the ranking-flip
+    * spec): with absolute discount `d = 3/4`,
+    * `p(w3|w1w2) = max(c123−d, 0)/c12 + (d·L12/c12)·p₂(w3|w2)` where
+    * `c12` is the trigram-CONTEXT count, `L12` its continuation-type
+    * count, and `p₂` is exactly [[knPerplexity]]'s interpolated bigram
+    * probability `NUM2/DEN2` — the published interpolated-KN recursion
+    * truncated at two levels (raw counts at the highest order,
+    * continuation counts below). Clearing denominators keeps every
+    * probability ONE exact integer ratio:
+    * `p = [max(4c123−3,0)·4·c1·(T+V) + 3·L12·NUM2] / [16·c12·c1·(T+V)]`,
+    * so each per-occurrence micro-bit term is a single double division
+    * of two exact BIGINTs — bit-identical replay in any engine.
+    *
+    * Unknown-CONTEXT trigrams ((w1,w2) never a corpus trigram context)
+    * drop via the inner ctx3 join — the [[knPerplexity]] grounding
+    * contract one order up. A grounded trigram context always grounds
+    * the bigram leg too ((w1,w2,·) in the corpus ⇒ (w2,·) is a corpus
+    * bigram), so the inner ctx2 join drops nothing further.
+    *
+    * Scale shape: ONE shared trigram explode feeds the trigram table
+    * and (re-summed from its partials) the context table; the bigram
+    * tables are [[knPerplexity]]'s, off one bigram explode; only the
+    * single-row (T, V) frame is hint-broadcast — the LM tables join
+    * un-hinted (AQE broadcasts when small, degrades to shuffle joins at
+    * web vocabularies). The per-row guard raise_errors before
+    * `64·c12·c1·(T+V)` could wrap BIGINT — the [[knPerplexity]] bound
+    * one order up.
+    */
+  def kn3Perplexity(docs: DataFrame): DataFrame = kn3Perplexity(docs, docs)
+
+  /** [[kn3Perplexity]] scoring `docs` under a model trained on a
+    * separate `lmCorpus` — the held-out / reference-corpus shape.
+    */
+  def kn3Perplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
+    val corpusBg = bigrams(lmCorpus)
+    val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx2 = big.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val tv = big.agg(count(lit(1)).as("tt")).crossJoin(
+      lmCorpus.select(explode(split(col("text"), "\\s+")).as("word"))
+        .agg(count_distinct(col("word")).as("vs")))
+    val tri = trigrams(lmCorpus).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val ctx3 = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("l12"))
+    // the bigram leg keys on the SCORED trigram's (w2, w3)
+    val big2 = big.select(col("w1").as("w2"), col("w2").as("w3"), col("c2"))
+    val ctx2r = ctx2.select(col("w1").as("w2"), col("c1"), col("l1"))
+    val cont2 = cont.select(col("w2").as("w3"), col("r2"))
+    val terms = trigrams(docs)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"))
+      .join(big2, Seq("w2", "w3"), "left")
+      .join(ctx2r, Seq("w2"))
+      .join(cont2, Seq("w3"), "left")
+      .crossJoin(broadcast(tv))
+      // overflow guard, FAIL LOUD: numerator ≤ 37·c12·c1·(T+V)
+      // (c123 ≤ c12, L12 ≤ c12, NUM2 ≤ 7·c1·(T+V)), denominator
+      // = 16·c12·c1·(T+V) — both fit iff 64·c12·c1·(T+V) does. The
+      // staged integer divisions keep the bound computation itself
+      // overflow-free (a saturated divisor reads as 0 and any c12 ≥ 1
+      // trips the guard).
+      .select(col("doc_id"), expr(
+        """if(c12 > ((9223372036854775807 div 64) div c1) div (tt + vs),
+          |   cast(raise_error(concat(
+          |     'kn3Perplexity: bigint overflow risk (c12=', cast(c12 as string),
+          |     ', c1=', cast(c1 as string), ', tt+vs=', cast(tt + vs as string),
+          |     ') - move the products to decimal(38,0)')) as bigint),
+          |   cast(round(log2(
+          |     (greatest(4 * coalesce(c123, 0L) - 3, 0L) * (4 * c1 * (tt + vs))
+          |      + 3 * l12 * (greatest(4 * coalesce(c2, 0L) - 3, 0L) * (tt + vs)
+          |                   + 3 * l1 * (coalesce(r2, 0L) + 1)))
+          |     / cast(16 * c12 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
+          .stripMargin).as("it"))
+    terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_trigrams"),
+      (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
+        .as("kn3_bits_per_token"))
+  }
+
   /** Benchmark decontamination: for each training document, count the
     * DISTINCT word 3-grams it shares with any document of the benchmark
     * set. Docs whose overlap reaches `minHits` are contamination suspects

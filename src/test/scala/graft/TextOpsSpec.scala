@@ -1008,6 +1008,33 @@ class TextOpsSpec extends SparkSpec {
     assert(scored.head._3 === wantUnseen)
   }
 
+  test("kn3Perplexity: trigram and bigram KN rank two documents " +
+    "DIFFERENTLY on a constructed corpus (the quality-gap signal)") {
+    // LM corpus: "p q" and "q r" are heavily attested bigrams (x20 each)
+    // but the trigram "p q r" NEVER occurs ("p q" is always completed by
+    // s; "q r" only follows t); "u v w" is a rarer (x2) but always-
+    // completed trigram. The formulaic-spam shape: X reads fluent
+    // bigram-by-bigram yet its exact three-word sequence is unattested.
+    val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+      (21L to 40L).map(i => (i, "t q r")) ++
+      (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+    val scored = Seq((100L, "p q r"), (200L, "u v w")).toDF("doc_id", "text")
+    val kn2 = TextOps.knPerplexity(scored, lm)
+      .select("doc_id", "kn_bits_per_token")
+      .as[(Long, Double)].collect().toMap
+    val kn3 = TextOps.kn3Perplexity(scored, lm)
+      .select("doc_id", "kn3_bits_per_token")
+      .as[(Long, Double)].collect().toMap
+    // bigram model: X's bigrams are 10x more attested -> X scores better
+    // (hand check: X 0.5412 vs Y 0.5594 bits/token)
+    assert(kn2(100L) < kn2(200L), s"bigram ranking: $kn2")
+    // trigram model: X's trigram is unattested under a 20-strong context
+    // -> only discounted backoff mass survives (hand check: 5.776 vs
+    // 0.185 bits/token) — the ranking flips
+    assert(kn3(100L) > kn3(200L), s"trigram ranking: $kn3")
+    assert(kn3(200L) < kn2(200L), "fully-attested trigram must beat its bigram score")
+  }
+
   test("nbQualityScore: NB trained on provenance labels separates " +
     "held-out docs when the tiers have distinct vocabularies") {
     // curated tier (src0..src9) speaks 'good' words, raw tier 'spam'
