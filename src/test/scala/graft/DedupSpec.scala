@@ -253,6 +253,20 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
   }
 
+  test("survivorsByScore: duplicate doc_id rows in scores collapse to " +
+    "max instead of fanning out labeled rows") {
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    // doc 2 scored twice (a retried scoring job, a unioned score table):
+    // the max row must win and the family must NOT report n_docs > 2
+    val scores = Seq((1L, 10L), (2L, 5L), (2L, 99L)).toDF("doc_id", "score")
+    val got = Dedup.survivorsByScore(docs, pairs, scores)
+      .select("doc_id", "survivor_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    assert(got === Seq((1L, 2L, false), (2L, 2L, true)),
+      s"duplicate score rows must not duplicate output rows: $got")
+  }
+
   test("crossSourceDupMatrix: pairs roll up to ordered source cells") {
     val docs = Seq(
       (1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s1"))

@@ -1278,6 +1278,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got2 === Seq(astral, "a"))
   }
 
+  test("wordpieceSegment fails loud on vocab pieces longer than " +
+    "maxPieceLen (latent native/oracle divergence guard)") {
+    // a 5-code-point piece under maxPieceLen=4 could never match in the
+    // greedy scan while an any-length SQL join WOULD — construction must
+    // reject it rather than let the two replays diverge
+    intercept[IllegalArgumentException] {
+      graft.functions.WordPieceSegment(
+        org.apache.spark.sql.catalyst.expressions.Literal("abcde"),
+        Seq("a", "abcde"), 4)
+    }
+  }
+
+  test("spanStrings is standalone-safe: arrays shorter than k yield an " +
+    "EMPTY span list, not a descending-sequence slice crash") {
+    val got = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.CorpusPipeline.spanStrings(
+          split(col("text"), "\\s+"), 3).as("spans"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq("a b c", "b c d"))
+  }
+
   test("wordpieceTokens: per-doc greedy counts on a tiny corpus, " +
     "hand-checked against the trained vocab") {
     val d = Seq(
