@@ -285,4 +285,99 @@ object MediaStreams {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One stored phash-band bucket member. */
+  final case class PhashMember(mediaId: Long, phash: Long)
+
+  /** A verified image near-duplicate pair (mediaA < mediaB) at the given
+    * hamming distance.
+    */
+  final case class PhashNearPair(mediaA: Long, mediaB: Long, hamming: Int)
+
+  /** Per-band-bucket stateful verifier for image NEAR-dups — the media
+    * twin of [[DedupStreams.BandBucketDedup]]: each arriving hash
+    * verifies by integer popcount against its band bucket's history
+    * (new×stored, plus earlier arrivals of its own batch), so every
+    * unordered pair is considered exactly once PER BUCKET over the
+    * stream's lifetime and the emission is a pure function of the two
+    * hashes. A pair agreeing on several bands emits from each — the
+    * same cross-band duplication the batch op's `.distinct()` collapses;
+    * streaming consumers dedupe on (mediaA, mediaB) (parity-pinned in
+    * MediaStreamsSpec). Buckets cap at `maxBucket` stored members by
+    * arrival order (the prefix approximation of the batch drop — the
+    * one declared divergence, as in [[FpBucketMatcher]]).
+    */
+  final class PhashBandBucket(maxHamming: Int, maxBucket: Int,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, PhashMember, PhashNearPair] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[PhashMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[PhashMember](
+        "seen", Encoders.product[PhashMember],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[PhashMember],
+        timerValues: TimerValues): Iterator[PhashNearPair] = {
+      val prior = seen.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[PhashNearPair]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[PhashMember]
+      var size = prior.length
+      rows.foreach { m =>
+        if (size < maxBucket) {
+          def consider(o: PhashMember): Unit = if (o.mediaId != m.mediaId) {
+            val h = java.lang.Long.bitCount(o.phash ^ m.phash)
+            if (h <= maxHamming) {
+              val (p, q) =
+                if (o.mediaId < m.mediaId) (o, m) else (m, o)
+              out += PhashNearPair(p.mediaId, q.mediaId, h)
+            }
+          }
+          prior.foreach(consider)
+          kept.foreach(consider)
+          kept += m
+          size += 1
+        }
+      }
+      kept.foreach(seen.appendValue)
+      out.iterator
+    }
+  }
+
+  /** Incremental image NEAR-dup pair discovery over a growing archive —
+    * the streaming twin of
+    * [[graft.operators.Multimodal.phashNearPairs]]' band join: arriving
+    * media hash row-locally ([[graft.operators.Multimodal
+    * .perceptualHash]] verbatim), each hash explodes into its `bands`
+    * band keys, and per-bucket state verifies candidates by popcount at
+    * `maxHamming` — pigeonhole-exact recall against everything already
+    * ingested, for the re-encoded/resized re-uploads an exact-hash
+    * screen ([[incrementalPhashDups]]) misses. State per bucket = its
+    * member list, Σbucket² amortization; `ttl` bounds state to the
+    * trailing window for endless archives (duplicates-against-recent).
+    */
+  def incrementalPhashNearPairs(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024,
+      ttl: Option[java.time.Duration] = None): Dataset[PhashNearPair] = {
+    val nBits = 16 // perceptualHash packs one bit per 4x4 feature cell
+    require(bands > maxHamming,
+      "bands must exceed maxHamming for exact recall")
+    require(nBits % bands == 0, "bands must divide the 16 phash bits")
+    import media.sparkSession.implicits._
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    // bucket key = band index in the high bits, band bits low — one long
+    val bandKeys = (0 until bands).map(j =>
+      shiftright(col("phash"), j * r).bitwiseAND(lit(mask))
+        .bitwiseOR(lit(j.toLong << 32)))
+    graft.operators.Multimodal.perceptualHash(media)
+      .select(col("media_id"), col("phash"),
+        explode(array(bandKeys: _*)).as("key"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .mapValues(t => PhashMember(t._1, t._2))
+      .transformWithState(new PhashBandBucket(maxHamming, maxBucket, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
 }
