@@ -600,6 +600,16 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.phashNearPairs(media)
     }),
+    // near-dup survivor election over the banded pairs: min-label
+    // families + keep-the-sharpest (max integer grid variance, ties to
+    // the smallest media_id) — the media composition of dedup_survivors
+    "phash_near_keep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      Multimodal.phashNearKeep(media)
+    }),
     // REAL video frame sampling on a mixed corpus: every 4th doc carries a
     // synthesized Y4M container (8x4 Cmono, 2-4 frames, pixel bytes from
     // an ASCII-safe arithmetic pattern — chars 48..111, so the payload is
@@ -4688,6 +4698,48 @@ object SparkEntry {
         |         FROM f x JOIN f y USING (j, bh)
         |         WHERE x.media_id < y.media_id)
         |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    // phash_near_keep: the near-pair chain, then the dedup_survivors
+    // recursive component walk seeded from every media row, families of
+    // >= 2, survivor = max integer grid variance (ties min media_id)
+    "phash_near_keep" ->
+      """WITH RECURSIVE
+        |r AS (SELECT d.doc_id AS media_id, g.i AS i,
+        |    ('0x'||substr(md5(d.text || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g),
+        |t AS (SELECT media_id, CAST(sum(rv) AS BIGINT) AS tot FROM r GROUP BY media_id),
+        |p AS (SELECT r.media_id,
+        |    CAST(sum(CASE WHEN rv * 16 > tot THEN (1::BIGINT << CAST(i AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM r JOIN t USING (media_id) GROUP BY r.media_id),
+        |q AS (SELECT media_id,
+        |    CAST(16 * sum(rv * rv) - sum(rv) * sum(rv) AS BIGINT) AS score
+        |  FROM r GROUP BY media_id),
+        |b AS (SELECT media_id, phash, j, (phash >> CAST(4 * j AS INT)) & 15 AS bh
+        |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
+        |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
+        |       WHERE nb <= 1024),
+        |f AS (SELECT b.media_id, b.phash, b.j, b.bh FROM b JOIN ok USING (j, bh)),
+        |prs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+        |        FROM f x JOIN f y USING (j, bh)
+        |        WHERE x.media_id < y.media_id
+        |          AND bit_count(xor(x.phash, y.phash)) <= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |walk(node, label) AS (
+        |  SELECT media_id, media_id FROM p
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS media_id, min(label) AS cluster
+        |           FROM walk GROUP BY node),
+        |fam AS (SELECT cluster FROM labels GROUP BY cluster HAVING count(*) >= 2),
+        |jn AS (SELECT l.media_id, l.cluster, q.score
+        |       FROM labels l JOIN fam USING (cluster) JOIN q USING (media_id)),
+        |mx AS (SELECT cluster, max(score) AS ms FROM jn GROUP BY cluster),
+        |surv AS (SELECT jn.cluster, min(jn.media_id) AS survivor_id
+        |         FROM jn JOIN mx ON jn.cluster = mx.cluster AND jn.score = mx.ms
+        |         GROUP BY jn.cluster)
+        |SELECT jn.media_id, jn.cluster, sv.survivor_id,
+        |       jn.media_id = sv.survivor_id AS keep
+        |FROM jn JOIN surv sv USING (cluster)""".stripMargin,
     // media_quality: same stub residues, n·Σr²−(Σr)² scaled variance +
     // truncating mean + zero-variance flat flag, all integer-exact
     "media_quality" ->

@@ -1417,6 +1417,35 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup survivor election for images — the media composition of
+    * the text election stack: resolve [[phashNearPairs]]' pair graph
+    * into families ([[graft.operators.Dedup.resolveClusters]]' min-label
+    * components) and keep each family's SHARPEST member, quality = the
+    * exact integer grid variance of [[imageQuality]] (a re-encode/resize
+    * blurs detail and flattens the luminance grid, so variance plays the
+    * "most content" role `n_chars` plays for text), ties to the smallest
+    * media_id via [[graft.operators.Dedup.survivorsByScore]]. Returns
+    * `(media_id, cluster, survivor_id, keep)` restricted to multi-member
+    * families.
+    *
+    * Scale shape: pair generation is the banded join (Σbucket²), the
+    * quality score rides the SAME single decode pass shape, and the
+    * election inherits resolveClusters' adaptive resolution (driver
+    * union-find under the 200k-edge gate, checkpoint-truncated
+    * distributed fixpoint above) + one argmax aggregate per family.
+    */
+  def phashNearKeep(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val pairs = phashNearPairs(media, maxHamming, bands, maxBucket)
+      .select(col("media_a").as("a"), col("media_b").as("b"))
+    val ids = media.select(col("media_id").as("doc_id"))
+    val scores = imageQuality(media)
+      .select(col("media_id").as("doc_id"), col("var_scaled").as("score"))
+    graft.operators.Dedup.survivorsByScore(ids, pairs, scores)
+      .select(col("doc_id").as("media_id"), col("cluster"),
+        col("survivor_id"), col("keep"))
+  }
+
   /** Resize stage shape for images: rewrites the payload through the
     * batched codec boundary and stamps the new dimensions into the metadata
     * columns. Row-local (no shuffle) and, like [[extractFeatures]], runs

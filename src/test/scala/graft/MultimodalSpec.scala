@@ -399,6 +399,31 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("phashNearKeep: the near-dup family elects its SHARPEST member " +
+    "(max grid variance, the blur-aware policy)") {
+    // black/white grid cells: variance = b(16-b)·r² for b bright cells,
+    // maximal at b = 8 — the base image (8 bright) out-sharps its 1-flip
+    // (b = 9) and 2-flip (b = 10) near-dup edits, so the election must
+    // keep media 1. The mirrored image (also b = 8) pairs with nothing
+    // (hamming 8+) and must not appear in the multi-member output.
+    def img(flips: Set[Int]): Array[Byte] = pngBytes(64, 64) { (x, y) =>
+      val cell = (y / 16) * 4 + (x / 16)
+      val bright = (x >= 32) ^ flips.contains(cell)
+      if (bright) 0xffffff else 0x000000
+    }
+    val df = Seq(
+      (1L, img(Set.empty)), (2L, img(Set(0))), (3L, img(Set(0, 4))),
+      (4L, pngBytes(64, 64)((x, _) => if (x < 32) 0xffffff else 0x000000)))
+      .toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    val got = Multimodal.phashNearKeep(media)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    graft.plans.ReleaseRegistry.drain()
+    assert(got === Set(
+      (1L, 1L, 1L, true), (2L, 1L, 1L, false), (3L, 1L, 1L, false)),
+      s"family {1,2,3} must keep the sharpest (base) member: $got")
+  }
+
   test("phashNearPairs: maxBucket drops degenerate buckets (flat-image " +
     "stop-hash cap)") {
     val same = pngBytes(32, 32)((x, _) => if (x < 16) 0 else 0xffffff)
