@@ -1723,7 +1723,7 @@ object TextOps {
     * now-different subtrees stop deduping. Both are no-ops on the data
     * (tokens are never null); pinned by TextOpsSpec's runtime-reuse test.
     */
-  private[operators] def bigrams(d: DataFrame): DataFrame = d
+  private[graft] def bigrams(d: DataFrame): DataFrame = d
     .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
     .where(size(col("toks")) >= 2)
     .select(col("doc_id"),
@@ -1824,6 +1824,25 @@ object TextOps {
   /** [[knPerplexity]] scoring `docs` under a model trained on a separate
     * `lmCorpus` — the held-out / reference-corpus / stream-static shape.
     */
+  /** The interpolated-KN bigram per-occurrence micro-bit term — the ONE
+    * definition shared by [[knPerplexity]], the artifact scorer
+    * [[knScoreWith]] and the streaming gate
+    * ([[graft.streaming.TextStreams.streamingPerplexityGate]]), so the
+    * three replays cannot silently diverge. Expects columns
+    * (c12, c1, l1, r2, tt, vs); includes the loud BIGINT-overflow guard.
+    */
+  private[graft] val KnTermMicroBits: String =
+    """if(c1 > 9223372036854775807 div (8 * (tt + vs)),
+      |   cast(raise_error(concat(
+      |     'knPerplexity: bigint overflow risk (c1=', cast(c1 as string),
+      |     ', tt+vs=', cast(tt + vs as string),
+      |     ') - move the products to decimal(38,0)')) as bigint),
+      |   cast(round(log2(
+      |     (greatest(4 * coalesce(c12, 0L) - 3, 0L) * (tt + vs)
+      |      + 3 * l1 * (coalesce(r2, 0L) + 1))
+      |     / cast(4 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
+      .stripMargin
+
   def knPerplexity(docs: DataFrame, lmCorpus: DataFrame): DataFrame = {
     val corpusBg = bigrams(lmCorpus)
     val big = corpusBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -1846,17 +1865,62 @@ object TextOps {
       // costs nothing in codegen and turns the silent wraparound the
       // ≳10⁹-token regime would hit into an explicit error naming the
       // decimal(38,0) escape hatch.
-      .select(col("doc_id"), expr(
-        """if(c1 > 9223372036854775807 div (8 * (tt + vs)),
-          |   cast(raise_error(concat(
-          |     'knPerplexity: bigint overflow risk (c1=', cast(c1 as string),
-          |     ', tt+vs=', cast(tt + vs as string),
-          |     ') - move the products to decimal(38,0)')) as bigint),
-          |   cast(round(log2(
-          |     (greatest(4 * coalesce(c12, 0L) - 3, 0L) * (tt + vs)
-          |      + 3 * l1 * (coalesce(r2, 0L) + 1))
-          |     / cast(4 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
-          .stripMargin).as("it"))
+      .select(col("doc_id"), expr(KnTermMicroBits).as("it"))
+    terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
+        .as("kn_bits_per_token"))
+  }
+
+  /** Persist the trained interpolated-KN bigram LM — the
+    * train-once/store/score-many deploy shape ([[saveNbModel]],
+    * [[saveCtProfiles]]) for the CCNet-style perplexity gate: the
+    * bigram count table as parquet plus a one-row (tt, vs) sidecar.
+    * The context and continuation tables are EXACT functions of the
+    * bigram table (one aggregate each), so only `bigrams` is stored and
+    * [[knScoreWith]] re-derives them at load — one artifact, no way for
+    * the three tables to drift apart. All integers: the reloaded model
+    * scores bit-identically (round-trip pinned in TextOpsSpec).
+    */
+  def saveKnModel(lmCorpus: DataFrame, modelDir: String): Unit = {
+    val big = bigrams(lmCorpus).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    big.write.mode("overwrite").parquet(s"$modelDir/bigrams")
+    big.agg(count(lit(1)).as("tt")).crossJoin(
+      lmCorpus.select(explode(split(col("text"), "\\s+")).as("word"))
+        .agg(count_distinct(col("word")).as("vs")))
+      .write.mode("overwrite").parquet(s"$modelDir/tv")
+  }
+
+  /** Load a [[saveKnModel]] artifact: (bigram table, tt, vs). */
+  def loadKnModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, Long, Long) = {
+    val t = spark.read.parquet(s"$modelDir/tv").head()
+    (spark.read.parquet(s"$modelDir/bigrams"),
+      t.getAs[Long]("tt"), t.getAs[Long]("vs"))
+  }
+
+  /** [[knPerplexity]]'s scoring half against a SUPPLIED artifact — the
+    * deploy shape: `bigramCounts` is a stored (w1, w2, c12) table
+    * ([[loadKnModel]]) and (tt, vs) the trained scalars, folded in as
+    * LITERALS (the [[nbPriorMicro]] pattern). Context/continuation
+    * tables re-derive from the bigram table's partials exactly as in
+    * training, and the per-occurrence term is the shared
+    * [[KnTermMicroBits]] — so scoring from the artifact is BIT-identical
+    * to the in-session [[knPerplexity]] (parity-pinned in TextOpsSpec).
+    */
+  def knScoreWith(docs: DataFrame, bigramCounts: DataFrame, tt: Long,
+      vs: Long): DataFrame = {
+    val big = bigramCounts.select(col("w1"), col("w2"), col("c12"))
+    val ctx = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val terms = bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"), "left")
+      .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
+      .select(col("doc_id"), expr(KnTermMicroBits).as("it"))
     terms.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)

@@ -354,6 +354,78 @@ object TextStreams {
         OutputMode.Append())
   }
 
+  /** One perplexity-gate emission: an arriving document's grounded
+    * bigram count, its interpolated-KN cross-entropy (the batch
+    * operator's exact rounding), and the keep verdict
+    * (`bits ≤ maxBits`). Docs with no grounded bigrams emit nothing —
+    * the batch operator's exclusion.
+    */
+  final case class PerplexityScore(docId: Long, nBigrams: Long,
+      knBitsPerToken: Double, keep: Boolean)
+
+  /** Per-document term summer for [[streamingPerplexityGate]] — the
+    * [[DocQualityScorer]] shape: a document is ONE streaming row, so
+    * all its per-bigram micro-bit terms arrive inside its own
+    * micro-batch; zero carried state. The final rounding replicates
+    * Spark's `round(sum/(n·100), 0)/10⁴` HALF_UP exactly (BigDecimal —
+    * `math.round` disagrees on negative half-way values, which a
+    * highly-predictable doc's negative bit sum could in principle hit).
+    */
+  final class DocPerplexityScorer(maxBits: Double)
+      extends StatefulProcessor[Long, (Long, Long), PerplexityScore] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[PerplexityScore] = {
+      var n = 0L
+      var s = 0L
+      rows.foreach { case (_, it) => n += 1L; s += it }
+      val bits = BigDecimal(s / (n * 100.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 10000.0
+      Iterator.single(PerplexityScore(key, n, bits, bits <= maxBits))
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.TextOps.knPerplexity]]'s
+    * reference-corpus scoring — the CCNet-style LM quality gate at
+    * ingest: arriving documents score against a STATIC trained bigram
+    * table ([[graft.operators.TextOps.saveKnModel]]'s stored artifact,
+    * via [[graft.operators.TextOps.loadKnModel]]) with the trained
+    * (tt, vs) scalars folded in as literals, emitting each doc's exact
+    * integer-derived bits-per-token and keep verdict in its arrival
+    * batch. The per-occurrence term is the SHARED
+    * [[graft.operators.TextOps.KnTermMicroBits]] definition, so the
+    * stream and the batch scorer cannot diverge (two-batch parity
+    * pinned in TextStreamsSpec).
+    *
+    * Scale shape: stream-static joins against the LM tables — the
+    * bigram table is the stored artifact and the context/continuation
+    * tables re-derive from it on the STATIC side (computed once per
+    * micro-batch plan, LM-sized, never keyed on the stream); the only
+    * keyed step is the per-batch regroup, so carried state is ZERO.
+    * Unknown-context bigrams drop via the stream-static inner join,
+    * exactly as in batch.
+    */
+  def streamingPerplexityGate(docs: DataFrame, bigramCounts: DataFrame,
+      tt: Long, vs: Long, maxBits: Double = 12.0): Dataset[PerplexityScore] = {
+    import docs.sparkSession.implicits._
+    val big = bigramCounts.select(col("w1"), col("w2"), col("c12"))
+    val ctx = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    graft.operators.TextOps.bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"), "left")
+      .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
+      .select(col("doc_id"),
+        expr(graft.operators.TextOps.KnTermMicroBits).as("it"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   def streamingSpanGate(docs: DataFrame, seenSpans: DataFrame,
       spanK: Int = 8, maxDupPct: Int = 50): Dataset[SpanAudit] = {
     import docs.sparkSession.implicits._

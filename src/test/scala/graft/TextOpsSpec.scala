@@ -1128,6 +1128,23 @@ class TextOpsSpec extends SparkSpec {
     assert(loaded === fresh)
   }
 
+  test("saveKnModel/loadKnModel: knScoreWith from the stored artifact " +
+    "is bit-identical to in-session knPerplexity") {
+    val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+      (21L to 40L).map(i => (i, "t q r")) ++
+      (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+    val scored = Seq((100L, "p q r"), (200L, "u v w"), (300L, "p q s t q r"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("knmodel").toString
+    TextOps.saveKnModel(lm, dir)
+    val (big, tt, vs) = TextOps.loadKnModel(spark, dir)
+    val fresh = TextOps.knPerplexity(scored, lm)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val loaded = TextOps.knScoreWith(scored, big, tt, vs)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loaded === fresh)
+  }
+
   test("saveCtProfiles/loadCtProfiles: reloaded profiles classify " +
     "identically, and ctClassifyWith needs no label column") {
     def mk(lang: String, words: Seq[String], ids: Seq[Long]) =

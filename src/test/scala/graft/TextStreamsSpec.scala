@@ -218,6 +218,46 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingPerplexityGate: two-batch parity with the batch KN " +
+    "scorer through the FULL save->load->stream artifact chain") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+        (21L to 40L).map(i => (i, "t q r")) ++
+        (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("knmodel").toString
+      operators.TextOps.saveKnModel(lm, dir)
+      val (big, tt, vs) = operators.TextOps.loadKnModel(spark, dir)
+      // arrivals: fluent-bigrams/unattested-trigram, attested, an
+      // unknown-context doc (every bigram drops -> NO emission), a
+      // one-token doc (no bigrams -> no emission)
+      val arrivals = Seq(
+        (100L, "p q r"), (101L, "u v w"), (102L, "zz yy"), (103L, "p"))
+      val want = operators.TextOps
+        .knPerplexity(arrivals.toDF("doc_id", "text"), lm)
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, n, bits) => (id, n, bits, bits <= 1.0) }.toSet
+      assert(want.map(_._1) === Set(100L, 101L), "batch excludes 102/103")
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingPerplexityGate(
+          mem.toDF().toDF("doc_id", "text"), big, tt, vs, maxBits = 1.0)
+        .writeStream.format("memory").queryName("kn_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(arrivals.take(2): _*)
+        q.processAllAvailable()
+        mem.addData(arrivals.drop(2): _*)
+        q.processAllAvailable()
+        val got = spark.table("kn_stream")
+          .as[(Long, Long, Double, Boolean)].collect().toSet
+        assert(got === want, s"stream $got vs batch $want")
+        // the gate separates: the unattested-trigram doc is still fine
+        // under a BIGRAM gate (0.5412 bits) — both arrivals keep at 1.0
+        assert(got.forall(_._4))
+      } finally q.stop()
+    }
+  }
+
   test("streamingDecontaminate: two-batch parity with the batch screen, " +
     "per-arrival emission pinned") {
     withRocksDb {
