@@ -1976,6 +1976,25 @@ object TextOps {
     * `64·c12·c1·(T+V)` could wrap BIGINT — the [[knPerplexity]] bound
     * one order up.
     */
+  /** The interpolated-KN TRIGRAM per-occurrence micro-bit term — the ONE
+    * definition shared by [[kn3Perplexity]] and the artifact scorer
+    * [[kn3ScoreWith]] ([[KnTermMicroBits]] one order up). Expects
+    * columns (c123, c12, l12, c2, c1, l1, r2, tt, vs); includes the
+    * loud BIGINT-overflow guard.
+    */
+  private[graft] val Kn3TermMicroBits: String =
+    """if(c12 > ((9223372036854775807 div 64) div c1) div (tt + vs),
+      |   cast(raise_error(concat(
+      |     'kn3Perplexity: bigint overflow risk (c12=', cast(c12 as string),
+      |     ', c1=', cast(c1 as string), ', tt+vs=', cast(tt + vs as string),
+      |     ') - move the products to decimal(38,0)')) as bigint),
+      |   cast(round(log2(
+      |     (greatest(4 * coalesce(c123, 0L) - 3, 0L) * (4 * c1 * (tt + vs))
+      |      + 3 * l12 * (greatest(4 * coalesce(c2, 0L) - 3, 0L) * (tt + vs)
+      |                   + 3 * l1 * (coalesce(r2, 0L) + 1)))
+      |     / cast(16 * c12 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
+      .stripMargin
+
   def kn3Perplexity(docs: DataFrame): DataFrame = kn3Perplexity(docs, docs)
 
   /** [[kn3Perplexity]] scoring `docs` under a model trained on a
@@ -2011,18 +2030,63 @@ object TextOps {
       // staged integer divisions keep the bound computation itself
       // overflow-free (a saturated divisor reads as 0 and any c12 ≥ 1
       // trips the guard).
-      .select(col("doc_id"), expr(
-        """if(c12 > ((9223372036854775807 div 64) div c1) div (tt + vs),
-          |   cast(raise_error(concat(
-          |     'kn3Perplexity: bigint overflow risk (c12=', cast(c12 as string),
-          |     ', c1=', cast(c1 as string), ', tt+vs=', cast(tt + vs as string),
-          |     ') - move the products to decimal(38,0)')) as bigint),
-          |   cast(round(log2(
-          |     (greatest(4 * coalesce(c123, 0L) - 3, 0L) * (4 * c1 * (tt + vs))
-          |      + 3 * l12 * (greatest(4 * coalesce(c2, 0L) - 3, 0L) * (tt + vs)
-          |                   + 3 * l1 * (coalesce(r2, 0L) + 1)))
-          |     / cast(16 * c12 * c1 * (tt + vs) as double)) * -1e6, 0) as bigint))"""
-          .stripMargin).as("it"))
+      .select(col("doc_id"), expr(Kn3TermMicroBits).as("it"))
+    terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_trigrams"),
+      (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
+        .as("kn3_bits_per_token"))
+  }
+
+  /** Persist the trained trigram-KN LM — [[saveKnModel]] one order up:
+    * the bigram AND trigram count tables plus the (tt, vs) sidecar.
+    * Context/continuation tables re-derive from the stored counts at
+    * load, so the artifact cannot internally drift.
+    */
+  def saveKn3Model(lmCorpus: DataFrame, modelDir: String): Unit = {
+    saveKnModel(lmCorpus, modelDir)
+    trigrams(lmCorpus).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+      .write.mode("overwrite").parquet(s"$modelDir/trigrams")
+  }
+
+  /** Load a [[saveKn3Model]] artifact:
+    * (bigram table, trigram table, tt, vs).
+    */
+  def loadKn3Model(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, DataFrame, Long, Long) = {
+    val (big, tt, vs) = loadKnModel(spark, modelDir)
+    (big, spark.read.parquet(s"$modelDir/trigrams"), tt, vs)
+  }
+
+  /** [[kn3Perplexity]]'s scoring half against a SUPPLIED artifact
+    * ([[loadKn3Model]]) — every derived table re-aggregates from the
+    * stored counts exactly as in training and the per-occurrence term
+    * is the shared [[Kn3TermMicroBits]], so artifact scoring is
+    * BIT-identical to the in-session operator (parity-pinned in
+    * TextOpsSpec).
+    */
+  def kn3ScoreWith(docs: DataFrame, bigramCounts: DataFrame,
+      trigramCounts: DataFrame, tt: Long, vs: Long): DataFrame = {
+    // the stored bigram artifact names its count c12 (saveKnModel);
+    // inside the trigram scorer that column plays the BIGRAM-LEG role c2
+    val big = bigramCounts.select(col("w1"), col("w2"), col("c12").as("c2"))
+    val ctx2 = big.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val tri = trigramCounts.select(col("w1"), col("w2"), col("w3"), col("c123"))
+    val ctx3 = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("l12"))
+    val big2 = big.select(col("w1").as("w2"), col("w2").as("w3"), col("c2"))
+    val ctx2r = ctx2.select(col("w1").as("w2"), col("c1"), col("l1"))
+    val cont2 = cont.select(col("w2").as("w3"), col("r2"))
+    val terms = trigrams(docs)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"))
+      .join(big2, Seq("w2", "w3"), "left")
+      .join(ctx2r, Seq("w2"))
+      .join(cont2, Seq("w3"), "left")
+      .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
+      .select(col("doc_id"), expr(Kn3TermMicroBits).as("it"))
     terms.groupBy("doc_id").agg(
       count(lit(1)).as("n_trigrams"),
       (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)

@@ -1145,6 +1145,23 @@ class TextOpsSpec extends SparkSpec {
     assert(loaded === fresh)
   }
 
+  test("saveKn3Model/loadKn3Model: kn3ScoreWith from the stored artifact " +
+    "is bit-identical to in-session kn3Perplexity") {
+    val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+      (21L to 40L).map(i => (i, "t q r")) ++
+      (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+    val scored = Seq((100L, "p q r"), (200L, "u v w"), (300L, "p q s x"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn3model").toString
+    TextOps.saveKn3Model(lm, dir)
+    val (big, tri, tt, vs) = TextOps.loadKn3Model(spark, dir)
+    val fresh = TextOps.kn3Perplexity(scored, lm)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val loaded = TextOps.kn3ScoreWith(scored, big, tri, tt, vs)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loaded === fresh && fresh.nonEmpty)
+  }
+
   test("saveCtProfiles/loadCtProfiles: reloaded profiles classify " +
     "identically, and ctClassifyWith needs no label column") {
     def mk(lang: String, words: Seq[String], ids: Seq[Long]) =
