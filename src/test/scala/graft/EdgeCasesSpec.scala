@@ -233,4 +233,36 @@ class EdgeCasesSpec extends SparkSpec {
     graft.plans.ReleaseRegistry.drain()
     assert(wp === Seq((1L, 0L)))
   }
+
+  test("round-15 operators handle empty and sub-minimal inputs") {
+    // trigram KN: empty corpus empty; a two-token doc has no trigrams ->
+    // excluded (the bigram operator's exclusion one order up); a doc
+    // whose trigram CONTEXT is unknown drops entirely via the inner join
+    assert(TextOps.kn3Perplexity(emptyDocs).count() === 0)
+    val two = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextOps.kn3Perplexity(two).count() === 0)
+    val lm = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextOps.kn3Perplexity(
+      Seq((9L, "x y z")).toDF("doc_id", "text"), lm).count() === 0)
+    // image near-dup pairs: empty media and a single row both pair-free
+    import graft.operators.Multimodal
+    val emptyMedia = Multimodal.fromBinary(
+      Seq.empty[(Long, Array[Byte])].toDF("id", "bytes"),
+      "id", "bytes", "image")
+    assert(Multimodal.phashNearPairs(emptyMedia).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    val one = Multimodal.fromBinary(
+      Seq((1L, "solo payload".getBytes("UTF-8"))).toDF("id", "bytes"),
+      "id", "bytes", "image")
+    assert(Multimodal.phashNearPairs(one).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Multimodal.phashNearKeep(one).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    // artifact scorers on an empty scored corpus: empty, no throw
+    val dir = java.nio.file.Files.createTempDirectory("kn_edge").toString
+    TextOps.saveKn3Model(lm, dir)
+    val (big, tri, tt, vs) = TextOps.loadKn3Model(spark, dir)
+    assert(TextOps.knScoreWith(emptyDocs, big, tt, vs).count() === 0)
+    assert(TextOps.kn3ScoreWith(emptyDocs, big, tri, tt, vs).count() === 0)
+  }
 }
