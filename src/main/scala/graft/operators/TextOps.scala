@@ -1930,7 +1930,7 @@ object TextOps {
   /** Positional word trigrams of every document — [[bigrams]] one order
     * up, the shared explode under the trigram LM.
     */
-  private[operators] def trigrams(d: DataFrame): DataFrame = d
+  private[graft] def trigrams(d: DataFrame): DataFrame = d
     .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
     .where(size(col("toks")) >= 3)
     .select(col("doc_id"),

@@ -426,6 +426,46 @@ object TextStreams {
         OutputMode.Append())
   }
 
+  /** [[streamingPerplexityGate]] one order up — the trigram-KN ingest
+    * gate over a stored [[graft.operators.TextOps.saveKn3Model]]
+    * artifact: the same stream-static shape with the trigram table and
+    * its derived context table joined in, the shared
+    * [[graft.operators.TextOps.Kn3TermMicroBits]] term, and zero
+    * carried state. Emits `n_trigrams`-based bits (the batch
+    * [[graft.operators.TextOps.kn3Perplexity]] rounding; two-batch
+    * parity pinned in TextStreamsSpec). Deploying BOTH gates and
+    * thresholding their GAP is the formulaic-spam screen the
+    * kn3Perplexity ranking-flip spec demonstrates.
+    */
+  def streamingPerplexityGate3(docs: DataFrame, bigramCounts: DataFrame,
+      trigramCounts: DataFrame, tt: Long, vs: Long,
+      maxBits: Double = 12.0): Dataset[PerplexityScore] = {
+    import docs.sparkSession.implicits._
+    val big = bigramCounts.select(col("w1"), col("w2"), col("c12").as("c2"))
+    val ctx2 = big.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("l1"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val tri = trigramCounts.select(col("w1"), col("w2"), col("w3"), col("c123"))
+    val ctx3 = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("l12"))
+    val big2 = big.select(col("w1").as("w2"), col("w2").as("w3"), col("c2"))
+    val ctx2r = ctx2.select(col("w1").as("w2"), col("c1"), col("l1"))
+    val cont2 = cont.select(col("w2").as("w3"), col("r2"))
+    graft.operators.TextOps.trigrams(docs)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"))
+      .join(big2, Seq("w2", "w3"), "left")
+      .join(ctx2r, Seq("w2"))
+      .join(cont2, Seq("w3"), "left")
+      .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
+      .select(col("doc_id"),
+        expr(graft.operators.TextOps.Kn3TermMicroBits).as("it"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   def streamingSpanGate(docs: DataFrame, seenSpans: DataFrame,
       spanK: Int = 8, maxDupPct: Int = 50): Dataset[SpanAudit] = {
     import docs.sparkSession.implicits._

@@ -258,6 +258,43 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingPerplexityGate3: two-batch parity with batch " +
+    "kn3Perplexity and the formulaic-spam gap vs the bigram gate") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+        (21L to 40L).map(i => (i, "t q r")) ++
+        (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("kn3stream").toString
+      operators.TextOps.saveKn3Model(lm, dir)
+      val (big, tri, tt, vs) = operators.TextOps.loadKn3Model(spark, dir)
+      val arrivals = Seq((100L, "p q r"), (101L, "u v w"), (102L, "a b"))
+      // trigram gate at 1.0 bits: the fluent-bigram/unattested-trigram
+      // doc (5.776 bits) must DROP where the bigram gate kept it
+      val want = operators.TextOps
+        .kn3Perplexity(arrivals.toDF("doc_id", "text"), lm)
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, n, bits) => (id, n, bits, bits <= 1.0) }.toSet
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingPerplexityGate3(
+          mem.toDF().toDF("doc_id", "text"), big, tri, tt, vs, maxBits = 1.0)
+        .writeStream.format("memory").queryName("kn3_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(arrivals.take(1): _*)
+        q.processAllAvailable()
+        mem.addData(arrivals.drop(1): _*)
+        q.processAllAvailable()
+        val got = spark.table("kn3_stream")
+          .as[(Long, Long, Double, Boolean)].collect().toSet
+        assert(got === want, s"stream $got vs batch $want")
+        val keep = got.map(r => r._1 -> r._4).toMap
+        assert(!keep(100L) && keep(101L),
+          s"trigram gate must drop the unattested-trigram doc: $got")
+      } finally q.stop()
+    }
+  }
+
   test("streamingDecontaminate: two-batch parity with the batch screen, " +
     "per-arrival emission pinned") {
     withRocksDb {
