@@ -600,6 +600,21 @@ object SparkEntry {
         "doc_id", "text", "image")
       Multimodal.phashNearPairs(media)
     }),
+    // the ARCHIVE-SCALE wide variant: 64-bit (8x8-grid) code, 4 bands of
+    // 16 bits — band buckets hold ~n/65536 rows, so the join stays
+    // sub-quadratic where the 16-bit code's band space saturates. The
+    // fixture groups every 3 consecutive doc_ids onto one payload: at 64
+    // bits random md5 codes NEVER collide at hamming <= 3 (that
+    // discrimination is the point, spec-pinned), so the constructed
+    // groups are what keeps the oracle row non-vacuous (~3 pairs/group)
+    "phash_near_pairs64" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("wp:"), expr("doc_id div 3").cast("string")).as("p")),
+        "doc_id", "p", "image")
+      Multimodal.phashNearPairsWide(media)
+    }),
     // near-dup survivor election over the banded pairs: min-label
     // families + keep-the-sharpest (max integer grid variance, ties to
     // the smallest media_id) — the media composition of dedup_survivors
@@ -4689,6 +4704,32 @@ object SparkEntry {
         |             ELSE 0 END) AS BIGINT) AS phash
         |  FROM r JOIN t USING (media_id) GROUP BY r.media_id),
         |b AS (SELECT media_id, phash, j, (phash >> CAST(4 * j AS INT)) & 15 AS bh
+        |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
+        |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
+        |       WHERE nb <= 1024),
+        |f AS (SELECT b.media_id, b.phash, b.j, b.bh FROM b JOIN ok USING (j, bh)),
+        |cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+        |           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM f x JOIN f y USING (j, bh)
+        |         WHERE x.media_id < y.media_id)
+        |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    // phash_near_pairs64: the wide 64-bit stub replay — 64 md5 residues,
+    // rv*64 > tot bit rule (bit 63 = two's-complement Long.MinValue,
+    // matching Spark's silent shiftleft wrap; DuckDB errors on 1<<63 so
+    // it is emitted literally), 4 bands of 16 bits (DuckDB >> is
+    // arithmetic like Spark's — the & mask absorbs sign extension),
+    // the 1024 cap, popcount at hamming <= 3
+    "phash_near_pairs64" ->
+      """WITH r AS (SELECT d.doc_id AS media_id, g.i AS i,
+        |    ('0x'||substr(md5('wp:' || (d.doc_id // 3)::VARCHAR || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g),
+        |t AS (SELECT media_id, CAST(sum(rv) AS BIGINT) AS tot FROM r GROUP BY media_id),
+        |p AS (SELECT r.media_id,
+        |    CAST(sum(CASE WHEN rv * 64 <= tot THEN 0
+        |             WHEN i = 63 THEN -9223372036854775808
+        |             ELSE (1::BIGINT << CAST(i AS INT)) END) AS BIGINT) AS phash
+        |  FROM r JOIN t USING (media_id) GROUP BY r.media_id),
+        |b AS (SELECT media_id, phash, j, (phash >> CAST(16 * j AS INT)) & 65535 AS bh
         |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
         |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
         |       WHERE nb <= 1024),

@@ -364,18 +364,27 @@ object Multimodal {
       * (Rec.601 weights) in [0,1] — a minimal but genuine visual
       * descriptor computed from actual pixels.
       */
-    def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
-      val out = new Array[Float](featureDim)
+    def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] =
+      imageFeatures(img, 4)
+
+    /** [[imageFeatures]] at an arbitrary `grid`×`grid` cell resolution —
+      * the finer luminance grid behind the wide perceptual hash
+      * ([[Multimodal.perceptualHashWide]]): 8×8 gives a 64-bit code
+      * whose band space no longer saturates at archive scale.
+      */
+    def imageFeatures(img: java.awt.image.BufferedImage,
+        grid: Int): Array[Float] = {
+      val out = new Array[Float](grid * grid)
       val w = img.getWidth
       val h = img.getHeight
       var gy = 0
-      while (gy < 4) {
+      while (gy < grid) {
         var gx = 0
-        while (gx < 4) {
-          val x0 = gx * w / 4
-          val x1 = math.min(math.max((gx + 1) * w / 4, x0 + 1), w)
-          val y0 = gy * h / 4
-          val y1 = math.min(math.max((gy + 1) * h / 4, y0 + 1), h)
+        while (gx < grid) {
+          val x0 = gx * w / grid
+          val x1 = math.min(math.max((gx + 1) * w / grid, x0 + 1), w)
+          val y0 = gy * h / grid
+          val y1 = math.min(math.max((gy + 1) * h / grid, y0 + 1), h)
           var sum = 0.0
           var n = 0
           var y = y0
@@ -391,7 +400,7 @@ object Multimodal {
             }
             y += 1
           }
-          out(gy * 4 + gx) = if (n == 0) 0f else (sum / n).toFloat
+          out(gy * grid + gx) = if (n == 0) 0f else (sum / n).toFloat
           gx += 1
         }
         gy += 1
@@ -405,17 +414,23 @@ object Multimodal {
       * vector from the raw bytes (DuckDB:
       * `('0x'||substr(md5(s || ':' || d),1,15))::BIGINT % 1000003`).
       */
-    def stubFeatures(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](featureDim)
+    def stubFeatures(payload: Array[Byte]): Array[Float] =
+      stubFeatures(payload, featureDim)
+
+    /** [[stubFeatures]] at an arbitrary dimension count — the same md5
+      * scheme, `d` ranging over `dims` (the wide-hash stub path).
+      */
+    def stubFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
       if (payload != null) {
         // hash the payload ONCE, then clone the digest state per dimension
         // and append only the ":d" suffix — md5(payload ++ ":d") exactly,
-        // without 16 full passes (and copies) of a possibly-multi-MB
+        // without `dims` full passes (and copies) of a possibly-multi-MB
         // payload per row; the oracle contract is unchanged
         val base = java.security.MessageDigest.getInstance("MD5")
         base.update(payload)
         var d = 0
-        while (d < featureDim) {
+        while (d < dims) {
           val md = base.clone().asInstanceOf[java.security.MessageDigest]
           md.update((":" + d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out(d) = (graft.functions.PortableMd5.fromDigest(md.digest()) % FeatureMod)
@@ -1296,7 +1311,54 @@ object Multimodal {
     * ([[graft.operators.Dedup.simhashPairs]]) on this fingerprint.
     */
   def perceptualHash(media: DataFrame): DataFrame =
-    extractFeatures(media)
+    packPhash(extractFeatures(media).select(col("media_id"), col("features")))
+
+  /** grid²-bit perceptual hash — [[perceptualHash]] over a FINER
+    * `grid`×`grid` luminance grid: real image decodes through
+    * [[MediaCodec.imageFeatures]] at the requested resolution, anything
+    * else the md5 stub at grid² dims (this is an image-family op, so
+    * unlike [[extractFeatures]] there is no audio-decode leg). The
+    * 16-bit default hash has only 2¹⁶ values — its band buckets grow
+    * linearly with the corpus and [[phashNearPairsWide]]'s join work
+    * ~quadratically; at 64 bits (grid = 8) the band space is 2¹⁶ PER
+    * 16-bit band, so bucket sizes stay ~n/2¹⁶ and the banded join is
+    * genuinely sub-quadratic at archive scale. Same integer bit rule
+    * (`r·dims > Σr`, strict), same dynamic packing — bit 63 wraps to
+    * Long.MinValue exactly as the oracle's two's-complement replay.
+    */
+  def perceptualHashWide(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64,
+      "grid^2 bits must fit one 64-bit hash")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    implicit val enc = Encoders.row(outSchema)
+    val feats = media.mapPartitions { rows =>
+      // per-partition codec init would happen here (once, not per row)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (r.getString(kindIdx) == "image") MediaCodec.readImage(payload)
+          else null
+        val f =
+          if (img != null) MediaCodec.imageFeatures(img, grid)
+          else MediaCodec.stubFeatures(payload, grid * grid)
+        Row(r.getLong(idIdx), f.toSeq)
+      }
+    }
+    packPhash(feats)
+  }
+
+  /** The shared bit-packing half of [[perceptualHash]] /
+    * [[perceptualHashWide]]: one bit per feature cell, set when the
+    * cell exceeds the row mean, compared in exact integer space.
+    * Dimension-agnostic — every expression reads `size(ri)` at runtime.
+    */
+  private def packPhash(feats: DataFrame): DataFrame =
+    feats
       .select(col("media_id"), expr(
         "transform(features, x -> cast(round(cast(x as double) * 1000003) as bigint))")
         .as("ri"))
@@ -1385,16 +1447,41 @@ object Multimodal {
     * `bands | nBits`.
     */
   def phashNearPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
-      maxBucket: Int = 1024): DataFrame = {
-    val nBits = 16 // perceptualHash packs one bit per 4x4 feature cell
+      maxBucket: Int = 1024): DataFrame =
+    bandedHashPairs(perceptualHash(media), 16, maxHamming, bands, maxBucket,
+      "multimodal.phash_near_pairs")
+
+  /** [[phashNearPairs]] over the grid²-bit [[perceptualHashWide]] code —
+    * the ARCHIVE-SCALE path: at 64 bits (grid = 8) each of the 4 bands
+    * carries 16 bits, so band buckets hold ~n/2¹⁶ rows instead of the
+    * 16-bit code's n/2⁴ and the banded join stays genuinely
+    * sub-quadratic (MediaSoak's wide leg requires it). Same pigeonhole
+    * recall guarantee, same popcount verify, same `maxBucket` cap for
+    * the flat-image degenerate buckets.
+    */
+  def phashNearPairsWide(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024, grid: Int = 8): DataFrame =
+    bandedHashPairs(perceptualHashWide(media, grid), grid * grid,
+      maxHamming, bands, maxBucket, "multimodal.phash_near_pairs_wide")
+
+  /** The shared banded hamming join under [[phashNearPairs]] /
+    * [[phashNearPairsWide]]: band the nBits code, drop buckets over
+    * `maxBucket`, self-join same-band buckets, verify candidates with
+    * the codegen'd integer popcount. `ph` must be (media_id, phash);
+    * it is persisted behind a count barrier so its (decode-bearing)
+    * lineage runs once.
+    */
+  private def bandedHashPairs(hashes: DataFrame, nBits: Int,
+      maxHamming: Int, bands: Int, maxBucket: Int,
+      releaseKey: String): DataFrame = {
     require(bands > maxHamming,
       "bands must exceed maxHamming for exact recall")
-    require(nBits % bands == 0, "bands must divide the 16 phash bits")
+    require(nBits % bands == 0, s"bands must divide the $nBits phash bits")
     val r = nBits / bands
-    val mask = (1L << r) - 1
-    val ph = perceptualHash(media).persist()
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    val ph = hashes.persist()
     ph.count() // barrier: one decode pass; only the tiny hash frame pins
-    graft.plans.ReleaseRegistry.register("multimodal.phash_near_pairs")(
+    graft.plans.ReleaseRegistry.register(releaseKey)(
       () => ph.unpersist(blocking = false))
     val bandStructs = (0 until bands).map(j =>
       struct(lit(j).as("band"),

@@ -98,6 +98,29 @@ object MediaSoak {
     bos.toByteArray
   }
 
+  /** Wide-hash image family: 64×64 PNG with 8-px cells (the full 8×8
+    * grid = 64 bits), base mask = md5-derived 64-bit code (bit 0 forced
+    * bright, bits 1-2 forced dark as flip targets), copy c flips bits
+    * 1..c — within-family hamming 1/1/2. Cross-family codes are random
+    * 64-bit values: ZERO hamming ≤ 3 collisions by construction, so the
+    * wide leg can require both recall 1.0 AND zero false pairs AND
+    * sub-quadratic wall growth (band buckets ~n/2¹⁶).
+    */
+  private def pngWideFor(fam: Long, copy: Int): Array[Byte] = {
+    val base = (graft.functions.PortableMd5.hash64(
+      s"miw:$fam".getBytes("UTF-8")) | 1L) & ~0x6L
+    val mask = base | (if (copy >= 1) 2L else 0L) | (if (copy >= 2) 4L else 0L)
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val cell = (y / 8) * 8 + (x / 8)
+      img.setRGB(x, y, if ((mask & (1L << cell)) != 0) 0xffffff else 0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val bases = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BASES", "400").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "5").toInt
@@ -302,10 +325,71 @@ object MediaSoak {
       dpWall / math.max(got, 1L)
     }
 
+    val pngWideUdf = udf((fam: Long, copy: Int) => pngWideFor(fam, copy))
+
+    def iwcorpus(nBase: Int): DataFrame = {
+      val fams = spark.range(nBase).toDF("fam")
+        .crossJoin(spark.range(3).toDF("c"))
+        .select((col("fam") * 100 + col("c")).as("media_id"),
+          pngWideUdf(col("fam"), col("c").cast("int")).as("p"))
+      val stubs = spark.range(nBase).toDF("i")
+        .select((col("i") + 10000000L).as("media_id"),
+          concat(lit("not image payload "), col("i").cast("string"))
+            .cast("binary").as("p"))
+      Multimodal.fromBinary(fams.unionByName(stubs), "media_id", "p", "image")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    /** Wide (64-bit) image near-dup leg — the ARCHIVE-SCALE path: band
+      * buckets hold ~n/2¹⁶ rows, true pairs are exactly the constructed
+      * families, so this leg requires recall 1.0, ZERO false pairs
+      * (exact brute equality, driver popcount sweep) and sub-quadratic
+      * wall growth — the property the saturated 16-bit leg cannot offer.
+      */
+    def iwleg(name: String, nBase: Int): Double = {
+      val media = iwcorpus(nBase).persist()
+      media.count()
+      val hashes = Multimodal.perceptualHashWide(media)
+        .select(col("media_id"), col("phash"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var brute = 0L
+      var i = 0
+      while (i < hashes.length) {
+        var j = i + 1
+        while (j < hashes.length) {
+          if (java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= 3)
+            brute += 1
+          j += 1
+        }
+        i += 1
+      }
+      val (dpWall, pairs) = timed(s"${name}_near_pairs")(
+        Multimodal.phashNearPairsWide(media))
+      val got = pairs.count()
+      val famPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L &&
+          expr("(media_a div 100) = (media_b div 100)"))
+        .count()
+      pairs.unpersist(blocking = false)
+      media.unpersist(blocking = false)
+      val expected = nBase.toLong * 3
+      val recall = famPairs.toDouble / expected
+      println(f"SOAK|${name}_recall|family=$famPairs/$expected" +
+        f"|recall=$recall%.4f|pairs=$got|brute=$brute")
+      require(recall >= recallFloor,
+        f"IMAGE-WIDE RECALL REGRESSION: $name recall $recall%.4f < floor $recallFloor")
+      require(got == brute,
+        s"IMAGE-WIDE EXACTNESS REGRESSION: banded $got pairs != brute-force $brute")
+      require(got == famPairs,
+        s"IMAGE-WIDE DISCRIMINATION REGRESSION: ${got - famPairs} cross-family pairs")
+      dpWall
+    }
+
     // untimed warmup
     Multimodal.audioFingerprints(corpus(8)).count()
     Multimodal.videoFingerprints(vcorpus(8)).count()
     Multimodal.phashNearPairs(icorpus(8)).count()
+    Multimodal.phashNearPairsWide(iwcorpus(8)).count()
     graft.plans.ReleaseRegistry.drain()
 
     val w1 = leg("media_1x", bases)
@@ -323,6 +407,11 @@ object MediaSoak {
       "cost must not degrade)")
     require(i10 <= i1 * 3.0,
       f"IMAGE THROUGHPUT REGRESSION: per-pair wall grew ${i10 / i1}%.2fx at 10x")
+    val iw1 = iwleg("image_wide_1x", bases)
+    val iw10 = iwleg("image_wide_10x", bases * 10)
+    println(f"SOAK|image_wide_growth|pairs_wall_10x/1x=${iw10 / iw1}%.2f " +
+      "(10x rows; sub-quadratic expected - the 64-bit band space does " +
+      "not saturate)")
     spark.stop()
   }
 }

@@ -399,6 +399,45 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("phashNearPairsWide: the 64-bit code separates what the 16-bit " +
+    "code cannot, and brute-force equality holds on the stub path") {
+    // one 8x8-grid cell flipped inside a dark 4x4-grid cell: the 16-bit
+    // hash is IDENTICAL (the 4x4 cell mean stays under the row mean)
+    // while the 64-bit hash differs in exactly that one bit — the finer
+    // code distinguishes a near-dup from an exact-dup
+    def img(flip: Boolean): Array[Byte] = pngBytes(64, 64) { (x, y) =>
+      val bright = x >= 32 || (flip && x < 8 && y < 8)
+      if (bright) 0xffffff else 0x000000
+    }
+    val df = Seq((1L, img(false)), (2L, img(true))).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    val narrow = Multimodal.phashNearPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(narrow === Seq((1L, 2L, 0L)),
+      s"16-bit code must see an EXACT duplicate: $narrow")
+    val wide = Multimodal.phashNearPairsWide(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(wide === Seq((1L, 2L, 1L)),
+      s"64-bit code must see a 1-bit near-dup: $wide")
+    // stub path: banded output equals brute force, and at 64 bits the
+    // random md5 codes produce ZERO hamming<=3 collisions across 200
+    // payloads — the discrimination the 16-bit code (nonEmpty at 100
+    // payloads, see the narrow spec) cannot offer
+    val stubs = (0 until 200).map(i =>
+      (i.toLong, s"stub-payload-$i".getBytes("UTF-8"))).toDF("id", "bytes")
+    val smedia = Multimodal.fromBinary(stubs, "id", "bytes", "image")
+    val hashes = Multimodal.perceptualHashWide(smedia)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.phashNearPairsWide(smedia)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(brute.isEmpty, "64-bit random codes must not collide at <= 3 bits")
+  }
+
   test("phashNearKeep: the near-dup family elects its SHARPEST member " +
     "(max grid variance, the blur-aware policy)") {
     // black/white grid cells: variance = b(16-b)·r² for b bright cells,
