@@ -309,7 +309,7 @@ object MediaStreams {
     */
   final class PhashBandBucket(maxHamming: Int, maxBucket: Int,
       ttl: Option[java.time.Duration] = None)
-      extends StatefulProcessor[Long, PhashMember, PhashNearPair] {
+      extends StatefulProcessor[String, PhashMember, PhashNearPair] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[PhashMember] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -317,7 +317,7 @@ object MediaStreams {
         "seen", Encoders.product[PhashMember],
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
-    override def handleInputRows(key: Long, rows: Iterator[PhashMember],
+    override def handleInputRows(key: String, rows: Iterator[PhashMember],
         timerValues: TimerValues): Iterator[PhashNearPair] = {
       val prior = seen.get().toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[PhashNearPair]
@@ -358,22 +358,48 @@ object MediaStreams {
     */
   def incrementalPhashNearPairs(media: DataFrame, maxHamming: Int = 3,
       bands: Int = 4, maxBucket: Int = 1024,
-      ttl: Option[java.time.Duration] = None): Dataset[PhashNearPair] = {
-    val nBits = 16 // perceptualHash packs one bit per 4x4 feature cell
+      ttl: Option[java.time.Duration] = None): Dataset[PhashNearPair] =
+    bandedHashStream(
+      graft.operators.Multimodal.perceptualHash(media), 16,
+      maxHamming, bands, maxBucket, ttl)
+
+  /** [[incrementalPhashNearPairs]] over the grid²-bit
+    * [[graft.operators.Multimodal.perceptualHashWide]] code — the
+    * ARCHIVE-SCALE streaming path (the batch
+    * [[graft.operators.Multimodal.phashNearPairsWide]] twin): at 64
+    * bits each band bucket's stored member list stays ~n/2¹⁶, so state
+    * growth per bucket is genuinely bounded where the 16-bit code's
+    * buckets grow linearly with the archive.
+    */
+  def incrementalPhashNearPairsWide(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024, grid: Int = 8,
+      ttl: Option[java.time.Duration] = None): Dataset[PhashNearPair] =
+    bandedHashStream(
+      graft.operators.Multimodal.perceptualHashWide(media, grid),
+      grid * grid, maxHamming, bands, maxBucket, ttl)
+
+  /** Shared band-explode + keyed-verify chain under the two streaming
+    * near-pair twins. `hashes` must be (media_id, phash).
+    */
+  private def bandedHashStream(hashes: DataFrame, nBits: Int,
+      maxHamming: Int, bands: Int, maxBucket: Int,
+      ttl: Option[java.time.Duration]): Dataset[PhashNearPair] = {
     require(bands > maxHamming,
       "bands must exceed maxHamming for exact recall")
-    require(nBits % bands == 0, "bands must divide the 16 phash bits")
-    import media.sparkSession.implicits._
+    require(nBits % bands == 0, s"bands must divide the $nBits phash bits")
+    import hashes.sparkSession.implicits._
     val r = nBits / bands
-    val mask = (1L << r) - 1
-    // bucket key = band index in the high bits, band bits low — one long
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    // bucket key = "band|bits" string — the incrementalMinhashPairs
+    // convention; collision-free for ANY band width (a packed long
+    // would overlap its index bits once r > 32)
     val bandKeys = (0 until bands).map(j =>
-      shiftright(col("phash"), j * r).bitwiseAND(lit(mask))
-        .bitwiseOR(lit(j.toLong << 32)))
-    graft.operators.Multimodal.perceptualHash(media)
+      concat_ws("|", lit(j),
+        shiftright(col("phash"), j * r).bitwiseAND(lit(mask))))
+    hashes
       .select(col("media_id"), col("phash"),
         explode(array(bandKeys: _*)).as("key"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long, String)]
       .groupByKey(_._3)
       .mapValues(t => PhashMember(t._1, t._2))
       .transformWithState(new PhashBandBucket(maxHamming, maxBucket, ttl),

@@ -269,6 +269,57 @@ class MediaStreamsSpec extends SparkSpec {
     }
   }
 
+  test("incremental WIDE phash near-pairs: two-batch parity with batch " +
+    "phashNearPairsWide on the 64-bit code") {
+    import graft.operators.Multimodal
+    def png(flips: Set[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val cell = (y / 8) * 8 + (x / 8) // 8x8 grid: one px block per bit
+        val bright = (x >= 32) ^ flips.contains(cell)
+        img.setRGB(x, y, if (bright) 0xffffff else 0)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val b1 = Seq((1L, png(Set.empty)), (2L, png((0 until 64).toSet)))
+      val b2 = Seq((3L, png(Set(0))), (4L, png(Set(0, 8))))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "image")
+      val q = MediaStreams.incrementalPhashNearPairsWide(media)
+        .writeStream.format("memory").queryName("inc_phash_near_wide")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val got = spark.table("inc_phash_near_wide")
+          .as[(Long, Long, Int)].collect().toSet
+        val union = Multimodal.fromBinary(
+          (b1 ++ b2).toDF("doc_id", "payload"), "doc_id", "payload", "image")
+        val want = Multimodal.phashNearPairsWide(union)
+          .as[(Long, Long, Long)].collect()
+          .map(t => (t._1, t._2, t._3.toInt)).toSet
+        graft.plans.ReleaseRegistry.drain()
+        assert(got === want, s"stream $got vs batch $want")
+        assert(got.contains((1L, 3L, 1)),
+          s"batch-2 re-upload must pair against batch-1 state: $got")
+        assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+          "the inverted image is hamming 64-ish from everything: no pair")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incremental audio-window dup counts carry fingerprint buckets " +
     "across batches") {
     import graft.operators.Multimodal.MediaCodec
