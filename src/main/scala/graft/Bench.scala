@@ -13,6 +13,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Default wall budget for the FULL suite, minutes. The driver kills a
+    * bench run past its own cap (r15: rc=124 after r14's full run took
+    * 51:14); this deadline sits comfortably under that with margin for a
+    * contended host window. Past 80% of it the adaptive extra samples are
+    * skipped; past 100% each remaining query degrades to a single timed
+    * run (its warmup) so the run ALWAYS finishes and writes a full
+    * per-query map — a degraded median beats a killed run with no
+    * artifact. Overridable via SPARK_GRAFT_BENCH_DEADLINE_MIN.
+    */
+  val DefaultDeadlineMin = 45
+
+  /** Materializations per query under the full (non-degraded) protocol:
+    * warmup + 3 timed samples + row count. BenchBudgetSpec multiplies the
+    * committed medians by this (plus a cold-run margin) to prove the
+    * suite fits [[DefaultDeadlineMin]] BEFORE the driver runs it.
+    */
+  val ProtocolMultiplier = 5
+
+  /** The window-ratio normalization is CAPPED here (bar ≤ 2×cap): an
+    * uncapped ratio would let a code/config change that genuinely slows
+    * the sub-second control queries (session conf drift, a codegen
+    * regression) inflate the control median and thereby raise its own
+    * regression bar, masking the very regression it caused. Drift beyond
+    * the cap is reported loudly instead of silently absorbed.
+    */
+  val WindowRatioCap = 2.0
+
   /** The committed artifact's per-query medians, via a REAL JSON parse
     * (json4s ships on the Spark classpath) — the earlier regex scrape
     * broke on any format change (pretty-printing, key reordering around
@@ -166,6 +193,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns ONCE PER EXECUTION on the deliberate
+    // single-partition prefix-sum windows (TextOps pid offsets, EventOps
+    // session stitching — ~32-row inputs, scale-safe by design). Across
+    // ~1000 materializations that spam was 100% of the 2000-char tail the
+    // driver captured from the killed r15 run. Silence the category so a
+    // truncated tail carries per-query signal instead.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    val deadlineMin = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_MIN")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(DefaultDeadlineMin.toDouble)
+    val deadlineSec = deadlineMin * 60.0
+    val softDeadlineSec = deadlineSec * 0.8
 
     def materialize(name: String): Long = {
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -186,10 +230,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // warmup: one untimed pass over everything (JIT, codegen cache, footers)
-    names.foreach(n => try materialize(n) catch { case _: Throwable => })
+    // NO suite-level warmup pass: it cost a full extra materialization of
+    // every query and its stated purpose (codegen-cache warmth) is covered
+    // by the 2000-entry cache plus the per-query warmup immediately before
+    // timing. r15's driver run blew its wall cap (rc=124) partly on that
+    // redundant pass.
 
-    val timed = names.map { name =>
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val timedWithRows = names.map { name =>
       // isolation between queries: a query's median must measure ITS plan,
       // not its suite position. Drop any cached plans the previous query
       // left outside the release registry (named CacheRegistry entries,
@@ -200,50 +248,72 @@ object Bench {
       plans.CacheRegistry.clear()
       spark.catalog.clearCache()
       System.gc()
-      // per-query warmup IMMEDIATELY before timing: the suite-level
-      // warmup pass ran ~2x#queries materializations ago, and if this
-      // query's generated classes were meanwhile evicted from the codegen
-      // cache, the first timed run would pay Janino + JIT re-warm
-      // (measured 10-50x on codegen-hot stages). This absorbs that cost
-      // untimed; with maxEntries raised it is usually a no-op pass.
-      try materialize(name) catch { case _: Throwable => }
-      // adaptive sampling against HOST noise: this box is a shared VM and
-      // multi-second hypervisor-level stalls land randomly (isolated graph
-      // runs measured identical plans at 5.4/5.4/16.2 s — the spike
-      // follows the wall clock, not the query). 3 runs; while the fastest
-      // 3 collected still spread beyond 1.5x, take up to 3 more. Reported
-      // runs = the 3 fastest (stat notes the protocol + how many were
-      // sampled), so a noisy window costs extra samples, not a corrupted
-      // median.
       def timeOne(): Double = {
         val t0 = System.nanoTime()
         val ok = try { materialize(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      var samples = List.fill(3)(timeOne())
-      while (!samples.exists(_.isNaN) && samples.size < 6 &&
-        { val b = samples.sorted.take(3); b.last / b.head > 1.5 })
-        samples = timeOne() :: samples
-      // ANY failed run — extra samples included — marks the query failed.
-      // Without this, a NaN from run 4-6 sorts last under TotalOrdering
+      // per-query warmup IMMEDIATELY before timing (JIT, codegen cache,
+      // file footers). Timed anyway: past the HARD deadline this one run
+      // becomes the query's only sample — a cold-run median beats a
+      // driver-killed run that leaves no artifact at all.
+      val warm = timeOne()
+      val pastHard = elapsedSec >= deadlineSec
+      val pastSoft = elapsedSec >= softDeadlineSec
+      val samples: List[Double] =
+        if (pastHard) {
+          degraded += name
+          List(warm)
+        } else {
+          // adaptive sampling against HOST noise: this box is a shared VM
+          // and multi-second hypervisor-level stalls land randomly
+          // (isolated graph runs measured identical plans at 5.4/5.4/16.2
+          // s — the spike follows the wall clock, not the query). 3 runs;
+          // while the fastest 3 collected still spread beyond 1.5x, take
+          // up to 3 more — UNLESS past the soft deadline, where the extra
+          // adaptive samples are skipped to protect the wall budget.
+          var s = List.fill(3)(timeOne())
+          while (!pastSoft && !s.exists(_.isNaN) && s.size < 6 &&
+            elapsedSec < softDeadlineSec &&
+            { val b = s.sorted.take(3); b.last / b.head > 1.5 })
+            s = timeOne() :: s
+          s
+        }
+      // ANY failed run — warmup and extra samples included — marks the
+      // query failed. Without this, a NaN sorts last under TotalOrdering
       // and take(3) silently drops it, folding an intermittent failure
-      // into a reported success.
-      val best = if (samples.exists(_.isNaN)) List.fill(3)(Double.NaN)
+      // into a reported success. (A failed warmup with clean samples is
+      // NOT a failure — first-run flakes like a late temp-dir race should
+      // not condemn a query whose timed runs all passed.)
+      val best = if (samples.exists(_.isNaN)) List.fill(samples.size)(Double.NaN)
         else samples.sorted.take(3)
-      name -> (best, samples.size)
-    }
-    // per-query MEDIAN of the 3 fastest runs — the stable round-over-round
-    // signal (full-suite totals at sf0.1 swing ±50% run to run; medians
-    // don't). A query that threw records NaN and is excluded from the
-    // total — a failure must not fold into the report as a fast success.
-    val results = timed.map { case (name, (times, _)) =>
-      name -> (if (times.exists(_.isNaN)) Double.NaN else times.sorted.apply(1))
-    }
-    val rows = names.map { name =>
-      name -> (try SparkEntry.queries(name)(spark, sfDir).count()
+      // per-query MEDIAN of the retained runs — the stable round-over-round
+      // signal (full-suite totals at sf0.1 swing ±50% run to run; medians
+      // don't). Under hard-deadline degrade this is the single warm run.
+      val median =
+        if (best.exists(_.isNaN)) Double.NaN else best.sorted.apply(best.size / 2)
+      // row count folded in HERE (not a separate end-of-suite pass over
+      // all queries — the 6th full materialization that helped blow r15's
+      // wall cap). count() runs column-pruned, far cheaper than the noop
+      // materializations that surround it.
+      val nRows = try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => -1L }
-        finally graft.plans.ReleaseRegistry.drain())
-    }.toMap
+        finally graft.plans.ReleaseRegistry.drain()
+      // stream one compact JSON line per completed query: a driver kill
+      // mid-suite now leaves a parseable partial record in the log instead
+      // of nothing (r15's all-or-nothing artifact). The {"queries":{name:
+      // median}} shape is the same one medianFromChildOutput parses, so
+      // BENCH_ONLY children need no separate protocol.
+      def j(v: Double) = if (v.isNaN) "null" else v.toString
+      val elapsed1 =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(elapsedSec))
+      println(s"""{"bench_q":"$name","queries":{"$name":${j(median)}},"runs":[${samples.map(j).mkString(",")}],"rows":$nRows,"sampled":${samples.size},"elapsed_sec":$elapsed1}""")
+      name -> (best, samples.size, median, nRows)
+    }
+    val timed = timedWithRows.map { case (n, (best, ns, _, _)) => n -> (best, ns) }
+    val results = timedWithRows.map { case (n, (_, _, m, _)) => n -> m }
+    val rows = timedWithRows.map { case (n, (_, _, _, r)) => n -> r }.toMap
+    val timedOut = degraded.nonEmpty
 
     // Suite-scale regression guard: compare each median against the
     // committed artifact from the previous round (read BEFORE this run
@@ -269,8 +339,18 @@ object Bench {
         s"BENCH WARNING: $prevArtifact exists but yielded no per-query " +
           "medians — regression guard inactive this run (format drift?)")
     val wr = windowRatio(results, prevMedians)
-    val bar = 2.0 * math.max(1.0, wr)
-    if (wr > 1.25)
+    // CAPPED normalization (bar ≤ 2×WindowRatioCap): an uncapped ratio
+    // would let a change that genuinely slows the trivial control queries
+    // (session-conf drift, a codegen regression) raise its own bar and
+    // mask real regressions. Beyond the cap the drift is reported loudly
+    // as its own finding instead of silently absorbed into the bar.
+    val bar = 2.0 * math.max(1.0, math.min(wr, WindowRatioCap))
+    if (wr > WindowRatioCap)
+      System.err.println(f"BENCH WINDOW ALERT: sub-second controls drifted " +
+        f"${wr}%.2fx vs committed — EXCEEDS the ${WindowRatioCap}%.1fx cap. " +
+        f"Bar capped at ${bar}%.2fx; if this run is NOT on a contended " +
+        "host, the controls themselves regressed (conf/codegen change?)")
+    else if (wr > 1.25)
       System.err.println(f"BENCH WINDOW: sub-second controls drifted " +
         f"${wr}%.2fx vs committed — regression bar raised to ${bar}%.2fx")
     val regressions = results.collect {
@@ -286,11 +366,22 @@ object Bench {
     // settled IN the artifact instead of costing a manual worktree run.
     // Only the top-level full run does this — a BENCH_ONLY child (only
     // nonEmpty) must not recurse into grandchildren.
+    // Isolation is bounded by the REMAINING wall budget: each re-run gets
+    // min(20 min, time left before the deadline); once the deadline has
+    // passed, remaining flags record verdict "unknown" rather than risking
+    // the driver's kill (a flag with no verdict beats no artifact at all).
     val isolated: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else regressions.map(_._1).sorted.flatMap { k =>
+        val remainMin = (deadlineSec - elapsedSec) / 60.0
+        if (remainMin < 2.0) {
+          System.err.println(
+            s"BENCH ISOLATING: skipping $k — wall budget exhausted (verdict unknown)")
+          None
+        } else {
         System.err.println(s"BENCH ISOLATING: re-running $k in a fresh JVM")
-        val iso = isolatedRerun(k, sfDir, cpus)
+        val iso = isolatedRerun(k, sfDir, cpus,
+          timeoutMinutes = math.min(20L, remainMin.toLong))
         iso match {
           case Some(v) =>
             val prev = prevMedians(k)
@@ -301,6 +392,7 @@ object Bench {
             System.err.println(s"BENCH ISOLATED: $k re-run yielded no median (verdict unknown)")
         }
         iso.map(k -> _)
+        }
       }.toMap
 
     // Fixture-scale probes: the co-occurrence graph's edge count and the
@@ -308,8 +400,10 @@ object Bench {
     // drift (the driver regenerates /root/testdata) stops masquerading as
     // plan drift when rounds are compared.
     // (skipped in BENCH_ONLY children — an isolated re-check's purpose is
-    // one query's median, and the probes would add a minute of wall)
-    val probeJson = if (only.nonEmpty) "{}" else try {
+    // one query's median, and the probes would add a minute of wall —
+    // and skipped past the deadline: fixture provenance is not worth the
+    // driver's kill)
+    val probeJson = if (only.nonEmpty || elapsedSec >= deadlineSec) "{}" else try {
       val coocEdges = operators.Graph.coOccurrenceEdges(spark, sfDir).count()
       val liRows = Tables.lineitem(spark, sfDir).count()
       val docRows = Tables.documents(spark, sfDir).count()
@@ -332,14 +426,18 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
     val regJson = regressionsJson(regressions.toSeq.sortBy(_._1), isolated, bar)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$qs,"runs":$runsJson,"sampled":$sampledJson,"rows":$rs,"failed":$fs,"window_ratio":$wr,"regression_bar":$bar,"regressions_vs_committed":$regJson,"fixture_probe":$probeJson,"sf":"$sfDir","shuffle_partitions":$cpus}"""
+    val degradedJson = degraded.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$qs,"runs":$runsJson,"sampled":$sampledJson,"rows":$rs,"failed":$fs,"timed_out":$timedOut,"degraded":$degradedJson,"deadline_min":$deadlineMin,"window_ratio":$wr,"regression_bar":$bar,"regressions_vs_committed":$regJson,"fixture_probe":$probeJson,"sf":"$sfDir","shuffle_partitions":$cpus}"""
     // full-detail line first (log readers), and persisted as an artifact —
     // the full line is ~4 KB and harness tail-captures truncate it.
     // BENCH_ONLY runs skip the artifact write: a filtered iteration run
-    // must not clobber the committed full-suite record.
+    // must not clobber the committed full-suite record. A TIMED-OUT run
+    // writes to a _degraded sidecar instead: its single-cold-run medians
+    // must not become the next round's regression baseline.
     println(full)
     if (only.isEmpty) try {
-      val p = java.nio.file.Paths.get("tools/bench_full.json")
+      val p = java.nio.file.Paths.get(
+        if (timedOut) "tools/bench_full_degraded.json" else "tools/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => }
@@ -351,7 +449,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.filterNot(_._2.isNaN).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"sf":"$sfDir","shuffle_partitions":$cpus}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_best3(le6_sampled)","queries":$slowest,"n_queries":${results.size},"queries_full":"tools/bench_full.json","failed":$fs,"timed_out":$timedOut,"sf":"$sfDir","shuffle_partitions":$cpus}""")
     spark.stop()
   }
 }

@@ -55,6 +55,9 @@ object SparkEntry {
     // ratios) — the KenLM-shaped quality gate next to the add-one baseline
     "kn_perplexity" -> ((s, d) => TextOps.knPerplexity(Tables.documents(s, d))),
     "kn3_perplexity" -> ((s, d) => TextOps.kn3Perplexity(Tables.documents(s, d))),
+    // the bigram→trigram GAP — both orders' bits and their difference on
+    // the exact 1e-4-bit integer grid; the formulaic-spam signal
+    "kn_gap" -> ((s, d) => TextOps.knGap(Tables.documents(s, d))),
     // domain-mixing pair: per-source KL from the corpus distribution, and
     // the deterministic hash-threshold sampler that applies mix weights
     "source_kl" -> ((s, d) => TextOps.sourceKl(Tables.documents(s, d))),
@@ -614,6 +617,18 @@ object SparkEntry {
           concat(lit("wp:"), expr("doc_id div 3").cast("string")).as("p")),
         "doc_id", "p", "image")
       Multimodal.phashNearPairsWide(media)
+    }),
+    // DCT pHash near-dups: the same 64-bit banding machinery on the
+    // integer-DCT sign-vs-median code (pHash proper — robust where the
+    // mean-threshold aHash is gamma-brittle). Fixture groups every 3
+    // consecutive doc_ids onto one payload, as in phash_near_pairs64
+    "phash_dct_near_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("dp:"), expr("doc_id div 3").cast("string")).as("p")),
+        "doc_id", "p", "image")
+      Multimodal.phashDctNearPairs(media)
     }),
     // near-dup survivor election over the banded pairs: min-label
     // families + keep-the-sharpest (max integer grid variance, ties to
@@ -1679,6 +1694,63 @@ object SparkEntry {
         |       CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) / 10000.0
         |         AS kn3_bits_per_token
         |FROM terms GROUP BY doc_id""".stripMargin,
+    // kn_gap: both KN replays above merged over ONE shared token/bigram/
+    // trigram chain, each order rounded to its integer 1e-4-bit value
+    // FIRST, gap = the integer difference divided back once — exactly the
+    // Spark side's grid subtraction, no double-subtraction noise
+    "kn_gap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+        |ctx2 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |                CAST(count(*) AS BIGINT) AS l1 FROM big GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS r2 FROM big GROUP BY w2),
+        |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS tt,
+        |              (SELECT CAST(count(DISTINCT word) AS BIGINT)
+        |               FROM (SELECT unnest(toks) AS word FROM t)) AS vs),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+        |             FROM t WHERE len(toks) >= 3)),
+        |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        |        FROM tg GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |                CAST(count(*) AS BIGINT) AS l12 FROM tri GROUP BY 1, 2),
+        |bterms AS (SELECT bg.doc_id,
+        |             CAST(round(log2(
+        |               (greatest(4 * coalesce(big.c2, 0) - 3, 0) * (tt + vs)
+        |                + 3 * ctx2.l1 * (coalesce(cont.r2, 0) + 1))
+        |               / (4 * ctx2.c1 * (tt + vs))::DOUBLE) * -1e6, 0)
+        |               AS BIGINT) AS it
+        |           FROM bg LEFT JOIN big USING (w1, w2) JOIN ctx2 USING (w1)
+        |           LEFT JOIN cont USING (w2) CROSS JOIN tv),
+        |b2 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) AS l2
+        |       FROM bterms GROUP BY doc_id),
+        |tterms AS (SELECT tg.doc_id,
+        |             CAST(round(log2(
+        |               (greatest(4 * coalesce(tri.c123, 0) - 3, 0)
+        |                  * (4 * ctx2.c1 * (tt + vs))
+        |                + 3 * ctx3.l12
+        |                  * (greatest(4 * coalesce(bb.c2, 0) - 3, 0) * (tt + vs)
+        |                     + 3 * ctx2.l1 * (coalesce(cont.r2, 0) + 1)))
+        |               / (16 * ctx3.c12 * ctx2.c1 * (tt + vs))::DOUBLE) * -1e6, 0)
+        |               AS BIGINT) AS it
+        |           FROM tg LEFT JOIN tri USING (w1, w2, w3)
+        |           JOIN ctx3 USING (w1, w2)
+        |           LEFT JOIN big bb ON bb.w1 = tg.w2 AND bb.w2 = tg.w3
+        |           JOIN ctx2 ON ctx2.w1 = tg.w2
+        |           LEFT JOIN cont ON cont.w2 = tg.w3
+        |           CROSS JOIN tv),
+        |b3 AS (SELECT doc_id, count(*) AS n_trigrams,
+        |         CAST(round(sum(it) / (count(*) * 100.0), 0) AS BIGINT) AS l3
+        |       FROM tterms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_trigrams,
+        |       l2 / 10000.0 AS kn_bits_per_token,
+        |       l3 / 10000.0 AS kn3_bits_per_token,
+        |       (l3 - l2) / 10000.0 AS gap_bits
+        |FROM b2 JOIN b3 USING (doc_id)""".stripMargin,
     "source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS word
         |             FROM documents),
@@ -4739,6 +4811,48 @@ object SparkEntry {
         |         FROM f x JOIN f y USING (j, bh)
         |         WHERE x.media_id < y.media_id)
         |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    // phash_dct_near_pairs: the 32x32 stub residues through the SAME
+    // scaled-integer DCT basis the Scala kernel uses (spliced below as a
+    // VALUES literal from Multimodal.dctBasis — no cross-engine cos()
+    // last-ulp drift possible), top 8x8 coefficient block, sign vs the
+    // sorted-index-32 lower median, bit 63 as two's-complement MinValue,
+    // then the 64-bit banding replay verbatim
+    "phash_dct_near_pairs" -> {
+      val basisValues = operators.Multimodal.dctBasis(32).zipWithIndex
+        .flatMap { case (row, k) =>
+          row.zipWithIndex.map { case (b, n) => s"($k,$n,${b}::BIGINT)" }
+        }.mkString(",")
+      s"""WITH r AS (SELECT d.doc_id AS media_id, g.i % 32 AS gx, g.i // 32 AS gy,
+        |    ('0x'||substr(md5('dp:' || (d.doc_id // 3)::VARCHAR || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) g),
+        |basis(k, n, bv) AS (SELECT * FROM (VALUES $basisValues)),
+        |s1 AS (SELECT r.media_id, b.k AS u, r.gy AS gy,
+        |         CAST(sum(rv * b.bv) AS BIGINT) AS rv1
+        |       FROM r JOIN basis b ON b.n = r.gx GROUP BY 1, 2, 3),
+        |s2 AS (SELECT s1.media_id, b.k * 8 + s1.u AS d,
+        |         CAST(sum(rv1 * b.bv) AS BIGINT) AS c
+        |       FROM s1 JOIN basis b ON b.n = s1.gy GROUP BY 1, 2),
+        |med AS (SELECT media_id, c AS m FROM
+        |         (SELECT media_id, c,
+        |            row_number() OVER (PARTITION BY media_id ORDER BY c) AS rn
+        |          FROM s2)
+        |        WHERE rn = 32),
+        |p AS (SELECT s2.media_id,
+        |    CAST(sum(CASE WHEN s2.c <= med.m THEN 0
+        |             WHEN d = 63 THEN -9223372036854775808
+        |             ELSE (1::BIGINT << CAST(d AS INT)) END) AS BIGINT) AS phash
+        |  FROM s2 JOIN med USING (media_id) GROUP BY s2.media_id),
+        |b AS (SELECT media_id, phash, j, (phash >> CAST(16 * j AS INT)) & 65535 AS bh
+        |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
+        |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
+        |       WHERE nb <= 1024),
+        |f AS (SELECT b.media_id, b.phash, b.j, b.bh FROM b JOIN ok USING (j, bh)),
+        |cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+        |           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM f x JOIN f y USING (j, bh)
+        |         WHERE x.media_id < y.media_id)
+        |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+    },
     // phash_near_keep: the near-pair chain, then the dedup_survivors
     // recursive component walk seeded from every media row, families of
     // >= 2, survivor = max integer grid variance (ties min media_id)

@@ -1311,7 +1311,19 @@ object Multimodal {
     * ([[graft.operators.Dedup.simhashPairs]]) on this fingerprint.
     */
   def perceptualHash(media: DataFrame): DataFrame =
-    packPhash(extractFeatures(media).select(col("media_id"), col("features")))
+    packPhash(extractFeatures(dropNullPayloads(media))
+      .select(col("media_id"), col("features")))
+
+  /** Null payloads are DROPPED before hashing, not hashed: the stub
+    * feature path maps a null payload to the all-zero vector, so every
+    * null row would pack to phash 0 and land in ONE degenerate bucket —
+    * manufacturing exact-dup counts and hamming-0 "near pairs" between
+    * completely unrelated rows (only `maxBucket` would bound the
+    * blowup). A row with no bytes has no perceptual identity; it cannot
+    * be a duplicate of anything.
+    */
+  private def dropNullPayloads(media: DataFrame): DataFrame =
+    media.where(col("payload").isNotNull)
 
   /** grid²-bit perceptual hash — [[perceptualHash]] over a FINER
     * `grid`×`grid` luminance grid: real image decodes through
@@ -1336,7 +1348,9 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     implicit val enc = Encoders.row(outSchema)
-    val feats = media.mapPartitions { rows =>
+    // null payloads dropped for the same reason as [[perceptualHash]]:
+    // they would all pack to phash 0 and form one degenerate bucket
+    val feats = dropNullPayloads(media).mapPartitions { rows =>
       // per-partition codec init would happen here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
@@ -1351,6 +1365,124 @@ object Multimodal {
     }
     packPhash(feats)
   }
+
+  /** The scaled-integer DCT-II basis under [[perceptualHashDct]]:
+    * `B[k][n] = round(cos(π·(2n+1)·k / (2·grid)) · 1024)` for the 8
+    * frequencies k the hash keeps × the `grid` spatial positions.
+    * Quantizing the basis to 1/1024 keeps EVERY downstream step in
+    * exact 64-bit integer arithmetic (residues ≤ 10⁶, stage-1 sums
+    * ≤ grid·10⁶·2¹⁰ ≈ 2⁴⁵, stage-2 ≤ grid·2⁴⁵·2¹⁰ ≈ 2⁶⁰ at grid 32 —
+    * no overflow, no float drift), and the SAME integer table embeds
+    * verbatim into the DuckDB oracle (SparkEntry splices it as a
+    * VALUES list), so cross-engine cos() last-ulp disagreements cannot
+    * flip a coefficient sign.
+    */
+  private[graft] def dctBasis(grid: Int): Array[Array[Long]] =
+    Array.tabulate(8, grid)((k, n) =>
+      Math.round(Math.cos(Math.PI * (2 * n + 1) * k / (2.0 * grid)) * 1024))
+
+  /** The integer DCT hash kernel: residues → separable 2-stage DCT →
+    * top-8×8 coefficient block → sign vs the block's LOWER MEDIAN
+    * (sorted index 31 of the 64 coefficients — integer order statistic,
+    * no averaging). Bit `d = v·8 + u`; bit 63 wraps to Long.MinValue
+    * exactly as the oracle's two's-complement replay.
+    */
+  private[graft] def dctHash(features: Array[Float], grid: Int,
+      basis: Array[Array[Long]]): Long = {
+    val n = grid
+    val res = new Array[Long](n * n)
+    var i = 0
+    while (i < n * n) {
+      // the packPhash residue map: features carry k/1000003 (stub) or a
+      // real luminance fraction; round() recovers the exact integer
+      res(i) = Math.round(features(i).toDouble * 1000003); i += 1
+    }
+    val s1 = Array.ofDim[Long](8, n) // s1(u)(gy): x-transform at row gy
+    var u = 0
+    while (u < 8) {
+      var gy = 0
+      while (gy < n) {
+        var acc = 0L; var gx = 0
+        while (gx < n) { acc += res(gy * n + gx) * basis(u)(gx); gx += 1 }
+        s1(u)(gy) = acc; gy += 1
+      }
+      u += 1
+    }
+    val c = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var acc = 0L; var gy = 0
+        while (gy < n) { acc += s1(u)(gy) * basis(v)(gy); gy += 1 }
+        c(v * 8 + u) = acc; u += 1
+      }
+      v += 1
+    }
+    val sorted = c.clone()
+    java.util.Arrays.sort(sorted)
+    val m = sorted(31)
+    var ph = 0L
+    var d = 0
+    while (d < 64) { if (c(d) > m) ph |= (1L << d); d += 1 }
+    ph
+  }
+
+  /** DCT-based 64-bit perceptual hash — pHash PROPER, where
+    * [[perceptualHash]]/[[perceptualHashWide]] are aHash (mean-threshold
+    * luminance): the `grid`×`grid` luminance grid goes through a
+    * scaled-INTEGER 2-D DCT-II ([[dctBasis]]) and the hash keeps the
+    * sign-vs-median of the top 8×8 low-frequency coefficient block.
+    * Why it is the robust code: a uniform brightness offset moves every
+    * AC coefficient by (offset × Σ basis row) ≈ 0, and contrast/gamma
+    * stretches SCALE the coefficients without reordering most of them
+    * against the median — where aHash compares each cell against the
+    * global mean and a gamma shift flips every cell whose luminance
+    * sits near it. Exact integers end to end (residue map, basis,
+    * sums, order-statistic median), so the hash replays bit-identically
+    * in the DuckDB oracle and across engines.
+    *
+    * Scale shape: row-local mapPartitions at the decode boundary
+    * (per-partition codec init, payloads never shuffle); the DCT is
+    * 2×8×grid² integer multiply-adds per row — decode-pass arithmetic,
+    * no shuffle, no state.
+    */
+  def perceptualHashDct(media: DataFrame, grid: Int = 32): DataFrame = {
+    require(grid >= 8, "the top 8x8 coefficient block needs grid >= 8")
+    val basis = dctBasis(grid)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    implicit val enc = Encoders.row(outSchema)
+    dropNullPayloads(media).mapPartitions { rows =>
+      // per-partition codec init would happen here (once, not per row)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (r.getString(kindIdx) == "image") MediaCodec.readImage(payload)
+          else null
+        val f =
+          if (img != null) MediaCodec.imageFeatures(img, grid)
+          else MediaCodec.stubFeatures(payload, grid * grid)
+        Row(r.getLong(idIdx), dctHash(f, grid, basis))
+      }
+    }
+  }
+
+  /** [[phashNearPairsWide]] on the [[perceptualHashDct]] code — the
+    * re-encode/brightness/gamma-robust near-dup path: same 64-bit
+    * band space (4×16-bit bands, ~n/2¹⁶ bucket growth), same
+    * pigeonhole-exact recall for `maxHamming < bands`, same popcount
+    * verify; only the hash function changes (the banding machinery is
+    * hash-agnostic by construction).
+    */
+  def phashDctNearPairs(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024, grid: Int = 32): DataFrame =
+    bandedHashPairs(perceptualHashDct(media, grid), 64, maxHamming, bands,
+      maxBucket, "multimodal.phash_dct_near_pairs")
 
   /** The shared bit-packing half of [[perceptualHash]] /
     * [[perceptualHashWide]]: one bit per feature cell, set when the
@@ -1387,7 +1519,15 @@ object Multimodal {
     * equal". Row-local on the one decode pass — no shuffle, no state.
     */
   def imageQuality(media: DataFrame): DataFrame =
-    extractFeatures(media)
+    qualityOfFeatures(extractFeatures(media))
+
+  /** The integer-stat half of [[imageQuality]], split out so a caller
+    * that already holds a (persisted) features frame — [[phashNearKeep]]
+    * scores quality off the SAME decode pass that fed the pair join —
+    * can reuse it without decoding the payloads a second time.
+    */
+  private def qualityOfFeatures(feats: DataFrame): DataFrame =
+    feats
       .select(col("media_id"), expr(
         "transform(features, x -> cast(round(cast(x as double) * 1000003) as bigint))")
         .as("ri"))
@@ -1500,8 +1640,14 @@ object Multimodal {
         col("y.media_id").as("media_b"),
         graft.operators.Dedup.hammingDist(col("x.phash"), col("y.phash"))
           .cast("long").as("hamming"))
-      .distinct()
+      // popcount verify BEFORE the distinct: most same-band candidates
+      // fail a maxHamming≈3 filter, and rejecting them here keeps them
+      // out of the dedup's exchange entirely — the distinct then
+      // shuffles only true pairs (≤ bands copies each) instead of every
+      // candidate the band join emitted. Same result, strictly less
+      // shuffled data.
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-dup survivor election for images — the media composition of
@@ -1515,18 +1661,27 @@ object Multimodal {
     * `(media_id, cluster, survivor_id, keep)` restricted to multi-member
     * families.
     *
-    * Scale shape: pair generation is the banded join (Σbucket²), the
-    * quality score rides the SAME single decode pass shape, and the
-    * election inherits resolveClusters' adaptive resolution (driver
-    * union-find under the 200k-edge gate, checkpoint-truncated
-    * distributed fixpoint above) + one argmax aggregate per family.
+    * Scale shape: ONE decode pass total — the features frame (media_id
+    * + the 16-float grid per row, payloads dropped) persists behind a
+    * count barrier and feeds BOTH legs: the banded pair join (via
+    * [[packPhash]]) and the quality score ([[qualityOfFeatures]]). Pair
+    * generation is the banded join (Σbucket²); the election inherits
+    * resolveClusters' adaptive resolution (driver union-find under the
+    * 200k-edge gate, checkpoint-truncated distributed fixpoint above)
+    * + one argmax aggregate per family.
     */
   def phashNearKeep(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
-    val pairs = phashNearPairs(media, maxHamming, bands, maxBucket)
+    val feats = extractFeatures(dropNullPayloads(media))
+      .select(col("media_id"), col("features")).persist()
+    feats.count() // barrier: the one decode pass both legs read from
+    graft.plans.ReleaseRegistry.register("multimodal.phash_near_keep")(
+      () => feats.unpersist(blocking = false))
+    val pairs = bandedHashPairs(packPhash(feats), 16, maxHamming, bands,
+        maxBucket, "multimodal.phash_near_keep.pairs")
       .select(col("media_a").as("a"), col("media_b").as("b"))
     val ids = media.select(col("media_id").as("doc_id"))
-    val scores = imageQuality(media)
+    val scores = qualityOfFeatures(feats)
       .select(col("media_id").as("doc_id"), col("var_scaled").as("score"))
     graft.operators.Dedup.survivorsByScore(ids, pairs, scores)
       .select(col("doc_id").as("media_id"), col("cluster"),

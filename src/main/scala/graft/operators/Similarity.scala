@@ -348,10 +348,15 @@ object Similarity {
     * corpus.
     */
   def clusterPurity(embeddings: DataFrame, kClusters: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val cont = kmeansAssignFull(embeddings, kClusters, iters,
-        carry = Seq("label"))
-      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      iters: Int = 2): DataFrame =
+    purityRollup(kmeansAssignFull(embeddings, kClusters, iters,
+      carry = Seq("label")))
+
+  /** The (cid, label) contingency rollup shared by [[clusterPurity]]
+    * and [[clusterPurityWith]].
+    */
+  private def purityRollup(assigned: DataFrame): DataFrame = {
+    val cont = assigned.groupBy("cid", "label").agg(count(lit(1)).as("n"))
     cont.groupBy("cid")
       .agg(sum(col("n")).as("n_vecs"),
         // lexicographic struct max = argmax(count, then smallest label)
@@ -801,45 +806,115 @@ object Similarity {
     */
   private[graft] def kmeansAssignFull(embeddings: DataFrame, kClusters: Int,
       iters: Int, carry: Seq[String] = Nil): DataFrame = {
-    // `carry` columns ride the row-local assignment pipeline untouched —
-    // consumers that need corpus attributes next to the cluster id
-    // (clusterPurity's label) get them for free instead of re-scanning
-    // the source and shuffling a corpus-scale join on vec_id
-    val p = embeddings
+    val p = kmPrepare(embeddings, carry)
+    val cents = lloydCentroids(p, kClusters, iters, kmNearest(p, _), kmToCentroid)
+    kmAssignedFrame(p, cents, carry)
+  }
+
+  /** [[kmeansAssignFull]]'s preparation: vectors cast to double with the
+    * norm precomputed. `carry` columns ride the row-local assignment
+    * pipeline untouched — consumers that need corpus attributes next to
+    * the cluster id (clusterPurity's label) get them for free instead of
+    * re-scanning the source and shuffling a corpus-scale join on vec_id.
+    */
+  private def kmPrepare(embeddings: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    embeddings
       .select(Seq(col("vec_id"),
         col("embedding").cast("array<double>").as("v")) ++ carry.map(col): _*)
       .withColumn("nrm", norm(col("v")))
-    def toCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-        vCol: String, out: String): DataFrame =
-      grouped
-        .agg(graft.functions.VectorFunctions.vecSum(col(vCol)).as("sum"),
-          count(lit(1)).as("cn"))
-        .select(col("cid"), transform(col("sum"), x => x / col("cn")).as(out))
-    // row-local nearest-centroid: pack the centroid table into a single
-    // array<struct<cid,c>> row (sorted by cid for a deterministic array),
-    // broadcast it, and take the argmin as array_min over per-element
-    // (dist, cid) structs — the same lexicographic (dist, then smaller
-    // cid) tie-break as the old min(struct) aggregate, with NO exchange
-    // on the corpus side
-    def nearest(cents: DataFrame): DataFrame = {
-      val packed = cents
-        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
-      p.crossJoin(broadcast(packed))
-        .withColumn("m",
-          array_min(transform(col("cl"), e =>
-            struct(
-              (dot(col("v"), col("v"))
-                - lit(2.0) * dot(col("v"), e.getField("c"))
-                + dot(e.getField("c"), e.getField("c"))).as("dist"),
-              e.getField("cid").as("cid")))))
-        .drop("cl")
-    }
-    val cents = lloydCentroids(p, kClusters, iters, nearest, toCentroid)
-    nearest(cents)
+
+  private def kmToCentroid(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      vCol: String, out: String): DataFrame =
+    grouped
+      .agg(graft.functions.VectorFunctions.vecSum(col(vCol)).as("sum"),
+        count(lit(1)).as("cn"))
+      .select(col("cid"), transform(col("sum"), x => x / col("cn")).as(out))
+
+  /** Row-local nearest-centroid: pack the centroid table into a single
+    * array<struct<cid,c>> row (sorted by cid for a deterministic array),
+    * broadcast it, and take the argmin as array_min over per-element
+    * (dist, cid) structs — the same lexicographic (dist, then smaller
+    * cid) tie-break as the old min(struct) aggregate, with NO exchange
+    * on the corpus side.
+    */
+  private def kmNearest(p: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
+    p.crossJoin(broadcast(packed))
+      .withColumn("m",
+        array_min(transform(col("cl"), e =>
+          struct(
+            (dot(col("v"), col("v"))
+              - lit(2.0) * dot(col("v"), e.getField("c"))
+              + dot(e.getField("c"), e.getField("c"))).as("dist"),
+            e.getField("cid").as("cid")))))
+      .drop("cl")
+  }
+
+  private def kmAssignedFrame(p: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    kmNearest(p, cents)
       .select(Seq(col("vec_id"), col("m").getField("cid").as("cid"),
         round(col("m").getField("dist"), 4).as("d2"), col("v"), col("nrm"))
         ++ carry.map(col): _*)
+
+  /** Persist the trained Lloyd centroids — the train-once/store/
+    * score-many deploy shape ([[buildIvfIndex]],
+    * [[graft.operators.TextOps.saveNbModel]]) for the clustering the
+    * SemDeDup/curriculum pipelines re-derive today: the k-row
+    * (cid, c array<double>) table as parquet plus a one-row
+    * (k_clusters, iters) provenance sidecar. Doubles round-trip parquet
+    * bit-exactly and the assignment argmin is a deterministic function
+    * of the centroid values, so [[kmeansAssignWith]] scoring from the
+    * artifact is BIT-identical to the in-session [[kmeansAssign]]
+    * (round-trip pinned in SimilaritySpec).
+    */
+  def saveKmeansModel(embeddings: DataFrame, modelDir: String,
+      kClusters: Int = 8, iters: Int = 2): Unit = {
+    val p = kmPrepare(embeddings)
+    lloydCentroids(p, kClusters, iters, kmNearest(p, _), kmToCentroid)
+      .select(col("cid"), col("c"))
+      .write.mode("overwrite").parquet(s"$modelDir/centroids")
+    embeddings.sparkSession.range(1)
+      .select(lit(kClusters).as("k_clusters"), lit(iters).as("iters"))
+      .write.mode("overwrite").parquet(s"$modelDir/meta")
   }
+
+  /** Load a [[saveKmeansModel]] artifact: (centroid table, k_clusters,
+    * iters).
+    */
+  def loadKmeansModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, Int, Int) = {
+    val m = spark.read.parquet(s"$modelDir/meta").head()
+    (spark.read.parquet(s"$modelDir/centroids"),
+      m.getAs[Int]("k_clusters"), m.getAs[Int]("iters"))
+  }
+
+  /** [[kmeansAssign]]'s scoring half against a SUPPLIED centroid table
+    * ([[loadKmeansModel]]) — assignment becomes a pure row-local
+    * broadcast-argmin projection: no Lloyd rounds, no corpus aggregate,
+    * no persisted state. The shape that scores a new corpus shard (or
+    * re-scores the same one) against yesterday's trained clustering.
+    */
+  def kmeansAssignWith(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    kmeansAssignFullWith(embeddings, centroids)
+      .select(col("vec_id"), col("cid"), col("d2"))
+
+  private[graft] def kmeansAssignFullWith(embeddings: DataFrame,
+      centroids: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    kmAssignedFrame(kmPrepare(embeddings, carry),
+      centroids.select(col("cid"), col("c")), carry)
+
+  /** [[clusterPurity]] over a STORED clustering ([[loadKmeansModel]]):
+    * the same contingency rollup on [[kmeansAssignWith]]'s row-local
+    * assignment — audit today's labels against yesterday's centroids
+    * without re-running Lloyd.
+    */
+  def clusterPurityWith(embeddings: DataFrame,
+      centroids: DataFrame): DataFrame =
+    purityRollup(kmeansAssignFullWith(embeddings, centroids,
+      carry = Seq("label")))
 
   /** Shared Lloyd-refinement loop: deterministic seed (vec_id % k),
     * `iters` rounds of assign→mean with empty-cluster fallback. Each
@@ -989,8 +1064,32 @@ object Similarity {
     */
   def semDedupReleasable(embeddings: DataFrame, kClusters: Int = 8,
       iters: Int = 2, minSim: Double = 0.6,
-      maxClusterPairs: Long = 10000000L): (DataFrame, () => Unit) = {
-    val a = kmeansAssignFull(embeddings, kClusters, iters)
+      maxClusterPairs: Long = 10000000L): (DataFrame, () => Unit) =
+    semDedupFrom(kmeansAssignFull(embeddings, kClusters, iters), embeddings,
+      minSim, maxClusterPairs)
+
+  /** [[semDedup]] over a STORED clustering ([[loadKmeansModel]]): the
+    * keep-first near-dup cascade on [[kmeansAssignWith]]'s row-local
+    * assignment — dedupe today's shard inside yesterday's cluster
+    * geometry, no Lloyd rounds re-run. Same exact-cosine verification,
+    * same mega-cluster LSH guard.
+    */
+  def semDedupWith(embeddings: DataFrame, centroids: DataFrame,
+      minSim: Double = 0.6,
+      maxClusterPairs: Long = 10000000L): DataFrame = {
+    val (out, release) = semDedupFrom(
+      kmeansAssignFullWith(embeddings, centroids), embeddings,
+      minSim, maxClusterPairs)
+    graft.plans.ReleaseRegistry.register("similarity.semdedup_with")(release)
+    out
+  }
+
+  /** The cluster-scoped keep-first pair cascade under [[semDedup]] /
+    * [[semDedupWith]], from an already-built full assignment frame.
+    */
+  private def semDedupFrom(assigned: DataFrame, embeddings: DataFrame,
+      minSim: Double, maxClusterPairs: Long): (DataFrame, () => Unit) = {
+    val a = assigned
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
       .persist()
     // Σcluster² probe: k rows of bounded metadata, read from the cache

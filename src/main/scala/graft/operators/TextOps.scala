@@ -1886,9 +1886,17 @@ object TextOps {
     val big = bigrams(lmCorpus).groupBy("w1", "w2")
       .agg(count(lit(1)).as("c12"))
     big.write.mode("overwrite").parquet(s"$modelDir/bigrams")
-    big.agg(count(lit(1)).as("tt")).crossJoin(
-      lmCorpus.select(explode(split(col("text"), "\\s+")).as("word"))
-        .agg(count_distinct(col("word")).as("vs")))
+    // tt (distinct bigram types) reads BACK the just-written artifact —
+    // it is by definition that table's row count, and re-aggregating it
+    // from `big` would re-run the full corpus explode + shuffle a second
+    // time for a number the parquet footers practically already hold.
+    // vs (distinct corpus VOCABULARY) is the one scalar that genuinely
+    // needs its own corpus pass: it counts single-token documents' words
+    // too, which never enter the bigram table.
+    lmCorpus.sparkSession.read.parquet(s"$modelDir/bigrams")
+      .agg(count(lit(1)).as("tt")).crossJoin(
+        lmCorpus.select(explode(split(col("text"), "\\s+")).as("word"))
+          .agg(count_distinct(col("word")).as("vs")))
       .write.mode("overwrite").parquet(s"$modelDir/tv")
   }
 
@@ -2092,6 +2100,39 @@ object TextOps {
       (round(sum(col("it")) / (count(lit(1)) * 100.0), 0).cast("long") / 10000.0)
         .as("kn3_bits_per_token"))
   }
+
+  /** The bigram→trigram perplexity GAP per document — the formulaic-spam
+    * signal the [[kn3Perplexity]] ranking-flip spec demonstrates, as ONE
+    * scored frame: template spam built from common word PAIRS reads
+    * fluent to a bigram LM but its trigram continuations are unattested,
+    * so `gap_bits = kn3_bits − kn_bits` separates it from genuinely
+    * fluent text that both orders predict. Emits
+    * `(doc_id, n_bigrams, n_trigrams, kn_bits_per_token,
+    * kn3_bits_per_token, gap_bits)` for every doc BOTH orders could
+    * score (≥3 tokens with grounded contexts — the inner join mirrors
+    * each order's own exclusion).
+    *
+    * The gap computes in the orders' integer 10⁻⁴-bit grid: each side's
+    * published value is `L/10⁴` for an exact integer L recoverable by
+    * `round(x·10⁴)` (|L| ≪ 2⁵², so the round-trip is lossless), and the
+    * difference of the Ls divides back once — no double-subtraction
+    * noise for the oracle to disagree with.
+    *
+    * Scale shape: the two scorers' shapes unchanged (corpus-keyed hash
+    * aggregates + LM-sized joins), plus one equi-join of two
+    * docs-sized aggregates on `doc_id`.
+    */
+  def knGap(docs: DataFrame): DataFrame = knGap(docs, docs)
+
+  /** [[knGap]] under a model trained on a separate `lmCorpus`. */
+  def knGap(docs: DataFrame, lmCorpus: DataFrame): DataFrame =
+    knPerplexity(docs, lmCorpus)
+      .join(kn3Perplexity(docs, lmCorpus), "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("n_trigrams"),
+        col("kn_bits_per_token"), col("kn3_bits_per_token"),
+        ((round(col("kn3_bits_per_token") * 10000, 0) -
+          round(col("kn_bits_per_token") * 10000, 0)).cast("long") / 10000.0)
+          .as("gap_bits"))
 
   /** Benchmark decontamination: for each training document, count the
     * DISTINCT word 3-grams it shares with any document of the benchmark

@@ -303,41 +303,62 @@ object MediaStreams {
     * hashes. A pair agreeing on several bands emits from each — the
     * same cross-band duplication the batch op's `.distinct()` collapses;
     * streaming consumers dedupe on (mediaA, mediaB) (parity-pinned in
-    * MediaStreamsSpec). Buckets cap at `maxBucket` stored members by
-    * arrival order (the prefix approximation of the batch drop — the
-    * one declared divergence, as in [[FpBucketMatcher]]).
+    * MediaStreamsSpec). Overflow MIRRORS the batch drop: the batch op
+    * emits ZERO pairs from a bucket over `maxBucket`, so the first
+    * batch that would push a bucket past the cap TOMBSTONES it — its
+    * member list is cleared (freeing exactly the hot-bucket state a
+    * degenerate flat-image hash would otherwise pin forever) and the
+    * overflowing batch plus everything after emit nothing from it.
+    * Append mode cannot retract, so pairs emitted from the bucket in
+    * EARLIER batches stand — union parity with batch holds exactly
+    * while no bucket exceeds the cap, and degrades only by those
+    * already-emitted rows afterwards (never by emitting pairs batch
+    * would not).
     */
   final class PhashBandBucket(maxHamming: Int, maxBucket: Int,
       ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[String, PhashMember, PhashNearPair] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[PhashMember] = _
+    @transient private var dead: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[PhashMember](
         "seen", Encoders.product[PhashMember],
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+      // the tombstone expires with the same TTL as the members it
+      // replaced: in windowed mode a once-degenerate bucket key gets a
+      // fresh start after the trailing window drains
+      dead = getHandle.getValueState[Boolean](
+        "dead", Encoders.scalaBoolean,
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+    }
 
     override def handleInputRows(key: String, rows: Iterator[PhashMember],
         timerValues: TimerValues): Iterator[PhashNearPair] = {
+      if (dead.exists()) { rows.foreach(_ => ()); return Iterator.empty }
       val prior = seen.get().toArray
+      val arrived = rows.toArray
+      if (prior.length + arrived.length > maxBucket) {
+        // overfull: mirror the batch drop — zero pairs from this batch
+        // on, and the stored members are released rather than pinned
+        seen.clear()
+        dead.update(true)
+        return Iterator.empty
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[PhashNearPair]
       val kept = scala.collection.mutable.ArrayBuffer.empty[PhashMember]
-      var size = prior.length
-      rows.foreach { m =>
-        if (size < maxBucket) {
-          def consider(o: PhashMember): Unit = if (o.mediaId != m.mediaId) {
-            val h = java.lang.Long.bitCount(o.phash ^ m.phash)
-            if (h <= maxHamming) {
-              val (p, q) =
-                if (o.mediaId < m.mediaId) (o, m) else (m, o)
-              out += PhashNearPair(p.mediaId, q.mediaId, h)
-            }
+      arrived.foreach { m =>
+        def consider(o: PhashMember): Unit = if (o.mediaId != m.mediaId) {
+          val h = java.lang.Long.bitCount(o.phash ^ m.phash)
+          if (h <= maxHamming) {
+            val (p, q) =
+              if (o.mediaId < m.mediaId) (o, m) else (m, o)
+            out += PhashNearPair(p.mediaId, q.mediaId, h)
           }
-          prior.foreach(consider)
-          kept.foreach(consider)
-          kept += m
-          size += 1
         }
+        prior.foreach(consider)
+        kept.foreach(consider)
+        kept += m
       }
       kept.foreach(seen.appendValue)
       out.iterator
@@ -378,7 +399,20 @@ object MediaStreams {
       graft.operators.Multimodal.perceptualHashWide(media, grid),
       grid * grid, maxHamming, bands, maxBucket, ttl)
 
-  /** Shared band-explode + keyed-verify chain under the two streaming
+  /** [[incrementalPhashNearPairsWide]] on the DCT code
+    * ([[graft.operators.Multimodal.perceptualHashDct]], the batch
+    * [[graft.operators.Multimodal.phashDctNearPairs]] twin) — the
+    * brightness/gamma-robust streaming near-dup path. The banding
+    * chain is hash-agnostic; only the row-local hash changes.
+    */
+  def incrementalPhashDctNearPairs(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024, grid: Int = 32,
+      ttl: Option[java.time.Duration] = None): Dataset[PhashNearPair] =
+    bandedHashStream(
+      graft.operators.Multimodal.perceptualHashDct(media, grid),
+      64, maxHamming, bands, maxBucket, ttl)
+
+  /** Shared band-explode + keyed-verify chain under the streaming
     * near-pair twins. `hashes` must be (media_id, phash).
     */
   private def bandedHashStream(hashes: DataFrame, nBits: Int,

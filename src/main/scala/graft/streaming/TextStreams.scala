@@ -409,6 +409,21 @@ object TextStreams {
   def streamingPerplexityGate(docs: DataFrame, bigramCounts: DataFrame,
       tt: Long, vs: Long, maxBits: Double = 12.0): Dataset[PerplexityScore] = {
     import docs.sparkSession.implicits._
+    knTermStream(docs, bigramCounts, tt, vs)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The bigram-KN per-occurrence term chain shared by
+    * [[streamingPerplexityGate]] and [[streamingPerplexityGap]]:
+    * stream-static joins against the stored bigram artifact, static-side
+    * derived tables, the shared
+    * [[graft.operators.TextOps.KnTermMicroBits]] term. (doc_id, it).
+    */
+  private def knTermStream(docs: DataFrame, bigramCounts: DataFrame,
+      tt: Long, vs: Long): DataFrame = {
     val big = bigramCounts.select(col("w1"), col("w2"), col("c12"))
     val ctx = big.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("l1"))
@@ -420,10 +435,6 @@ object TextStreams {
       .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
       .select(col("doc_id"),
         expr(graft.operators.TextOps.KnTermMicroBits).as("it"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
-        OutputMode.Append())
   }
 
   /** [[streamingPerplexityGate]] one order up — the trigram-KN ingest
@@ -441,6 +452,19 @@ object TextStreams {
       trigramCounts: DataFrame, tt: Long, vs: Long,
       maxBits: Double = 12.0): Dataset[PerplexityScore] = {
     import docs.sparkSession.implicits._
+    kn3TermStream(docs, bigramCounts, trigramCounts, tt, vs)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The trigram-KN term chain shared by [[streamingPerplexityGate3]]
+    * and [[streamingPerplexityGap]] — [[knTermStream]] one order up,
+    * shared [[graft.operators.TextOps.Kn3TermMicroBits]]. (doc_id, it).
+    */
+  private def kn3TermStream(docs: DataFrame, bigramCounts: DataFrame,
+      trigramCounts: DataFrame, tt: Long, vs: Long): DataFrame = {
     val big = bigramCounts.select(col("w1"), col("w2"), col("c12").as("c2"))
     val ctx2 = big.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("l1"))
@@ -460,9 +484,76 @@ object TextStreams {
       .withColumn("tt", lit(tt)).withColumn("vs", lit(vs))
       .select(col("doc_id"),
         expr(graft.operators.TextOps.Kn3TermMicroBits).as("it"))
-      .as[(Long, Long)]
+  }
+
+  /** A scored document with BOTH KN orders' bits and their gap. */
+  final case class PerplexityGapScore(docId: Long, nBigrams: Long,
+      nTrigrams: Long, knBitsPerToken: Double, kn3BitsPerToken: Double,
+      gapBits: Double, keep: Boolean)
+
+  /** Per-document two-order term summer for [[streamingPerplexityGap]]:
+    * terms arrive tagged with their order (2 or 3), sum separately, and
+    * each order rounds on its own exact 10⁻⁴-bit grid (the
+    * [[DocPerplexityScorer]] HALF_UP rule) BEFORE the gap subtracts the
+    * integer grid values — bit-identical to the batch
+    * [[graft.operators.TextOps.knGap]] join of the two scorers. A doc
+    * missing either order's terms (under 3 tokens, or every context
+    * unknown) emits nothing — the batch op's inner join.
+    */
+  final class DocGapScorer(maxGap: Double)
+      extends StatefulProcessor[Long, (Long, Int, Long), PerplexityGapScore] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[PerplexityGapScore] = {
+      var n2 = 0L; var s2 = 0L; var n3 = 0L; var s3 = 0L
+      rows.foreach {
+        case (_, 2, it) => n2 += 1L; s2 += it
+        case (_, _, it) => n3 += 1L; s3 += it
+      }
+      if (n2 == 0L || n3 == 0L) Iterator.empty
+      else {
+        def microBits(s: Long, n: Long): Long =
+          BigDecimal(s / (n * 100.0))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val l2 = microBits(s2, n2)
+        val l3 = microBits(s3, n3)
+        val gap = (l3 - l2) / 10000.0
+        Iterator.single(PerplexityGapScore(key, n2, n3,
+          l2 / 10000.0, l3 / 10000.0, gap, gap <= maxGap))
+      }
+    }
+  }
+
+  /** BOTH KN orders' bits-per-token — and their GAP, the formulaic-spam
+    * signal — at ingest, in one pass: the streaming twin of
+    * [[graft.operators.TextOps.knGap]] over a stored
+    * [[graft.operators.TextOps.saveKn3Model]] artifact. Template spam
+    * built from common word pairs reads fluent to the bigram gate
+    * ([[streamingPerplexityGate]] keeps it) but its trigram
+    * continuations are unattested — thresholding `gap_bits = kn3 − kn`
+    * catches exactly that class without rejecting the genuinely fluent
+    * text both orders predict. Each order's terms ride the shared
+    * micro-bit definitions, so stream and batch cannot diverge
+    * (two-batch parity vs [[graft.operators.TextOps.knGap]] pinned in
+    * TextStreamsSpec).
+    *
+    * Scale shape: a union of the two stream-static term chains (each
+    * LM-sized on the static side, zero carried state) + the per-batch
+    * doc regroup both gates already pay.
+    */
+  def streamingPerplexityGap(docs: DataFrame, bigramCounts: DataFrame,
+      trigramCounts: DataFrame, tt: Long, vs: Long,
+      maxGap: Double = 2.0): Dataset[PerplexityGapScore] = {
+    import docs.sparkSession.implicits._
+    knTermStream(docs, bigramCounts, tt, vs)
+      .select(col("doc_id"), lit(2).as("ord"), col("it"))
+      .unionByName(
+        kn3TermStream(docs, bigramCounts, trigramCounts, tt, vs)
+          .select(col("doc_id"), lit(3).as("ord"), col("it")))
+      .as[(Long, Int, Long)]
       .groupByKey(_._1)
-      .transformWithState(new DocPerplexityScorer(maxBits), TimeMode.None(),
+      .transformWithState(new DocGapScorer(maxGap), TimeMode.None(),
         OutputMode.Append())
   }
 

@@ -108,4 +108,41 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m.size > 100, s"expected the full suite, got ${m.size}")
     assert(m.values.forall(v => v >= 0.0 && v < 3600.0))
   }
+
+  test("window-ratio normalization is capped: a control regression cannot raise its own bar past 4x") {
+    // if a code/config change genuinely slows the trivial controls (e.g.
+    // a session-conf or codegen regression), the uncapped bar would scale
+    // with the damage and mask the regression it measures. 5x-drifted
+    // controls must still leave the bar at 2 x WindowRatioCap.
+    val prev = Map("c1" -> 0.2, "c2" -> 0.4, "c3" -> 0.6)
+    val now = Seq("c1" -> 1.0, "c2" -> 2.0, "c3" -> 3.0) // all 5x
+    val wr = Bench.windowRatio(now, prev)
+    assert(wr === 5.0)
+    val bar = 2.0 * math.max(1.0, math.min(wr, Bench.WindowRatioCap))
+    assert(bar === 4.0)
+  }
+
+  test("budget: the full suite fits the deadline with protocol + cold-run margin") {
+    // Σ(committed medians) x materializations-per-query x a cold-run
+    // factor (warmups and counts run slower than the post-warm medians;
+    // r14's full driver run measured ~1.75x median per materialization
+    // averaged over the suite) must fit DefaultDeadlineMin — otherwise
+    // the driver's wall cap is at risk BEFORE the run, not after (r15's
+    // rc=124). If this fails: raise the deadline, trim the protocol, or
+    // speed up the slowest queries.
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_full.json")), "UTF-8")
+    val medians = Bench.parseQueryMedians(txt)
+    assert(medians.nonEmpty)
+    val sumSec = medians.values.sum
+    val coldFactor = 1.75
+    val marginSec = 120.0 // session startup, GC settles, probes
+    val projected = sumSec * Bench.ProtocolMultiplier * coldFactor + marginSec
+    val budget = Bench.DefaultDeadlineMin * 60.0
+    assert(projected < budget,
+      f"projected full-suite wall $projected%.0f s exceeds the " +
+        f"${Bench.DefaultDeadlineMin} min deadline (sum of medians " +
+        f"$sumSec%.1f s x ${Bench.ProtocolMultiplier} passes x " +
+        f"$coldFactor%.2f cold factor + $marginSec%.0f s margin)")
+  }
 }

@@ -320,6 +320,96 @@ class MediaStreamsSpec extends SparkSpec {
     }
   }
 
+  test("incremental DCT phash near-pairs: two-batch parity with batch " +
+    "phashDctNearPairs, cross-batch state carried") {
+    import graft.operators.Multimodal
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // stub path: identical payloads share the DCT hash exactly, and at
+      // 64 bits distinct md5 codes never sit within hamming 3 — so the
+      // expected pairs are precisely the same-payload ones, including
+      // the cross-batch (1,3)/(2,3)
+      val b1 = Seq((1L, "grp-a".getBytes("UTF-8")), (2L, "grp-a".getBytes("UTF-8")))
+      val b2 = Seq((3L, "grp-a".getBytes("UTF-8")), (4L, "grp-b".getBytes("UTF-8")))
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "image")
+      val q = MediaStreams.incrementalPhashDctNearPairs(media)
+        .writeStream.format("memory").queryName("inc_phash_dct")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        val got = spark.table("inc_phash_dct")
+          .as[(Long, Long, Int)].collect().toSet
+        val union = Multimodal.fromBinary(
+          (b1 ++ b2).toDF("doc_id", "payload"), "doc_id", "payload", "image")
+        val want = Multimodal.phashDctNearPairs(union)
+          .as[(Long, Long, Long)].collect()
+          .map(t => (t._1, t._2, t._3.toInt)).toSet
+        graft.plans.ReleaseRegistry.drain()
+        assert(got === want, s"stream $got vs batch $want")
+        assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("phash near-pair bucket overflow TOMBSTONES: the overflowing batch " +
+    "and everything after emit nothing (mirror of the batch drop)") {
+    import graft.operators.Multimodal
+    def png0: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if (x >= 32) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // identical payloads: every row lands in the SAME band buckets.
+      // cap 2 — batch 1 fills the bucket exactly (pair emitted), batch 2
+      // overflows it (tombstone: no pairs), batch 3 hits the tombstone.
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val media = Multimodal.fromBinary(
+        mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "image")
+      val q = MediaStreams.incrementalPhashNearPairs(media, maxBucket = 2)
+        .writeStream.format("memory").queryName("inc_phash_tomb")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, png0), (2L, png0)); q.processAllAvailable()
+        mem.addData((3L, png0)); q.processAllAvailable()
+        mem.addData((4L, png0)); q.processAllAvailable()
+        val got = spark.table("inc_phash_tomb")
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got === Set((1L, 2L, 0)),
+          s"only the pre-overflow pair may stand: $got")
+        // batch on the union drops the overfull bucket entirely — the
+        // documented residual divergence is exactly the pre-overflow pair
+        val union = Seq((1L, png0), (2L, png0), (3L, png0), (4L, png0))
+        val want = Multimodal.phashNearPairs(
+          Multimodal.fromBinary(
+            union.toDF("doc_id", "payload"), "doc_id", "payload", "image"),
+          maxBucket = 2).count()
+        graft.plans.ReleaseRegistry.drain()
+        assert(want === 0L, "batch must drop the overfull bucket")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incremental audio-window dup counts carry fingerprint buckets " +
     "across batches") {
     import graft.operators.Multimodal.MediaCodec

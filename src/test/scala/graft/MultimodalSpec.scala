@@ -438,6 +438,78 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.isEmpty, "64-bit random codes must not collide at <= 3 bits")
   }
 
+  test("perceptualHashDct survives a gamma shift that breaks the " +
+    "mean-threshold aHash (the published pHash robustness claim)") {
+    // a textured image — overlapping cosine waves on a gradient, the
+    // spectral shape of a natural photo — whose 8x8 cell means cluster
+    // around the global mean: exactly where aHash is brittle. The twin
+    // is the SAME scene through a gamma-0.6 tone curve (the classic
+    // re-encode/display-calibration transform: monotone, nonlinear).
+    // broadband texture synthesized IN the DCT block's own frequencies —
+    // every one of the 64 block coefficients gets solid magnitude (a
+    // natural photo's 1/f spectrum gives the same; a sparse spectrum
+    // leaves near-zero coefficients whose signs are noise), plus a mild
+    // gradient that parks many 8x8 cell means NEAR the global mean:
+    // aHash's brittle zone, where a concave tone curve shifts the
+    // mean-crossing and flips whole gradient columns at once
+    def lum(x: Int, y: Int): Double = {
+      var t = 128.0 + 1.2 * (x - 32)
+      for (u <- 0 to 7; v <- 0 to 7; if u + v > 0) {
+        val s = if ((u * 5 + v * 3) % 2 == 0) 1.0 else -1.0
+        t += 8.0 * s * math.cos(math.Pi * x * u / 64) *
+          math.cos(math.Pi * y * v / 64)
+      }
+      t
+    }
+    def img(gamma: Double): Array[Byte] = pngBytes(64, 64) { (x, y) =>
+      val l0 = math.max(0.0, math.min(255.0, lum(x, y))) / 255.0
+      val l = math.round(math.pow(l0, gamma) * 255.0).toInt
+      (l << 16) | (l << 8) | l
+    }
+    val df = Seq((1L, img(1.0)), (2L, img(0.6))).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    def hamming(hashes: Map[Long, Long]): Int =
+      java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    val aWide = hamming(Multimodal.perceptualHashWide(media)
+      .as[(Long, Long)].collect().toMap)
+    val dct = hamming(Multimodal.perceptualHashDct(media)
+      .as[(Long, Long)].collect().toMap)
+    assert(aWide > 3,
+      s"the gamma twin must flip >maxHamming aHash bits (got $aWide)")
+    assert(dct <= 3,
+      s"the DCT code must hold within maxHamming (got $dct, aHash $aWide)")
+    // and the near-pair operator built on it finds the twin
+    val pairs = Multimodal.phashDctNearPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, dct.toLong)))
+  }
+
+  test("phashDctNearPairs: banded output equals brute force on the stub " +
+    "path, and the stub hash replays the integer-DCT formula") {
+    val stubs = (0 until 150).map(i =>
+      (i.toLong, s"stub-payload-$i".getBytes("UTF-8"))).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(stubs, "id", "bytes", "image")
+    val hashes = Multimodal.perceptualHashDct(media)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.phashDctNearPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    // hand-replay of row 0's hash: md5 residues -> staged integer DCT
+    // with the shared basis -> lower-median sign bits
+    val basis = Multimodal.dctBasis(32)
+    val payload = "stub-payload-0".getBytes("UTF-8")
+    val feats = Multimodal.MediaCodec.stubFeatures(payload, 1024)
+    val want = Multimodal.dctHash(feats, 32, basis)
+    assert(hashes.find(_._1 == 0L).map(_._2) === Some(want))
+    // the DC coefficient (d = 0) always exceeds the lower median on
+    // non-degenerate input: bit 0 set — a structural sanity anchor
+    assert((want & 1L) === 1L)
+  }
+
   test("phashNearKeep: the near-dup family elects its SHARPEST member " +
     "(max grid variance, the blur-aware policy)") {
     // black/white grid cells: variance = b(16-b)·r² for b bright cells,

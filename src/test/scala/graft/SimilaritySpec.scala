@@ -286,6 +286,32 @@ class SimilaritySpec extends SparkSpec {
       s"assignment must not shuffle the corpus by vec_id:\n${plan.take(1500)}")
   }
 
+  test("kmeans model artifact: save -> load -> assign/semDedup/purity " +
+    "score BIT-identically to the in-session operators") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("kmeansmodel").toString
+    Similarity.saveKmeansModel(e, dir, kClusters = 8, iters = 2)
+    val (cents, k, iters) = Similarity.loadKmeansModel(spark, dir)
+    assert(k === 8 && iters === 2 && cents.count() === 8L)
+    // assignment from the stored table == in-session Lloyd assignment
+    val live = Similarity.kmeansAssign(e, kClusters = 8, iters = 2)
+      .collect().toSet
+    val stored = Similarity.kmeansAssignWith(e, cents).collect().toSet
+    graft.plans.ReleaseRegistry.drain()
+    assert(stored === live)
+    // the downstream consumers run against the stored model too
+    val liveDedup = Similarity.semDedup(e, minSim = 0.6).collect().toSet
+    val storedDedup = Similarity.semDedupWith(e, cents, minSim = 0.6)
+      .collect().toSet
+    graft.plans.ReleaseRegistry.drain()
+    assert(storedDedup === liveDedup)
+    val livePurity = Similarity.clusterPurity(e, kClusters = 8, iters = 2)
+      .collect().toSet
+    val storedPurity = Similarity.clusterPurityWith(e, cents).collect().toSet
+    graft.plans.ReleaseRegistry.drain()
+    assert(storedPurity === livePurity)
+  }
+
   test("semDedup mega-cluster guard: forced single cluster delegates to LSH, drops stay sound") {
     val e = Tables.embeddings(spark, sfDir)
     val unguarded = Similarity.semDedup(e, kClusters = 1, iters = 0, minSim = 0.6)

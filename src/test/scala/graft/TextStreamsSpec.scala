@@ -295,6 +295,52 @@ class TextStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingPerplexityGap: two-batch parity with batch knGap, both " +
+    "orders' bits at ingest and the spam gap separating") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val lm = ((1L to 20L).map(i => (i, "p q s")) ++
+        (21L to 40L).map(i => (i, "t q r")) ++
+        (41L to 42L).map(i => (i, "u v w"))).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("kngapstream").toString
+      operators.TextOps.saveKn3Model(lm, dir)
+      val (big, tri, tt, vs) = operators.TextOps.loadKn3Model(spark, dir)
+      // 100 = the formulaic doc: every bigram attested (p-q from block 1,
+      // q-r from block 2) but the trigram p-q-r never occurs — LOW kn
+      // bits, HIGH kn3 bits, LARGE gap. 101 = genuinely attested text:
+      // both orders cheap, small gap. 102 = two tokens only: no trigram
+      // leg, emits NOTHING (the batch inner join).
+      val arrivals = Seq((100L, "p q r"), (101L, "u v w"), (102L, "p q"))
+      val maxGap = 2.0
+      val want = operators.TextOps
+        .knGap(arrivals.toDF("doc_id", "text"), lm)
+        .as[(Long, Long, Long, Double, Double, Double)].collect()
+        .map { case (id, n2, n3, b2, b3, g) => (id, n2, n3, b2, b3, g, g <= maxGap) }
+        .toSet
+      val mem = MemoryStream[(Long, String)]
+      val q = TextStreams.streamingPerplexityGap(
+          mem.toDF().toDF("doc_id", "text"), big, tri, tt, vs, maxGap)
+        .writeStream.format("memory").queryName("kn_gap_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(arrivals.take(1): _*)
+        q.processAllAvailable()
+        mem.addData(arrivals.drop(1): _*)
+        q.processAllAvailable()
+        val got = spark.table("kn_gap_stream")
+          .as[(Long, Long, Long, Double, Double, Double, Boolean)]
+          .collect().toSet
+        assert(got === want, s"stream $got vs batch $want")
+        val byId = got.map(r => r._1 -> r).toMap
+        assert(!byId.contains(102L), "bigram-only doc emits nothing")
+        assert(!byId(100L)._7 && byId(101L)._7,
+          s"the gap must drop the formulaic doc and keep the attested one: $got")
+        assert(byId(100L)._6 > byId(101L)._6,
+          "spam gap must exceed the attested doc's gap")
+      } finally q.stop()
+    }
+  }
+
   test("streamingDecontaminate: two-batch parity with the batch screen, " +
     "per-arrival emission pinned") {
     withRocksDb {
