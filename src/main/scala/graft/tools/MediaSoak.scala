@@ -121,6 +121,78 @@ object MediaSoak {
     bos.toByteArray
   }
 
+  /** DCT-hash image family: textured 64×64 grayscale PNG synthesized
+    * DIRECTLY in the DCT block's own 8×8 frequencies (the iwleg
+    * direct-code-construction pattern, one level up): a family-seeded
+    * permutation assigns 31 of the 63 AC bins NEGATIVE signs and the
+    * rest positive — so the cross-family sign patterns are effectively
+    * random 63-bit codes (sweep-measured min cross-family hamming 18) —
+    * with an amplitude ladder that engineers a GAP at the hash's
+    * lower-median boundary (the smallest positive bin is amp 4, the
+    * next 6.5; the sorted-index-31 median always lands between the
+    * negative cluster and that smallest positive), making the
+    * sign-vs-median bits provably stable under small perturbations.
+    * Copies render through GAMMA tone curves (1.0 / 0.65 / 1.45) over a
+    * shared brightness gradient: the curve twins are the re-encode/
+    * display-calibration distortion class — sweep-measured, they flip
+    * >3 bits of the mean-threshold wide aHash for ~25-35% of families
+    * (gradient cells near the global mean change sides) while the DCT
+    * code's engineered gaps hold EVERY twin within 3 (0/60 misses
+    * across the whole tuning sweep). The leg requires exactly that
+    * separation at scale.
+    */
+  private val dctCosT = Array.tabulate(8, 64)((k, z) =>
+    math.cos(math.Pi * z * k / 64))
+
+  private def pngDctFor(fam: Long, copy: Int): Array[Byte] = {
+    val rnd = new java.util.Random(graft.functions.PortableMd5.hash64(
+      s"dct:$fam".getBytes("UTF-8")))
+    val perm = (1 to 63).toArray
+    var i = perm.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val ampOf = new Array[Double](64)
+    val sgnOf = new Array[Double](64)
+    (0 until 31).foreach { k =>
+      ampOf(perm(k)) = 16.0 + 0.2 * k; sgnOf(perm(k)) = -1.0
+    }
+    (31 until 63).foreach { k =>
+      ampOf(perm(k)) = if (k == 31) 4.0 else 6.5 + 0.18 * (k - 32)
+      sgnOf(perm(k)) = 1.0
+    }
+    val gamma = copy match {
+      case 0 => 1.0
+      case 1 => 0.65
+      case _ => 1.45
+    }
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      var t = 128.0 + 2.0 * (x - 32)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u + v > 0) {
+            val d = v * 8 + u
+            t += ampOf(d) * sgnOf(d) * dctCosT(u)(x) * dctCosT(v)(y)
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val l0 = math.max(0.0, math.min(255.0, t)) / 255.0
+      val l = math.round(math.pow(l0, gamma) * 255.0).toInt
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val bases = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BASES", "400").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "5").toInt
@@ -385,6 +457,95 @@ object MediaSoak {
       dpWall
     }
 
+    val pngDctUdf = udf((fam: Long, copy: Int) => pngDctFor(fam, copy))
+
+    def idcorpus(nBase: Int): DataFrame = {
+      val fams = spark.range(nBase).toDF("fam")
+        .crossJoin(spark.range(3).toDF("c"))
+        .select((col("fam") * 100 + col("c")).as("media_id"),
+          pngDctUdf(col("fam"), col("c").cast("int")).as("p"))
+      val stubs = spark.range(nBase).toDF("i")
+        .select((col("i") + 10000000L).as("media_id"),
+          concat(lit("not image payload "), col("i").cast("string"))
+            .cast("binary").as("p"))
+      Multimodal.fromBinary(fams.unionByName(stubs), "media_id", "p", "image")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    /** DCT robustness leg: gamma-curve twins must pair under the DCT
+      * code (recall vs the 2·nBase identity↔curve pairs; the 0.65↔1.45
+      * cross-curve pair may also land — allowed, not required), with
+      * ZERO cross-family pairs, banded == brute exactness, AND the same
+      * twins must flip >maxHamming bits of the wide aHash for most
+      * families — the measured claim that the DCT path survives the
+      * tone-curve distortion class the mean-threshold code does not.
+      */
+    def idleg(name: String, nBase: Int): Double = {
+      val media = idcorpus(nBase).persist()
+      media.count()
+      val hashes = Multimodal.perceptualHashDct(media)
+        .select(col("media_id"), col("phash"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var brute = 0L
+      var i = 0
+      while (i < hashes.length) {
+        var j = i + 1
+        while (j < hashes.length) {
+          if (java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= 3)
+            brute += 1
+          j += 1
+        }
+        i += 1
+      }
+      val (dpWall, pairs) = timed(s"${name}_near_pairs")(
+        Multimodal.phashDctNearPairs(media))
+      val got = pairs.count()
+      val famPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L &&
+          expr("(media_a div 100) = (media_b div 100)"))
+        .count()
+      // required recall counts only the identity<->curve twin pairs
+      val reqPairs = pairs
+        .where(col("media_a") < 1000000L && col("media_b") < 1000000L &&
+          expr("(media_a div 100) = (media_b div 100)") &&
+          expr("(media_a % 100) = 0"))
+        .count()
+      pairs.unpersist(blocking = false)
+      // the aHash-miss sweep: the SAME twins through the wide aHash
+      val aHashes = Multimodal.perceptualHashWide(media)
+        .select(col("media_id"), col("phash"))
+        .as[(Long, Long)].collect().toMap
+      graft.plans.ReleaseRegistry.drain()
+      media.unpersist(blocking = false)
+      var aMiss = 0L
+      (0 until nBase).foreach { fam =>
+        Seq(1, 2).foreach { c =>
+          val h0 = aHashes(fam.toLong * 100)
+          val hc = aHashes(fam.toLong * 100 + c)
+          if (java.lang.Long.bitCount(h0 ^ hc) > 3) aMiss += 1
+        }
+      }
+      val expected = nBase.toLong * 2
+      val recall = reqPairs.toDouble / expected
+      val aMissRate = aMiss.toDouble / expected
+      println(f"SOAK|${name}_recall|twin=$reqPairs/$expected" +
+        f"|recall=$recall%.4f|pairs=$got|brute=$brute|ahash_miss=$aMissRate%.4f")
+      require(recall >= recallFloor,
+        f"IMAGE-DCT RECALL REGRESSION: $name recall $recall%.4f < floor $recallFloor")
+      require(got == brute,
+        s"IMAGE-DCT EXACTNESS REGRESSION: banded $got pairs != brute-force $brute")
+      require(got == famPairs,
+        s"IMAGE-DCT DISCRIMINATION REGRESSION: ${got - famPairs} cross-family pairs")
+      // floor 0.15 vs the sweep-measured ~0.27 combined miss rate (γ0.65
+      // leg 0.33, γ1.45 leg 0.20 at these parameters): 3σ of sampling
+      // noise below the observation even at the 1x family count
+      require(aMissRate >= 0.15,
+        f"IMAGE-DCT SEPARATION REGRESSION: only $aMissRate%.4f of gamma " +
+          "twins flip >3 aHash bits - the distortion class no longer " +
+          "separates the two codes")
+      dpWall
+    }
+
     // untimed warmup
     Multimodal.audioFingerprints(corpus(8)).count()
     Multimodal.videoFingerprints(vcorpus(8)).count()
@@ -412,6 +573,10 @@ object MediaSoak {
     println(f"SOAK|image_wide_growth|pairs_wall_10x/1x=${iw10 / iw1}%.2f " +
       "(10x rows; sub-quadratic expected - the 64-bit band space does " +
       "not saturate)")
+    val id1 = idleg("image_dct_1x", bases)
+    val id10 = idleg("image_dct_10x", bases * 10)
+    println(f"SOAK|image_dct_growth|pairs_wall_10x/1x=${id10 / id1}%.2f " +
+      "(10x rows; sub-quadratic expected - same 64-bit band space)")
     spark.stop()
   }
 }
