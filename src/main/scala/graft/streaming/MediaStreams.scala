@@ -141,39 +141,53 @@ object MediaStreams {
     * once over the stream's lifetime, and the emission is a pure
     * function of the two windows, so the union of events over any
     * arrival order equals the batch bucket join on the union corpus.
-    * Buckets cap at `maxBucket` stored windows by ARRIVAL order (a
-    * prefix approximation of the batch stop-hash drop, which discards
-    * overfull buckets entirely — the one declared divergence); `ttl`
-    * bounds state to the trailing window for endless archives.
+    * Overflow MIRRORS the batch stop-hash drop (which discards overfull
+    * buckets entirely): the first batch that would push a bucket past
+    * `maxBucket` TOMBSTONES it — state cleared, nothing emitted from
+    * that batch or after. Matches emitted in EARLIER batches stand
+    * (append mode cannot retract), so union parity with batch holds
+    * exactly while no bucket exceeds the cap and afterwards degrades
+    * only by those already-emitted rows — never by emitting matches
+    * batch would not (the [[PhashBandBucket]] rule); `ttl` bounds state
+    * to the trailing window for endless archives and expires tombstones
+    * with it.
     */
   final class FpBucketMatcher(maxBucket: Int,
       ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, FpRow, WinMatch] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[FpWin] = _
+    @transient private var dead: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[FpWin](
         "seen", Encoders.product[FpWin],
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+      dead = getHandle.getValueState[Boolean](
+        "dead", Encoders.scalaBoolean,
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[FpRow],
         timerValues: TimerValues): Iterator[WinMatch] = {
+      if (dead.exists()) { rows.foreach(_ => ()); return Iterator.empty }
       val prior = seen.get().toArray
+      val arrived = rows.toArray
+      if (prior.length + arrived.length > maxBucket) {
+        seen.clear()
+        dead.update(true)
+        return Iterator.empty
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[WinMatch]
       val kept = scala.collection.mutable.ArrayBuffer.empty[FpWin]
-      var size = prior.length
-      rows.foreach { r =>
-        if (size < maxBucket) {
-          val w = FpWin(r.mediaId, r.winIdx)
-          def consider(o: FpWin): Unit = if (o.mediaId != w.mediaId) {
-            val (p, q) = if (o.mediaId < w.mediaId) (o, w) else (w, o)
-            out += WinMatch(p.mediaId, p.winIdx, q.mediaId, q.winIdx, key)
-          }
-          prior.foreach(consider)
-          kept.foreach(consider)
-          kept += w
-          size += 1
+      arrived.foreach { r =>
+        val w = FpWin(r.mediaId, r.winIdx)
+        def consider(o: FpWin): Unit = if (o.mediaId != w.mediaId) {
+          val (p, q) = if (o.mediaId < w.mediaId) (o, w) else (w, o)
+          out += WinMatch(p.mediaId, p.winIdx, q.mediaId, q.winIdx, key)
         }
+        prior.foreach(consider)
+        kept.foreach(consider)
+        kept += w
       }
       kept.foreach(seen.appendValue)
       out.iterator
@@ -242,10 +256,11 @@ object MediaStreams {
     * having count ≥ minMatch` reproduces the batch pair table on the
     * union corpus — the `wa`/`wb` fields carry FRAME indices here, so
     * the consistent delta is the trim offset of a re-cut clip. State per
-    * bucket = its stored frame list capped at `maxBucket` (arrival-order
-    * prefix of the batch degenerate-frame drop — black frames and test
-    * cards are the video stop-words), the same Σbucket² amortization as
-    * the audio matcher; `ttl` bounds state to the trailing window for
+    * bucket = its stored frame list; overflow past `maxBucket`
+    * tombstones the bucket, mirroring the batch degenerate-frame drop
+    * (black frames and test cards are the video stop-words) — the
+    * [[FpBucketMatcher]] rule; the same Σbucket² amortization as the
+    * audio matcher; `ttl` bounds state to the trailing window for
     * endless archives.
     */
   def incrementalVideoMatches(media: DataFrame, maxBucket: Int = 1024,
