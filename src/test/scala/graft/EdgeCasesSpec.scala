@@ -265,4 +265,56 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextOps.knScoreWith(emptyDocs, big, tt, vs).count() === 0)
     assert(TextOps.kn3ScoreWith(emptyDocs, big, tri, tt, vs).count() === 0)
   }
+
+  test("round-16 operators handle empty, degenerate, and null inputs") {
+    import graft.operators.{Multimodal, Similarity}
+    // knGap: empty corpus empty; a two-token doc scores the bigram leg
+    // only, so the inner join excludes it from the gap frame
+    assert(TextOps.knGap(emptyDocs).count() === 0)
+    val lm = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val gap = TextOps.knGap(lm)
+    assert(gap.where(col("doc_id") === 2L).count() === 0)
+    assert(gap.where(col("doc_id") === 1L).count() === 1)
+    // DCT hash: empty media empty; single row pair-free; NULL payloads
+    // are DROPPED before hashing (not packed to a degenerate phash-0
+    // bucket) in every perceptual-hash variant
+    val emptyMedia = Multimodal.fromBinary(
+      Seq.empty[(Long, Array[Byte])].toDF("id", "bytes"),
+      "id", "bytes", "image")
+    assert(Multimodal.phashDctNearPairs(emptyMedia).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    val withNulls = Multimodal.fromBinary(
+      Seq((1L, "payload one".getBytes("UTF-8")),
+        (2L, null.asInstanceOf[Array[Byte]]),
+        (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "bytes"),
+      "id", "bytes", "image")
+    assert(Multimodal.perceptualHash(withNulls).count() === 1)
+    assert(Multimodal.perceptualHashWide(withNulls).count() === 1)
+    assert(Multimodal.perceptualHashDct(withNulls).count() === 1)
+    // the two null rows must NOT pair with each other (the degenerate
+    // phash-0 bucket the null-drop exists to prevent)
+    assert(Multimodal.phashNearPairs(withNulls).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    assert(Multimodal.phashDctNearPairs(withNulls).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+    // k-means artifact on a degenerate one-point corpus: one centroid
+    // row per seeded cluster id present, scoring assigns d2 = 0
+    val onePoint = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kdir = java.nio.file.Files.createTempDirectory("km_edge").toString
+    Similarity.saveKmeansModel(onePoint, kdir, kClusters = 4, iters = 1)
+    val (cents, _, _) = Similarity.loadKmeansModel(spark, kdir)
+    assert(cents.count() === 1)
+    val scored = Similarity.kmeansAssignWith(onePoint, cents)
+      .as[(Long, Long, Double)].collect()
+    assert(scored.length === 1 && scored.head._3 === 0.0)
+    graft.plans.ReleaseRegistry.drain()
+    // stored-model consumers on an empty scored shard: empty, no throw
+    assert(Similarity.kmeansAssignWith(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      cents).count() === 0)
+    assert(Similarity.semDedupWith(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      cents).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
+  }
 }
