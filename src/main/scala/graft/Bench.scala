@@ -25,11 +25,13 @@ object Bench {
   val DefaultDeadlineMin = 45
 
   /** Materializations per query under the full (non-degraded) protocol:
-    * warmup + 3 timed samples + row count. BenchBudgetSpec multiplies the
-    * committed medians by this (plus a cold-run margin) to prove the
-    * suite fits [[DefaultDeadlineMin]] BEFORE the driver runs it.
+    * warmup (which also observes the row count — an `Observation` on the
+    * noop write, not a separate pass) + 3 timed samples. BenchBudgetSpec
+    * multiplies the committed medians by this (plus a cold-run margin)
+    * to prove the suite fits [[DefaultDeadlineMin]] BEFORE the driver
+    * runs it.
     */
-  val ProtocolMultiplier = 5
+  val ProtocolMultiplier = 4
 
   /** The window-ratio normalization is CAPPED here (bar ≤ 2×cap): an
     * uncapped ratio would let a code/config change that genuinely slows
@@ -211,6 +213,26 @@ object Bench {
     val deadlineSec = deadlineMin * 60.0
     val softDeadlineSec = deadlineSec * 0.8
 
+    // The warmup variant ALSO reports the result's row count, via an
+    // Observation on the same noop write — a CollectMetrics node at the
+    // plan ROOT, so the plan underneath (the thing being warmed and
+    // later timed) is unchanged and the count costs one aggregate
+    // instead of the separate full column-pruned pass it replaced
+    // (link_pred-class queries re-ran near-fully for their count;
+    // dropping that pass bought back ~25% of the suite's wall).
+    var obsN = 0L
+    def materializeCounting(name: String): Long = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      obsN += 1
+      val obs = org.apache.spark.sql.Observation(s"rows_${name}_$obsN")
+      try {
+        df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        obs.get("n").asInstanceOf[Long]
+      } finally graft.plans.ReleaseRegistry.drain()
+    }
+
     def materialize(name: String): Long = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       try df.write.format("noop").mode("overwrite").save()
@@ -254,10 +276,17 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
       // per-query warmup IMMEDIATELY before timing (JIT, codegen cache,
-      // file footers). Timed anyway: past the HARD deadline this one run
-      // becomes the query's only sample — a cold-run median beats a
-      // driver-killed run that leaves no artifact at all.
-      val warm = timeOne()
+      // file footers), carrying the row-count observation. Timed anyway:
+      // past the HARD deadline this one run becomes the query's only
+      // sample — a cold-run median beats a driver-killed run that
+      // leaves no artifact at all.
+      var nRows = -1L
+      val warm = {
+        val t0 = System.nanoTime()
+        val ok = try { nRows = materializeCounting(name); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+      }
       val pastHard = elapsedSec >= deadlineSec
       val pastSoft = elapsedSec >= softDeadlineSec
       val samples: List[Double] =
@@ -292,13 +321,6 @@ object Bench {
       // don't). Under hard-deadline degrade this is the single warm run.
       val median =
         if (best.exists(_.isNaN)) Double.NaN else best.sorted.apply(best.size / 2)
-      // row count folded in HERE (not a separate end-of-suite pass over
-      // all queries — the 6th full materialization that helped blow r15's
-      // wall cap). count() runs column-pruned, far cheaper than the noop
-      // materializations that surround it.
-      val nRows = try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        finally graft.plans.ReleaseRegistry.drain()
       // stream one compact JSON line per completed query: a driver kill
       // mid-suite now leaves a parseable partial record in the log instead
       // of nothing (r15's all-or-nothing artifact). The {"queries":{name:

@@ -630,6 +630,20 @@ object SparkEntry {
         "doc_id", "p", "image")
       Multimodal.phashDctNearPairs(media)
     }),
+    // DCT near-dup survivor election: the banded DCT pairs resolved into
+    // min-label families, keep-the-sharpest on the 1024-cell integer
+    // variance of the same decode pass (grouped fixture: members of a
+    // family share the payload, so the election lands on the tie rule —
+    // smallest media_id; the gamma-twin spec exercises the non-trivial
+    // variance election on real images)
+    "phash_dct_near_keep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.fromBinary(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("dk:"), expr("doc_id div 3").cast("string")).as("p")),
+        "doc_id", "p", "image")
+      Multimodal.phashDctNearKeep(media)
+    }),
     // near-dup survivor election over the banded pairs: min-label
     // families + keep-the-sharpest (max integer grid variance, ties to
     // the smallest media_id) — the media composition of dedup_survivors
@@ -4852,6 +4866,66 @@ object SparkEntry {
         |         FROM f x JOIN f y USING (j, bh)
         |         WHERE x.media_id < y.media_id)
         |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+    },
+    // phash_dct_near_keep: the DCT chain on the 'dk:' grouped payloads,
+    // quality = the 1024-cell integer variance of the same residues,
+    // then the recursive component walk + sharpest-survivor election
+    // (phash_near_keep's shape on the DCT code)
+    "phash_dct_near_keep" -> {
+      val basisValues = operators.Multimodal.dctBasis(32).zipWithIndex
+        .flatMap { case (row, k) =>
+          row.zipWithIndex.map { case (b, n) => s"($k,$n,${b}::BIGINT)" }
+        }.mkString(",")
+      s"""WITH RECURSIVE
+        |r AS (SELECT d.doc_id AS media_id, g.i % 32 AS gx, g.i // 32 AS gy,
+        |    ('0x'||substr(md5('dk:' || (d.doc_id // 3)::VARCHAR || ':' || g.i), 1, 15))::BIGINT % 1000003 AS rv
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) g),
+        |basis(k, n, bv) AS (SELECT * FROM (VALUES $basisValues)),
+        |q AS (SELECT media_id,
+        |    CAST(1024 * sum(rv * rv) - sum(rv) * sum(rv) AS BIGINT) AS score
+        |  FROM r GROUP BY media_id),
+        |s1 AS (SELECT r.media_id, b.k AS u, r.gy AS gy,
+        |         CAST(sum(rv * b.bv) AS BIGINT) AS rv1
+        |       FROM r JOIN basis b ON b.n = r.gx GROUP BY 1, 2, 3),
+        |s2 AS (SELECT s1.media_id, b.k * 8 + s1.u AS d,
+        |         CAST(sum(rv1 * b.bv) AS BIGINT) AS c
+        |       FROM s1 JOIN basis b ON b.n = s1.gy GROUP BY 1, 2),
+        |med AS (SELECT media_id, c AS m FROM
+        |         (SELECT media_id, c,
+        |            row_number() OVER (PARTITION BY media_id ORDER BY c) AS rn
+        |          FROM s2)
+        |        WHERE rn = 32),
+        |p AS (SELECT s2.media_id,
+        |    CAST(sum(CASE WHEN s2.c <= med.m THEN 0
+        |             WHEN d = 63 THEN -9223372036854775808
+        |             ELSE (1::BIGINT << CAST(d AS INT)) END) AS BIGINT) AS phash
+        |  FROM s2 JOIN med USING (media_id) GROUP BY s2.media_id),
+        |b AS (SELECT media_id, phash, j, (phash >> CAST(16 * j AS INT)) & 65535 AS bh
+        |      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g),
+        |ok AS (SELECT j, bh FROM (SELECT j, bh, count(*) AS nb FROM b GROUP BY 1, 2)
+        |       WHERE nb <= 1024),
+        |f AS (SELECT b.media_id, b.phash, b.j, b.bh FROM b JOIN ok USING (j, bh)),
+        |prs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+        |        FROM f x JOIN f y USING (j, bh)
+        |        WHERE x.media_id < y.media_id
+        |          AND bit_count(xor(x.phash, y.phash)) <= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |walk(node, label) AS (
+        |  SELECT media_id, media_id FROM p
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node),
+        |labels AS (SELECT node AS media_id, min(label) AS cluster
+        |           FROM walk GROUP BY node),
+        |fam AS (SELECT cluster FROM labels GROUP BY cluster HAVING count(*) >= 2),
+        |jn AS (SELECT l.media_id, l.cluster, q.score
+        |       FROM labels l JOIN fam USING (cluster) JOIN q USING (media_id)),
+        |mx AS (SELECT cluster, max(score) AS ms FROM jn GROUP BY cluster),
+        |surv AS (SELECT jn.cluster, min(jn.media_id) AS survivor_id
+        |         FROM jn JOIN mx ON jn.cluster = mx.cluster AND jn.score = mx.ms
+        |         GROUP BY jn.cluster)
+        |SELECT jn.media_id, jn.cluster, sv.survivor_id,
+        |       jn.media_id = sv.survivor_id AS keep
+        |FROM jn JOIN surv sv USING (cluster)""".stripMargin
     },
     // phash_near_keep: the near-pair chain, then the dedup_survivors
     // recursive component walk seeded from every media row, families of

@@ -1341,6 +1341,18 @@ object Multimodal {
   def perceptualHashWide(media: DataFrame, grid: Int = 8): DataFrame = {
     require(grid >= 2 && grid * grid <= 64,
       "grid^2 bits must fit one 64-bit hash")
+    packPhash(gridFeatures(media, grid))
+  }
+
+  /** The shared decode stage under the image-hash family: the
+    * `grid`×`grid` luminance features per media row — real image
+    * decodes through [[MediaCodec.imageFeatures]] at the requested
+    * resolution, anything else the md5 stub at grid² dims (an
+    * image-family stage, so unlike [[extractFeatures]] there is no
+    * audio-decode leg). Null payloads dropped ([[dropNullPayloads]]).
+    * (media_id, features).
+    */
+  private def gridFeatures(media: DataFrame, grid: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
@@ -1348,9 +1360,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     implicit val enc = Encoders.row(outSchema)
-    // null payloads dropped for the same reason as [[perceptualHash]]:
-    // they would all pack to phash 0 and form one degenerate bucket
-    val feats = dropNullPayloads(media).mapPartitions { rows =>
+    dropNullPayloads(media).mapPartitions { rows =>
       // per-partition codec init would happen here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
@@ -1363,7 +1373,6 @@ object Multimodal {
         Row(r.getLong(idIdx), f.toSeq)
       }
     }
-    packPhash(feats)
   }
 
   /** The scaled-integer DCT-II basis under [[perceptualHashDct]]:
@@ -1449,25 +1458,24 @@ object Multimodal {
     */
   def perceptualHashDct(media: DataFrame, grid: Int = 32): DataFrame = {
     require(grid >= 8, "the top 8x8 coefficient block needs grid >= 8")
+    dctHashOfFeatures(gridFeatures(media, grid), grid)
+  }
+
+  /** The row-local DCT-hash stage over an already-decoded features frame
+    * — split from [[perceptualHashDct]] so [[phashDctNearKeep]] runs its
+    * pair leg off the SAME persisted decode pass as its quality leg.
+    */
+  private def dctHashOfFeatures(feats: DataFrame, grid: Int): DataFrame = {
     val basis = dctBasis(grid)
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("phash", LongType, nullable = false)))
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val idIdx = media.schema.fieldIndex("media_id")
-    val kindIdx = media.schema.fieldIndex("kind")
+    val fIdx = feats.schema.fieldIndex("features")
+    val idIdx = feats.schema.fieldIndex("media_id")
     implicit val enc = Encoders.row(outSchema)
-    dropNullPayloads(media).mapPartitions { rows =>
-      // per-partition codec init would happen here (once, not per row)
+    feats.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        val img =
-          if (r.getString(kindIdx) == "image") MediaCodec.readImage(payload)
-          else null
-        val f =
-          if (img != null) MediaCodec.imageFeatures(img, grid)
-          else MediaCodec.stubFeatures(payload, grid * grid)
-        Row(r.getLong(idIdx), dctHash(f, grid, basis))
+        Row(r.getLong(idIdx), dctHash(r.getSeq[Float](fIdx).toArray, grid, basis))
       }
     }
   }
@@ -1483,6 +1491,35 @@ object Multimodal {
       bands: Int = 4, maxBucket: Int = 1024, grid: Int = 32): DataFrame =
     bandedHashPairs(perceptualHashDct(media, grid), 64, maxHamming, bands,
       maxBucket, "multimodal.phash_dct_near_pairs")
+
+  /** Near-dup survivor election on the DCT code — [[phashNearKeep]]
+    * with [[phashDctNearPairs]]' robust pairs: families resolve from the
+    * banded DCT pairs and each family keeps its SHARPEST member, quality
+    * = the exact integer variance of the SAME `grid`×`grid` decode pass
+    * the hash rode in on ([[qualityOfFeatures]] is dimension-agnostic —
+    * at grid 32 the spread statistic reads the full 1024-cell plane, so
+    * a gamma-flattened or blurred re-encode scores strictly below its
+    * sharp original), ties to the smallest media_id. ONE decode pass
+    * total: the features frame persists behind a count barrier and
+    * feeds both legs.
+    */
+  def phashDctNearKeep(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024, grid: Int = 32): DataFrame = {
+    require(grid >= 8, "the top 8x8 coefficient block needs grid >= 8")
+    val feats = gridFeatures(media, grid).persist()
+    feats.count() // barrier: the one decode pass both legs read from
+    graft.plans.ReleaseRegistry.register("multimodal.phash_dct_near_keep")(
+      () => feats.unpersist(blocking = false))
+    val pairs = bandedHashPairs(dctHashOfFeatures(feats, grid), 64,
+        maxHamming, bands, maxBucket, "multimodal.phash_dct_near_keep.pairs")
+      .select(col("media_a").as("a"), col("media_b").as("b"))
+    val ids = media.select(col("media_id").as("doc_id"))
+    val scores = qualityOfFeatures(feats)
+      .select(col("media_id").as("doc_id"), col("var_scaled").as("score"))
+    graft.operators.Dedup.survivorsByScore(ids, pairs, scores)
+      .select(col("doc_id").as("media_id"), col("cluster"),
+        col("survivor_id"), col("keep"))
+  }
 
   /** The shared bit-packing half of [[perceptualHash]] /
     * [[perceptualHashWide]]: one bit per feature cell, set when the

@@ -297,6 +297,8 @@ class EdgeCasesSpec extends SparkSpec {
     graft.plans.ReleaseRegistry.drain()
     assert(Multimodal.phashDctNearPairs(withNulls).count() === 0)
     graft.plans.ReleaseRegistry.drain()
+    assert(Multimodal.phashDctNearKeep(withNulls).count() === 0)
+    graft.plans.ReleaseRegistry.drain()
     // k-means artifact on a degenerate one-point corpus: one centroid
     // row per seeded cluster id present, scoring assigns d2 = 0
     val onePoint = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

@@ -484,6 +484,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, dct.toLong)))
   }
 
+  test("phashDctNearKeep: the gamma-twin family elects its highest-" +
+    "variance member (scores from the SAME grid-32 decode pass)") {
+    def lum(x: Int, y: Int): Double = {
+      var t = 128.0 + 1.2 * (x - 32)
+      for (u <- 0 to 7; v <- 0 to 7; if u + v > 0) {
+        val s = if ((u * 5 + v * 3) % 2 == 0) 1.0 else -1.0
+        t += 8.0 * s * math.cos(math.Pi * x * u / 64) *
+          math.cos(math.Pi * y * v / 64)
+      }
+      t
+    }
+    def img(gamma: Double): Array[Byte] = pngBytes(64, 64) { (x, y) =>
+      val l0 = math.max(0.0, math.min(255.0, lum(x, y))) / 255.0
+      val l = math.round(math.pow(l0, gamma) * 255.0).toInt
+      (l << 16) | (l << 8) | l
+    }
+    // the expected quality scores: integer variance of the 32x32
+    // residue plane — hand-computed from the same codec the operator
+    // decodes through
+    def varOf(png: Array[Byte]): BigInt = {
+      val f = Multimodal.MediaCodec.imageFeatures(
+        Multimodal.MediaCodec.readImage(png), 32)
+      val r = f.map(x => BigInt(Math.round(x.toDouble * 1000003)))
+      BigInt(1024) * r.map(x => x * x).sum - r.sum * r.sum
+    }
+    val (v1, v2) = (varOf(img(1.0)), varOf(img(0.6)))
+    assert(v1 !== v2, "twins must differ in variance for a real election")
+    val expSurv = if (v1 >= v2) 1L else 2L
+    val df = Seq((1L, img(1.0)), (2L, img(0.6))).toDF("id", "bytes")
+    val media = Multimodal.fromBinary(df, "id", "bytes", "image")
+    val out = Multimodal.phashDctNearKeep(media)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    graft.plans.ReleaseRegistry.drain()
+    assert(out === Set(
+      (1L, 1L, expSurv, 1L == expSurv),
+      (2L, 1L, expSurv, 2L == expSurv)),
+      s"expected survivor $expSurv (v1=$v1 v2=$v2): $out")
+  }
+
   test("phashDctNearPairs: banded output equals brute force on the stub " +
     "path, and the stub hash replays the integer-DCT formula") {
     val stubs = (0 until 150).map(i =>
