@@ -36,6 +36,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Package-private bridges for the streaming twins
+    * ([[graft.streaming.VectorStreams]]): the SAME preparation and
+    * rounded-cosine expressions, so stream and batch scoring cannot
+    * diverge.
+    */
+  private[graft] def preparedFrame(embeddings: DataFrame): DataFrame =
+    prepared(embeddings)
+  private[graft] def cosSimCol(d: Column, na: Column, nb: Column): Column =
+    cosSim(d, na, nb)
+
   /** Cosine similarity with a zero-norm guard: a zero vector has no
     * direction and 0/0 = NaN — which Spark's total ordering sorts ABOVE
     * every real double, so an unguarded zero embedding would outrank

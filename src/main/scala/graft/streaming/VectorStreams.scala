@@ -147,4 +147,76 @@ object VectorStreams {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One ANN result row: query, neighbor, rounded cosine, rank. */
+  final case class AnnMatch(queryId: Long, nbrId: Long, sim: Double,
+      rnk: Int)
+
+  /** Per-query top-k selector for [[streamingIvfTopK]]: a query is ONE
+    * streaming row, so all its scored candidates arrive inside its own
+    * micro-batch — zero carried state. Ordering replicates the batch
+    * window exactly: sim desc (already rounded on the 4dp grid), ties to
+    * the smaller neighbor id.
+    */
+  final class BatchTopK(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), AnnMatch] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        timerValues: TimerValues): Iterator[AnnMatch] = {
+      rows.toArray.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, n, s), i) => AnnMatch(key, n, s, i + 1) }
+        .iterator
+    }
+  }
+
+  /** ANN search at ingest — the streaming twin of
+    * [[graft.operators.Similarity.ivfTopKIndexed]] over a stored
+    * [[graft.operators.Similarity.buildIvfIndex]] artifact: each
+    * arriving query vector selects its `nProbe` nearest index cells
+    * ROW-LOCALLY (the batch op's query-partitioned window replayed as an
+    * array_sort over (−cs, cid) structs on one broadcast centroid row —
+    * no window, no shuffle on the stream side), the candidates come from
+    * a stream-static equi-join against the cell-partitioned stored
+    * corpus, and the per-query top-k resolves in the arrival batch with
+    * the batch op's exact (sim desc, nbr_id) ordering on the same
+    * rounded-cosine grid (parity pinned in VectorStreamsSpec). The
+    * "which existing documents does this new arrival match" primitive —
+    * retrieval-dedup and contamination screens at ingest.
+    *
+    * Scale shape: probes are a row-local projection; the join is
+    * cell-blocked (a query only meets the nProbe cells it probes, the
+    * IVF contract); carried state is ZERO.
+    */
+  def streamingIvfTopK(queries: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      nProbe: Int = 4, k: Int = 5,
+      excludeSelf: Boolean = true): Dataset[AnnMatch] = {
+    import queries.sparkSession.implicits._
+    import graft.operators.Similarity.dot
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val q = graft.operators.Similarity.preparedFrame(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val packed = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cl"))
+    val probes = q.crossJoin(broadcast(packed))
+      .withColumn("ps", slice(array_sort(transform(col("cl"), e =>
+        struct((-dot(col("qv"), e.getField("c"))).as("ncs"),
+          e.getField("cid").as("cid")))), 1, nProbe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("ps")).as("pe"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("pe.cid").as("cid"))
+    probes.join(corpus, Seq("cid"))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        graft.operators.Similarity.cosSimCol(
+          dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new BatchTopK(k), TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -102,6 +102,38 @@ class VectorStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingIvfTopK: ANN probes at ingest are row-identical to the " +
+    "batch indexed search, zero carried state") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val e = Tables.embeddings(spark, sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+      Similarity.buildIvfIndex(e, dir, nList = 8)
+      val qrows = e.select(col("vec_id"),
+        col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1).take(30)
+      val want = Similarity.ivfTopKIndexed(spark, dir,
+        qrows.toDF("vec_id", "embedding"), nProbe = 3, k = 4)
+        .select(col("query_id"), col("nbr_id"), col("sim"), col("rnk"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = VectorStreams.streamingIvfTopK(
+          mem.toDF().toDF("vec_id", "embedding"), spark, dir,
+          nProbe = 3, k = 4)
+        .writeStream.format("memory").queryName("ivf_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(qrows.take(15): _*); q.processAllAvailable()
+        mem.addData(qrows.drop(15): _*); q.processAllAvailable()
+        val got = spark.table("ivf_stream")
+          .as[(Long, Long, Double, Int)].collect().toSet
+        assert(got === want,
+          s"diff stream-only=${got.diff(want).take(5)} batch-only=${want.diff(got).take(5)}")
+        assert(got.nonEmpty && got.exists(_._4 === 4))
+      } finally q.stop()
+    }
+  }
+
   test("streamingSemDedup bucket cap: past maxBucket, arrivals are still " +
     "gated against the stored prefix but add no state") {
     withRocksDb {
