@@ -47,6 +47,10 @@ object SparkEntry {
     // ── LLM-pipeline: text analysis ──
     "token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
+    // vocabulary-side quality signals: per-doc hapax/type counts, and
+    // coverage of the corpus top-K vocab (the tokenizer-eval OOV rate)
+    "lex_diversity" -> ((s, d) => TextOps.lexicalDiversity(Tables.documents(s, d))),
+    "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     // Gopher-style repetition gates + entropy quality signal + benchmark
     // decontamination — the remaining standard LLM corpus-filtering trio
     "rep_signals" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
@@ -722,6 +726,10 @@ object SparkEntry {
     // identical stub payloads pair at delta 0
     "video_dup_pairs" -> ((s, d) =>
       Multimodal.videoDupPairs(videoFixture(s, d))),
+    // shot-boundary summary over the same per-frame hashes: a cut is a
+    // >= 4-bit aHash jump between consecutive frames of one clip
+    "video_scene_cuts" -> ((s, d) =>
+      Multimodal.videoSceneCuts(videoFixture(s, d))),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
@@ -1577,6 +1585,32 @@ object SparkEntry {
         |round(len(list_filter(tk, x -> length(x) <= 2))::DOUBLE
         |      / len(tk), 4) AS short_tok_ratio
         |FROM t""".stripMargin,
+    "lex_diversity" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS word FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          count(*) AS n_types,
+        |          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_hapax
+        |        FROM wc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(n_types, 0)::BIGINT AS n_types,
+        |       round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+        |       round(n_hapax::DOUBLE / n_types, 6) AS hapax_ratio
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS word FROM documents),
+        |vc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        |vocab AS (SELECT word FROM vc ORDER BY c DESC, word ASC LIMIT 16)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(count(v.word) AS BIGINT) AS n_covered,
+        |       round(1.0 - count(v.word)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.word = v.word
+        |GROUP BY t.doc_id""".stripMargin,
     "rep_signals" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
@@ -5092,6 +5126,22 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_match
         |FROM ff a JOIN ff b ON a.fhash = b.fhash AND a.media_id < b.media_id
         |GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin),
+    // video_scene_cuts: same fingerprint chain, then the consecutive-frame
+    // hamming jump per clip (lag window inside each media_id)
+    "video_scene_cuts" -> (videoFpPrefixSql +
+      """,
+        |j AS (SELECT media_id, n_frames, frame_idx,
+        |        CAST(bit_count(xor(fhash, lag(fhash) OVER (
+        |          PARTITION BY media_id ORDER BY frame_idx))) AS BIGINT)
+        |          AS jump
+        |      FROM allvf)
+        |SELECT media_id, max(n_frames) AS n_frames,
+        |       CAST(count(CASE WHEN jump >= 4 THEN 1 END) AS BIGINT)
+        |         AS n_cuts,
+        |       CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump,
+        |       CAST(min(CASE WHEN jump >= 4 THEN frame_idx END) AS INT)
+        |         AS first_cut
+        |FROM j GROUP BY media_id""".stripMargin),
     // ── sketch-variant bound checks: the sketches themselves (HLL,
     // approx_percentile KLL, xxhash64 simhash/quantize digests) have no
     // DuckDB equivalent, so each Spark query reports a replayable

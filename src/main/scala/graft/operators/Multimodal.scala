@@ -1292,6 +1292,37 @@ object Multimodal {
       .where(col("n_match") >= minMatch)
   }
 
+  /** Scene-cut detection over [[videoFingerprints]]: a cut is a
+    * frame-to-frame jump of ≥ `minJump` aHash bits (consecutive frames of
+    * one shot share most luminance-grid bits; a shot change flips many at
+    * once). Per video: `(media_id, n_frames, n_cuts, max_jump, first_cut)`
+    * with `first_cut` null for single-shot clips — the shot-boundary
+    * summary a video curation pipeline keys on (static slideshows vs.
+    * rapid cuts), and the frame-level analysis [[videoDupPairs]]' matcher
+    * deliberately ignores.
+    *
+    * Scale shape: the window partitions by `media_id` and orders by
+    * `frame_idx`, so state per window is one clip's frames (bounded by
+    * clip length, never by corpus size); the fingerprint stage is the
+    * same single decode pass the dup matcher uses, and the final rollup
+    * is one map-side-combinable aggregate.
+    */
+  def videoSceneCuts(media: DataFrame, minJump: Int = 4, cells: Int = 16,
+      stubFrames: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    videoFingerprints(media, cells, stubFrames)
+      .select("media_id", "n_frames", "frame_idx", "fhash")
+      .withColumn("jump", graft.operators.Dedup
+        .hammingDist(col("fhash"), lag(col("fhash"), 1).over(w))
+        .cast("long"))
+      .groupBy("media_id")
+      .agg(max("n_frames").as("n_frames"),
+        count(when(col("jump") >= minJump, 1)).as("n_cuts"),
+        coalesce(max("jump"), lit(0L)).as("max_jump"),
+        min(when(col("jump") >= minJump, col("frame_idx"))).as("first_cut"))
+  }
+
   /** Perceptual (average) hash per media row: one bit per feature cell,
     * set when the cell exceeds the row mean — over real image decodes the
     * features are the 4×4 luminance grid ([[MediaCodec.imageFeatures]]),

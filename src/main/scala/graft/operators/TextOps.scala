@@ -124,6 +124,100 @@ object TextOps {
       round(short.cast("double") / nTok, 4).as("short_tok_ratio"))
   }
 
+  /** Lexical diversity per document: token count, type (distinct-word)
+    * count, type–token ratio, and hapax ratio (share of types occurring
+    * exactly once in the doc). Low TTR / low hapax flags template spam
+    * and boilerplate the same way [[repetitionSignals]]' dup fractions
+    * do, from the vocabulary side instead of the n-gram side. Documents
+    * with no tokens survive with zero counts and null ratios.
+    *
+    * Scale shape: explode → two-level aggregate, both with map-side
+    * partial combine; per-(doc, word) groups are bounded by doc length,
+    * never corpus size. The doc-preserving join is on the narrow key
+    * frame, not the text.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("doc_id"),
+        explode(array_remove(split(col("text"), "\\s+"), "")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"))
+  }
+
+  /** Vocabulary coverage per document against the corpus top-`topK`
+    * vocabulary (by total count, ties to the lexicographically smaller
+    * word): token count, covered-token count, and the OOV rate — the
+    * tokenizer-eval metric that tells you what fraction of a corpus a
+    * fixed vocabulary actually explains (high OOV → the doc is noise,
+    * another language, or the vocab is too small).
+    *
+    * Scale shape: the vocab is a TakeOrdered (never a global sort) and
+    * is broadcast into the coverage join — the big token frame never
+    * shuffles; the rollup is one map-side-combinable aggregate.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 16): DataFrame =
+    vocabCoverageWith(docs, vocabTop(docs, topK))
+
+  /** The corpus top-`topK` vocabulary by total count, ties to the
+    * lexicographically smaller word — a TakeOrdered, never a global sort.
+    * `(word, c)`.
+    */
+  def vocabTop(docs: DataFrame, topK: Int = 16): DataFrame =
+    docs.select(explode(array_remove(split(col("text"), "\\s+"), ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(topK)
+
+  /** [[vocabCoverage]] scoring against an EXPLICIT vocabulary frame
+    * (`word` column; extra columns ignored) — the leg that runs against a
+    * [[saveVocabModel]] artifact, so a vocabulary fit on one corpus
+    * snapshot can score every later snapshot without refitting. The vocab
+    * is topK-bounded by construction, hence hint-broadcast.
+    */
+  def vocabCoverageWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_remove(split(col("text"), "\\s+"), "")).as("word"))
+    toks.join(broadcast(vocab.select(col("word"), lit(1L).as("in_vocab"))),
+        Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
+  /** Persist the fitted vocabulary — the [[saveNbModel]] parquet+meta
+    * pattern: `modelDir/vocab` = [[vocabTop]]'s `(word, c)` table,
+    * `modelDir/meta` = one row of fit parameters. Counts are pure
+    * integers and the tie-break is total, so the reloaded vocabulary
+    * scores BIT-identically to the in-session one (round-trip pinned in
+    * TextOpsSpec).
+    */
+  def saveVocabModel(docs: DataFrame, modelDir: String, topK: Int = 16): Unit = {
+    vocabTop(docs, topK).write.mode("overwrite").parquet(s"$modelDir/vocab")
+    docs.sparkSession.range(1).select(lit(topK).as("top_k"))
+      .write.mode("overwrite").parquet(s"$modelDir/meta")
+  }
+
+  /** Load a [[saveVocabModel]] artifact: (vocab table, top_k). */
+  def loadVocabModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, Int) = {
+    val m = spark.read.parquet(s"$modelDir/meta").head()
+    (spark.read.parquet(s"$modelDir/vocab"), m.getAs[Int]("top_k"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive document signature usable as an exact-dedup key that
     * is robust to token reordering.

@@ -577,4 +577,35 @@ object TextStreams {
       .transformWithState(new SpanGateAuditor(maxDupPct), TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Vocabulary-coverage gate at ingest — the streaming leg of
+    * [[graft.operators.TextOps.vocabCoverageWith]] over a stored
+    * [[graft.operators.TextOps.saveVocabModel]] artifact: each arriving
+    * document's token count, covered-token count, OOV rate against the
+    * fitted vocabulary, and a keep verdict (`oov_rate <= maxOov`;
+    * tokenless docs drop — no tokens, no evidence). The vocabulary is
+    * topK-bounded by construction, so it rides into the stream as a
+    * LITERAL array and the whole gate is a stateless row-local
+    * projection — zero carried state, zero stream-side shuffle (batch
+    * parity pinned in TextStreamsSpec).
+    */
+  def streamingOovGate(docs: DataFrame, vocab: DataFrame,
+      maxOov: Double = 0.5): DataFrame = {
+    val words = vocab.select(col("word")).collect()
+      .map(_.getString(0)).sorted
+    val toks = array_remove(split(col("text"), "\\s+"), "")
+    val covered =
+      if (words.isEmpty) lit(0L)
+      else {
+        val vlit = array(words.toSeq.map(lit(_)): _*)
+        size(filter(toks, x => array_contains(vlit, x))).cast("long")
+      }
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        covered.as("n_covered"))
+      .where(col("n_tokens") > 0)
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
+      .withColumn("keep", col("oov_rate") <= maxOov)
+  }
 }

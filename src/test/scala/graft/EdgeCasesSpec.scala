@@ -39,6 +39,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(e.toSeq === Seq((1L, 1, 0.0)))
   }
 
+  test("lexicalDiversity, vocabCoverage and videoSceneCuts on empty inputs") {
+    assert(TextOps.lexicalDiversity(emptyDocs).count() === 0)
+    assert(TextOps.vocabCoverage(emptyDocs).count() === 0)
+    val emptyMedia = graft.operators.Multimodal.fromBinary(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("bytes", BinaryType)))),
+      "id", "bytes", "video")
+    assert(graft.operators.Multimodal.videoSceneCuts(emptyMedia).count() === 0)
+  }
+
   test("mergeUpsert with an empty change batch returns base unchanged") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
     val changes = spark.createDataFrame(

@@ -763,6 +763,25 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated clip must not pair: $pairs")
   }
 
+  test("videoSceneCuts: a repeated frame is no cut, an inverted frame is; " +
+    "single-shot clips report null first_cut") {
+    val bright = (i: Int) => if (i < 16) 200 else 10
+    val dark = (i: Int) => if (i < 16) 10 else 200 // complementary bits
+    // clip 1: bright, bright, dark → jumps 0 then 16 → one cut at frame 2
+    // clip 2: bright, bright → single shot, no cut
+    val got = Multimodal.videoSceneCuts(Multimodal.fromBinary(
+      Seq((1L, y4m(Seq(bright, bright, dark))),
+        (2L, y4m(Seq(bright, bright)))).toDF("id", "bytes"),
+      "id", "bytes", "video"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = got(1L)
+    assert(c1.getLong(1) === 3L && c1.getLong(2) === 1L &&
+      c1.getLong(3) === 16L && c1.getInt(4) === 2, s"clip 1: $c1")
+    val c2 = got(2L)
+    assert(c2.getLong(2) === 0L && c2.getLong(3) === 0L && c2.isNullAt(4),
+      s"clip 2: $c2")
+  }
+
   test("videoFrameHashes: mjpeg decodes EVERY frame — identical frames " +
     "hash equal, a contrasting frame differs") {
     import graft.operators.Multimodal.MediaCodec

@@ -30,6 +30,45 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_tok_len") === 1.0)
   }
 
+  test("lexicalDiversity: types, hapax, ratios; empty doc kept with nulls") {
+    val d = Seq((1L, "a b a c"), (2L, "x x x"), (3L, " ")).toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 4 tokens, 3 types (a b c), hapax {b, c} → ttr .75, hapax 2/3
+    assert(got(1L).getLong(1) === 4L && got(1L).getLong(2) === 3L)
+    assert(got(1L).getDouble(3) === 0.75)
+    assert(got(1L).getDouble(4) === 0.666667)
+    // doc 2: one type repeated → ttr 1/3, zero hapax
+    assert(got(2L).getLong(2) === 1L && got(2L).getDouble(4) === 0.0)
+    // doc 3: no tokens → zero counts, null ratios
+    assert(got(3L).getLong(1) === 0L && got(3L).isNullAt(3) && got(3L).isNullAt(4))
+  }
+
+  test("vocabCoverage: OOV rate against the corpus top-K vocab, " +
+    "count-desc word-asc tie-break") {
+    // counts: a=3 b=2 c=2 z=1 → topK=2 keeps {a, b} (c loses the b/c tie)
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a z")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(d, topK = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 0.333333)))
+    assert(got(3L) === ((2L, 1L, 0.5)))
+  }
+
+  test("vocab artifact round-trip: the stored vocabulary scores " +
+    "bit-identically to the in-session fit") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a z")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vocabmodel").toString
+    TextOps.saveVocabModel(d, dir, topK = 2)
+    val (vocab, k) = TextOps.loadVocabModel(spark, dir)
+    assert(k === 2)
+    assert(vocab.select("word").as[String].collect().toSet === Set("a", "b"))
+    val direct = TextOps.vocabCoverage(d, topK = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val stored = TextOps.vocabCoverageWith(d, vocab)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stored === direct)
+  }
+
   test("fingerprint is token-order-insensitive") {
     val fp = TextOps.fingerprint(
       Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text"))
@@ -192,6 +231,13 @@ class TextOpsSpec extends SparkSpec {
     val mix = TextOps.mixSources(docs, Map("src0" -> 0.25))
       .queryExecution.sparkPlan.toString
     assert(!mix.contains("Exchange"), s"mixSources must be row-local:\n$mix")
+    // the topK-bounded vocab must broadcast into the coverage join and
+    // the vocab fit must be a TakeOrdered, never a global sort
+    val vc = TextOps.vocabCoverage(docs).queryExecution.sparkPlan.toString
+    assert(vc.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the coverage join:\n$vc")
+    assert(vc.contains("TakeOrdered"),
+      s"vocab fit must be TakeOrdered:\n$vc")
   }
 
   test("duplicatedSpans flags only cross-corpus repeated k-token spans") {

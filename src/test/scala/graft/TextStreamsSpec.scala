@@ -384,4 +384,37 @@ class TextStreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streamingOovGate: two-batch parity with batch vocabCoverageWith " +
+    "through the save->load->stream artifact chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vocabstream").toString
+    operators.TextOps.saveVocabModel(corpus, dir, topK = 2)
+    val (vocab, _) = operators.TextOps.loadVocabModel(spark, dir)
+    // arrivals: mostly-covered (keep), all-OOV (drop), tokenless (no row)
+    val arrivals = Seq((100L, "a b z"), (101L, "z z"), (102L, " "))
+    val want = operators.TextOps
+      .vocabCoverageWith(arrivals.toDF("doc_id", "text"), vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, c, oov) => (id, n, c, oov, oov <= 0.5) }.toSet
+    assert(want.map(_._1) === Set(100L, 101L), "batch excludes tokenless")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextStreams.streamingOovGate(
+        mem.toDF().toDF("doc_id", "text"), vocab, maxOov = 0.5)
+      .writeStream.format("memory").queryName("oov_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("oov_stream")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(got === want, s"stream $got vs batch $want")
+      val keep = got.map(r => r._1 -> r._5).toMap
+      assert(keep(100L) && !keep(101L))
+    } finally q.stop()
+  }
 }
