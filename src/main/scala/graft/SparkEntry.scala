@@ -708,6 +708,10 @@ object SparkEntry {
     // window delta; identical stub payloads pair at delta 0
     "audio_dup_pairs" -> ((s, d) =>
       Multimodal.audioDupPairs(audioFixture(s, d))),
+    // segment boundaries: a >= 8-bit band-energy-hash jump between
+    // consecutive windows of one clip (the audio twin of scene cuts)
+    "audio_cuts" -> ((s, d) =>
+      Multimodal.audioSegmentBounds(audioFixture(s, d))),
     // real-decode clipping/silence/peak screen on the same fixture —
     // exact integer thresholds, md5 pseudo-stats on the stub path
     "audio_quality" -> ((s, d) =>
@@ -5069,6 +5073,22 @@ object SparkEntry {
     // audioFpPrefixSql
     "audio_fingerprint" -> (audioFpPrefixSql +
       "\nSELECT media_id, is_real, n_windows, win_idx, fhash FROM allfp"),
+    // audio_cuts: same fingerprint chain, then the consecutive-window
+    // hamming jump per clip (the video_scene_cuts shape on win_idx)
+    "audio_cuts" -> (audioFpPrefixSql +
+      """,
+        |aj AS (SELECT media_id, n_windows, win_idx,
+        |         CAST(bit_count(xor(fhash, lag(fhash) OVER (
+        |           PARTITION BY media_id ORDER BY win_idx))) AS BIGINT)
+        |           AS jump
+        |       FROM allfp)
+        |SELECT media_id, max(n_windows) AS n_windows,
+        |       CAST(count(CASE WHEN jump >= 8 THEN 1 END) AS BIGINT)
+        |         AS n_bounds,
+        |       CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump,
+        |       CAST(min(CASE WHEN jump >= 8 THEN win_idx END) AS INT)
+        |         AS first_bound
+        |FROM aj GROUP BY media_id""".stripMargin),
     // audio_quality: exact integer thresholds over the sample formula
     // (|s| never reaches the 32734 clip threshold and windows are never
     // under the 640000 silence energy on this fixture — but every count

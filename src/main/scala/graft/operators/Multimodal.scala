@@ -1118,6 +1118,37 @@ object Multimodal {
     }
   }
 
+  /** Segment-boundary detection over [[audioFingerprints]] — the audio
+    * twin of [[videoSceneCuts]]: a boundary is a window-to-window jump of
+    * ≥ `minJump` bits in the difference-coded band-energy hash
+    * (consecutive windows of one acoustic segment share most bits; a
+    * speaker change, music-to-speech transition or silence edge flips
+    * many at once). Per media row: `(media_id, n_windows, n_bounds,
+    * max_jump, first_bound)` with `first_bound` null for single-segment
+    * audio — the cheap segmentation summary a pipeline keys on before
+    * paying for transcription.
+    *
+    * Scale shape: identical to [[videoSceneCuts]] — per-clip window
+    * (bounded by clip length), one decode pass, one map-side-combinable
+    * rollup.
+    */
+  def audioSegmentBounds(media: DataFrame, minJump: Int = 8,
+      windowFrames: Int = 64, bands: Int = 16,
+      stubWindows: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_idx")
+    audioFingerprints(media, windowFrames, bands, stubWindows)
+      .select("media_id", "n_windows", "win_idx", "fhash")
+      .withColumn("jump", graft.operators.Dedup
+        .hammingDist(col("fhash"), lag(col("fhash"), 1).over(w))
+        .cast("long"))
+      .groupBy("media_id")
+      .agg(max("n_windows").as("n_windows"),
+        count(when(col("jump") >= minJump, 1)).as("n_bounds"),
+        coalesce(max("jump"), lit(0L)).as("max_jump"),
+        min(when(col("jump") >= minJump, col("win_idx"))).as("first_bound"))
+  }
+
   /** Audio-quality screen over the REAL PCM decode
     * ([[MediaCodec.audioQualityStats]]): per media row the sample count,
     * peak amplitude, clipped-sample count, full-window count, and

@@ -49,6 +49,7 @@ class EdgeCasesSpec extends SparkSpec {
           StructField("bytes", BinaryType)))),
       "id", "bytes", "video")
     assert(graft.operators.Multimodal.videoSceneCuts(emptyMedia).count() === 0)
+    assert(graft.operators.Multimodal.audioSegmentBounds(emptyMedia).count() === 0)
   }
 
   test("mergeUpsert with an empty change batch returns base unchanged") {

@@ -673,6 +673,46 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated signal must not pair: $pairs")
   }
 
+  test("audioSegmentBounds: coherent windows have zero boundaries; a " +
+    "pattern transition bounds at its window; exact vs in-memory reduction") {
+    import graft.operators.Multimodal.MediaCodec
+    // broadband one-window patterns, repeated → windows are identical
+    // WITHIN a segment (temporal coherence) and differ across segments
+    val pA = synthSamples(1L, 64)
+    val pB = synthSamples(9L, 64)
+    val flat = Array.fill(4)(pA).flatten
+    val transition = (Array.fill(2)(pA) ++ Array.fill(2)(pB)).flatten
+    val media = Multimodal.fromBinary(
+      Seq((1L, MediaCodec.wavPcm16(flat)),
+        (2L, MediaCodec.wavPcm16(transition)),
+        (3L, "not audio".getBytes("UTF-8"))).toDF("id", "bytes"),
+      "id", "bytes", "audio")
+    val got = Multimodal.audioSegmentBounds(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    // reference: the same reduction computed in memory from the
+    // fingerprint rows (jump = popcount of consecutive-window xor)
+    val want = Multimodal.audioFingerprints(media)
+      .as[(Long, Boolean, Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        val hs = rows.sortBy(_._4)
+        val jumps = hs.sliding(2).collect { case Array(a, b) =>
+          (b._4, java.lang.Long.bitCount(a._5 ^ b._5).toLong)
+        }.toSeq
+        val bounds = jumps.filter(_._2 >= 8L)
+        id -> ((hs.head._3, bounds.size.toLong,
+          if (jumps.isEmpty) 0L else jumps.map(_._2).max,
+          bounds.map(_._1).minOption.getOrElse(-1)))
+      }
+    assert(got === want, s"got $got vs reference $want")
+    // semantics: identical windows → no boundary; the segment change is
+    // detected AT the first window containing the new pattern
+    assert(got(1L)._2 === 0L && got(1L)._4 === -1, s"flat clip: ${got(1L)}")
+    assert(got(2L)._2 >= 1L && got(2L)._4 === 2,
+      s"transition must bound at window 2: ${got(2L)}")
+  }
+
   test("audioFingerprints: stub path replays the portable md5 contract; " +
     "short real audio emits no windows") {
     import graft.operators.Multimodal.MediaCodec
