@@ -105,6 +105,9 @@ object SparkEntry {
     // curated-tier provenance labels; micro-nat weights and logits
     "nb_quality_train" -> ((s, d) => TextOps.nbQualityTrain(Tables.documents(s, d))),
     "nb_quality_score" -> ((s, d) => TextOps.nbQualityScore(Tables.documents(s, d))),
+    // equal-population calibration bins over the holdout logits: is the
+    // classifier's keep-threshold trustworthy where it will be applied?
+    "nb_calibration" -> ((s, d) => TextOps.nbCalibration(Tables.documents(s, d))),
     // classifier-driven survivor election: near-dup families keep the
     // member with the highest NB quality logit (ties → smallest id) —
     // the trained-quality policy slotted into the dedup argmax
@@ -2102,6 +2105,47 @@ object SparkEntry {
         |FROM (SELECT doc_id, source FROM documents) d
         |LEFT JOIN ds ON d.doc_id = ds.doc_id AND d.source = ds.source
         |CROSS JOIN prior""".stripMargin),
+    // nb_calibration: the same scoring chain restricted to the holdout
+    // split, global rank by (logit, doc_id), 10 equal-population bins
+    "nb_calibration" -> (nbPrefixSql +
+      s""",
+        |prior AS (SELECT CAST(round(ln(
+        |    sum(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |        THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+        |          THEN 1 ELSE 0 END)) * 1e6) AS BIGINT) AS prior_micro
+        |  FROM documents WHERE doc_id % $NbHoldoutMod <> 0),
+        |dtok AS (SELECT doc_id, source, word FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM documents) t WHERE word <> ''),
+        |db AS (SELECT doc_id, source,
+        |         ('0x'||substr(md5(word),1,15))::BIGINT % $NbBuckets AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM dtok GROUP BY 1, 2, 3),
+        |ds AS (SELECT doc_id, source,
+        |         CAST(sum(c * (w.lp_pos - w.lp_neg)) AS BIGINT) AS s
+        |       FROM db JOIN w USING (bucket) GROUP BY 1, 2),
+        |cal AS (SELECT d.doc_id, d.source,
+        |    CAST(prior_micro + coalesce(ds.s, 0) AS BIGINT) AS logit_micro
+        |  FROM (SELECT doc_id, source FROM documents
+        |        WHERE doc_id % $NbHoldoutMod = 0) d
+        |  LEFT JOIN ds ON d.doc_id = ds.doc_id AND d.source = ds.source
+        |  CROSS JOIN prior),
+        |rk AS (SELECT source, logit_micro,
+        |         row_number() OVER (ORDER BY logit_micro, doc_id) AS pos,
+        |         count(*) OVER () AS n
+        |       FROM cal),
+        |b AS (SELECT CAST((pos - 1) * 10 // n AS INT) AS bin,
+        |        source, logit_micro FROM rk)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(logit_micro) AS lo_micro, max(logit_micro) AS hi_micro,
+        |       CAST(sum(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       round(sum(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |         AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin),
     // NB-logit survivor election: the dedup_survivors resolve chain with
     // the length policy swapped for the trained quality logit (max score,
     // ties to min doc_id) — prepends WITH RECURSIVE so the NB weight

@@ -634,6 +634,40 @@ object TextOps {
       (lit(priorMicro) + col("s") >= 0L).as("pred_pos"))
   }
 
+  /** Calibration curve for the NB quality classifier: score the HOLDOUT
+    * split (`doc_id % holdoutMod == 0` — the docs [[nbQualityTrain]]
+    * never saw), rank it by logit, cut into `nBins` equal-population
+    * bins, and report each bin's logit range and curated-label positive
+    * rate. A well-calibrated classifier's `pos_rate` rises monotonically
+    * with the bin — flat or inverted spans tell you which score region
+    * the keep-threshold cannot be trusted in, BEFORE a 100 TB filter run
+    * commits to it.
+    *
+    * Scale shape: the only global ordering is
+    * [[Relational.positionByRange]]'s two-pass prefix-sum rank (range
+    * partition + a #partitions-row window — never a global data window),
+    * and the rollup is `nBins` groups.
+    */
+  def nbCalibration(docs: DataFrame, nBins: Int = 10, buckets: Int = 256,
+      holdoutMod: Int = 5): DataFrame = {
+    val scored = nbQualityScore(docs, buckets, holdoutMod)
+      .where(col("doc_id") % holdoutMod === 0)
+      .select(col("doc_id"), col("source"), col("logit_micro"))
+    val pos = Relational.positionByRange(scored,
+      Seq(col("logit_micro"), col("doc_id")),
+      releaseLabel = "textops.nb_calibration_ranged")
+    val total = pos.agg(count(lit(1)).as("n"))
+    pos.crossJoin(broadcast(total))
+      .withColumn("bin", expr(s"(pos - 1) * $nBins div n").cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("logit_micro").as("lo_micro"),
+        max("logit_micro").as("hi_micro"),
+        sum(when(nbCuratedLabel, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n_docs"), 6))
+  }
+
   /** Persist the trained NB quality classifier — the train-once/store/
     * score-many deploy shape [[graft.operators.Similarity.buildIvfIndex]]
     * established for ANN: the `buckets`-row weight table as parquet plus

@@ -54,6 +54,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((2L, 1L, 0.5)))
   }
 
+  test("nbCalibration: equal-population holdout bins, ordered " +
+    "non-overlapping logit ranges, rates in [0,1]") {
+    val docs = Tables.documents(spark, sfDir)
+    val holdout = docs.where($"doc_id" % 5 === 0).count()
+    val bins = TextOps.nbCalibration(docs)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    graft.plans.ReleaseRegistry.drain()
+    assert(bins.map(_._1).toSeq === (0 until 10), s"bins: ${bins.toSeq}")
+    assert(bins.map(_._2).sum === holdout)
+    // equal population: rank-based cut → sizes differ by at most 1
+    assert(bins.map(_._2).max - bins.map(_._2).min <= 1, s"${bins.toSeq}")
+    // bins partition the logit axis in order (ties may share a boundary)
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bin ${a._1} hi > bin ${b._1} lo: ${bins.toSeq}")
+    case _ => }
+    assert(bins.forall(r => r._6 >= 0.0 && r._6 <= 1.0))
+    assert(bins.forall(r => r._5 <= r._2), "n_pos bounded by n_docs")
+  }
+
   test("vocab artifact round-trip: the stored vocabulary scores " +
     "bit-identically to the in-session fit") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a z")).toDF("doc_id", "text")
