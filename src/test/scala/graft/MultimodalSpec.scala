@@ -822,6 +822,43 @@ class MultimodalSpec extends SparkSpec {
       s"clip 2: $c2")
   }
 
+  test("property: videoSceneCuts equals the in-memory reduction over " +
+    "random clips (mixed real y4m and stub payloads)") {
+    val rnd = new scala.util.Random(21)
+    for (_ <- 1 to 3) {
+      val clips = (1L to 6L).map { id =>
+        if (id % 3 == 0) (id, s"stub payload $id ${rnd.nextInt(99)}"
+          .getBytes("UTF-8"))
+        else {
+          val nf = 2 + rnd.nextInt(4)
+          val fns = (0 until nf).map { _ =>
+            val s = rnd.nextInt(1000)
+            (i: Int) => (s * 37 + i * i * 7 + s * i * 3) % 251
+          }
+          (id, y4m(fns))
+        }
+      }
+      val media = Multimodal.fromBinary(clips.toDF("id", "bytes"),
+        "id", "bytes", "video")
+      val got = Multimodal.videoSceneCuts(media).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4)))).toMap
+      val want = Multimodal.videoFingerprints(media)
+        .as[(Long, Boolean, Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (id, rows) =>
+          val hs = rows.sortBy(_._4)
+          val jumps = hs.sliding(2).collect { case Array(a, b) =>
+            (b._4, java.lang.Long.bitCount(a._5 ^ b._5).toLong)
+          }.toSeq
+          val cuts = jumps.filter(_._2 >= 4L)
+          id -> ((hs.head._3, cuts.size.toLong,
+            if (jumps.isEmpty) 0L else jumps.map(_._2).max,
+            cuts.map(_._1).minOption.getOrElse(-1)))
+        }
+      assert(got === want, s"got $got vs reference $want")
+    }
+  }
+
   test("videoFrameHashes: mjpeg decodes EVERY frame — identical frames " +
     "hash equal, a contrasting frame differs") {
     import graft.operators.Multimodal.MediaCodec

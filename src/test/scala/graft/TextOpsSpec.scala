@@ -54,6 +54,58 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((2L, 1L, 0.5)))
   }
 
+  // Seeded property checks (the MapReduceSpec style): distributed
+  // results must equal an in-memory reference on random corpora.
+  test("property: lexicalDiversity and vocabCoverage match in-memory " +
+    "references on random corpora; coverage is monotone in topK") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 5) {
+      val raw = (1L to 30L).map(i => (i,
+        List.fill(rnd.nextInt(12))(s"w${rnd.nextInt(8)}").mkString(" ")))
+      val docs = raw.toDF("doc_id", "text")
+      val lexWant = raw.map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) id -> ((0L, 0L, None, None))
+        else {
+          val c = toks.groupBy(identity).map(_._2.length)
+          val (n, t, h) = (toks.length.toLong, c.size.toLong,
+            c.count(_ == 1).toLong)
+          id -> ((n, t, Some(round6(t.toDouble / n)),
+            Some(round6(h.toDouble / t))))
+        }
+      }.toMap
+      val lexGot = TextOps.lexicalDiversity(docs).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      assert(lexGot === lexWant)
+      val allToks = raw.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      def vocabOf(k: Int) = allToks.groupBy(identity)
+        .map { case (w, o) => (w, o.length) }.toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(k).map(_._1).toSet
+      def covWant(k: Int) = raw.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else {
+          val cov = toks.count(vocabOf(k)).toLong
+          Some(id -> ((toks.length.toLong, cov,
+            round6(1.0 - cov.toDouble / toks.length))))
+        }
+      }.toMap
+      val got3 = TextOps.vocabCoverage(docs, topK = 3).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got3 === covWant(3))
+      val got6 = TextOps.vocabCoverage(docs, topK = 6).collect().map(r =>
+        r.getLong(0) -> r.getLong(2)).toMap
+      // a larger vocabulary never covers fewer occurrences
+      got3.foreach { case (id, (_, cov3, _)) =>
+        assert(got6(id) >= cov3, s"doc $id: topK=6 covers less than topK=3")
+      }
+    }
+  }
+
   test("nbCalibration: equal-population holdout bins, ordered " +
     "non-overlapping logit ranges, rates in [0,1]") {
     val docs = Tables.documents(spark, sfDir)
