@@ -1118,35 +1118,43 @@ object Multimodal {
     }
   }
 
-  /** Segment-boundary detection over [[audioFingerprints]] — the audio
-    * twin of [[videoSceneCuts]]: a boundary is a window-to-window jump of
-    * ≥ `minJump` bits in the difference-coded band-energy hash
-    * (consecutive windows of one acoustic segment share most bits; a
-    * speaker change, music-to-speech transition or silence edge flips
-    * many at once). Per media row: `(media_id, n_windows, n_bounds,
-    * max_jump, first_bound)` with `first_bound` null for single-segment
-    * audio — the cheap segmentation summary a pipeline keys on before
-    * paying for transcription.
+  /** Segment-boundary detection over the [[audioFingerprints]] window
+    * hashes — the audio twin of [[videoSceneCuts]]: a boundary is a
+    * window-to-window jump of ≥ `minJump` bits in the difference-coded
+    * band-energy hash (consecutive windows of one acoustic segment share
+    * most bits; a speaker change, music-to-speech transition or silence
+    * edge flips many at once). Per media row: `(media_id, n_windows,
+    * n_bounds, max_jump, first_bound)` with `first_bound` null for
+    * single-segment audio — the cheap segmentation summary a pipeline
+    * keys on before paying for transcription.
     *
-    * Scale shape: identical to [[videoSceneCuts]] — per-clip window
-    * (bounded by clip length), one decode pass, one map-side-combinable
-    * rollup.
+    * Scale shape: [[videoSceneCuts]]' zero-shuffle reduction inside the
+    * decode pass (one output row per clip, no window state), and the
+    * same stateless streaming-projection property at ingest.
     */
   def audioSegmentBounds(media: DataFrame, minJump: Int = 8,
       windowFrames: Int = 64, bands: Int = 16,
       stubWindows: Int = 4): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("media_id").orderBy("win_idx")
-    audioFingerprints(media, windowFrames, bands, stubWindows)
-      .select("media_id", "n_windows", "win_idx", "fhash")
-      .withColumn("jump", graft.operators.Dedup
-        .hammingDist(col("fhash"), lag(col("fhash"), 1).over(w))
-        .cast("long"))
-      .groupBy("media_id")
-      .agg(max("n_windows").as("n_windows"),
-        count(when(col("jump") >= minJump, 1)).as("n_bounds"),
-        coalesce(max("jump"), lit(0L)).as("max_jump"),
-        min(when(col("jump") >= minJump, col("win_idx"))).as("first_bound"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = false),
+      StructField("n_bounds", LongType, nullable = false),
+      StructField("max_jump", LongType, nullable = false),
+      StructField("first_bound", IntegerType, nullable = true)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val fp = MediaCodec.audioFingerprint(payload, windowFrames, bands)
+        if (fp != null) boundaryRow(id, fp.length.toLong, fp, minJump, idx0 = 1)
+        else boundaryRow(id, stubWindows.toLong,
+          MediaCodec.stubAudioFingerprint(payload, stubWindows), minJump,
+          idx0 = 0)
+      }
+    }
   }
 
   /** Audio-quality screen over the REAL PCM decode
@@ -1323,35 +1331,68 @@ object Multimodal {
       .where(col("n_match") >= minMatch)
   }
 
-  /** Scene-cut detection over [[videoFingerprints]]: a cut is a
-    * frame-to-frame jump of ≥ `minJump` aHash bits (consecutive frames of
-    * one shot share most luminance-grid bits; a shot change flips many at
-    * once). Per video: `(media_id, n_frames, n_cuts, max_jump, first_cut)`
-    * with `first_cut` null for single-shot clips — the shot-boundary
-    * summary a video curation pipeline keys on (static slideshows vs.
-    * rapid cuts), and the frame-level analysis [[videoDupPairs]]' matcher
-    * deliberately ignores.
+  /** Scene-cut detection over the [[videoFingerprints]] frame hashes: a
+    * cut is a frame-to-frame jump of ≥ `minJump` aHash bits (consecutive
+    * frames of one shot share most luminance-grid bits; a shot change
+    * flips many at once). Per video: `(media_id, n_frames, n_cuts,
+    * max_jump, first_cut)` with `first_cut` null for single-shot clips —
+    * the shot-boundary summary a video curation pipeline keys on (static
+    * slideshows vs. rapid cuts), and the frame-level analysis
+    * [[videoDupPairs]]' matcher deliberately ignores.
     *
-    * Scale shape: the window partitions by `media_id` and orders by
-    * `frame_idx`, so state per window is one clip's frames (bounded by
-    * clip length, never by corpus size); the fingerprint stage is the
-    * same single decode pass the dup matcher uses, and the final rollup
-    * is one map-side-combinable aggregate.
+    * Scale shape: a clip's frames all come out of ONE row's decode, so
+    * the whole reduction runs inside the `mapPartitions` codec boundary —
+    * zero shuffles, zero window state, one output row per clip. That
+    * also makes it a stateless streaming projection: the SAME function
+    * gates at ingest (parity pinned in MediaStreamsSpec).
     */
   def videoSceneCuts(media: DataFrame, minJump: Int = 4, cells: Int = 16,
       stubFrames: Int = 4): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("media_id").orderBy("frame_idx")
-    videoFingerprints(media, cells, stubFrames)
-      .select("media_id", "n_frames", "frame_idx", "fhash")
-      .withColumn("jump", graft.operators.Dedup
-        .hammingDist(col("fhash"), lag(col("fhash"), 1).over(w))
-        .cast("long"))
-      .groupBy("media_id")
-      .agg(max("n_frames").as("n_frames"),
-        count(when(col("jump") >= minJump, 1)).as("n_cuts"),
-        coalesce(max("jump"), lit(0L)).as("max_jump"),
-        min(when(col("jump") >= minJump, col("frame_idx"))).as("first_cut"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("max_jump", LongType, nullable = false),
+      StructField("first_cut", IntegerType, nullable = true)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val v = MediaCodec.videoFrameHashes(payload, cells)
+        val (nFrames, hashes) =
+          if (v != null) (v._2.toLong, v._3)
+          else (stubFrames.toLong,
+            MediaCodec.stubVideoHashes(payload, stubFrames))
+        boundaryRow(id, nFrames, hashes, minJump, idx0 = 0)
+      }
+    }
+  }
+
+  /** The shared boundary reduction under [[videoSceneCuts]] /
+    * [[audioSegmentBounds]]: popcount jumps between consecutive hashes,
+    * emitting `(id, n, n_over, max_jump, first_over)` — row indices run
+    * `idx0, idx0+1, …` (video frames and stub audio windows are 0-based,
+    * real audio windows 1-based, matching the fingerprint ops exactly).
+    * Hash-less clips (short real audio) emit nothing.
+    */
+  private def boundaryRow(id: Long, n: Long, hashes: Seq[Long],
+      minJump: Int, idx0: Int): Iterator[Row] = {
+    if (hashes.isEmpty) return Iterator.empty
+    var nCuts = 0L
+    var maxJ = 0L
+    var first = -1
+    var i = 1
+    while (i < hashes.length) {
+      val j = java.lang.Long.bitCount(hashes(i - 1) ^ hashes(i)).toLong
+      if (j > maxJ) maxJ = j
+      if (j >= minJump) { nCuts += 1; if (first < 0) first = idx0 + i }
+      i += 1
+    }
+    Iterator.single(Row(id, n, nCuts, maxJ,
+      if (first < 0) null else Int.box(first)))
   }
 
   /** Perceptual (average) hash per media row: one bit per feature cell,

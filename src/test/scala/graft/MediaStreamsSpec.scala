@@ -458,4 +458,40 @@ class MediaStreamsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("videoSceneCuts and audioSegmentBounds run unchanged at ingest " +
+    "(stateless row-local projections), two-batch parity with batch") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def y4m(fam: Long, frames: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val body = (0 until frames).toArray.flatMap { f =>
+        "FRAME\n".getBytes("ISO-8859-1") ++
+          md.digest(s"sc:$fam:$f:0".getBytes("UTF-8")) ++
+          md.digest(s"sc:$fam:$f:1".getBytes("UTF-8"))
+      }
+      "YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n".getBytes("ISO-8859-1") ++ body
+    }
+    val b1 = Seq((1L, y4m(1L, 4)), (2L, "stub one".getBytes("UTF-8")))
+    val b2 = Seq((3L, y4m(7L, 3)), (4L, "stub two".getBytes("UTF-8")))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val media = Multimodal.fromBinary(
+      mem.toDF().toDF("doc_id", "payload"), "doc_id", "payload", "video")
+    // the BATCH operator applied directly to the streaming frame — no
+    // twin needed: the reduction is row-local inside the decode pass
+    val q = Multimodal.videoSceneCuts(media)
+      .writeStream.format("memory").queryName("stream_scene_cuts")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("stream_scene_cuts")
+        .as[(Long, Long, Long, Long, Option[Int])].collect().toSet
+      val want = Multimodal.videoSceneCuts(Multimodal.fromBinary(
+          (b1 ++ b2).toDF("doc_id", "payload"), "doc_id", "payload", "video"))
+        .as[(Long, Long, Long, Long, Option[Int])].collect().toSet
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got.map(_._1) === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }

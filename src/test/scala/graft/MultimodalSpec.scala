@@ -822,6 +822,20 @@ class MultimodalSpec extends SparkSpec {
       s"clip 2: $c2")
   }
 
+  test("plan shape: the boundary reductions are shuffle-free " +
+    "(one row per clip out of the decode pass, no Exchange)") {
+    val media = Multimodal.fromBinary(
+      Seq((1L, y4m(Seq((i: Int) => i % 251)))).toDF("id", "bytes"),
+      "id", "bytes", "video")
+    val vp = Multimodal.videoSceneCuts(media)
+      .queryExecution.sparkPlan.toString
+    assert(!vp.contains("Exchange"), s"videoSceneCuts must not shuffle:\n$vp")
+    val ap = Multimodal.audioSegmentBounds(media)
+      .queryExecution.sparkPlan.toString
+    assert(!ap.contains("Exchange"),
+      s"audioSegmentBounds must not shuffle:\n$ap")
+  }
+
   test("property: videoSceneCuts equals the in-memory reduction over " +
     "random clips (mixed real y4m and stub payloads)") {
     val rnd = new scala.util.Random(21)
