@@ -206,6 +206,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("sum_value"), 2).as("sum_value"))),
     // ── LLM-pipeline: similarity search ──
     "cosine_topk" -> ((s, d) => Similarity.cosineTopKPrefix(Tables.embeddings(s, d))),
+    // contrastive-training prep: per query the nearest DIFFERENT-label
+    // vectors (the decision-boundary negatives a triplet loss mines for)
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     // ANN quality eval: recall@k of the IVF probe vs the exact baseline —
     // both sides are individually hash-checked queries, so the oracle
     // replays the whole comparison
@@ -2021,6 +2024,25 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
         |WHERE rnk <= 5""".stripMargin,
+    // hard_negatives: the cosine_topk replay restricted to label
+    // mismatches before the per-query window
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+        |      FROM e WHERE vec_id < 8),
+        |s AS (SELECT query_id, query_label, e.vec_id AS nbr_id,
+        |        e.label AS nbr_label,
+        |        CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) = 0
+        |             THEN -1.0
+        |             ELSE round(list_dot_product(qv, v)
+        |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |               4) END AS sim
+        |      FROM q CROSS JOIN e WHERE e.label <> query_label)
+        |SELECT query_id, query_label, nbr_id, nbr_label, sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
+        |WHERE rnk <= 3""".stripMargin,
     "lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS t

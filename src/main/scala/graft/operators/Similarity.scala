@@ -102,6 +102,38 @@ object Similarity {
   def cosineTopKPrefix(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
     cosineTopK(embeddings, embeddings.where(col("vec_id") < nQueries), k)
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector (corpus rows with `vec_id < nQueries`), the `k`
+    * most-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives nearest the decision boundary, which a contrastive loss
+    * (InfoNCE / triplet) learns most from; random negatives are mostly
+    * too easy to move the model. Output `(query_id, query_label,
+    * nbr_id, nbr_label, sim, rnk)` with [[cosineTopK]]'s rounded,
+    * tie-broken deterministic ordering.
+    *
+    * Scale shape: [[cosineTopK]]'s one broadcast nested-loop pass with
+    * the label-mismatch predicate pushed INTO the join condition —
+    * same-label rows are dropped before scoring, never reaching the
+    * per-query top-k window.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8,
+      k: Int = 3): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base
+      .join(broadcast(q), col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("nbr_id"), col("label").as("nbr_label"),
+        cosSim(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
     * 1998 — the standard RAG re-rank that keeps near-duplicate passages
     * from crowding a result list): per query, greedily select `k` of the

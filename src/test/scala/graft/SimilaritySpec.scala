@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2)._2 === 0.0)
   }
 
+  test("hardNegatives: only different-label neighbors, nearest first, " +
+    "and the same-direction same-label vector never appears") {
+    val labeled = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(2f, 0f), 0),  // same label as query 0 → excluded
+      (2L, Seq(0f, 3f), 1),  // orthogonal, different label
+      (3L, Seq(1f, 1f), 1),  // 45°, different label → hardest negative
+      (4L, Seq(-1f, 0f), 2)  // opposite, different label
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(labeled, nQueries = 1, k = 3)
+      .select("query_id", "query_label", "nbr_id", "nbr_label", "sim", "rnk")
+      .as[(Long, Int, Long, Int, Double, Int)].collect().sortBy(_._6)
+    assert(got.map(_._3).toSeq === Seq(3L, 2L, 4L), s"got ${got.toSeq}")
+    assert(got.forall(r => r._4 != r._2), "same-label row leaked")
+    assert(got.head._5 === 0.7071 && got.last._5 === -1.0)
+    // the self-direction duplicate (vec 1, label 0) must never appear
+    assert(!got.exists(_._3 == 1L))
+  }
+
   test("lshNearPairs finds identical-direction vectors") {
     val pairs = Similarity.lshNearPairs(emb, dims = 2, minSim = 0.99)
       .select("a", "b").as[(Long, Long)].collect().toSet
