@@ -209,6 +209,9 @@ object SparkEntry {
     // contrastive-training prep: per query the nearest DIFFERENT-label
     // vectors (the decision-boundary negatives a triplet loss mines for)
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // the companion audit: best same-label vs best different-label sim
+    // per query; a violated margin pinpoints label noise
+    "label_margins" -> ((s, d) => Similarity.labelMargins(Tables.embeddings(s, d))),
     // ANN quality eval: recall@k of the IVF probe vs the exact baseline —
     // both sides are individually hash-checked queries, so the oracle
     // replays the whole comparison
@@ -2043,6 +2046,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY sim DESC, nbr_id) AS rnk FROM s) t
         |WHERE rnk <= 3""".stripMargin,
+    // label_margins: same scoring pass, two conditional maxes per query
+    "label_margins" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+        |      FROM e WHERE vec_id < 8),
+        |s AS (SELECT query_id, query_label, e.label AS lbl,
+        |        CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) = 0
+        |             THEN -1.0
+        |             ELSE round(list_dot_product(qv, v)
+        |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+        |               4) END AS sim
+        |      FROM q CROSS JOIN e WHERE e.vec_id <> query_id)
+        |SELECT query_id, query_label,
+        |       max(CASE WHEN lbl = query_label THEN sim END) AS top_pos,
+        |       max(CASE WHEN lbl <> query_label THEN sim END) AS top_neg,
+        |       round(max(CASE WHEN lbl = query_label THEN sim END)
+        |             - max(CASE WHEN lbl <> query_label THEN sim END), 4)
+        |         AS margin,
+        |       (round(max(CASE WHEN lbl = query_label THEN sim END)
+        |              - max(CASE WHEN lbl <> query_label THEN sim END), 4)
+        |        <= 0) AS violated
+        |FROM s GROUP BY query_id, query_label""".stripMargin,
     "lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS t

@@ -134,6 +134,41 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Triplet-margin audit — [[hardNegatives]]' companion eval metric:
+    * for each query vector, the best same-label similarity (excluding
+    * self) vs the best different-label similarity, and their margin. A
+    * violated margin (`top_neg >= top_pos`) means a wrong-label vector
+    * sits closer than every right-label one — the per-vector symptom of
+    * label noise or an embedding too weak for the label space
+    * ([[clusterPurity]] aggregates the same failure; this pinpoints the
+    * vectors). `top_pos` is null (margin null) for a query whose label
+    * has no other member.
+    *
+    * Scale shape: one broadcast nested-loop scoring pass, then two
+    * conditional MAX aggregates per query — map-side combinable, no
+    * window, no second pass.
+    */
+  def labelMargins(embeddings: DataFrame, nQueries: Int = 8): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"), col("label"),
+        cosSim(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
+      .groupBy("query_id", "query_label")
+      .agg(
+        max(when(col("label") === col("query_label"), col("sim")))
+          .as("top_pos"),
+        max(when(col("label") =!= col("query_label"), col("sim")))
+          .as("top_neg"))
+      .withColumn("margin", round(col("top_pos") - col("top_neg"), 4))
+      .withColumn("violated", col("margin") <= 0)
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
     * 1998 — the standard RAG re-rank that keeps near-duplicate passages
     * from crowding a result list): per query, greedily select `k` of the

@@ -40,6 +40,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists(_._3 == 1L))
   }
 
+  test("labelMargins: healthy query has positive margin, a mislabeled " +
+    "twin violates; lone-label query reports null top_pos") {
+    val labeled = Seq(
+      (0L, Seq(1f, 0f), 0),  // healthy: pos = vec 1 (1.0), neg = vec 3 (.7071)
+      (1L, Seq(2f, 0f), 0),
+      (2L, Seq(0f, 3f), 1),  // violated: pos = vec 3 (.7071), but the
+      (3L, Seq(1f, 1f), 1),  //   mislabeled twin vec 5 scores 1.0
+      (4L, Seq(-2f, 1f), 2), // lone label → null pos, null margin
+      (5L, Seq(0f, 1f), 0)   // same direction as vec 2, wrong label
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelMargins(labeled, nQueries = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q0 = got(0L)
+    assert(q0.getDouble(2) === 1.0 && q0.getDouble(3) === 0.7071)
+    assert(q0.getDouble(4) === 0.2929 && !q0.getBoolean(5))
+    val q2 = got(2L)
+    assert(q2.getDouble(2) === 0.7071 && q2.getDouble(3) === 1.0)
+    assert(q2.getDouble(4) === -0.2929 && q2.getBoolean(5),
+      s"mislabeled twin must violate: $q2")
+    val q4 = got(4L)
+    assert(q4.isNullAt(2) && !q4.isNullAt(3) && q4.isNullAt(4) &&
+      q4.isNullAt(5))
+  }
+
   test("lshNearPairs finds identical-direction vectors") {
     val pairs = Similarity.lshNearPairs(emb, dims = 2, minSim = 0.99)
       .select("a", "b").as[(Long, Long)].collect().toSet
