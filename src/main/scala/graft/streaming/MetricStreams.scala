@@ -168,4 +168,60 @@ object MetricStreams {
       .transformWithState(new SeasonalityProcessor(lagHours), TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One value routed to its histogram bucket. */
+  final case class ValuePoint(bucket: Long, v: Long)
+
+  /** A bucket's refreshed totals after folding a batch's arrivals. */
+  final case class HistBucket(bucket: Long, n: Long, sumV: Long, gen: Long)
+
+  /** Per-bucket exact accumulator for [[streamingHistogram]]: one
+    * (count, sum, generation) triple of state per OCCUPIED bucket —
+    * bucket arithmetic is row-local before the shard, counts and integer
+    * sums merge exactly (mergeable summaries, no approximation).
+    */
+  final class HistogramProcessor
+      extends StatefulProcessor[Long, ValuePoint, HistBucket] {
+    @transient private var st: ValueState[HistBucket] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistBucket](
+        "hist", Encoders.product[HistBucket], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ValuePoint],
+        timerValues: TimerValues): Iterator[HistBucket] = {
+      var n = 0L
+      var s = 0L
+      rows.foreach { p => n += 1L; s += p.v }
+      val prior = if (st.exists()) st.get() else HistBucket(key, 0L, 0L, -1L)
+      val upd = HistBucket(key, prior.n + n, prior.sumV + s, prior.gen + 1L)
+      st.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  /** Streaming fixed-width value histogram — the ingest twin of
+    * [[graft.operators.RelationalX.histogram]]'s bucket fold, over an
+    * integer-scaled value column `v` (the caller scales currency to
+    * cents etc., the integer micro-unit convention of every streaming
+    * twin): arrivals bucket by `floor(v / width)` row-locally, shard to
+    * their bucket's carried (count, sum) state, and each batch emits the
+    * bucket's REFRESHED row stamped with a generation counter —
+    * emissions SUPERSEDE (the [[TextStreams.streamingHeavyHitters]]
+    * convention), so max-gen rows per bucket are always the exact
+    * histogram of everything ingested. State is one triple per occupied
+    * bucket whatever the stream length; no approximation anywhere
+    * (two-batch parity vs the batch fold pinned in MetricStreamsSpec).
+    */
+  def streamingHistogram(values: DataFrame, width: Long): Dataset[HistBucket] = {
+    require(width > 0, "width must be positive")
+    import values.sparkSession.implicits._
+    values
+      .select(floor(col("v").cast("double") / width).cast("long").as("bucket"),
+        col("v").cast("long").as("v"))
+      .as[ValuePoint]
+      .groupByKey(_.bucket)
+      .transformWithState(new HistogramProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 }

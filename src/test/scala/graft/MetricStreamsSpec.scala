@@ -111,4 +111,44 @@ class MetricStreamsSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming histogram over two batches: max-gen rows equal the " +
+    "exact batch bucket fold on the union; emissions supersede") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // integer-cent order totals from the fixture, split in half
+      val vals = Tables.orders(spark, sfDir)
+        .select((col("o_totalprice") * 100).cast("long").as("v"))
+        .as[Long].collect().sorted
+      val (b1, b2) = vals.splitAt(vals.length / 2)
+      val width = 5000000L // 50k currency units in cents
+      val mem = MemoryStream[Long]
+      val q = MetricStreams.streamingHistogram(
+          mem.toDF().toDF("v"), width)
+        .writeStream.format("memory").queryName("hist_parity")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1.toSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toSeq: _*); q.processAllAvailable()
+        val rows = spark.table("hist_parity")
+          .as[(Long, Long, Long, Long)].collect().toSeq
+        // emissions supersede: keep the max-generation row per bucket
+        val last = rows.groupBy(_._1).map { case (b, rs) =>
+          val m = rs.maxBy(_._4); b -> ((m._2, m._3))
+        }
+        val batch = vals.groupBy(_ / width)
+          .map { case (b, vs) => b -> ((vs.length.toLong, vs.sum)) }
+        assert(last === batch, s"stream $last vs batch $batch")
+        // a bucket hit in both batches advanced its generation
+        assert(rows.exists(_._4 >= 1L), "no bucket saw a second batch")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
