@@ -1463,7 +1463,19 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     implicit val enc = Encoders.row(outSchema)
-    dropNullPayloads(media).mapPartitions { rows =>
+    // spread the scan ONLY when the per-row decode work (O(grid²) stub
+    // digests / a grid²-cell luminance reduction) dwarfs the repartition
+    // of the payload bytes. Same-window A/B at sf0.1: grid 32 (1024
+    // cells) phash_dct_near_keep 5.7/4.9 → 3.9/4.0 s spread, but grid 8
+    // (64 cells) phash_near_pairs64 1.7/1.8 → 2.6/2.7 s — the shuffle
+    // costs more than the single-task decode below ~256 cells (and the
+    // 16-dim extractFeatures family measured the same regression from a
+    // blanket fromBinary spread — guide §8's "move heavy bytes once").
+    // On a many-split cluster input Spread.narrow is a no-op either way.
+    val src =
+      if (grid * grid >= 256) Spread.narrow(dropNullPayloads(media))
+      else dropNullPayloads(media)
+    src.mapPartitions { rows =>
       // per-partition codec init would happen here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)

@@ -2432,23 +2432,7 @@ object TextOps {
     * defaultParallelism would shuffle the whole corpus and could shrink
     * its parallelism.
     */
-  private def spreadNarrow(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // probe the partition count ONLY for scan-shaped plans: `df.rdd` on a
-    // plan containing exchanges would, under AQE, execute those shuffle
-    // stages at probe time just to read getNumPartitions — and they run
-    // AGAIN at the real action (no cross-query stage reuse). A frame that
-    // already shuffled is already spread at shuffle-partition width, so
-    // it passes through untouched without any probe.
-    import org.apache.spark.sql.catalyst.plans.{logical => lp}
-    val shuffled = df.queryExecution.analyzed.collectFirst {
-      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Distinct |
-           _: lp.Deduplicate | _: lp.RepartitionOperation | _: lp.Sort => true
-    }.nonEmpty
-    if (shuffled) df
-    else if (df.rdd.getNumPartitions < par) df.repartition(par)
-    else df
-  }
+  private def spreadNarrow(df: DataFrame): DataFrame = Spread.narrow(df)
 
   /** Separator between symbols inside a BPE symbolization string — a
     * control char that natural-language corpora never contain (asserted
