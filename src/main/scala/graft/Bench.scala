@@ -426,7 +426,10 @@ object Bench {
     // and skipped past the deadline: fixture provenance is not worth the
     // driver's kill)
     val probeJson = if (only.nonEmpty || elapsedSec >= deadlineSec) "{}" else try {
-      val coocEdges = operators.Graph.coOccurrenceEdges(spark, sfDir).count()
+      // .distinct(): the probe's meaning is the COLLAPSED edge count (the
+      // derivation now emits per-order pair rows — see coOccurrenceEdges'
+      // contract), and the artifact value must stay comparable across rounds
+      val coocEdges = operators.Graph.coOccurrenceEdges(spark, sfDir).distinct().count()
       val liRows = Tables.lineitem(spark, sfDir).count()
       val docRows = Tables.documents(spark, sfDir).count()
       s"""{"cooc_edges":$coocEdges,"lineitem_rows":$liRows,"document_rows":$docRows}"""

@@ -436,16 +436,31 @@ object Graph {
   /** Part co-occurrence edges: an undirected edge between every pair of
     * parts appearing in the same order (the "bought together" graph — the
     * trade graph is bipartite and so triangle-free; this one is not).
-    * Per-order fanout is C(items, 2), bounded by order width, and the
-    * final distinct collapses repeat co-purchases.
+    * Per-order fanout is C(items, 2), bounded by order width.
+    *
+    * Shape: ONE map-side-combined exchange on the order key builds each
+    * order's sorted part set, and the pairs expand in-array (i < j over
+    * the sorted set, so `src < dst` and per-order uniqueness hold by
+    * construction) — no (ok, pk) distinct, no order-key self-join. The
+    * first-draft distinct → self-join → distinct form paid 3 exchanges
+    * plus a join for the identical edge multiset.
+    *
+    * Contract: rows are per-(order, pair) — a pair bought together in
+    * k orders appears k times. Every graph consumer canonicalizes its
+    * input (least/greatest + distinct) anyway, so the cross-order
+    * collapse rides the distinct the caller already pays instead of a
+    * second corpus-scale exchange here; callers that need the collapsed
+    * edge set itself (fixture probes) add their own `.distinct()`.
     */
-  def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    op.as("x").join(op.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("src"), col("y.pk").as("dst")).distinct()
-  }
+  def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), y -> " +
+          "named_struct('src', x, 'dst', y))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** The supplier→customer trade graph with transacted value as the edge
     * weight (cents, summed per pair) — the input [[pageRankWeighted]]
@@ -653,14 +668,15 @@ object Graph {
     * all read one materialization of the caller's edge generation — the
     * same duplicate-generation guard [[modularity]] carries.
     */
-  private[graft] def trianglePipeline(edges: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def trianglePipeline(edges: DataFrame,
+      broadcastMaxRows: Long = 5000000L): (DataFrame, DataFrame) = {
     val SHIFT = 4294967296L // 2^32
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist()
-    und.count()
+    val nEdges = und.count()
     ReleaseRegistry.register("graph.triangles_edges")(
       () => und.unpersist(blocking = false))
     val deg = und.select(col("a").as("node"))
@@ -669,33 +685,56 @@ object Graph {
     val keyed = und
       .join(deg.select(col("node").as("a"), (col("dg") * SHIFT + col("a")).as("ka")), "a")
       .join(deg.select(col("node").as("b"), (col("dg") * SHIFT + col("b")).as("kb")), "b")
-    // The oriented edge frame feeds THREE join legs (e1/e2/e3). Without a
-    // materialization barrier the distinct → degree-agg → double-join
-    // subtree recomputes per leg (exchange reuse only fires when the
-    // exchanges end up identical, which the three different join keys do
-    // not guarantee) — measured 3× plan-time on a 1.2M-edge fixture.
-    // Persist behind a count barrier; release queued with the registry so
-    // hosts drain it at the materialization boundary.
+    // The oriented edge frame feeds the adjacency build AND the probe
+    // stream. Without a materialization barrier the distinct → degree-agg
+    // → double-join subtree recomputes per leg (exchange reuse only fires
+    // when the exchanges end up identical, which the different downstream
+    // keys do not guarantee) — measured 3× plan-time on a 1.2M-edge
+    // fixture. Persist behind a count barrier; release queued with the
+    // registry so hosts drain it at the materialization boundary.
     val o = keyed.select(least(col("ka"), col("kb")).as("kx"),
       greatest(col("ka"), col("kb")).as("ky"))
       .persist()
     o.count()
     ReleaseRegistry.register("graph.triangles")(
       () => o.unpersist(blocking = false))
-    // NOT broadcast: a count-gated broadcast of the oriented edge frame
-    // on the e2/e3 legs was A/B-profiled this round (streaming the 41M
-    // wedge rows through two broadcast hash probes instead of the
-    // sort-merge closure) and measured WORSE on task CPU (random-access
-    // probes into a 1.2M-row multimap lose to the merge join's
-    // sequential scans) with no wall win — the shuffled plan stays.
-    val tri = o.as("e1")
-      .join(o.as("e2"), col("e1.kx") === col("e2.kx") && col("e1.ky") < col("e2.ky"))
-      .select(col("e1.kx").as("k1"), col("e1.ky").as("k2"), col("e2.ky").as("k3"))
-      .join(o.as("e3"), col("k2") === col("e3.kx") && col("k3") === col("e3.ky"))
-      .select("k1", "k2", "k3")
-      .select(explode(array(col("k1"), col("k2"), col("k3"))).as("k"))
-      .select((col("k") % SHIFT).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // Closure by SORTED-ADJACENCY INTERSECTION, not wedge expansion: the
+    // first-draft e1⋈e2 self-join materialized every oriented wedge
+    // (Σ out-deg² rows — 41M at sf0.1 for 1.2M edges) through a full
+    // exchange + sort into a closure sort-merge join against the edge
+    // set; a count-gated broadcast of the e2/e3 legs was A/B-profiled and
+    // measured WORSE on task CPU (41M random hash probes lose to the
+    // merge join's sequential scans). This form never materializes a
+    // wedge row: each edge (kx, ky) carries the two nodes' sorted
+    // out-neighbor arrays and the codegen'd [[graft.functions.SetFunctions
+    // .sortedIntersect]] merge emits exactly the triangles (far endpoints
+    // w > ky by key order, each triangle found once at its base edge).
+    // Same total merge work as the wedge join's probe side (Σ out-deg²
+    // ≈ 83M three-instruction loop steps at sf0.1) but zero wedge-scale
+    // shuffle/sort, and the explode is 2·|E| + |triangles| rows (4.3M)
+    // instead of 41M. The adjacency table is |V| rows / |E| total cells
+    // (10 MB at sf0.1) — broadcast under the same driver-safe count gate
+    // as [[kCore]]; above the gate both joins plan shuffled and the
+    // arrays cross one exchange each, still edge-scale rows, never
+    // wedge-scale.
+    val adj = o.groupBy(col("kx").as("k"))
+      .agg(sort_array(collect_list(col("ky"))).as("ns"))
+    val hint: DataFrame => DataFrame =
+      if (nEdges <= broadcastMaxRows) df => broadcast(df) else identity
+    val isect = graft.functions.SetFunctions.sortedIntersect(
+      col("na"), col("nb"))
+    val tri = o
+      .join(hint(adj.select(col("k").as("kx"), col("ns").as("na"))), Seq("kx"))
+      .join(hint(adj.select(col("k").as("ky"), col("ns").as("nb"))), Seq("ky"))
+      .select(col("kx"), col("ky"), isect.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("kx").as("k"), size(col("ws")).cast("long").as("c")),
+          struct(col("ky").as("k"), size(col("ws")).cast("long").as("c"))),
+        expr("transform(ws, w -> named_struct('k', w, 'c', 1L))"))).as("t"))
+      .select((col("t.k") % SHIFT).as("node"), col("t.c").as("c"))
+      .groupBy("node").agg(sum("c").as("n_tri"))
     (deg, tri)
   }
 

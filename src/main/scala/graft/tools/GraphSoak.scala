@@ -46,6 +46,10 @@ object GraphSoak {
     val off = 100000000L
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
     Graph.coOccurrenceEdges(spark, sfDir)
+      // collapse per-order pair rows (coOccurrenceEdges' contract) so the
+      // soaked edge file and SOAK|edges counts stay comparable to prior
+      // rounds' floors
+      .distinct()
       .crossJoin(spark.range(copies).toDF("c"))
       .select((col("src") + col("c") * off).as("src"),
         (col("dst") + col("c") * off).as("dst"))

@@ -488,6 +488,25 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"loop state left pinned: $leaked")
   }
 
+  test("coOccurrenceEdges: in-array pair expansion matches the self-join reference") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val got = Graph.coOccurrenceEdges(spark, sfDir)
+    // every row canonical by construction
+    assert(got.where(col("src") >= col("dst")).count() === 0L)
+    // collapsed edge set identical to the reference distinct → self-join form
+    val op = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ref = op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst")).distinct()
+    val dedup = got.distinct()
+    assert(dedup.except(ref).count() === 0L && ref.except(dedup).count() === 0L)
+    // multiplicity contract: total pair rows = Σ per order C(distinct parts, 2)
+    val expectedRows = op.groupBy("ok").agg(countDistinct("pk").as("n"))
+      .select(expr("n * (n - 1) div 2")).as[Long].collect().sum
+    assert(got.count() === expectedRows)
+  }
+
   test("bfsLevels: releases its loop state (adjacency + checkpoint generations)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")

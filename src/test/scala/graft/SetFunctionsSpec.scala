@@ -22,6 +22,21 @@ class SetFunctionsSpec extends SparkSpec {
     assert(df.where($"got" =!= $"want").count() === 0)
   }
 
+  test("sortedIntersect equals array_intersect elements on sorted distinct long arrays") {
+    val cases = (1 to 200).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 50).distinct.sorted
+      (arr, arr)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L), Seq.empty[Long]))
+    // array_intersect preserves the left argument's order, and the left
+    // side is sorted — so the element lists must match exactly
+    val df = cases.toDF("a", "b").select(
+      SetFunctions.sortedIntersect($"a", $"b").as("got"),
+      array_intersect($"a", $"b").as("want"),
+      SetFunctions.sortedIntersectCount($"a", $"b").as("n"))
+    assert(df.where(not($"got" <=> $"want")).count() === 0)
+    assert(df.where(size($"got") =!= $"n").count() === 0)
+  }
+
   test("sortedIntersectCount equals size(array_intersect) on sorted distinct string arrays") {
     val alphabet = Vector("a", "b", "ab", "ba", "", "zz", "é", "😀", "the quick", "𝄞")
     val cases = (1 to 200).map { _ =>
