@@ -186,6 +186,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // floor for AQE's post-shuffle coalescing, env-parameterized for
+      // A/B; the default stays Spark's 1 MB because the measured
+      // alternative LOST: byte-driven coalescing does under-parallelize a
+      // few CPU-dense small-byte stages (64 KB floor: cms_wordfreq 2.65 →
+      // 1.73 s, nb_survivors 7.8 → 3.4 s), but the extra tasks on every
+      // genuinely tiny exchange cost more suite-wide (word_count control
+      // 0.18 → 0.45 s, winsorized 2.3 → 5.5, emb_abtt 1.7 → 2.8) —
+      // matched-window A/B, this round
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "1048576"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // 158 queries x ~10 codegen units blows straight through the
       // default 100-entry codegen cache; every eviction is a Janino

@@ -22,6 +22,13 @@ private[graft] object Spread {
     * when the incoming frame has FEWER partitions.
     */
   def narrow(df: DataFrame): DataFrame = {
+    // streaming frames pass through untouched: the partition probe below
+    // (`df.rdd`) is a batch-only action — it throws AnalysisException on a
+    // streaming source — and a micro-batch's parallelism is the source's
+    // rate/partitioning concern, not a scan-split repair. (Caught by the
+    // DCT stream-twin parity spec when the width-gated decode spread first
+    // landed on the shared batch/stream decode path.)
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     // probe the partition count ONLY for scan-shaped plans: `df.rdd` on a
     // plan containing exchanges would, under AQE, execute those shuffle
