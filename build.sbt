@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt's logger prefixes every forked-run stdout line with
+// "[info] " — so the bench's one-line JSON contract (Bench.scala: "prints
+// ONE JSON line for the driver") was never satisfied in any round: the
+// driver's parse read null 16 rounds straight. StdoutOutput passes the
+// forked JVM's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
+// ... and without this, sbt appends "[success] Total time: ..." AFTER the
+// bench's JSON, so a parser that reads the LAST line still fails. With both,
+// the compact JSON is the final line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

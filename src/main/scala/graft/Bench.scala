@@ -65,6 +65,26 @@ object Bench {
     }.toMap
   }
 
+  /** The core count the committed artifact was measured at (its
+    * `shuffle_partitions` field tracks `$SPARK_GRAFT_CPUS`). The r16
+    * driver's 8-core scaling run "confirmed" four regressions purely by
+    * comparing 8-thread medians against the 32-thread committed baseline —
+    * cross-core medians are not comparable, so the guard only adjudicates
+    * same-core pairs. None (legacy artifact without the field) is treated
+    * as comparable rather than silently disabling the guard forever.
+    */
+  private[graft] def parseArtifactCpus(txt: String): Option[Int] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parseOpt(txt).flatMap { j =>
+      j \ "shuffle_partitions" match {
+        case JInt(v) => Some(v.toInt)
+        case JLong(v) => Some(v.toInt)
+        case JString(s) => scala.util.Try(s.trim.toInt).toOption
+        case _ => None
+      }
+    }
+  }
+
   /** Extract `name`'s median from a child bench run's stdout: the child
     * prints one or two JSON lines (full + compact); the first line whose
     * `queries` object carries `name` wins. Factored from the spawn so the
@@ -359,14 +379,27 @@ object Bench {
     // isolated re-run — in the same window — "confirms" pure noise
     // (r14: substring_dedup).
     val prevArtifact = java.nio.file.Paths.get("tools/bench_full.json")
-    val prevMedians: Map[String, Double] = try {
-      parseQueryMedians(new String(
-        java.nio.file.Files.readAllBytes(prevArtifact), "UTF-8"))
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    val prevArtifactTxt: Option[String] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(prevArtifact), "UTF-8"))
+    } catch { case _: Throwable => None }
+    // same-core gate: an 8-core run's medians vs a 32-thread artifact
+    // measure the core count, not the code (r16: four false "confirmed"
+    // verdicts in the driver's c8 scaling run). Cross-core runs skip the
+    // guard loudly instead of adjudicating.
+    val artifactCpus = prevArtifactTxt.flatMap(parseArtifactCpus)
+    val sameCore = artifactCpus.forall(_.toString == cpus)
+    val prevMedians: Map[String, Double] =
+      if (sameCore) prevArtifactTxt.map(parseQueryMedians).getOrElse(Map.empty)
+      else Map.empty
+    if (!sameCore)
+      System.err.println(
+        s"BENCH GUARD: committed artifact measured at ${artifactCpus.get} " +
+          s"cpus, this run at $cpus — regression guard skipped " +
+          "(cross-core medians are not comparable)")
     // a present-but-unparseable artifact must not silently disable the
     // regression guard (a format drift would otherwise read as "no
     // regressions" forever) — make the degradation loud
-    if (prevMedians.isEmpty && java.nio.file.Files.exists(prevArtifact))
+    else if (prevMedians.isEmpty && java.nio.file.Files.exists(prevArtifact))
       System.err.println(
         s"BENCH WARNING: $prevArtifact exists but yielded no per-query " +
           "medians — regression guard inactive this run (format drift?)")

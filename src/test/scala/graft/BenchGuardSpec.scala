@@ -34,6 +34,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseQueryMedians("""{"queries":[1,2]}""") === Map.empty)
   }
 
+  test("artifact cpu-count parse: same-core gate inputs") {
+    // the guard only adjudicates same-core pairs (r16: the driver's 8-core
+    // scaling run falsely "confirmed" regressions vs the 32-thread
+    // baseline); shuffle_partitions tracks $SPARK_GRAFT_CPUS in every
+    // artifact this repo has written
+    assert(Bench.parseArtifactCpus(
+      """{"metric":"total","queries":{"q":1.0},"shuffle_partitions":32}""")
+      === Some(32))
+    assert(Bench.parseArtifactCpus(
+      """{"shuffle_partitions":"8"}""") === Some(8))
+    // legacy artifact without the field -> None (treated as comparable)
+    assert(Bench.parseArtifactCpus("""{"metric":"total"}""") === None)
+    assert(Bench.parseArtifactCpus("not json") === None)
+  }
+
   test("child-output median extraction finds the flagged query's median") {
     val childOut =
       """some log line the child printed
