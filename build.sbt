@@ -40,4 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // inflated bench medians ~2x, and 28g still showed 15s G1 storms on the
   // iterative graph queries (machine has 128 GiB — use it)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // extra JVM flags for measured A/B only (e.g. SPARK_GRAFT_GC_FLAGS=
+  // "-XX:+UseParallelGC" to test the collector against the documented G1
+  // storms); default empty keeps the committed baseline comparable
+  sys.env.get("SPARK_GRAFT_GC_FLAGS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

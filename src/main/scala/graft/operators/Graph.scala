@@ -178,13 +178,25 @@ object Graph {
       .select(col("dst").as("node"), expr("r div od").as("c"))
       .groupBy("node").agg(sum("c").as("c"))
 
-  /** The shared per-step persist loop for every rank variant. Each
-    * iteration reads the previous rank table up to three times (edge
-    * join, dangling scan, node-preserving left join) — composed lazily
-    * that triples the lineage per step (27x the base subtree at 3
-    * iterations). Persist each rank frame behind a count barrier and
-    * release the parent: the plan stays one-iteration deep and the rank
-    * table (|nodes| rows) is the only moving state.
+  /** The shared per-step loop for every rank variant. Each iteration
+    * reads the previous rank table up to three times (edge join, dangling
+    * scan, node-preserving left join) — composed lazily that triples the
+    * lineage per step (27x the base subtree at 3 iterations). Materialize
+    * each rank frame eagerly with truncated lineage and release the
+    * parent: the plan stays one-iteration deep and the rank table
+    * (|nodes| rows) is the only moving state.
+    *
+    * Round shape (r17): ONE materialization per round — the eager
+    * truncate ([[graft.plans.Checkpoints.truncate]]) computes the round
+    * directly into constant-depth checkpoint blocks. The earlier
+    * persist → count-barrier → truncate-copy → unpersist shape paid an
+    * extra block-copy job per intermediate round and briefly held two
+    * copies of the rank table; at sf0.1 the loop family is
+    * scheduling-bound (taskCpu/32 ≪ wall in every profile), so the extra
+    * per-round job was pure wall. In convergence mode one probe over the
+    * materialized blocks does double duty: the convergence delta AND the
+    * NEXT round's dangling mass, so later rounds pay no separate
+    * dangling scan.
     *
     * `e` arrives already persisted + counted; `contrib(r)` must return
     * the aggregated `(node, c)` contribution table for rank table `r` —
@@ -211,17 +223,20 @@ object Graph {
       .persist()
     val nNodes = nodesF.count() // barrier + the loop-invariant scalar
     var current: DataFrame = nodesF.withColumn("r", lit(Unit_)).persist()
-    // the live checkpoint (if any) backs every later plain-persisted
-    // frame's lineage; it is only released when superseded by a NEWER
-    // checkpoint (Dedup.resolveClustersReleasable's discipline)
+    // the live checkpoint backing `current` (if any); released only when
+    // superseded by a NEWER checkpoint
     var liveCheckpoint: Option[DataFrame] = None
+    // dangling mass carried from the previous round's combined probe
+    // (convergence mode only) — the round then pays no dangling scan
+    var dangCarried: Option[Long] = None
     var i = 0
     var converged = false
     while (i < iters && !converged) {
       i += 1
       val r = current
       val ct = contrib(r)
-      // one tiny job over the cached rank table; both operands of the
+      // one tiny job over the materialized rank table (or the carried
+      // value from the previous round's probe); both operands of the
       // share are non-negative, so Scala's / == SQL's truncating div and
       // the integer replay contract is untouched
       // Katz-style recurrences keep β fixed instead of recycling dangling
@@ -229,48 +244,40 @@ object Graph {
       // graph: no rows exist, but the scalar division must still not throw
       val share =
         if (!redistributeDangling || nNodes == 0) 0L
-        else r.where(col("dng"))
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0) / nNodes
+        else dangCarried.getOrElse(r.where(col("dng"))
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)) / nNodes
       val stepped = r.select(col("node"), col("dng"), col("r").as("r_old"))
         .join(ct, Seq("node"), "left")
         .select(col("node"), col("dng"), col("r_old"),
           (lit(Unit_ * (dampDen - dampNum) / dampDen) +
             expr(s"($dampNum * (coalesce(c, 0L) + $share)) div $dampDen"))
             .as("r"))
-      // fixed-iteration mode never reads r_old — drop it before the
-      // persist so the cached rank table stays lean
-      var next = (if (stopDeltaMicro >= 0L) stepped else stepped.drop("r_old"))
-        .persist()
+      // ONE job materializes the round into constant-depth checkpoint
+      // blocks. Composed lazily instead, round i's plan nests every prior
+      // round's subtree and the DRIVER re-analyzes the growing tree for
+      // each of the round's actions: profiled on pagerank_until as wall
+      // 52 s vs task-wall 36 s vs CPU 21 s — the executors idle while
+      // Catalyst chews lineage. (Set `graft.checkpoint.dir` to trade the
+      // local copy for a RELIABLE checkpoint on a real cluster —
+      // [[graft.plans.Checkpoints]].) Fixed-iteration mode never reads
+      // r_old — drop it before materializing so the rank table stays lean.
+      val next = Checkpoints.truncate(
+        if (stopDeltaMicro >= 0L) stepped else stepped.drop("r_old"))
       if (stopDeltaMicro >= 0L) {
-        // convergence probe doubles as the materialization barrier: one
-        // integer aggregate over the cached frame, no extra join (the
-        // step carried its parent rank in r_old)
-        val delta = next.agg(coalesce(sum(abs(col("r") - col("r_old"))),
-          lit(0L))).head().getLong(0)
-        converged = delta <= stopDeltaMicro
-      } else next.count() // materialize before releasing the parent
-      if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
-      // persisted frames keep full lineage — truncate it EVERY round with
-      // a localCheckpoint. Composed lazily instead, round i's plan nests
-      // every prior round's InMemoryRelation and the DRIVER re-analyzes
-      // the growing tree for each of the round's actions: profiled on
-      // pagerank_until as wall 52 s vs task-wall 36 s vs CPU 21 s — the
-      // executors idle while Catalyst chews lineage. The rank table is
-      // |nodes| rows and already cached, so the eager checkpoint copies a
-      // few hundred KB of blocks and every round's plan stays
-      // constant-depth. (Set `graft.checkpoint.dir` to trade the local
-      // copy for a RELIABLE checkpoint on a real cluster —
-      // [[graft.plans.Checkpoints]].)
-      // Skipped when the loop is about to exit: truncation only pays off
-      // if MORE rounds stack plans on top, and the final frame is already
-      // persisted — checkpointing it would copy blocks nobody extends.
-      if (i < iters && !converged) {
-        val t = Checkpoints.truncate(next)
-        next.unpersist()
-        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
-        liveCheckpoint = Some(t)
-        next = t
+        // combined probe over the materialized blocks: convergence delta
+        // (no extra join — the step carried its parent rank in r_old)
+        // plus the next round's dangling mass
+        val row = next.agg(
+          coalesce(sum(abs(col("r") - col("r_old"))), lit(0L)),
+          coalesce(sum(when(col("dng"), col("r"))), lit(0L))).head()
+        converged = row.getLong(0) <= stopDeltaMicro
+        dangCarried = Some(row.getLong(1))
       }
+      // release the superseded parent: round 1's plain-persisted seed
+      // unpersists; later rounds' checkpoint blocks free via their handle
+      if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
+      liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+      liveCheckpoint = Some(next)
       current = next
     }
     val finalFrame = current
@@ -523,22 +530,23 @@ object Graph {
     while (i < iters) {
       val nbrMin = e.join(labels, e("b") === labels("node"))
         .groupBy(e("a").as("node")).agg(min("label").as("nl"))
-      var next = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
-      next.count()
+      // INTERMEDIATE rounds materialize in ONE job straight into
+      // constant-depth checkpoint blocks ([[iterate]]'s r17 round shape —
+      // the old persist → count → truncate-copy paid an extra block-copy
+      // job per round); the FINAL round stays a plain persisted frame so
+      // the returned hook's unpersist is always safe, with its lineage
+      // backed by the last intermediate checkpoint (released only via the
+      // registry's invalidating tier below)
+      val next =
+        if (i < iters - 1) Checkpoints.truncate(stepped)
+        else { val n = stepped.persist(); n.count(); n }
       if (!liveCheckpoint.exists(_ eq labels)) labels.unpersist()
-      // truncate lineage every INTERMEDIATE round ([[iterate]]'s driver
-      // rationale: nested per-round InMemoryRelations make Catalyst, not
-      // the executors, the bottleneck); the final round stays a plain
-      // persisted frame so the returned hook's unpersist is always safe
       if (i < iters - 1) {
-        val t = Checkpoints.truncate(next)
-        next.unpersist()
         liveCheckpoint.foreach(c => CheckpointHandle.release(c))
-        liveCheckpoint = Some(t)
-        next = t
+        liveCheckpoint = Some(next)
       }
       labels = next
       i += 1
@@ -660,25 +668,105 @@ object Graph {
   def triangleCounts(edges: DataFrame): DataFrame =
     trianglePipeline(edges)._2
 
+  /** Packed-key contract bound: the `deg·2³² + id` and `u·2³² + v`
+    * BIGINT packings need every node id in `[0, 2³¹)` — above 2³¹ the
+    * high word overflows the sign bit and div/pmod recovery breaks, so
+    * the guard threshold is 2³¹, not 2³². Checked at runtime from the
+    * same single job that was already the edge frame's count barrier;
+    * out-of-range graphs route through [[denseIdMap]] instead of
+    * silently colliding keys (TPC-H partkey cardinality is 200k×SF —
+    * above SF ≈ 10,700 raw ids cross this bound).
+    */
+  private val PackMaxId = 2147483648L // 2^31
+
+  /** Edge-frame stats in ONE job — the count doubles as the
+    * materialization barrier the callers already paid: (nEdges, minId,
+    * maxId) over a canonical `(a < b)` edge frame.
+    */
+  private def edgeStats(und: DataFrame): (Long, Long, Long) = {
+    val r = und.agg(count(lit(1)),
+      coalesce(min(col("a")), lit(0L)),
+      coalesce(max(col("b")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Monotone dense re-id for graphs whose node ids violate the packing
+    * contract: each id maps to its 0-based rank in ascending id order.
+    * The map is strictly increasing, so least/greatest canonicalization,
+    * the (deg, id) orientation order, and (u, v) tie-breaks are all
+    * preserved — results are identical after mapping back. The global
+    * rank is a single-partition window sort of |V| rows: acceptable
+    * exactly because this is the correctness fallback, not the hot path
+    * (the packed fast path handles every id under 2³¹).
+    */
+  private def denseIdMap(und: DataFrame, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = und.select(col("a").as("orig"))
+      .union(und.select(col("b").as("orig"))).distinct()
+      .select(col("orig"),
+        (row_number().over(Window.orderBy("orig")).cast("long") - 1L).as("nid"))
+      .persist()
+    val n = m.count()
+    require(n < PackMaxId,
+      s"graph id remap ($label): $n nodes exceed the 2^31 packed-key bound")
+    ReleaseRegistry.register(label)(() => m.unpersist(blocking = false))
+    m
+  }
+
+  /** Remapped canonical edges `(a, b)` in dense id space (monotone, so
+    * `a < b` still holds), persisted behind a count barrier.
+    */
+  private def denseEdges(und: DataFrame, m: DataFrame, label: String): DataFrame = {
+    val d = und
+      .join(m.select(col("orig").as("a"), col("nid").as("na")), "a")
+      .join(m.select(col("orig").as("b"), col("nid").as("nb")), "b")
+      .select(col("na").as("a"), col("nb").as("b"))
+      .persist()
+    d.count()
+    ReleaseRegistry.register(label)(() => d.unpersist(blocking = false))
+    d
+  }
+
   /** The shared oriented-triangle core: returns `(deg, tri)` — the
     * undirected degree table and per-node triangle counts (nodes with no
     * triangle absent from `tri`). The canonical edge list persists behind
     * a count barrier so the degree aggregate, the keying joins, AND any
     * caller reuse of `deg` (e.g. [[clusteringCoefficient]]'s final join)
     * all read one materialization of the caller's edge generation — the
-    * same duplicate-generation guard [[modularity]] carries.
+    * same duplicate-generation guard [[modularity]] carries. Ids outside
+    * the packed-key contract ([[PackMaxId]]) detour through the monotone
+    * dense re-id and map back at the end — same counts, original ids.
     */
   private[graft] def trianglePipeline(edges: DataFrame,
       broadcastMaxRows: Long = 5000000L): (DataFrame, DataFrame) = {
-    val SHIFT = 4294967296L // 2^32
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist()
-    val nEdges = und.count()
+    val (nEdges, minId, maxId) = edgeStats(und)
     ReleaseRegistry.register("graph.triangles_edges")(
       () => und.unpersist(blocking = false))
+    if (minId >= 0 && maxId < PackMaxId)
+      trianglesPacked(und, nEdges, broadcastMaxRows)
+    else {
+      val m = denseIdMap(und, "graph.triangles_idmap")
+      val dense = denseEdges(und, m, "graph.triangles_dense")
+      val (degD, triD) = trianglesPacked(dense, nEdges, broadcastMaxRows)
+      def back(df: DataFrame, valueCol: String): DataFrame =
+        df.join(m, df("node") === m("nid"))
+          .select(col("orig").as("node"), col(valueCol))
+      (back(degD, "dg"), back(triD, "n_tri"))
+    }
+  }
+
+  /** [[trianglePipeline]]'s packed-key core — requires every id in
+    * `[0, 2³¹)` (caller-guarded). `und` arrives canonical, persisted and
+    * materialized.
+    */
+  private def trianglesPacked(und: DataFrame, nEdges: Long,
+      broadcastMaxRows: Long): (DataFrame, DataFrame) = {
+    val SHIFT = 4294967296L // 2^32
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -788,11 +876,33 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist()
-    val nEdges = und.count()
+    val (nEdges, minId, maxId) = edgeStats(und)
     ReleaseRegistry.register("graph.linkpred_edges")(
       () => und.unpersist(blocking = false))
-    raOnCanonical(und, nEdges, maxHubDegree, topK)
+    raGuarded(und, nEdges, minId, maxId, maxHubDegree, topK)
   }
+
+  /** Packed-key guard in front of [[raOnCanonical]]: ids inside the
+    * contract run the packed core directly; out-of-range graphs detour
+    * through the monotone dense re-id (which preserves every comparison
+    * the scoring relies on — canonical order, tie-breaks, top-k), then
+    * map the winning pairs back to original ids and re-assert the
+    * declared ordering (the back-join does not preserve row order).
+    */
+  private def raGuarded(und: DataFrame, nEdges: Long, minId: Long,
+      maxId: Long, maxHubDegree: Long, topK: Int): DataFrame =
+    if (minId >= 0 && maxId < PackMaxId)
+      raOnCanonical(und, nEdges, maxHubDegree, topK)
+    else {
+      val m = denseIdMap(und, "graph.linkpred_idmap")
+      val dense = denseEdges(und, m, "graph.linkpred_dense")
+      raOnCanonical(dense, nEdges, maxHubDegree, topK)
+        .join(m.select(col("orig").as("uo"), col("nid").as("u")), "u")
+        .join(m.select(col("orig").as("vo"), col("nid").as("v")), "v")
+        .select(col("uo").as("u"), col("vo").as("v"),
+          col("n_common"), col("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("u"), col("v"))
+    }
 
   /** The RA scoring pipeline over an already-canonical, already-
     * materialized edge frame `(a < b, unique)` — shared by
@@ -895,9 +1005,10 @@ object Graph {
     val alive = kCoreAlive(edges, k, rounds, broadcastMaxRows = 5000000L)
     val coreEdges = alive.where(col("x") < col("y"))
       .select(col("x").as("a"), col("y").as("b"))
-    // one cheap count over checkpointed blocks (both orientations / 2)
-    // feeds the same driver-known broadcast gate the public entry uses
-    raOnCanonical(coreEdges, alive.count() / 2, maxHubDegree, topK)
+    // one cheap stats job over checkpointed blocks feeds the broadcast
+    // gate AND the packed-key id guard the public entry carries
+    val (nEdges, minId, maxId) = edgeStats(coreEdges)
+    raGuarded(coreEdges, nEdges, minId, maxId, maxHubDegree, topK)
   }
 
   /** Bounded-round k-core peeling: repeatedly delete nodes whose degree
@@ -1214,7 +1325,7 @@ object Graph {
     var current: DataFrame =
       nodesF.withColumn("r", lit(Unit_)).persist()
     var liveCheckpoint: Option[DataFrame] = None
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val r = current
       val ct = contrib(r)
       val dang = r.where(col("dng"))
@@ -1222,21 +1333,18 @@ object Graph {
       val extra =
         if (nSeedsActual == 0) 0L
         else dampNum * (dang / nSeedsActual) / dampDen
-      var next = r.select(col("node"), col("dng"), col("seed"))
-        .join(ct, Seq("node"), "left")
-        .select(col("node"), col("dng"), col("seed"),
-          (when(col("seed"), lit(tele + extra)).otherwise(lit(0L)) +
-            expr(s"($dampNum * coalesce(c, 0L)) div $dampDen")).as("r"))
-        .persist()
-      next.count()
+      // ONE materialization per round ([[iterate]]'s r17 round shape):
+      // eager truncate into constant-depth checkpoint blocks replaces the
+      // persist → count → truncate-copy → unpersist sequence
+      val next = Checkpoints.truncate(
+        r.select(col("node"), col("dng"), col("seed"))
+          .join(ct, Seq("node"), "left")
+          .select(col("node"), col("dng"), col("seed"),
+            (when(col("seed"), lit(tele + extra)).otherwise(lit(0L)) +
+              expr(s"($dampNum * coalesce(c, 0L)) div $dampDen")).as("r")))
       if (!liveCheckpoint.exists(_ eq r)) r.unpersist()
-      if (i < iters) {
-        val t = Checkpoints.truncate(next)
-        next.unpersist()
-        liveCheckpoint.foreach(c => CheckpointHandle.release(c))
-        liveCheckpoint = Some(t)
-        next = t
-      }
+      liveCheckpoint.foreach(c => CheckpointHandle.release(c))
+      liveCheckpoint = Some(next)
       current = next
     }
     val fin = current

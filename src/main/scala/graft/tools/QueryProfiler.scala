@@ -36,7 +36,11 @@ object QueryProfiler {
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .config("spark.sql.adaptive.enabled", "true")
+          // SPARK_GRAFT_PROFILE_AQE=0 profiles with AQE off (A/B for the
+          // iterative loops' per-round planning cost); default matches
+          // the bench conf (on)
+          .config("spark.sql.adaptive.enabled",
+            (!sys.env.get("SPARK_GRAFT_PROFILE_AQE").contains("0")).toString)
           .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
           .config("spark.sql.adaptive.skewJoin.enabled", "true")
           .config("spark.sql.codegen.cache.maxEntries", "2000")

@@ -68,6 +68,29 @@ class GraphSpec extends SparkSpec {
     assert(got3 === 0L)
   }
 
+  test("id-packing guard: ids outside [0, 2^31) route through the dense re-id fallback") {
+    // the packed BIGINT keys (deg·2³²+id in triangles, u·2³²+v in RA)
+    // silently collide above 2³¹ — the runtime guard must detour such
+    // graphs through the monotone dense re-id and hand back ORIGINAL ids
+    // with identical counts/scores. Same square-with-diagonal as the lcc
+    // case, shifted far past the bound:
+    val OFF = 3L * 4294967296L // 3·2^32 ≫ 2^31
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .map { case (a, b) => (a + OFF, b + OFF) }.toDF("src", "dst")
+    val tri = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    graft.plans.ReleaseRegistry.drain()
+    assert(tri === Map(1L + OFF -> 2L, 2L + OFF -> 1L,
+      3L + OFF -> 2L, 4L + OFF -> 1L))
+    // RA over the plain square, one corner NEGATIVE (the other contract
+    // violation): both diagonals score 2 common deg-2 neighbors; original
+    // ids come back and the (ra desc, u, v) order holds
+    val sq = Seq((-5L, 2L), (2L, 3L), (-5L, 4L), (4L, 3L)).toDF("src", "dst")
+    val ra = Graph.linkPredictionRA(sq)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.plans.ReleaseRegistry.drain()
+    assert(ra === Seq((-5L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
   test("linkPredictionCore: RA on the k-core backbone drops periphery candidates") {
     // dense core: K5 minus edge (1,3); sparse periphery: 6 hangs off 1,
     // 7 hangs off 6. k=3 peels {6,7}; the core's only non-adjacent pair
