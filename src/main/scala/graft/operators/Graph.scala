@@ -126,13 +126,18 @@ object Graph {
     */
   def pageRankWeighted(edges: DataFrame, iters: Int = 3,
       dampNum: Long = 85L, dampDen: Long = 100L): RankResult = {
+    // same exchange discipline as [[prepareUniform]]: the per-pair sum
+    // stays FIRST (map-side combined over the raw stream), the `src`
+    // layout sits directly on its output, and the out-weight aggregate +
+    // join then plan exchange-free on that layout — 2 edge-scale
+    // exchanges instead of the first-draft 4
     val agg = edges.select(col("src"), col("dst"), col("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
+      .repartition(col("src"))
     val outW = agg.groupBy("src").agg(sum("w").as("sw"))
     val e = agg.join(outW, "src")
       .select(col("src"), col("dst"),
         expr("(w * 1000000L) div sw").as("wn"))
-      .repartition(col("src"))
       .persist()
     e.count()
     iterate(e,
@@ -156,13 +161,25 @@ object Graph {
   /** Uniform-split edge prep: dedup, pre-join each edge's out-degree
     * (loop-invariant — joining it INSIDE the loop would re-pay an
     * aggregate + join every iteration), lay out on `src` once, persist.
+    *
+    * Exchange order matters (guide §2.4 — share one exchange): the
+    * repartition on `src` sits directly ON the deduped set, so the
+    * degree aggregate (`groupBy(src)` — hash(src) satisfies its
+    * clustering) and the out-degree join (both sides hash(src)) plan
+    * with NO further exchange, and the two references to the deduped
+    * subtree reuse one shuffle. The first-draft shape — distinct →
+    * degree-exchange → join-probe-exchange → trailing repartition —
+    * paid 4 edge-scale exchanges for the same frame; this pays 2. The
+    * distinct stays FIRST (map-side combined) so the raw-edge pass
+    * still shrinks before any shuffle — at 100 TB the raw pair stream
+    * is orders of magnitude bigger than the deduped set.
     */
   private def prepareUniform(edges: DataFrame): DataFrame = {
     val dedup = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")) // iteration joins reuse this layout
     val e = dedup
       .join(dedup.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .select(col("src"), col("dst"), col("od"))
-      .repartition(col("src")) // iteration joins reuse this layout
       .persist()
     e.count() // barrier: materialize before the iteration chain re-reads
     e
@@ -383,33 +400,41 @@ object Graph {
     val nAuth = e.select("dst").distinct().count()
     var h = Checkpoints.truncate(
       e.select(col("src").as("node")).distinct().withColumn("s", lit(Unit_)))
+    var hCp = h // the checkpoint backing h (h itself may be a lazy rescale)
     var a: DataFrame = null
+    var aCp: DataFrame = null
+    // ONE materialization per half-step ([[iterate]]'s r17 round shape):
+    // the UNSCALED aggregate checkpoints eagerly, the Σ probe reads its
+    // blocks, and the rescale stays a LAZY projection over the checkpoint
+    // (recomputed per read — one integer division, read at most twice) —
+    // the old persist → probe → truncate-copy → unpersist paid an extra
+    // block-copy job per half-step. Release targets the backing
+    // checkpoint, not the projection (a projection has no handle).
     def halfStep(from: DataFrame, joinKey: String, outKey: String,
-        n: Long): DataFrame = {
-      val raw = e.join(from, e(joinKey) === from("node"))
-        .select(e(outKey).as("node"), col("s"))
-        .groupBy("node").agg(sum("s").as("s_raw")).persist()
-      // Σ probe = barrier + the round's normalization scale
+        n: Long): (DataFrame, DataFrame) = {
+      val raw = Checkpoints.truncate(
+        e.join(from, e(joinKey) === from("node"))
+          .select(e(outKey).as("node"), col("s"))
+          .groupBy("node").agg(sum("s").as("s_raw")))
+      // Σ probe over the materialized blocks = the round's normalization
       val tot = raw.agg(coalesce(sum("s_raw"), lit(0L))).head().getLong(0)
       val scale = math.max(1L, tot / (math.max(1L, n) * Unit_))
-      val out = Checkpoints.truncate(
-        raw.select(col("node"), expr(s"s_raw div $scale").as("s")))
-      raw.unpersist(blocking = false)
-      out
+      (raw.select(col("node"), expr(s"s_raw div $scale").as("s")), raw)
     }
     for (_ <- 1 to iters) {
-      val aNew = halfStep(h, "src", "dst", nAuth)
-      if (a != null) CheckpointHandle.release(a)
-      a = aNew
-      val hNew = halfStep(a, "dst", "src", nHub)
-      CheckpointHandle.release(h)
-      h = hNew
+      val (aNew, aCpNew) = halfStep(h, "src", "dst", nAuth)
+      if (aCp != null) CheckpointHandle.release(aCp)
+      a = aNew; aCp = aCpNew
+      val (hNew, hCpNew) = halfStep(a, "dst", "src", nHub)
+      CheckpointHandle.release(hCp)
+      h = hNew; hCp = hCpNew
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val (hF, aF) = (h, a)
+    val (hCpF, aCpF) = (hCp, aCp)
     ReleaseRegistry.registerInvalidating("graph.hits_checkpoint") { () =>
-      CheckpointHandle.release(hF); CheckpointHandle.release(aF)
+      CheckpointHandle.release(hCpF); CheckpointHandle.release(aCpF)
       e.unpersist(blocking = false)
     }
     nodes
